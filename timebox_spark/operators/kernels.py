@@ -1,0 +1,204 @@
+"""The reference's numpy codec kernels, re-expressed as Spark transforms.
+
+Reference kernels (all in /root/reference/timebox/utils/numpy_utils.py
+and timebox_tag.py):
+
+- delta encode/decode ('e' mode): ediff1d + cumsum
+  (numpy_utils.py:218, 258-260) → lag / running-sum windows (W1/W2).
+- frame-of-reference encode/decode ('m' mode): arr − amin(arr)
+  (numpy_utils.py:214-236, 261-262) → global-min agg + broadcast (W3/W4).
+- fixed-decimal quantize/dequantize (timebox_tag.py:238-240, 264-265)
+  → round/pow column expressions (C1/C2).
+- lossless float downcast guard (numpy_utils.py:103-184) → round-trip
+  cast equality predicate (C3).
+- min-width integer typing (binary.py:5-43) → min/max agg + width
+  ladder (C4/W5).
+
+Scale notes: windows partition by the caller's series key — a window
+with no partition key collapses to one task, so global operations
+(FOR, extremes) are computed as aggregates and broadcast-joined back
+instead of using an empty-partition window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- W1/W2/W6
+
+def delta_encode(
+    df: DataFrame,
+    value_col: str,
+    order_by: list[str],
+    partition_by: list[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """value − lag(value) per series; first row of each series gets
+    null (the reference stores the first value separately as the
+    reference value, numpy_utils.py:218-222)."""
+    out_col = out_col or f"{value_col}_delta"
+    w = _w(order_by, partition_by)
+    return df.withColumn(out_col, F.col(value_col) - F.lag(value_col).over(w))
+
+
+def delta_decode(
+    df: DataFrame,
+    delta_col: str,
+    first_value_col: str,
+    order_by: list[str],
+    partition_by: list[str] | None = None,
+    out_col: str = "reconstructed",
+) -> DataFrame:
+    """Prefix-sum reconstruction: first_value + running sum of deltas
+    (reference cumsum+prepend, numpy_utils.py:258-260 and
+    timebox.py:349-361). Null deltas (series heads) count as 0."""
+    w = _w(order_by, partition_by).rowsBetween(Window.unboundedPreceding, 0)
+    wf = _w(order_by, partition_by)
+    return df.withColumn(
+        out_col,
+        F.first(first_value_col).over(wf)
+        + F.sum(F.coalesce(F.col(delta_col), F.lit(0))).over(w),
+    )
+
+
+def ts_delta_us(
+    df: DataFrame,
+    ts_col: str = "ts",
+    order_by: list[str] | None = None,
+    partition_by: list[str] | None = None,
+    out_col: str = "delta_us",
+) -> DataFrame:
+    """Per-row timestamp delta in microseconds (reference
+    ``np.ediff1d(self._dates)``, timebox.py:370; µs because Spark
+    timestamps are µs-precision)."""
+    order_by = order_by or [ts_col]
+    w = _w(order_by, partition_by)
+    us = F.unix_micros(F.col(ts_col))
+    return df.withColumn(out_col, us - F.lag(us).over(w))
+
+
+# ---------------------------------------------------------------- W3/W4
+
+def frame_of_reference_encode(
+    df: DataFrame, value_cols: list[str], suffix: str = "_for"
+) -> tuple[DataFrame, dict[str, float]]:
+    """Subtract the global min from each column (reference 'm' mode,
+    numpy_utils.py:214-236). Returns (encoded df, {col: reference_min}).
+
+    Implemented as one agg + literal subtraction (the mins are scalars;
+    a Window.partitionBy() would serialize the table through a single
+    task — wrong at scale).
+    """
+    mins_row = df.agg(
+        *[F.min(c).alias(c) for c in value_cols]
+    ).collect()[0]
+    refs = {c: mins_row[c] for c in value_cols}
+    out = df
+    for c in value_cols:
+        out = out.withColumn(c + suffix, F.col(c) - F.lit(refs[c]))
+    return out, refs
+
+
+def frame_of_reference_decode(
+    df: DataFrame, encoded_col: str, reference_value, out_col: str
+) -> DataFrame:
+    """arr + ref (numpy_utils.py:261-262)."""
+    return df.withColumn(out_col, F.col(encoded_col) + F.lit(reference_value))
+
+
+# ---------------------------------------------------------------- C1/C2
+
+def quantize(col: Column | str, decimals: int) -> Column:
+    """Lossy fixed-decimal quantize: round(x·10^d) as BIGINT
+    (reference ``data *= 10**d; np.around(); astype(int64)``,
+    timebox_tag.py:238-240, numpy_utils.py:266-275)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * F.pow(F.lit(10.0), F.lit(decimals))).cast("long")
+
+
+def dequantize(col: Column | str, decimals: int) -> Column:
+    """Inverse: x / 10^d as DOUBLE (timebox_tag.py:264-265)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (c / F.pow(F.lit(10.0), F.lit(decimals))).cast("double")
+
+
+# ---------------------------------------------------------------- C3
+
+def float32_roundtrip_exact(col: Column | str) -> Column:
+    """True where a double survives a float32 round trip bit-exactly.
+
+    The reference inspects mantissa bytes + exponent range to downcast
+    f64→f32→f16 only when lossless (numpy_utils.py:103-184). The
+    Catalyst-native equivalent predicate: cast down, cast back, compare
+    (NaN-safe via eqNullSafe on a NaN-normalized pair).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    back = c.cast("float").cast("double")
+    return (back == c) | (F.isnan(c) & F.isnan(back))
+
+
+def lossless_float32_downcast(df: DataFrame, col: str) -> tuple[DataFrame, bool]:
+    """Writer policy: downcast a double column to float only if every
+    value (NaN included) round-trips exactly — the distributed analog
+    of ``compress_float_array`` (numpy_utils.py:103-184). Returns
+    (possibly-narrowed df, downcast_applied)."""
+    bad = df.filter(~float32_roundtrip_exact(col) & F.col(col).isNotNull()).limit(1).count()
+    if bad == 0:
+        return df.withColumn(col, F.col(col).cast("float")), True
+    return df, False
+
+
+# ---------------------------------------------------------------- C4/W5
+
+def required_bytes_unsigned(max_value: int) -> int:
+    """Smallest of {1,2,4,8} bytes holding an unsigned value — same
+    contract as determine_required_bytes_unsigned_integer
+    (/root/reference/timebox/utils/binary.py:5-22)."""
+    if max_value < 0:
+        raise ValueError("unsigned width of a negative value")
+    for width, limit in ((1, 1 << 8), (2, 1 << 16), (4, 1 << 32), (8, 1 << 64)):
+        if max_value < limit:
+            return width
+    raise ValueError(f"value too large for uint64: {max_value}")
+
+
+def required_bytes_signed(min_value: int, max_value: int) -> int:
+    """Smallest signed width covering [min, max] — contract of
+    determine_required_bytes_signed_integer (binary.py:25-43)."""
+    for width in (1, 2, 4, 8):
+        lo, hi = -(1 << (8 * width - 1)), (1 << (8 * width - 1)) - 1
+        if lo <= min_value and max_value <= hi:
+            return width
+    raise ValueError(f"range [{min_value}, {max_value}] exceeds int64")
+
+
+def min_width_report(df: DataFrame, cols: list[str]) -> dict[str, dict]:
+    """One-pass min/max over all columns, then the width ladder per
+    column (reference computes np.amax/np.amin per array then picks a
+    byte width, numpy_utils.py:224-236 + binary.py:5-43)."""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"{c}__min"), F.max(c).alias(f"{c}__max")]
+    row = df.agg(*aggs).collect()[0]
+    report = {}
+    for c in cols:
+        lo, hi = row[f"{c}__min"], row[f"{c}__max"]
+        entry = {"min": lo, "max": hi}
+        if lo is not None and hi is not None and float(lo).is_integer() and float(hi).is_integer():
+            lo_i, hi_i = int(lo), int(hi)
+            entry["bytes_signed"] = required_bytes_signed(lo_i, hi_i)
+            if lo_i >= 0:
+                entry["bytes_unsigned"] = required_bytes_unsigned(hi_i)
+        report[c] = entry
+    return report
+
+
+# ---------------------------------------------------------------- helpers
+
+def _w(order_by: list[str], partition_by: list[str] | None) -> Window:
+    w = Window.orderBy(*order_by)
+    if partition_by:
+        w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return w

@@ -1,0 +1,577 @@
+"""Declared correctness queries Q1–Q16 (SURVEY §5.3).
+
+Each ``q*`` function builds the Spark plan through the engine API; the
+matching entry in ``ORACLE_SQL`` is the ANSI-SQL DuckDB oracle the
+driver runs side-by-side at sf0.01. Column names and exact result
+types are aligned pairwise (floats are quantized to BIGINT before
+hashing; sums of floats are quantized per-term so the result is an
+order-independent integer sum).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from timebox_spark.operators import kernels
+from timebox_spark.operators.asof import asof_join
+from timebox_spark.operators.timeunits import UNIT_US
+from timebox_spark.plans.tables import load
+from timebox_spark.table import TimeBoxTable
+
+
+def _tmp(prefix: str, sf_dir: str = "") -> str:
+    # deterministic per (query, sf_dir) and overwritten on rerun, so
+    # repeated driver runs don't accumulate /tmp directories
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    return f"/tmp/timebox_spark_{prefix}_{tag}"
+
+
+def _q(col, decimals: int):
+    return kernels.quantize(col, decimals)
+
+
+# ------------------------------------------------------------------ Q1
+# S1/S2 round trip: write events sorted by ts to Parquet, read back,
+# digest. (reference write/read: /root/reference/timebox/timebox.py:102-159)
+
+def q01_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    path = _tmp("q01", sf_dir)
+    TimeBoxTable(events).save(path)
+    rt = TimeBoxTable.load(spark, path)
+    return rt.df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("ts").alias("ts_min"),
+        F.max("ts").alias("ts_max"),
+        F.sum(_q(F.col("value"), 6)).alias("value_q_sum"),
+    )
+
+
+# ------------------------------------------------------------------ Q2
+# S8–S10 pandas bridge: Spark→pandas→Spark on the numeric projection of
+# events; digest must equal the source. (timebox.py:38-100)
+
+def q02_pandas_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    pdf = (
+        TimeBoxTable(events.select("ts", "event_id", "user_id", "value"))
+        .to_pandas()
+    )
+    back = TimeBoxTable.from_pandas(spark, pdf)
+    return back.df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("ts").alias("ts_min"),
+        F.max("ts").alias("ts_max"),
+        F.sum("event_id").alias("event_id_sum"),
+        F.sum("user_id").alias("user_id_sum"),
+        F.sum(_q(F.col("value"), 6)).alias("value_q_sum"),
+    )
+
+
+# ------------------------------------------------------------------ Q3
+# S11 CSV round trip on the first 1000 events by event_id.
+
+def q03_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    head = events.orderBy("event_id").limit(1000).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    path = _tmp("q03", sf_dir)
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    head.write.option("header", True).option("timestampFormat", fmt).csv(path)
+    back = (
+        spark.read.option("header", True)
+        .option("timestampFormat", fmt)
+        .schema(head.schema)
+        .csv(path)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("ts").alias("ts_min"),
+        F.max("ts").alias("ts_max"),
+        F.sum("event_id").alias("event_id_sum"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.sum(_q(F.col("value"), 6)).alias("value_q_sum"),
+    )
+
+
+# ------------------------------------------------------------------ Q4
+# O1/O2 sort + monotonicity: violations in raw (event_id) order vs
+# after sorting by ts. (reference check: timebox.py:370-374)
+
+def q04_monotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    w_raw = Window.orderBy("event_id")
+    w_sorted = Window.orderBy("ts", "event_id")
+    flagged = events.select(
+        F.when(F.col("ts") < F.lag("ts").over(w_raw), 1).otherwise(0).alias("v_raw"),
+        F.when(F.col("ts") < F.lag("ts").over(w_sorted), 1).otherwise(0).alias("v_sorted"),
+    )
+    return flagged.agg(
+        F.sum("v_raw").alias("n_violations_raw"),
+        F.sum("v_sorted").alias("n_violations_sorted"),
+    )
+
+
+# ------------------------------------------------------------------ Q5
+# O4/W5/C4 extremes (reference np.amin/np.amax, timebox.py:369,389-390)
+
+def q05_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return orders.agg(
+        F.min("o_orderdate").alias("odate_min"),
+        F.max("o_orderdate").alias("odate_max"),
+        _q(F.min("o_totalprice"), 2).alias("price_min_q"),
+        _q(F.max("o_totalprice"), 2).alias("price_max_q"),
+    )
+
+
+# ------------------------------------------------------------------ Q6
+# W1/W2/W6 delta encode + prefix-sum reconstruction per event_type.
+
+def q06_delta_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros("ts")
+    )
+    d = kernels.delta_encode(
+        events, "us", order_by=["ts", "event_id"], partition_by=["event_type"]
+    )
+    r = kernels.delta_decode(
+        d,
+        "us_delta",
+        "us",
+        order_by=["ts", "event_id"],
+        partition_by=["event_type"],
+        out_col="rec",
+    )
+    return (
+        r.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("rec") == F.col("us"), 1).otherwise(0)).alias(
+                "n_exact"
+            ),
+        )
+    )
+
+
+# ------------------------------------------------------------------ Q7
+# W3/W4 frame-of-reference vs the global min, fully distributed
+# (agg + broadcast join, not an empty-partition window).
+
+def q07_frame_of_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    mins = li.agg(F.min("l_quantity").alias("__qty_min"))
+    return li.crossJoin(F.broadcast(mins)).select(
+        "l_orderkey",
+        "l_linenumber",
+        _q(F.col("l_quantity") - F.col("__qty_min"), 2).alias("qty_for_q"),
+    )
+
+
+# ------------------------------------------------------------------ Q8
+# C1/C2 quantize + dequantize (timebox_tag.py:238-240, 264-265)
+
+def q08_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    qcol = _q(F.col("l_extendedprice"), 2)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        qcol.alias("price_q"),
+        kernels.dequantize(qcol, 2).alias("price_dq"),
+    )
+
+
+# ------------------------------------------------------------------ Q9
+# C3 float32 downcast guard (numpy_utils.py:103-184)
+
+def q09_float_downcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    exact = kernels.float32_roundtrip_exact("l_discount")
+    return li.agg(
+        F.sum(F.when(exact, 1).otherwise(0)).alias("n_exact"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ------------------------------------------------------------------ Q10
+# D3/D4 coarsest exact time unit of deltas, for events and orders.
+
+def _unit_ladder(df: DataFrame, ts_col: str, order_extra: str, label: str) -> DataFrame:
+    w = Window.orderBy(ts_col, order_extra)
+    us = F.unix_micros(F.col(ts_col))
+    d = df.select((us - F.lag(us).over(w)).alias("delta")).filter(
+        F.col("delta").isNotNull()
+    )
+    aggs = [
+        F.max(F.when(F.col("delta") % F.lit(div) != 0, 1).otherwise(0)).alias(
+            f"bad_{u}"
+        )
+        for u, div in UNIT_US.items()
+    ] + [
+        F.min("delta").alias("dmin"),
+        F.max("delta").alias("dmax"),
+        F.count(F.lit(1)).alias("n_deltas"),
+    ]
+    g = d.agg(*aggs)
+    unit = F.when(F.col("bad_D") == 0, "D")
+    for u in ["h", "m", "s", "ms"]:
+        unit = unit.when(F.col(f"bad_{u}") == 0, u)
+    unit = unit.otherwise("us")
+    return g.select(
+        F.lit(label).alias("series"),
+        unit.alias("unit"),
+        (F.col("dmin") == F.col("dmax")).alias("is_regular"),
+        F.col("n_deltas"),
+    )
+
+
+def q10_time_units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    orders = load(spark, sf_dir, "orders")
+    a = _unit_ladder(events, "ts", "event_id", "events")
+    b = _unit_ladder(orders, "o_orderdate", "o_orderkey", "orders")
+    return a.unionByName(b)
+
+
+# ------------------------------------------------------------------ Q11
+# Filter + projection, TPC-H Q6 shape. Per-term quantization makes the
+# aggregate an exact integer sum (order-independent across partitions).
+
+def q11_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_q(F.col("l_extendedprice") * F.col("l_discount"), 2)).alias(
+                "revenue_q"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ Q12
+# Equi-join + agg + sort + limit, TPC-H Q3 shape. The customer dim is
+# broadcast; orders⋈lineitem shuffles on orderkey.
+
+def q12_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-06-01"
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-06-01")
+    joined = li.join(
+        orders, li.l_orderkey == orders.o_orderkey, "inner"
+    ).join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                _q(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2)
+            ).alias("revenue_q")
+        )
+        .orderBy(F.desc("revenue_q"), "o_orderdate", "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue_q", "o_orderdate", "o_orderpriority")
+    )
+
+
+# ------------------------------------------------------------------ Q13
+# Group-by + having: orders per customer.
+
+def q13_groupby_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.sum(_q(F.col("o_totalprice"), 2)).alias("total_q"),
+        )
+        .filter(F.col("n_orders") >= 5)
+    )
+
+
+# ------------------------------------------------------------------ Q14
+# Window ranking: first order per customer.
+
+def q14_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("first_orderkey"),
+            F.col("o_orderdate").alias("first_orderdate"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ Q15
+# Time bucketing (tumbling window, batch analog).
+
+def q15_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_q(F.col("value"), 3)).alias("value_q_sum"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ Q16
+# As-of join (backward): for every click, the latest purchase value at
+# or before it. Oracle is DuckDB's native ASOF JOIN. The right side is
+# pre-aggregated per ts so ties are deterministic.
+
+def q16_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "ts"
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("ts")
+        .agg(F.max("value").alias("pvalue"))
+        .select("ts", "pvalue", F.col("ts").alias("purchase_ts"))
+    )
+    joined = asof_join(
+        clicks, purchases, on="ts", value_cols=["pvalue", "purchase_ts"]
+    )
+    return joined.select(
+        "event_id",
+        _q(F.col("pvalue"), 6).alias("last_purchase_q"),
+        F.col("purchase_ts").alias("last_purchase_ts"),
+    )
+
+
+# ------------------------------------------------------------------ Q16b
+# As-of with a by-key: per user, the latest prior purchase.
+
+def q16b_asof_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pvalue"))
+    )
+    joined = asof_join(
+        clicks, purchases, on="ts", by=["user_id"], value_cols=["pvalue"]
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        _q(F.col("pvalue"), 6).alias("last_purchase_q"),
+    )
+
+
+# ------------------------------------------------------------------ oracles
+
+_UNIT_LADDER_SQL = """
+SELECT '{label}' AS series,
+       CASE WHEN max(CASE WHEN delta % 86400000000 <> 0 THEN 1 ELSE 0 END) = 0 THEN 'D'
+            WHEN max(CASE WHEN delta % 3600000000 <> 0 THEN 1 ELSE 0 END) = 0 THEN 'h'
+            WHEN max(CASE WHEN delta % 60000000 <> 0 THEN 1 ELSE 0 END) = 0 THEN 'm'
+            WHEN max(CASE WHEN delta % 1000000 <> 0 THEN 1 ELSE 0 END) = 0 THEN 's'
+            WHEN max(CASE WHEN delta % 1000 <> 0 THEN 1 ELSE 0 END) = 0 THEN 'ms'
+            ELSE 'us' END AS unit,
+       min(delta) = max(delta) AS is_regular,
+       CAST(count(*) AS BIGINT) AS n_deltas
+FROM (
+  SELECT epoch_us({ts}) - lag(epoch_us({ts})) OVER (ORDER BY {ts}, {id}) AS delta
+  FROM {table}
+) WHERE delta IS NOT NULL
+"""
+
+ORACLE_SQL: dict[str, str] = {
+    "q01_roundtrip": """
+        SELECT CAST(count(*) AS BIGINT) AS n_rows, min(ts) AS ts_min,
+               max(ts) AS ts_max,
+               CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS value_q_sum
+        FROM events
+    """,
+    "q02_pandas_bridge": """
+        SELECT CAST(count(*) AS BIGINT) AS n_rows, min(ts) AS ts_min,
+               max(ts) AS ts_max,
+               CAST(sum(event_id) AS BIGINT) AS event_id_sum,
+               CAST(sum(user_id) AS BIGINT) AS user_id_sum,
+               CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS value_q_sum
+        FROM events
+    """,
+    "q03_csv_roundtrip": """
+        SELECT CAST(count(*) AS BIGINT) AS n_rows, min(ts) AS ts_min,
+               max(ts) AS ts_max,
+               CAST(sum(event_id) AS BIGINT) AS event_id_sum,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+               CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS value_q_sum
+        FROM (SELECT * FROM events ORDER BY event_id LIMIT 1000)
+    """,
+    "q04_monotonic": """
+        SELECT CAST(sum(v_raw) AS BIGINT) AS n_violations_raw,
+               CAST(sum(v_sorted) AS BIGINT) AS n_violations_sorted
+        FROM (
+          SELECT CASE WHEN ts < lag(ts) OVER (ORDER BY event_id) THEN 1 ELSE 0 END AS v_raw,
+                 CASE WHEN ts < lag(ts) OVER (ORDER BY ts, event_id) THEN 1 ELSE 0 END AS v_sorted
+          FROM events
+        )
+    """,
+    "q05_extremes": """
+        SELECT min(o_orderdate) AS odate_min, max(o_orderdate) AS odate_max,
+               CAST(round(min(o_totalprice) * 100) AS BIGINT) AS price_min_q,
+               CAST(round(max(o_totalprice) * 100) AS BIGINT) AS price_max_q
+        FROM orders
+    """,
+    "q06_delta_reconstruct": """
+        WITH b AS (
+          SELECT event_type, event_id, ts, epoch_us(ts) AS us FROM events
+        ), d AS (
+          SELECT *, us - lag(us) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS delta
+          FROM b
+        ), r AS (
+          SELECT *,
+                 first_value(us) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+                 + sum(COALESCE(delta, 0)) OVER (
+                     PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rec
+          FROM d
+        )
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN rec = us THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
+        FROM r GROUP BY event_type
+    """,
+    "q07_frame_of_reference": """
+        SELECT l_orderkey, l_linenumber,
+               CAST(round((l_quantity - (SELECT min(l_quantity) FROM lineitem)) * 100) AS BIGINT) AS qty_for_q
+        FROM lineitem
+    """,
+    "q08_quantize": """
+        SELECT l_orderkey, l_linenumber,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS price_q,
+               CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DOUBLE) / 100.0 AS price_dq
+        FROM lineitem
+    """,
+    "q09_float_downcast": """
+        SELECT CAST(sum(CASE WHEN CAST(CAST(l_discount AS FLOAT) AS DOUBLE) = l_discount
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM lineitem
+    """,
+    "q10_time_units": (
+        _UNIT_LADDER_SQL.format(label="events", ts="ts", id="event_id", table="events")
+        + " UNION ALL "
+        + _UNIT_LADDER_SQL.format(
+            label="orders", ts="o_orderdate", id="o_orderkey", table="orders"
+        )
+    ),
+    "q11_filter_agg": """
+        SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_q,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.03 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+    "q12_join_topk": """
+        SELECT l_orderkey,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_q,
+               o_orderdate, o_orderpriority
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-06-01'
+          AND l_shipdate > TIMESTAMP '1998-06-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue_q DESC, o_orderdate, l_orderkey
+        LIMIT 10
+    """,
+    "q13_groupby_having": """
+        SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_q
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_custkey
+        HAVING count(o_orderkey) >= 5
+    """,
+    "q14_window_rank": """
+        SELECT o_custkey, o_orderkey AS first_orderkey, o_orderdate AS first_orderdate
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+          FROM orders
+        ) WHERE rn = 1
+    """,
+    "q15_time_bucket": """
+        SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS value_q_sum
+        FROM events GROUP BY 1, 2
+    """,
+    "q16_asof": """
+        WITH clicks AS (
+          SELECT event_id, ts FROM events WHERE event_type = 'click'
+        ), purchases AS (
+          SELECT ts, max(value) AS pvalue FROM events
+          WHERE event_type = 'purchase' GROUP BY ts
+        )
+        SELECT c.event_id,
+               CAST(round(p.pvalue * 1000000) AS BIGINT) AS last_purchase_q,
+               p.ts AS last_purchase_ts
+        FROM clicks c ASOF LEFT JOIN purchases p ON c.ts >= p.ts
+    """,
+    "q16b_asof_by_user": """
+        WITH clicks AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        ), purchases AS (
+          SELECT user_id, ts, max(value) AS pvalue FROM events
+          WHERE event_type = 'purchase' GROUP BY user_id, ts
+        )
+        SELECT c.event_id, c.user_id,
+               CAST(round(p.pvalue * 1000000) AS BIGINT) AS last_purchase_q
+        FROM clicks c ASOF LEFT JOIN purchases p
+          ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+}
+
+QUERIES = {
+    "q01_roundtrip": q01_roundtrip,
+    "q02_pandas_bridge": q02_pandas_bridge,
+    "q03_csv_roundtrip": q03_csv_roundtrip,
+    "q04_monotonic": q04_monotonic,
+    "q05_extremes": q05_extremes,
+    "q06_delta_reconstruct": q06_delta_reconstruct,
+    "q07_frame_of_reference": q07_frame_of_reference,
+    "q08_quantize": q08_quantize,
+    "q09_float_downcast": q09_float_downcast,
+    "q10_time_units": q10_time_units,
+    "q11_filter_agg": q11_filter_agg,
+    "q12_join_topk": q12_join_topk,
+    "q13_groupby_having": q13_groupby_having,
+    "q14_window_rank": q14_window_rank,
+    "q15_time_bucket": q15_time_bucket,
+    "q16_asof": q16_asof,
+    "q16b_asof_by_user": q16b_asof_by_user,
+}

@@ -1,0 +1,63 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local testing runs ``local[N]`` but every default here is chosen to
+also be correct on a large multi-executor cluster: AQE handles runtime
+skew/coalesce, shuffle partitions default to the local core count (a
+real cluster deployment overrides via ``TIMEBOX_SHUFFLE_PARTITIONS``),
+timestamps are pinned to UTC (the reference stores datetime64[s] UTC,
+/root/reference/timebox/timebox.py:75), and Arrow is enabled for every
+pandas boundary crossing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "timebox-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    Scale posture: AQE on (runtime coalesce + skew-join splitting),
+    128 MiB parquet split size, zstd parquet writes. None of these are
+    local-mode hacks; they are the cluster defaults too.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = master or os.environ.get("TIMEBOX_SPARK_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("TIMEBOX_SHUFFLE_PARTITIONS", "32")
+        )
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("TIMEBOX_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # testdata stores TIMESTAMP(NANOS); read as long ns, converted
+        # to µs timestamps in timebox_spark.plans.tables.load
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # read parquet naive timestamps as TIMESTAMP (session tz =
+        # UTC), not TIMESTAMP_NTZ — one timestamp type everywhere
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,155 @@
+"""TimeBoxTable — the reference's TimeBox data model on Spark.
+
+Reference: one TimeBox = one ``.npb`` file = one time-indexed columnar
+table, fully materialized in memory (/root/reference/timebox/
+timebox.py:20-36). Here: one TimeBoxTable = one DataFrame with a ``ts``
+TimestampType column, persisted as a Parquet directory that is
+range-clustered and sorted by ``ts`` — so Parquet row-group min/max
+stats give time-range pruning for free, the scalable analog of the
+reference's sorted-by-time invariant (timebox.py:67, 370-374).
+
+Concurrency: the reference coordinates cross-process access with fcntl
+reader/writer locks and a writer-priority sentinel file
+(timebox.py:405-455). Immutable Parquet directories with atomic commit
+make that protocol unnecessary: concurrent readers see the old or the
+new snapshot, never a partial file — strictly stronger than X1–X3.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from timebox_spark import schema as tb_schema
+
+
+class DateDataError(ValueError):
+    """Unsortable/invalid time index (reference raises the same-named
+    error at /root/reference/timebox/timebox.py:52-53, 374)."""
+
+
+class TimeBoxTable:
+    """A time-indexed columnar table.
+
+    Mirrors the public surface of the reference ``TimeBox``
+    (save_pandas / read / to_pandas, /root/reference/timebox/
+    timebox.py:38-121) with Spark semantics: lazy scans, predicate
+    pushdown, and no row/column caps (the reference caps at 255 tags
+    and 2^32−1 rows, timebox.py:209-210 — deliberately not reproduced).
+    """
+
+    TS_COL = "ts"
+
+    def __init__(self, df: DataFrame, ts_col: str = TS_COL):
+        if ts_col not in df.columns:
+            raise DateDataError(f"missing time column {ts_col!r}")
+        self.df = df if ts_col == self.TS_COL else df.withColumnRenamed(ts_col, self.TS_COL)
+
+    # -- ingest (reference S8/S10: from_pandas / save_pandas, timebox.py:38-88)
+
+    @classmethod
+    def from_pandas(cls, spark: SparkSession, pdf: pd.DataFrame) -> "TimeBoxTable":
+        """pandas frame (datetime-coercible index) -> TimeBoxTable.
+
+        Reference ``from_pandas`` sorts by index and coerces it to
+        datetime64 (timebox.py:56-88); we do the same via a datetime
+        index conversion + Arrow createDataFrame with the explicit
+        widened schema (SURVEY §1.4).
+        """
+        try:
+            idx = pd.to_datetime(pdf.index)
+        except (ValueError, TypeError) as exc:
+            raise DateDataError(f"index not datetime-coercible: {exc}") from exc
+        sp_schema = tb_schema.timebox_schema_from_pandas(pdf)
+        out = pdf.reset_index(drop=True)
+        out.insert(0, cls.TS_COL, idx.tz_localize(None) if idx.tz is not None else idx)
+        out = out.sort_values(cls.TS_COL).reset_index(drop=True)
+        out.columns = [f.name for f in sp_schema.fields]
+        return cls(spark.createDataFrame(out, schema=sp_schema))
+
+    @classmethod
+    def save_pandas(
+        cls, spark: SparkSession, pdf: pd.DataFrame, path: str
+    ) -> "TimeBoxTable":
+        """One-call ingest + persist (reference timebox.py:38-54)."""
+        table = cls.from_pandas(spark, pdf)
+        table.save(path)
+        return table
+
+    # -- persistence (reference S1/S2: write/read, timebox.py:102-159)
+
+    def save(self, path: str, mode: str = "overwrite", buckets: int | None = None) -> None:
+        """Persist as Parquet, clustered + sorted by time.
+
+        ``repartitionByRange(ts)`` + ``sortWithinPartitions(ts)`` gives
+        globally range-clustered files without a single-reducer global
+        sort — at 100 TB each output file covers a tight ts range, so
+        min/max row-group stats prune time-predicate scans. This is the
+        scalable replacement for the reference's single sorted file
+        (timebox.py:123-159).
+        """
+        df = self.df
+        writer = df.repartitionByRange(
+            *( [buckets] if buckets else [] ), F.col(self.TS_COL)
+        ).sortWithinPartitions(self.TS_COL)
+        writer.write.mode(mode).parquet(path)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "TimeBoxTable":
+        """Lazy scan (reference read() materializes everything,
+        timebox.py:102-121; the 'read certain tags/dates' TODO at
+        timebox.py:105 is free here via pushdown/pruning)."""
+        return cls(spark.read.parquet(path))
+
+    # -- egest (reference S9: to_pandas, timebox.py:90-100)
+
+    def to_pandas(self) -> pd.DataFrame:
+        """Collect to pandas with the time index restored.
+
+        The reference's fresh-handle auto-read (timebox.py:95-96) is
+        inherent here (the scan is lazy until collect). Arrow transfer.
+        Driver-side materialization — bounded use only; at scale keep
+        computation in Spark.
+        """
+        pdf = self.df.toPandas()
+        return pdf.set_index(self.TS_COL)
+
+    # -- validation (reference O2/O3: timebox.py:281-303, 370-374)
+
+    def monotonicity_violations(self, keys: list[str] | None = None) -> int:
+        """Count of rows whose ts precedes the previous row's ts.
+
+        Reference rejects unsorted dates via
+        ``np.amin(np.ediff1d(dates)) < 0`` (timebox.py:370-374). As a
+        distributed analog: lag over (optionally per-key) ts order.
+        """
+        w = Window.orderBy(self.TS_COL)
+        if keys:
+            w = Window.partitionBy(*keys).orderBy(self.TS_COL)
+        flagged = self.df.withColumn(
+            "_prev", F.lag(self.TS_COL).over(w)
+        ).filter(F.col(self.TS_COL) < F.col("_prev"))
+        return flagged.count()
+
+    def assert_monotonic(self, keys: list[str] | None = None) -> None:
+        n = self.monotonicity_violations(keys)
+        if n:
+            raise DateDataError(f"{n} out-of-order timestamps")
+
+    # -- basic stats (reference O4: start date = np.amin(dates), timebox.py:369)
+
+    def time_range(self) -> tuple:
+        row = self.df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(self.TS_COL).alias("start"),
+            F.max(self.TS_COL).alias("end"),
+        ).collect()[0]
+        return row["n"], row["start"], row["end"]
+
+    @property
+    def start_date(self):
+        return self.df.agg(F.min(self.TS_COL)).collect()[0][0]
+
+    def num_points(self) -> int:
+        return self.df.count()
