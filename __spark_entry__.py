@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from timebox_spark.plans import llm_queries as LQ  # noqa: E402
 from timebox_spark.plans import queries as Q  # noqa: E402
 
 
@@ -26,9 +27,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(Q.QUERIES)
+    return {**Q.QUERIES, **LQ.QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for each key in ``queries()``."""
-    return dict(Q.ORACLE_SQL)
+    return {**Q.ORACLE_SQL, **LQ.ORACLE_SQL}

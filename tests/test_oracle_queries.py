@@ -10,7 +10,11 @@ import pandas as pd
 import pytest
 
 from tests.conftest import SF_SMOKE
-from timebox_spark.plans.queries import ORACLE_SQL, QUERIES
+
+import __spark_entry__ as _entry
+
+QUERIES = _entry.queries()
+ORACLE_SQL = _entry.oracle_sql()
 
 
 def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -35,7 +39,7 @@ def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     return out.sort_values(list(out.columns)).reset_index(drop=True)
 
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
+@pytest.mark.parametrize("name", sorted(ORACLE_SQL))
 def test_query_matches_oracle(name, spark, duck):
     spark_df = QUERIES[name](spark, SF_SMOKE).toPandas()
     oracle_df = duck.execute(ORACLE_SQL[name]).fetchdf()
@@ -56,8 +60,16 @@ def test_entry_smoke(spark):
 
 
 def test_queries_oracle_keys_align():
-    import __spark_entry__ as entry_mod
+    assert set(ORACLE_SQL) <= set(QUERIES)
 
-    q = entry_mod.queries()
-    o = entry_mod.oracle_sql()
-    assert set(o) <= set(q)
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE_SQL)))
+def test_rows_only_queries_run_and_are_deterministic(name, spark):
+    """Non-SQL-expressible queries must still run and return the same
+    result twice (deterministic hashing, no RNG)."""
+    a = QUERIES[name](spark, SF_SMOKE).toPandas()
+    b = QUERIES[name](spark, SF_SMOKE).toPandas()
+    cols = sorted(a.columns)
+    a = a[cols].sort_values(cols).reset_index(drop=True)
+    b = b[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

@@ -1,0 +1,339 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+Scale design: every variant is blocking-based — no all-pairs cross
+join ever materializes. Exact dedup is a hash groupBy; MinHash bands
+and SimHash buckets turn near-dup detection into equi-join keys;
+n-gram Jaccard and cosine near-dup verify only within candidate
+blocks. All hashing is xxhash64 (JVM built-in, seedable via a literal
+first argument), so signatures are deterministic across runs and
+cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from timebox_spark.operators.text import TOKEN_RE
+
+
+# ---------------------------------------------------------------- exact
+
+def normalize_text(col="text"):
+    return F.trim(F.regexp_replace(F.lower(F.col(col) if isinstance(col, str) else col), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the smallest id per normalized-text group (hash groupBy —
+    one shuffle on the fingerprint, no comparisons)."""
+    return (
+        df.withColumn("__fp", F.md5(F.encode(normalize_text(text_col), "UTF-8")))
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .drop("__fp")
+    )
+
+
+def exact_dedup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    fp = F.md5(F.encode(normalize_text(text_col), "UTF-8"))
+    per = df.select(fp.alias("fp")).groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
+    return per.agg(
+        F.sum("n").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum(F.col("n") - 1).alias("n_dup_rows"),
+    )
+
+
+# ---------------------------------------------------------------- shingles
+
+def char_shingles(col, n: int = 5):
+    """Character n-gram shingles of normalized text, as an array —
+    JVM-side via transform(sequence(...)) (no Python)."""
+    norm = normalize_text(col)
+    return F.expr(
+        f"""
+        CASE WHEN length({_norm_sql(col)}) < {n} THEN array({_norm_sql(col)})
+        ELSE transform(
+            sequence(1, length({_norm_sql(col)}) - {n - 1}),
+            i -> substring({_norm_sql(col)}, i, {n}))
+        END
+        """
+    )
+
+
+def _norm_sql(col: str) -> str:
+    return f"trim(regexp_replace(lower({col}), '\\\\s+', ' '))"
+
+
+def word_shingles(col: str, n: int = 3):
+    """Word n-gram shingles (token windows joined by a space)."""
+    toks = F.regexp_extract_all(normalize_text(col), F.lit(TOKEN_RE), F.lit(0))
+    return F.when(
+        F.size(toks) < n, F.array(F.array_join(toks, " "))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+    )
+
+
+# ---------------------------------------------------------------- minhash
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Per-doc MinHash signature: explode distinct shingles, take
+    min(xxhash64(seed, shingle)) per seed in ONE groupBy (partial
+    aggregation combines map-side; shuffle carries num_hashes longs
+    per doc, not the shingles)."""
+    shingled = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(char_shingles(text_col, shingle_n))).alias("sh"),
+    )
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return shingled.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """LSH banding: hash each band of the signature to a bucket key;
+    docs sharing any (band, bucket) are candidates. Self-join is
+    equi-join on the bucket key — broadcast/SMJ-able, skew handled by
+    AQE. Output: distinct candidate pairs (a < b)."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bucket"))
+        )
+    buckets = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs only (join shingle sets
+    back by id — candidates are few, so this is a small join)."""
+    sets_df = df.select(
+        F.col(id_col),
+        F.array_distinct(char_shingles(text_col, shingle_n)).alias("sh_set"),
+    )
+    out = (
+        pairs.join(sets_df.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh_set", "sh_a"), "id_a")
+        .join(sets_df.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh_set", "sh_b"), "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline:
+    shingle → minhash → band → bucket-join → exact-Jaccard verify."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    cands = minhash_lsh_candidates(sigs, id_col, num_hashes, bands)
+    return jaccard_verify(df, cands, id_col, text_col, shingle_n, threshold)
+
+
+# ---------------------------------------------------------------- simhash
+
+def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over word tokens: per bit, sum ±1 votes of
+    xxhash64(token); bit set where the vote is positive. One explode +
+    one groupBy with 64 conditional sums — all JVM-side."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(normalize_text(text_col), F.lit(TOKEN_RE), F.lit(0))
+        ).alias("tok"),
+    ).withColumn("h", F.xxhash64(F.lit(7), F.col("tok")))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v_{bit}")
+        for bit in range(64)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    sim = F.lit(0).cast("long")
+    for bit in range(64):
+        sim = sim + F.when(
+            F.col(f"v_{bit}") > 0, F.shiftleft(F.lit(1).cast("long"), bit)
+        ).otherwise(0)
+    return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    block_bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+    Blocking: 4 blocks of 16 bits — by pigeonhole, any pair within
+    Hamming 3 agrees exactly on ≥1 block, so candidates come from
+    equi-joins on block values, never a cross join."""
+    sigs = simhash64(df, id_col, text_col)
+    n_blocks = 64 // block_bits
+    mask = (1 << block_bits) - 1
+    blocked = sigs.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright(F.col("simhash"), i * block_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "simhash", "b.blk", "b.key")
+    a, b = blocked.alias("a"), blocked.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cands.withColumn("hamming", hamming).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")
+
+
+# ---------------------------------------------------------------- jaccard (blocked)
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: list[str] | None = None,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard within blocking groups (e.g. same
+    lang + length bucket). The join key bounds the pair count; at
+    scale choose blocks so each holds O(100s) docs."""
+    block_cols = block_cols or ["lang"]
+    sets_df = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        F.array_distinct(char_shingles(text_col, shingle_n)).alias("sh"),
+    )
+    a, b = sets_df.alias("a"), sets_df.alias("b")
+    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    pairs = a.join(b, cond).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.col("a.sh").alias("sh_a"),
+        F.col("b.sh").alias("sh_b"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.withColumn("jaccard", inter / union.cast("double"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------- embeddings
+
+def embedding_near_dups(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_cols: list[str] | None = None,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs within blocking groups
+    (default: the label column). Cosine via zip_with + aggregate —
+    JVM-side array arithmetic, no UDF."""
+    block_cols = block_cols or ["label"]
+    a, b = df.alias("a"), df.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    pairs = a.join(b, cond).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        _cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cosine"),
+    )
+    return pairs.filter(F.col("cosine") >= threshold)
+
+
+def _dot(x, y):
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _cosine(x, y):
+    return _dot(x, y) / (F.sqrt(_dot(x, x)) * F.sqrt(_dot(y, y)))

@@ -1,0 +1,93 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride as ``binary`` columns with a metadata struct;
+decode / feature-extract / resize / frame-sample run as Arrow-batched
+pandas functions over ``mapInPandas`` so each task processes whole
+record batches (never per-row Python). The actual media decode is
+STUBBED (no image/audio libs in this container): ``decode_image``
+raises NotImplementedError, and ``fake_decode_features`` is the
+deterministic stand-in that keeps the Spark-side plumbing — schema,
+partitioning, UDF signature, batch shape — real and testable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("format", T.StringType()),
+                    T.StructField("n_bytes", T.LongType()),
+                    T.StructField("source", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("head_hex", T.StringType()),
+        T.StructField("byte_sum_mod", T.LongType()),
+    ]
+)
+
+
+def to_media_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Pack a text table into the multimodal layout (payload = UTF-8
+    bytes standing in for encoded media)."""
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("format"),
+            F.octet_length(F.col(text_col)).cast("long").alias("n_bytes"),
+            F.col("source").alias("source"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(payload: bytes):
+    """Real media decode — not available in this container.
+
+    At deploy time this becomes Pillow/torchvision/ffmpeg inside the
+    same mapInPandas harness; the batch shape and schema don't change.
+    """
+    raise NotImplementedError("media decode libs not present in this environment")
+
+
+def fake_decode_features(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
+    """Deterministic stand-in feature extractor over mapInPandas.
+
+    Computes (n_bytes, first-8-bytes hex, byte-sum mod 2^31) per
+    payload — enough to prove Arrow batch transfer, schema handling,
+    and partition parallelism without media libs."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "head_hex": payloads.map(lambda b: bytes(b[:8]).hex()),
+                    "byte_sum_mod": payloads.map(
+                        lambda b: sum(b) % 2147483647
+                    ).astype("int64"),
+                }
+            )
+
+    return media.mapInPandas(extract, schema=FEATURE_SCHEMA)

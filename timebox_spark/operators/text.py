@@ -1,0 +1,134 @@
+"""Text analysis operators for LLM training-data pipelines.
+
+All hot-path expressions are JVM-side built-ins (regexp, split,
+length, md5) — no Python UDFs — so they run inside whole-stage
+codegen and scale linearly with partitions. These extend the reference
+engine per SURVEY §2.7 (the reference has no string functions at all;
+its type system is numeric-only, /root/reference/timebox/utils/
+numpy_utils.py:60-100).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_RE = r"\S+"
+# BPE-ish word/number/punct split (public GPT-2-style pattern shape)
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+PUNCT_RE = r"[.,!?;:]"
+
+# marker words per language for the n-gram/stopword lang-id heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "is"],
+    "de": ["der", "die", "und", "ist", "das"],
+    "es": ["el", "la", "que", "de", "es"],
+    "fr": ["le", "la", "et", "est", "les"],
+    "zh": ["de", "shi", "le", "bu", "wo"],
+}
+
+STOPWORDS = ["the", "a", "of", "and", "is", "to", "in", "that", "it", "on"]
+
+
+def token_count(col: str = "text") -> Column:
+    """Whitespace token count: size of all \\S+ matches."""
+    return F.size(F.regexp_extract_all(F.col(col), F.lit(TOKEN_RE), F.lit(0)))
+
+
+def bpe_ish_token_count(col: str = "text") -> Column:
+    """Sub-word-ish token count via a GPT-2-shaped regex (letters runs,
+    digit runs, single punctuation)."""
+    return F.size(F.regexp_extract_all(F.col(col), F.lit(BPE_ISH_RE), F.lit(0)))
+
+
+def _word_hits(col: str, word: str) -> Column:
+    return F.size(
+        F.regexp_extract_all(F.col(col), F.lit(rf"\b{word}\b"), F.lit(0))
+    )
+
+
+def stopword_count(col: str = "text") -> Column:
+    out = F.lit(0)
+    for w in STOPWORDS:
+        out = out + _word_hits(col, w)
+    return out
+
+
+def punct_count(col: str = "text") -> Column:
+    return F.size(F.regexp_extract_all(F.col(col), F.lit(PUNCT_RE), F.lit(0)))
+
+
+def quality_features(df: DataFrame, col: str = "text") -> DataFrame:
+    """Length / token / punctuation / stopword features, all integer
+    counts (hash-stable across engines)."""
+    return df.select(
+        "*",
+        F.length(col).alias("q_chars"),
+        token_count(col).alias("q_tokens"),
+        bpe_ish_token_count(col).alias("q_bpe_tokens"),
+        punct_count(col).alias("q_punct"),
+        stopword_count(col).alias("q_stopwords"),
+    )
+
+
+def quality_score_q(col: str = "text", scale: int = 1_000_000) -> Column:
+    """Deterministic [0,1] quality score, quantized to an integer.
+
+    score = 0.4·min(tokens/100,1) + 0.3·stopword_ratio·5 (capped 1)
+          + 0.3·(1 − punct_ratio·10 (capped 1)), a classic
+    length/stopword/punct heuristic. All inputs are integer counts, so
+    the double arithmetic is identical across engines; the result is
+    quantized for hashing.
+    """
+    toks = token_count(col).cast("double")
+    sw = stopword_count(col).cast("double")
+    pn = punct_count(col).cast("double")
+    len_term = F.least(toks / F.lit(100.0), F.lit(1.0))
+    sw_term = F.least(sw * F.lit(5.0) / F.greatest(toks, F.lit(1.0)), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(
+        pn * F.lit(10.0) / F.greatest(toks, F.lit(1.0)), F.lit(1.0)
+    )
+    score = (
+        F.lit(0.4) * len_term + F.lit(0.3) * sw_term + F.lit(0.3) * punct_term
+    )
+    return F.round(score * F.lit(float(scale))).cast("long")
+
+
+def lang_id(col: str = "text") -> Column:
+    """Marker-word language id: per language, count marker-word hits;
+    argmax wins, ties broken by language code order. Deterministic and
+    SQL-expressible (the oracle mirrors the same CASE ladder)."""
+    counts = {
+        lang: sum(
+            (_word_hits(col, w) for w in words), start=F.lit(0)
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[counts[lg] for lg in langs])
+    expr = F.lit("und")
+    # build reversed so earlier languages win ties
+    for lg in reversed(langs):
+        expr = F.when(counts[lg] == best, F.lit(lg)).otherwise(expr)
+    return F.when(best == 0, F.lit("und")).otherwise(expr)
+
+
+def fingerprint(col: str = "text") -> Column:
+    """Document fingerprint: md5 of lowercased whitespace-collapsed
+    text — the distributed analog of a rolling-hash document id."""
+    normalized = F.trim(
+        F.regexp_replace(F.lower(F.col(col)), r"\s+", " ")
+    )
+    return F.md5(F.encode(normalized, "UTF-8"))
+
+
+def top_words(df: DataFrame, col: str = "text", k: int = 20) -> DataFrame:
+    """Global top-k word histogram — explode + two-level aggregate
+    (partial map-side combine keeps the shuffle small)."""
+    words = df.select(
+        F.explode(
+            F.regexp_extract_all(F.col(col), F.lit(TOKEN_RE), F.lit(0))
+        ).alias("word")
+    )
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    return counts.orderBy(F.desc("n"), "word").limit(k)

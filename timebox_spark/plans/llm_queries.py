@@ -1,0 +1,282 @@
+"""LLM-pipeline queries (dedup / similarity / text / multimodal) with
+DuckDB oracles over the ``documents`` and ``embeddings`` tables.
+
+Oracle SQL is generated from the same constant lists (stopwords,
+language markers, regexes) the Spark operators use, so the two sides
+cannot drift. Scores and similarities are quantized to integers
+before hashing; every blocking choice (lang, length bucket, label) is
+mirrored exactly in the SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timebox_spark.operators import dedup, multimodal, similarity, text
+from timebox_spark.plans.tables import load
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def _hits_sql(word: str) -> str:
+    return f"length(regexp_extract_all(text, '\\b{word}\\b'))"
+
+
+def _stopword_sql() -> str:
+    return " + ".join(_hits_sql(w) for w in text.STOPWORDS)
+
+
+# ------------------------------------------------------------------ q20
+
+def q20_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count().alias("n_tokens"),
+        text.bpe_ish_token_count().alias("n_bpe_tokens"),
+        text.punct_count().alias("n_punct"),
+        text.stopword_count().alias("n_stopwords"),
+        text.quality_score_q().alias("quality_q"),
+        text.fingerprint().alias("fp"),
+    )
+
+
+_Q20_SQL = f"""
+SELECT doc_id,
+       length(regexp_extract_all(text, '{text.TOKEN_RE}')) AS n_tokens,
+       length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+       length(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+       {_stopword_sql()} AS n_stopwords,
+       CAST(round((
+           0.4 * least(CAST(length(regexp_extract_all(text, '{text.TOKEN_RE}')) AS DOUBLE) / 100.0, 1.0)
+         + 0.3 * least(CAST({_stopword_sql()} AS DOUBLE) * 5.0
+                       / greatest(CAST(length(regexp_extract_all(text, '{text.TOKEN_RE}')) AS DOUBLE), 1.0), 1.0)
+         + 0.3 * (1.0 - least(CAST(length(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) * 10.0
+                       / greatest(CAST(length(regexp_extract_all(text, '{text.TOKEN_RE}')) AS DOUBLE), 1.0), 1.0))
+       ) * 1000000) AS BIGINT) AS quality_q,
+       md5({_NORM}) AS fp
+FROM documents
+"""
+
+
+# ------------------------------------------------------------------ q21
+
+def q21_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(text.lang_id().alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _lang_sql() -> str:
+    langs = sorted(text.LANG_MARKERS)
+    counts = {
+        lg: " + ".join(_hits_sql(w) for w in ws)
+        for lg, ws in text.LANG_MARKERS.items()
+    }
+    best = "greatest(" + ", ".join(f"c_{lg}" for lg in langs) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN c_{lg} = {best} THEN '{lg}'" for lg in langs
+    ) + " END"
+    inner = ", ".join(f"{counts[lg]} AS c_{lg}" for lg in langs)
+    return f"""
+    SELECT lang_pred, CAST(count(*) AS BIGINT) AS n FROM (
+      SELECT {case} AS lang_pred FROM (SELECT {inner} FROM documents)
+    ) GROUP BY lang_pred
+    """
+
+
+# ------------------------------------------------------------------ q22
+
+def q22_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return text.top_words(docs, k=20)
+
+
+_Q22_SQL = f"""
+SELECT word, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(regexp_extract_all(text, '{text.TOKEN_RE}')) AS word FROM documents)
+GROUP BY word ORDER BY n DESC, word LIMIT 20
+"""
+
+
+# ------------------------------------------------------------------ q23
+
+def q23_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return dedup.exact_dedup_stats(docs)
+
+
+_Q23_SQL = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT md5({_NORM})) AS BIGINT) AS n_unique,
+       CAST(count(*) - count(DISTINCT md5({_NORM})) AS BIGINT) AS n_dup_rows
+FROM documents
+"""
+
+
+# ------------------------------------------------------------------ q24
+# n-gram Jaccard within (lang, length-bucket) blocks; both sides use
+# char 5-gram shingles of normalized text and quantized scores.
+
+_J_SHINGLE_N = 5
+_J_BUCKET = 64
+_J_THRESHOLD = 0.35
+
+
+def q24_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "len_bucket", F.floor(F.length("text") / _J_BUCKET).cast("long")
+    )
+    pairs = dedup.ngram_jaccard_pairs(
+        docs,
+        block_cols=["lang", "len_bucket"],
+        shingle_n=_J_SHINGLE_N,
+        threshold=_J_THRESHOLD,
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("jaccard") * 1e6).cast("long").alias("jaccard_q")
+    )
+
+
+_Q24_SQL = f"""
+WITH s AS (
+  SELECT doc_id, lang, CAST(floor(length(text) / {_J_BUCKET}) AS BIGINT) AS len_bucket,
+         list_distinct(
+           CASE WHEN length({_NORM}) < {_J_SHINGLE_N} THEN [{_NORM}]
+           ELSE list_transform(range(1, length({_NORM}) - {_J_SHINGLE_N - 2}),
+                               i -> substr({_NORM}, i, {_J_SHINGLE_N})) END
+         ) AS sh
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(round(CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (length(a.sh) + length(b.sh) - length(list_intersect(a.sh, b.sh)))
+            * 1000000) AS BIGINT) AS jaccard_q
+FROM s a JOIN s b
+  ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+WHERE CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / (length(a.sh) + length(b.sh) - length(list_intersect(a.sh, b.sh))) >= {_J_THRESHOLD}
+"""
+
+
+# ------------------------------------------------------------------ q25 / q26 (rows-only: minhash/simhash not SQL-expressible)
+
+def q25_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup(docs, threshold=0.35)
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("jaccard") * 1e6).cast("long").alias("jaccard_q")
+    )
+
+
+def q26_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return dedup.simhash_near_dups(docs, max_hamming=8)
+
+
+# ------------------------------------------------------------------ q27
+
+_COS_THRESHOLD = 0.9
+
+
+def q27_embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_near_dups(emb, threshold=_COS_THRESHOLD)
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("cosine") * 1e6).cast("long").alias("cosine_q")
+    )
+
+
+_Q27_SQL = f"""
+WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(round(list_dot_product(a.e, b.e)
+            / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+            * 1000000) AS BIGINT) AS cosine_q
+FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.e, b.e)
+      / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= {_COS_THRESHOLD}
+"""
+
+
+# ------------------------------------------------------------------ q28
+
+def q28_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk(emb, queries, k=5)
+
+
+_Q28_SQL = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+s AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         CAST(round(list_dot_product(v.e, q.qe)
+              / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.qe, q.qe)))
+              * 1000000000) AS BIGINT) AS cosine_q
+  FROM v, q WHERE v.vec_id <> q.query_id
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine_q FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_q DESC, neighbor_id) AS rank
+  FROM s
+) WHERE rank <= 5
+"""
+
+
+# ------------------------------------------------------------------ q29 (rows-only: LSH bucketing not SQL-expressible)
+
+def q29_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.lsh_topk(emb, queries, k=5, planes=6)
+
+
+# ------------------------------------------------------------------ q30
+
+def q30_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    media = multimodal.to_media_table(docs)
+    return multimodal.fake_decode_features(media)
+
+
+_Q30_SQL = """
+SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+       lower(hex(encode(substr(text, 1, 8)))) AS head_hex,
+       CAST(list_sum(list_transform(range(1, strlen(text) + 1),
+                     i -> ord(substr(text, i, 1)))) % 2147483647 AS BIGINT) AS byte_sum_mod
+FROM documents
+"""
+
+
+QUERIES = {
+    "q20_text_stats": q20_text_stats,
+    "q21_lang_id": q21_lang_id,
+    "q22_top_words": q22_top_words,
+    "q23_exact_dedup": q23_exact_dedup,
+    "q24_ngram_jaccard": q24_ngram_jaccard,
+    "q25_minhash_dedup": q25_minhash_dedup,
+    "q26_simhash_neardups": q26_simhash_neardups,
+    "q27_embedding_neardups": q27_embedding_neardups,
+    "q28_knn_bruteforce": q28_knn_bruteforce,
+    "q29_lsh_ann": q29_lsh_ann,
+    "q30_multimodal_features": q30_multimodal_features,
+}
+
+ORACLE_SQL = {
+    "q20_text_stats": _Q20_SQL,
+    "q21_lang_id": _lang_sql(),
+    "q22_top_words": _Q22_SQL,
+    "q23_exact_dedup": _Q23_SQL,
+    "q24_ngram_jaccard": _Q24_SQL,
+    "q27_embedding_neardups": _Q27_SQL,
+    "q28_knn_bruteforce": _Q28_SQL,
+    "q30_multimodal_features": _Q30_SQL,
+    # q25/q26/q29: minhash, simhash, LSH — not SQL-expressible; the
+    # driver records rows-only checks, and tests/test_llm_ops.py pins
+    # their semantics against engine-internal oracles instead.
+}

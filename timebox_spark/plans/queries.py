@@ -81,7 +81,9 @@ def q03_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = _tmp("q03", sf_dir)
     fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
-    head.write.option("header", True).option("timestampFormat", fmt).csv(path)
+    head.write.mode("overwrite").option("header", True).option(
+        "timestampFormat", fmt
+    ).csv(path)
     back = (
         spark.read.option("header", True)
         .option("timestampFormat", fmt)
