@@ -1,0 +1,75 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "headline_total", "value": N, "unit": "sec",
+   "queries": {"q11": sec, ...}, "sf": 0.1}
+
+Execution is forced with the noop sink (full plan runs, nothing is
+collected to the driver), matching how a cluster job would be bound.
+Mirrors the reference harness shape (write/read timing,
+/root/reference/performance_tests.py:8-116) via the q01 round-trip
+entry, then covers each operator family: scan+agg, join, window,
+as-of, time bucketing, text, dedup, similarity.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from timebox_spark.plans import llm_queries as LQ
+from timebox_spark.plans import queries as Q
+from timebox_spark.session import get_spark
+
+HEADLINE = {
+    "q01_roundtrip": Q.q01_roundtrip,
+    "q06_delta_reconstruct": Q.q06_delta_reconstruct,
+    "q11_filter_agg": Q.q11_filter_agg,
+    "q12_join_topk": Q.q12_join_topk,
+    "q14_window_rank": Q.q14_window_rank,
+    "q15_time_bucket": Q.q15_time_bucket,
+    "q16_asof": Q.q16_asof,
+    "q20_text_stats": LQ.q20_text_stats,
+    "q25_minhash_dedup": LQ.q25_minhash_dedup,
+    "q28_knn_bruteforce": LQ.q28_knn_bruteforce,
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+    spark = get_spark(app_name="timebox-bench")
+
+    # warm the JVM/codegen once with a trivial action
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name, fn in HEADLINE.items():
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

