@@ -1,0 +1,212 @@
+"""Reference golden kernel vectors (FIXTURES.md F5) replayed as Spark
+transforms, plus schema-widening and validation behavior.
+
+Golden values derive from the reference's kernel tests
+(/root/reference/timebox/utils/tests/test_numpy_compression.py,
+test_numpy_decompression.py, test_binary.py,
+tests/test_timebox_tag_compression.py) — values only, no code reuse.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from timebox_spark import schema as tb_schema
+from timebox_spark.operators import kernels
+from timebox_spark.operators.timeunits import coarsest_exact_unit, conversion_multiplier
+from timebox_spark.table import DateDataError, TimeBoxTable
+
+
+def _df(spark, values, dtype="long", col="v"):
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], schema=f"idx long, {col} {dtype}"
+    )
+
+
+# ---- W1/W2: delta encode/decode (ref test_numpy_compression.py:14-127)
+
+def test_delta_encode_golden(spark):
+    df = _df(spark, [1, 2, 3, 4])
+    out = kernels.delta_encode(df, "v", order_by=["idx"]).orderBy("idx").collect()
+    assert [r["v_delta"] for r in out] == [None, 1, 1, 1]
+
+
+def test_delta_encode_signed_golden(spark):
+    df = _df(spark, [10, -2, 0, -2000])
+    out = kernels.delta_encode(df, "v", order_by=["idx"]).orderBy("idx").collect()
+    assert [r["v_delta"] for r in out] == [None, -12, 2, -2000]
+
+
+def test_delta_roundtrip(spark):
+    df = _df(spark, [-4, -2, 0, 2000])
+    enc = kernels.delta_encode(df, "v", order_by=["idx"])
+    dec = kernels.delta_decode(enc, "v_delta", "v", order_by=["idx"])
+    rows = dec.orderBy("idx").collect()
+    assert [r["reconstructed"] for r in rows] == [-4, -2, 0, 2000]
+
+
+# ---- W3/W4: frame of reference (ref test_timebox_tag_compression.py:7-39)
+
+def test_frame_of_reference_golden(spark):
+    df = _df(spark, [1000000, 1000001, 1000002, 1000005])
+    enc, refs = kernels.frame_of_reference_encode(df, ["v"])
+    assert refs["v"] == 1000000
+    assert [r["v_for"] for r in enc.orderBy("idx").collect()] == [0, 1, 2, 5]
+    dec = kernels.frame_of_reference_decode(enc, "v_for", refs["v"], "back")
+    assert [r["back"] for r in dec.orderBy("idx").collect()] == [
+        1000000, 1000001, 1000002, 1000005,
+    ]
+
+
+# ---- C1/C2: quantize (ref test_timebox_tag_compression.py:41-65)
+
+def test_quantize_golden(spark):
+    df = _df(spark, [0.5, -0.5, 10.2345, 0.0], dtype="double")
+    q = df.select("idx", kernels.quantize("v", 2).alias("q"))
+    assert [r["q"] for r in q.orderBy("idx").collect()] == [50, -50, 1023, 0]
+    enc, refs = kernels.frame_of_reference_encode(q, ["q"])
+    assert refs["q"] == -50
+    assert [r["q_for"] for r in enc.orderBy("idx").collect()] == [100, 0, 1073, 50]
+    dq = q.select("idx", kernels.dequantize("q", 2).alias("v"))
+    assert [r["v"] for r in dq.orderBy("idx").collect()] == [0.5, -0.5, 10.23, 0.0]
+
+
+# ---- C4: byte-width ladder (ref test_binary.py:20-66)
+
+@pytest.mark.parametrize(
+    "value,width",
+    [(0, 1), (255, 1), (256, 2), (65535, 2), (65536, 4), (2**32 - 1, 4), (2**32, 8), (2**64 - 1, 8)],
+)
+def test_required_bytes_unsigned(value, width):
+    assert kernels.required_bytes_unsigned(value) == width
+
+
+@pytest.mark.parametrize(
+    "lo,hi,width",
+    [(-128, 127, 1), (-129, 0, 2), (0, 128, 2), (-32768, 32767, 2), (0, 32768, 4), (-(2**31) - 1, 0, 8), (0, 2**62, 8)],
+)
+def test_required_bytes_signed(lo, hi, width):
+    assert kernels.required_bytes_signed(lo, hi) == width
+
+
+def test_required_bytes_errors():
+    with pytest.raises(ValueError):
+        kernels.required_bytes_unsigned(-1)
+    with pytest.raises(ValueError):
+        kernels.required_bytes_unsigned(2**64)
+    with pytest.raises(ValueError):
+        kernels.required_bytes_signed(0, 2**63)
+
+
+# ---- C3: float downcast guard (ref test_numpy_float_compression.py)
+
+def test_float32_roundtrip_guard(spark):
+    f32_max = float(np.finfo(np.float32).max)
+    exact = [1.0, 0.5, f32_max, 0.0]
+    inexact = [0.1, 1e300, float(np.nextafter(np.float32(1.0), 2.0, dtype=np.float64))]
+    df = _df(spark, exact + inexact, dtype="double")
+    out = df.select("idx", kernels.float32_roundtrip_exact("v").alias("ok")).orderBy("idx").collect()
+    assert [r["ok"] for r in out] == [True] * 4 + [False] * 3
+
+
+def test_lossless_downcast_applied_and_refused(spark):
+    ok_df = _df(spark, [1.0, 2.5, float("nan")], dtype="double")
+    narrowed, applied = kernels.lossless_float32_downcast(ok_df, "v")
+    assert applied and dict(narrowed.dtypes)["v"] == "float"
+    bad_df = _df(spark, [1.0, 0.1], dtype="double")
+    kept, applied = kernels.lossless_float32_downcast(bad_df, "v")
+    assert not applied and dict(kept.dtypes)["v"] == "double"
+
+
+# ---- D3/D4: units (ref test_datetime_utils.py:74-105)
+
+def test_conversion_multiplier():
+    assert conversion_multiplier("m", "s") == 60
+    assert conversion_multiplier("D", "h") == 24
+    assert conversion_multiplier("s", "ms") == 1000
+
+
+def test_coarsest_unit_hours(spark):
+    base = pd.Timestamp("2018-01-01")
+    ts = [base + pd.Timedelta(hours=h) for h in [0, 1, 2, 5]]
+    df = spark.createDataFrame([(t.to_pydatetime(),) for t in ts], schema="ts timestamp")
+    d = kernels.ts_delta_us(df)
+    unit, seconds = coarsest_exact_unit(d)
+    assert unit == "h" and seconds is None  # irregular spacing
+
+    ts_reg = [base + pd.Timedelta(days=d_) for d_ in [0, 1, 2, 3]]
+    df2 = spark.createDataFrame([(t.to_pydatetime(),) for t in ts_reg], schema="ts timestamp")
+    unit2, seconds2 = coarsest_exact_unit(kernels.ts_delta_us(df2))
+    assert unit2 == "D" and seconds2 == 86400
+
+
+# ---- schema widening (SURVEY §1.4)
+
+def test_schema_widening():
+    assert tb_schema.spark_type_for("u", 1) == T.ShortType()
+    assert tb_schema.spark_type_for("u", 8) == T.DecimalType(20, 0)
+    assert tb_schema.spark_type_for("f", 2) == T.FloatType()
+    f = tb_schema.field_for(7, "u", 4)
+    assert f.name == "7" and f.dataType == T.LongType()
+    assert f.metadata["timebox"]["widened"] and f.metadata["timebox"]["int_identifier"] == 7
+    with pytest.raises(ValueError):
+        tb_schema.spark_type_for("x", 4)
+
+
+def test_from_pandas_widening_and_sort(spark):
+    idx = pd.to_datetime(["2018-01-03", "2018-01-01", "2018-01-02"])
+    pdf = pd.DataFrame(
+        {
+            "tag_0": np.array([3, 1, 2], dtype=np.uint8),
+            "tag_1": np.array([-4, -2, 0], dtype=np.int16),
+            "tag_2": np.array([5.2, 0.8, 3.5], dtype=np.float32),
+        },
+        index=idx,
+    )
+    t = TimeBoxTable.from_pandas(spark, pdf)
+    dtypes = dict(t.df.dtypes)
+    assert dtypes == {"ts": "timestamp", "tag_0": "smallint", "tag_1": "smallint", "tag_2": "float"}
+    rows = t.df.orderBy("ts").collect()
+    assert [r["tag_0"] for r in rows] == [1, 2, 3]  # sorted on ingest
+    assert t.monotonicity_violations() == 0
+    back = t.to_pandas()
+    assert list(back.index) == sorted(idx)
+
+
+def test_from_pandas_rejects_bad_index(spark):
+    pdf = pd.DataFrame({"a": [1, 2]}, index=["x", "y"])
+    with pytest.raises(DateDataError):
+        TimeBoxTable.from_pandas(spark, pdf)
+
+
+def test_from_pandas_rejects_bad_dtype(spark):
+    pdf = pd.DataFrame(
+        {"a": ["s1", "s2"]}, index=pd.to_datetime(["2018-01-01", "2018-01-02"])
+    )
+    with pytest.raises(ValueError):
+        TimeBoxTable.from_pandas(spark, pdf)
+
+
+def test_assert_monotonic_raises(spark):
+    df = spark.createDataFrame(
+        [(pd.Timestamp("2018-01-02").to_pydatetime(), 1), (pd.Timestamp("2018-01-01").to_pydatetime(), 2)],
+        schema="ts timestamp, v long",
+    )
+    # constructed out of order with an explicitly reversed sort key
+    t = TimeBoxTable(df.withColumn("ord", F.lit(1)))
+    assert t.monotonicity_violations(keys=None) == 0  # ordered by ts → fine
+
+    # per-key violation: ts decreasing within the same key order column
+    df2 = spark.createDataFrame(
+        [(1, pd.Timestamp("2018-01-02").to_pydatetime()), (2, pd.Timestamp("2018-01-01").to_pydatetime())],
+        schema="idx long, ts timestamp",
+    )
+    viol = (
+        df2.withColumn("prev", F.lag("ts").over(__import__("pyspark").sql.Window.orderBy("idx")))
+        .filter(F.col("ts") < F.col("prev"))
+        .count()
+    )
+    assert viol == 1
