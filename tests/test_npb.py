@@ -1,0 +1,179 @@
+"""Round-trip + cross-validation tests for the .npb interop codec.
+
+Cross-validation: if the reference package imports cleanly (it's
+pinned to pandas 0.22 APIs in places, so this is guarded), files
+written by the REFERENCE are read by OUR codec and vice versa.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from timebox_spark.sources import npb
+
+
+def _frame(n=16, seed=3):
+    rng = np.random.RandomState(seed)
+    idx = pd.to_datetime("2018-01-01") + pd.to_timedelta(
+        np.cumsum(rng.randint(1, 5, n)), unit="h"
+    )
+    return pd.DataFrame(
+        {
+            "tag_i8": rng.randint(-100, 100, n).astype(np.int8),
+            "tag_u16": rng.randint(0, 60000, n).astype(np.uint16),
+            "tag_i64": rng.randint(-(10**12), 10**12, n).astype(np.int64),
+            "tag_f32": rng.rand(n).astype(np.float32),
+            "tag_f64": (rng.rand(n) * 1000).round(2),
+        },
+        index=idx,
+    )
+
+
+def test_roundtrip_uncompressed():
+    pdf = _frame()
+    back = npb.decode_timebox(npb.encode_timebox(pdf))
+    assert list(back.columns) == sorted(pdf.columns)
+    for c in pdf.columns:
+        np.testing.assert_array_equal(back[c].to_numpy(), pdf[c].to_numpy())
+        assert back[c].dtype == pdf[c].dtype
+    np.testing.assert_array_equal(
+        back.index.values.astype("datetime64[ns]"),
+        pd.to_datetime(pdf.index).values.astype("datetime64[ns]"),
+    )
+
+
+def test_roundtrip_compressed_modes():
+    pdf = _frame()
+    back = npb.decode_timebox(
+        npb.encode_timebox(pdf, compress={"tag_i64": "e", "tag_u16": "m", "tag_f64": "e"})
+    )
+    for c in ["tag_i8", "tag_u16", "tag_i64", "tag_f32"]:
+        np.testing.assert_allclose(back[c].to_numpy(), pdf[c].to_numpy(), rtol=0)
+    # float delta-encode reconstructs via cumsum — ulp-level drift is
+    # inherent (the reference kernel has the same property)
+    np.testing.assert_allclose(back["tag_f64"].to_numpy(), pdf["tag_f64"].to_numpy(), rtol=1e-12)
+
+
+def test_roundtrip_rounded_f64():
+    pdf = _frame()
+    enc = npb.encode_timebox(pdf, compress={"tag_f64": "m"}, decimals={"tag_f64": 2})
+    back = npb.decode_timebox(enc)
+    np.testing.assert_allclose(back["tag_f64"], pdf["tag_f64"].round(2))
+
+
+def test_rounding_requires_f64():
+    pdf = _frame()
+    with pytest.raises(npb.NpbFormatError):
+        npb.encode_timebox(pdf, compress={"tag_f32": "m"}, decimals={"tag_f32": 2})
+
+
+def test_int_identifiers():
+    pdf = _frame()
+    pdf.columns = [0, 1, 2, 300, 70000]
+    back = npb.decode_timebox(npb.encode_timebox(pdf))
+    assert list(back.columns) == sorted(pdf.columns)
+
+
+def test_regular_spacing_compacts_units():
+    idx = pd.date_range("2018-01-01", periods=10, freq="1D")
+    pdf = pd.DataFrame({"v": np.arange(10, dtype=np.int32)}, index=idx)
+    raw = npb.encode_timebox(pdf)
+    # day-unit deltas of 1 → 1 byte per delta
+    # header: 9 + (4*len('v')=4 + 40) + 8 + 3 + 9*1 + 10*4
+    assert len(raw) == 9 + 44 + 8 + 3 + 9 + 40
+    back = npb.decode_timebox(raw)
+    np.testing.assert_array_equal(back["v"].to_numpy(), pdf["v"].to_numpy())
+
+
+def test_unsorted_input_is_sorted():
+    pdf = _frame()
+    shuffled = pdf.sample(frac=1.0, random_state=5)
+    back = npb.decode_timebox(npb.encode_timebox(shuffled))
+    assert back.index.is_monotonic_increasing
+
+
+def test_single_row():
+    pdf = _frame(n=1)
+    back = npb.decode_timebox(npb.encode_timebox(pdf))
+    assert len(back) == 1
+
+
+def test_spark_read_write_npb(spark, tmp_path):
+    pdf = _frame(n=200)
+    d = str(tmp_path / "npbdir")
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    npb.write_npb_file(pdf, f"{d}/a.npb")
+    npb.write_npb_file(_frame(n=100, seed=9), f"{d}/b.npb")
+    df = npb.read_npb(spark, d)
+    assert df.count() == 300
+    got = df.orderBy("ts").toPandas()
+    assert list(got.columns) == ["ts"] + sorted(pdf.columns)
+
+
+def test_spark_write_npb_bucketed(spark, tmp_path):
+    pdf = _frame(n=50)
+    sdf = spark.createDataFrame(pdf.reset_index().rename(columns={"index": "ts"}))
+    out = str(tmp_path / "out_npb")
+    npb.write_npb(sdf, out, bucket="1 day")
+    back = npb.read_npb(spark, out)
+    assert back.count() == 50
+
+
+# ---------------- cross-validation against the reference implementation
+
+def _reference_importable():
+    sys.path.insert(0, "/root/reference")
+    try:
+        import timebox.timebox  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+@pytest.mark.skipif(not _reference_importable(), reason="reference not importable")
+def test_reference_writes_we_read(tmp_path):
+    from timebox.timebox import TimeBox
+
+    pdf = _frame(n=32)
+    path = str(tmp_path / "ref.npb")
+    try:
+        TimeBox.save_pandas(pdf, path)
+    except TypeError as exc:
+        # the reference's write path uses numpy APIs removed in modern
+        # numpy (np.datetime64(..., dtype=...)); its READ path still
+        # works and is covered by test_we_write_reference_reads
+        pytest.skip(f"reference write path incompatible with this numpy: {exc}")
+    ours = npb.read_npb_file(path)
+    for c in pdf.columns:
+        np.testing.assert_allclose(
+            ours[c].to_numpy().astype(np.float64),
+            pdf[c].to_numpy().astype(np.float64),
+            rtol=0,
+        )
+    np.testing.assert_array_equal(
+        ours.index.values.astype("datetime64[s]"),
+        pd.to_datetime(pdf.index).values.astype("datetime64[s]"),
+    )
+
+
+@pytest.mark.skipif(not _reference_importable(), reason="reference not importable")
+def test_we_write_reference_reads(tmp_path):
+    from timebox.timebox import TimeBox
+
+    pdf = _frame(n=32)
+    path = str(tmp_path / "ours.npb")
+    npb.write_npb_file(pdf, path)
+    tb = TimeBox(path)
+    tb.read()
+    for c in pdf.columns:
+        got = tb._tags[c].data
+        np.testing.assert_allclose(
+            got.astype(np.float64), pdf[c].to_numpy().astype(np.float64), rtol=0
+        )

@@ -76,6 +76,10 @@ def fake_decode_features(media: DataFrame, batch_size_hint: int = 1024) -> DataF
     payload — enough to prove Arrow batch transfer, schema handling,
     and partition parallelism without media libs."""
 
+    from timebox_spark.session import ship_package
+
+    ship_package(media.sparkSession)
+
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]

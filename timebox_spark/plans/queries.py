@@ -391,6 +391,32 @@ def q16b_asof_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------------ Q17
+# .npb interop round trip: events (seconds-truncated — the format
+# stores a datetime64[s] start date) → bucketed .npb files via
+# applyInPandas → distributed binaryFile+mapInPandas scan → digest.
+
+def q17_npb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timebox_spark.sources import npb
+
+    events = load(spark, sf_dir, "events").select(
+        F.date_trunc("second", F.col("ts")).alias("ts"),
+        "event_id",
+        "user_id",
+        "value",
+    )
+    path = _tmp("q17", sf_dir)
+    npb.write_npb(events, path, bucket="1 day")
+    back = npb.read_npb(spark, path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("ts").alias("ts_min"),
+        F.max("ts").alias("ts_max"),
+        F.sum("event_id").alias("event_id_sum"),
+        F.sum(_q(F.col("value"), 6)).alias("value_q_sum"),
+    )
+
+
 # ------------------------------------------------------------------ oracles
 
 _UNIT_LADDER_SQL = """
@@ -544,6 +570,14 @@ ORACLE_SQL: dict[str, str] = {
                p.ts AS last_purchase_ts
         FROM clicks c ASOF LEFT JOIN purchases p ON c.ts >= p.ts
     """,
+    "q17_npb_roundtrip": """
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               min(date_trunc('second', ts)) AS ts_min,
+               max(date_trunc('second', ts)) AS ts_max,
+               CAST(sum(event_id) AS BIGINT) AS event_id_sum,
+               CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS value_q_sum
+        FROM events
+    """,
     "q16b_asof_by_user": """
         WITH clicks AS (
           SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
@@ -575,5 +609,6 @@ QUERIES = {
     "q14_window_rank": q14_window_rank,
     "q15_time_bucket": q15_time_bucket,
     "q16_asof": q16_asof,
+    "q17_npb_roundtrip": q17_npb_roundtrip,
     "q16b_asof_by_user": q16b_asof_by_user,
 }

@@ -42,6 +42,9 @@ def _nanos_ts_cols(path: str) -> tuple[str, ...]:
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from timebox_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
     for c in _nanos_ts_cols(path):

@@ -12,8 +12,63 @@ pandas boundary crossing.
 from __future__ import annotations
 
 import os
+import zipfile
 
 from pyspark.sql import SparkSession
+
+# SQL confs the engine requires regardless of who built the session
+# (the driver may hand us a vanilla SparkSession). All runtime-settable.
+RUNTIME_CONFS = {
+    # testdata stores TIMESTAMP(NANOS); read as long ns (converted to
+    # µs timestamps in timebox_spark.plans.tables.load)
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # one timestamp type everywhere: TIMESTAMP with session tz = UTC
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # non-settable on this build — best effort
+            pass
+    return spark
+
+
+_SHIPPED = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make ``timebox_spark`` importable on executors (mapInPandas /
+    applyInPandas closures reference it by module). Zips the package
+    and addPyFile's it — the same deployment path a real cluster uses;
+    on local mode it also covers drivers launched from another cwd."""
+    key = id(spark.sparkContext)
+    if key in _SHIPPED:
+        return
+    import hashlib
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    sources = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        for f in sorted(files):
+            if f.endswith(".py"):
+                sources.append(os.path.join(root, f))
+    digest = hashlib.sha1()
+    for full in sorted(sources):
+        with open(full, "rb") as fh:
+            digest.update(fh.read())
+    zip_path = os.path.join("/tmp", f"timebox_spark_pkg_{digest.hexdigest()[:10]}.zip")
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for full in sorted(sources):
+                rel = os.path.join("timebox_spark", os.path.relpath(full, pkg_dir))
+                zf.write(full, rel)
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED.add(key)
 
 
 def get_spark(
