@@ -1,0 +1,119 @@
+"""Structured Streaming ingest tests: file-source micro-batches through
+windowed aggregation / dedup / custom state, checked against the batch
+equivalents on the same data."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from timebox_spark.plans.tables import load
+from timebox_spark.streaming import ingest
+
+
+@pytest.fixture()
+def staged_events(spark, tmp_path):
+    """Events split into 3 parquet chunk files (3 'arrivals')."""
+    src = str(tmp_path / "incoming")
+    os.makedirs(src, exist_ok=True)
+    events = load(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    for i in range(3):
+        (
+            events.filter(F.pmod(F.col("event_id"), F.lit(3)) == i)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    return src, events
+
+
+def test_stream_hourly_rollup_matches_batch(spark, tmp_path, staged_events):
+    src, events = staged_events
+    stream = ingest.read_event_stream(spark, src)
+    assert stream.isStreaming
+    rollup = ingest.hourly_rollup(stream)
+    ingest.run_to_memory(rollup, "rollup_t", "complete", str(tmp_path / "ck1"))
+    got = spark.table("rollup_t")
+
+    expected = events.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_ts"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 1000).cast("long")).alias("value_q_sum"),
+    )
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, expected.collect()))
+    assert a == b
+
+
+def test_stream_parquet_sink_exactly_once(spark, tmp_path, staged_events):
+    src, events = staged_events
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck2")
+    stream = ingest.dedup_stream(ingest.read_event_stream(spark, src))
+    ingest.run_available_now(stream, "parquet", "append", ck, path=out)
+    n_src = events.count()
+    assert spark.read.parquet(out).count() == n_src
+    # rerun with the same checkpoint: nothing new → no duplicates
+    ingest.run_available_now(
+        ingest.dedup_stream(ingest.read_event_stream(spark, src)),
+        "parquet",
+        "append",
+        ck,
+        path=out,
+    )
+    assert spark.read.parquet(out).count() == n_src
+
+
+def test_stream_dedup_drops_replayed_rows(spark, tmp_path):
+    src = str(tmp_path / "dupsrc")
+    os.makedirs(src, exist_ok=True)
+    events = load(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    ).limit(200)
+    events.coalesce(1).write.mode("append").parquet(src)
+    events.coalesce(1).write.mode("append").parquet(src)  # full replay
+    stream = ingest.dedup_stream(ingest.read_event_stream(spark, src))
+    out = str(tmp_path / "dupout")
+    ingest.run_available_now(stream, "parquet", "append", str(tmp_path / "ck3"), path=out)
+    assert spark.read.parquet(out).count() == 200
+
+
+def test_session_rollup_stream(spark, tmp_path, staged_events):
+    src, events = staged_events
+    sessions = ingest.session_rollup(ingest.read_event_stream(spark, src))
+    ingest.run_to_memory(sessions, "sessions_t", "complete", str(tmp_path / "ck4"))
+    got = spark.table("sessions_t")
+    batch = (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    assert got.count() == batch.count()
+    assert got.agg(F.sum("n_events")).collect()[0][0] == events.count()
+
+
+def test_running_max_stateful(spark, tmp_path, staged_events):
+    src, events = staged_events
+    stateful = ingest.running_max_per_key(ingest.read_event_stream(spark, src))
+    ingest.run_to_memory(stateful, "state_t", "update", str(tmp_path / "ck5"))
+    got = spark.table("state_t")
+    # last emitted row per key must equal the global max/count
+    final = (
+        got.groupBy("event_type")
+        .agg(F.max("running_max").alias("mx"), F.max("n_total").alias("n"))
+        .collect()
+    )
+    expected = {
+        r["event_type"]: (r["mx"], r["n"])
+        for r in events.groupBy("event_type")
+        .agg(F.max("value").alias("mx"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for row in final:
+        exp = expected[row["event_type"]]
+        assert row["mx"] == exp[0] and row["n"] == exp[1]

@@ -417,6 +417,56 @@ def q17_npb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------------ Q18
+# Resample + gap-fill: per event_type hourly grid over that type's own
+# span; empty hours get n=0 and a forward-filled value sum.
+
+def q18_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timebox_spark.operators.resample import gap_fill, resample
+
+    events = load(spark, sf_dir, "events")
+    hourly = resample(
+        events,
+        "1 hour",
+        {
+            "n": F.count(F.lit(1)),
+            "vq": F.sum(_q(F.col("value"), 3)),
+        },
+        keys=["event_type"],
+    )
+    filled = gap_fill(
+        hourly.withColumn("ts", F.col("bucket_ts")),
+        "1 hour",
+        value_cols=["vq"],
+        keys=["event_type"],
+        bucket_col="hr",
+    )
+    return filled.select(
+        "event_type",
+        F.col("hr"),
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        F.col("vq").alias("vq_filled"),
+    )
+
+
+# ------------------------------------------------------------------ Q19
+# Sessionization: session windows with a 30-minute inactivity gap per
+# user (batch analog of streaming session windows). Oracle is the
+# classic gaps-and-islands SQL.
+
+def q19_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    sessions = (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.max("n_events").alias("max_session_events"),
+    )
+
+
 # ------------------------------------------------------------------ oracles
 
 _UNIT_LADDER_SQL = """
@@ -578,6 +628,40 @@ ORACLE_SQL: dict[str, str] = {
                CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS value_q_sum
         FROM events
     """,
+    "q18_resample_gapfill": """
+        WITH h AS (
+          SELECT event_type, date_trunc('hour', ts) AS hr,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS vq
+          FROM events GROUP BY 1, 2
+        ), b AS (
+          SELECT event_type, min(hr) AS mn, max(hr) AS mx FROM h GROUP BY 1
+        ), g AS (
+          SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr FROM b
+        )
+        SELECT g.event_type, g.hr, COALESCE(h.n, 0) AS n,
+               last_value(h.vq IGNORE NULLS) OVER (
+                 PARTITION BY g.event_type ORDER BY g.hr
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vq_filled
+        FROM g LEFT JOIN h ON g.event_type = h.event_type AND g.hr = h.hr
+    """,
+    "q19_sessionize": """
+        WITH d AS (
+          SELECT user_id, ts,
+                 CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                      >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+          FROM events
+        ), s AS (
+          SELECT user_id,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM d
+        ), per AS (SELECT user_id, sid, count(*) AS n FROM s GROUP BY 1, 2)
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(sum(n) AS BIGINT) AS n_events,
+               CAST(max(n) AS BIGINT) AS max_session_events
+        FROM per GROUP BY user_id
+    """,
     "q16b_asof_by_user": """
         WITH clicks AS (
           SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
@@ -610,5 +694,7 @@ QUERIES = {
     "q15_time_bucket": q15_time_bucket,
     "q16_asof": q16_asof,
     "q17_npb_roundtrip": q17_npb_roundtrip,
+    "q18_resample_gapfill": q18_resample_gapfill,
+    "q19_sessionize": q19_sessionize,
     "q16b_asof_by_user": q16b_asof_by_user,
 }

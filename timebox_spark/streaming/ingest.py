@@ -1,0 +1,174 @@
+"""Structured Streaming ingest for TimeBox tables.
+
+The reference serializes writers with fcntl locks and a writer-priority
+sentinel (/root/reference/timebox/timebox.py:405-455). The streaming
+replacement: a file/rate source → event-time watermark on ``ts`` →
+stateful transformations → checkpointed exactly-once sink. Concurrent
+readers always see a complete snapshot (atomic Parquet commits),
+strictly stronger than the reference's lock guarantees (X1–X3).
+
+All builders return unstarted streaming DataFrames/queries so callers
+compose them; ``run_available_now`` drains whatever is in the source
+and stops — the batch-equivalent trigger used by tests and backfills.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = EVENTS_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream: each new parquet file in ``path`` is a
+    micro-batch input (the streaming analog of reference ingest)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def hourly_rollup(
+    stream: DataFrame, watermark: str = "1 hour", window: str = "1 hour"
+) -> DataFrame:
+    """Tumbling event-time window aggregate with late-data bound.
+
+    Rows later than ``watermark`` behind the max seen event time are
+    dropped; closed windows are emitted exactly once in append mode.
+    """
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).start.alias("hour_ts"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 1000).cast("long")).alias("value_q_sum"),
+        )
+    )
+
+
+def sliding_rollup(
+    stream: DataFrame,
+    watermark: str = "1 hour",
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+) -> DataFrame:
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).start.alias("win_ts"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def session_rollup(
+    stream: DataFrame, watermark: str = "1 hour", gap: str = "30 minutes"
+) -> DataFrame:
+    """Session windows keyed by user (inactivity gap closes a session)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once events by event_id within the watermark horizon —
+    streaming exact dedup (bounded state, old keys age out with the
+    watermark)."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def running_max_per_key(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: carries a
+    running max(value) + count per event_type across micro-batches.
+    Demonstrates arbitrary state the built-in aggs can't express
+    (emits one row per key per batch with the cumulative state)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "event_type string, running_max double, n_total long"
+    state_schema = "running_max double, n_total long"
+
+    def update(key, pdfs, state: GroupState):
+        mx, n = state.get if state.exists else (float("-inf"), 0)
+        for pdf in pdfs:
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+                n += int(len(pdf))
+        state.update((mx, n))
+        yield pd.DataFrame(
+            {"event_type": [key[0]], "running_max": [mx], "n_total": [n]}
+        )
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def write_stream_parquet(
+    df: DataFrame, path: str, checkpoint: str, output_mode: str = "append"
+):
+    """Checkpointed exactly-once Parquet sink (unstarted query)."""
+    return (
+        df.writeStream.outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .format("parquet")
+        .option("path", path)
+    )
+
+
+def run_available_now(
+    df: DataFrame, sink_format: str, output_mode: str, checkpoint: str, **options
+) -> None:
+    """Drain the source with Trigger.AvailableNow and block until done."""
+    q = (
+        df.writeStream.format(sink_format)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .options(**options)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_to_memory(df: DataFrame, name: str, output_mode: str, checkpoint: str) -> None:
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
