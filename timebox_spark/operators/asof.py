@@ -97,16 +97,19 @@ def range_join(
     add an equi-join bucket key (time bucketed to ``bucket``; intervals
     explode to every bucket they overlap) so Catalyst plans a hash/SMJ
     join, then re-filter exactly. Bucket granularity trades row
-    duplication vs join fan-in.
+    duplication vs join fan-in. Buckets are µs arithmetic (not
+    ``F.window`` — one-window-per-plan restriction).
     """
+    from timebox_spark.operators.resample import time_bucket
+
     by = by or []
-    l = left.withColumn("__bucket", F.window(F.col(left_ts), bucket).start)
+    l = left.withColumn("__bucket", time_bucket(left_ts, bucket))
     r = right.withColumn(
         "__bucket",
         F.explode(
             F.sequence(
-                F.window(F.col(right_start), bucket).start,
-                F.window(F.col(right_end), bucket).start,
+                time_bucket(right_start, bucket),
+                time_bucket(right_end, bucket),
                 F.expr(f"interval {bucket}"),
             )
         ),

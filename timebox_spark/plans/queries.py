@@ -467,6 +467,116 @@ def q19_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------------ Q32
+# Grouping sets (ROLLUP) with grouping id.
+
+def q32_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_q(F.col("l_quantity"), 2)).alias("qty_q"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ Q33
+# Set operations: UNION / INTERSECT / EXCEPT over customer key sets.
+
+def q33_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    a = (
+        orders.filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    b = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    ).distinct()
+    n_union = a.union(b).distinct().agg(F.count(F.lit(1)).alias("n_union"))
+    n_inter = a.intersect(b).agg(F.count(F.lit(1)).alias("n_intersect"))
+    n_exc = a.exceptAll(b).agg(F.count(F.lit(1)).alias("n_except"))
+    return n_union.crossJoin(n_inter).crossJoin(n_exc)
+
+
+# ------------------------------------------------------------------ Q34
+# JSON property extraction from the events.props column.
+
+def q34_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return events.groupBy("event_type").agg(
+        F.sum(k).alias("k_sum"),
+        F.max(k).alias("k_max"),
+        F.sum(F.when(k > 50, 1).otherwise(0)).alias("n_gt50"),
+    )
+
+
+# ------------------------------------------------------------------ Q35
+# Range (interval-containment) join: clicks landing inside each
+# purchase's 2-hour follow-up window, per user. Bucketed equi-join
+# plan via operators.asof.range_join.
+
+def q35_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timebox_spark.operators.asof import range_join
+
+    events = load(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("t0"),
+        (F.col("ts") + F.expr("interval 2 hours")).alias("t1"),
+    )
+    joined = range_join(
+        clicks, purchases, left_ts="ts", right_start="t0", right_end="t1",
+        by=["user_id"], bucket="1 hour",
+    )
+    counts = joined.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("n_clicks")
+    )
+    return (
+        purchases.select("purchase_id")
+        .join(counts, "purchase_id", "left")
+        .select(
+            "purchase_id",
+            F.coalesce(F.col("n_clicks"), F.lit(0)).alias("n_clicks"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ Q36
+# SQL surface: TPC-H Q1 shape through the engine's SQL API — the same
+# text runs on DuckDB as the oracle.
+
+_Q36_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_q,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_q,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_q,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q36_sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timebox_spark.api import TimeBoxEngine
+
+    engine = TimeBoxEngine(spark)
+    engine.register("lineitem", load(spark, sf_dir, "lineitem"))
+    return engine.sql(_Q36_SQL)
+
+
 # ------------------------------------------------------------------ oracles
 
 _UNIT_LADDER_SQL = """
@@ -662,6 +772,47 @@ ORACLE_SQL: dict[str, str] = {
                CAST(max(n) AS BIGINT) AS max_session_events
         FROM per GROUP BY user_id
     """,
+    "q32_rollup": """
+        SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_q,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    "q33_setops": """
+        WITH a AS (
+          SELECT DISTINCT o_custkey AS k FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate < TIMESTAMP '1997-01-01'
+        ), b AS (
+          SELECT DISTINCT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        )
+        SELECT
+          (SELECT CAST(count(*) AS BIGINT) FROM (SELECT k FROM a UNION SELECT k FROM b)) AS n_union,
+          (SELECT CAST(count(*) AS BIGINT) FROM (SELECT k FROM a INTERSECT SELECT k FROM b)) AS n_intersect,
+          (SELECT CAST(count(*) AS BIGINT) FROM (SELECT k FROM a EXCEPT SELECT k FROM b)) AS n_except
+    """,
+    "q34_json": """
+        SELECT event_type,
+               CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_sum,
+               CAST(max(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_max,
+               CAST(sum(CASE WHEN CAST(props->>'k' AS BIGINT) > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_gt50
+        FROM events GROUP BY event_type
+    """,
+    "q35_range_join": """
+        WITH p AS (
+          SELECT event_id AS purchase_id, user_id, ts AS t0,
+                 ts + INTERVAL 2 HOUR AS t1
+          FROM events WHERE event_type = 'purchase'
+        ), c AS (
+          SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click'
+        )
+        SELECT p.purchase_id,
+               CAST(count(c.click_id) AS BIGINT) AS n_clicks
+        FROM p LEFT JOIN c
+          ON p.user_id = c.user_id AND c.ts >= p.t0 AND c.ts <= p.t1
+        GROUP BY p.purchase_id
+    """,
+    "q36_sql_tpch_q1": _Q36_SQL,
     "q16b_asof_by_user": """
         WITH clicks AS (
           SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
@@ -696,5 +847,10 @@ QUERIES = {
     "q17_npb_roundtrip": q17_npb_roundtrip,
     "q18_resample_gapfill": q18_resample_gapfill,
     "q19_sessionize": q19_sessionize,
+    "q32_rollup": q32_rollup,
+    "q33_setops": q33_setops,
+    "q34_json": q34_json,
+    "q35_range_join": q35_range_join,
+    "q36_sql_tpch_q1": q36_sql_tpch_q1,
     "q16b_asof_by_user": q16b_asof_by_user,
 }
