@@ -1,0 +1,70 @@
+"""Similarity/dedup semantics beyond the SQL oracles: LSH recall vs
+the brute-force baseline, asof tolerance, range-join vs naive join."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from timebox_spark.operators import similarity
+from timebox_spark.operators.asof import asof_join, range_join
+from timebox_spark.plans.tables import load
+
+
+def test_lsh_recall_vs_bruteforce(spark):
+    emb = load(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = similarity.cosine_topk(emb, queries, k=5)
+    approx = similarity.lsh_topk(emb, queries, k=5, planes=4)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # 4 hyperplanes → 16 buckets over 500 vectors; same-bucket top-5
+    # should keep a solid fraction of true neighbors
+    assert recall >= 0.3, f"LSH recall collapsed: {recall}"
+    # approx scores must be a subset of genuine cosine scores (no
+    # fabricated neighbors with wrong similarity)
+    exact_scores = {
+        (r["query_id"], r["neighbor_id"]): r["cosine_q"]
+        for r in similarity.cosine_topk(emb, queries, k=500).collect()
+    }
+    for r in approx.collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_scores:
+            assert exact_scores[key] == r["cosine_q"]
+
+
+def test_asof_tolerance(spark):
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame([(1, t(10)), (2, t(30))], "id long, ts timestamp")
+    right = spark.createDataFrame([(t(9), 1.0), (t(12), 2.0)], "ts timestamp, v double")
+    no_tol = asof_join(left, right, on="ts").orderBy("id").collect()
+    assert [r["v"] for r in no_tol] == [1.0, 2.0]
+    with_tol = asof_join(left, right, on="ts", tolerance_us=5_000_000).orderBy("id").collect()
+    assert [r["v"] for r in with_tol] == [1.0, None]  # 30-12=18s > 5s
+
+
+def test_range_join_matches_naive(spark):
+    events = load(spark, SF_SMOKE, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"), "user_id", "ts"
+    )
+    windows = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.col("ts").alias("t0"),
+        (F.col("ts") + F.expr("interval 90 minutes")).alias("t1"),
+    )
+    bucketed = range_join(
+        clicks, windows, left_ts="ts", right_start="t0", right_end="t1",
+        by=["user_id"], bucket="1 hour",
+    ).select("cid", "pid")
+    naive = clicks.join(
+        windows,
+        (clicks.user_id == windows.user_id)
+        & (clicks.ts >= windows.t0)
+        & (clicks.ts <= windows.t1),
+    ).select("cid", "pid")
+    assert sorted(map(tuple, bucketed.collect())) == sorted(map(tuple, naive.collect()))

@@ -100,24 +100,42 @@ def lsh_topk(
     query_id_col: str = "query_id",
     planes: int = 8,
     dim: int = 64,
+    tables: int = 4,
 ) -> DataFrame:
-    """Approximate top-k: score only corpus vectors in the query's LSH
-    bucket. At 100 TB the bucket join replaces the full scan; recall
-    is tunable via ``planes`` (fewer planes → bigger buckets → higher
-    recall, more work)."""
-    cb = corpus.select(
-        F.col(id_col),
-        F.col(vec_col),
-        _lsh_bucket(F.col(vec_col), planes, dim).alias("__bucket"),
+    """Approximate top-k: score only corpus vectors sharing an LSH
+    bucket with the query in ANY of ``tables`` independent hash tables
+    (OR-amplification — the standard LSH-forest recall lever). At
+    100 TB the bucket join replaces the full scan; ``planes`` trades
+    bucket size vs selectivity, ``tables`` trades work vs recall."""
+
+    def buckets(df, out_id, vec_out):
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias(vec_out),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tbl"),
+                            _lsh_bucket(
+                                F.col(vec_col), planes, dim, seed=11 + 97 * t
+                            ).alias("bkt"),
+                        )
+                        for t in range(tables)
+                    ]
+                )
+            ).alias("__b"),
+        ).select(out_id, vec_out, "__b.tbl", "__b.bkt")
+
+    cb = buckets(corpus, id_col, vec_col)
+    qb = buckets(queries, query_id_col, "__qvec")
+    cand = (
+        cb.join(F.broadcast(qb), ["tbl", "bkt"])
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(id_col, vec_col, query_id_col, "__qvec")
+        .dropDuplicates([id_col, query_id_col])
     )
-    qb = queries.select(
-        F.col(id_col).alias(query_id_col),
-        F.col(vec_col).alias("__qvec"),
-        _lsh_bucket(F.col(vec_col), planes, dim).alias("__bucket"),
-    )
-    scored = cb.join(F.broadcast(qb), "__bucket").filter(
-        F.col(id_col) != F.col(query_id_col)
-    )
+    scored = cand
     sim_q = F.round(cosine(F.col(vec_col), F.col("__qvec")) * 1e9).cast("long")
     scored = scored.select(
         F.col(query_id_col),
