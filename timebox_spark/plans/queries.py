@@ -577,6 +577,44 @@ def q36_sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engine.sql(_Q36_SQL)
 
 
+# ------------------------------------------------------------------ Q37
+# Distinct counts + exact interpolated percentiles (the approximate
+# variants — approx_count_distinct / percentile_approx — are pinned
+# against these exact values in tests/test_sketches.py; their sketch
+# internals differ engine-to-engine so they can't hash-match an
+# oracle).
+
+def q37_distinct_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return events.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+        _q(F.percentile("value", 0.5), 6).alias("p50_q"),
+        _q(F.percentile("value", 0.9), 6).alias("p90_q"),
+    )
+
+
+# ------------------------------------------------------------------ Q38
+# Array functions over the embedding column: norms and head-slice
+# means via zip_with/aggregate/slice (JVM array kernels).
+
+def q38_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(e, e, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+    )
+    head = F.aggregate(
+        F.slice(e, 1, 8), F.lit(0.0), lambda acc, v: acc + v
+    ) / F.lit(8.0)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        _q(F.sqrt(dot), 6).alias("norm_q"),
+        _q(head, 6).alias("head_mean_q"),
+    )
+
+
 # ------------------------------------------------------------------ oracles
 
 _UNIT_LADDER_SQL = """
@@ -813,6 +851,20 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY p.purchase_id
     """,
     "q36_sql_tpch_q1": _Q36_SQL,
+    "q37_distinct_percentiles": """
+        SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+               CAST(round(quantile_cont(value, 0.5) * 1000000) AS BIGINT) AS p50_q,
+               CAST(round(quantile_cont(value, 0.9) * 1000000) AS BIGINT) AS p90_q
+        FROM events
+    """,
+    "q38_array_ops": """
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        SELECT vec_id, CAST(length(e) AS INTEGER) AS dim,
+               CAST(round(sqrt(list_dot_product(e, e)) * 1000000) AS BIGINT) AS norm_q,
+               CAST(round(list_sum(e[1:8]) / 8.0 * 1000000) AS BIGINT) AS head_mean_q
+        FROM v
+    """,
     "q16b_asof_by_user": """
         WITH clicks AS (
           SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
@@ -852,5 +904,7 @@ QUERIES = {
     "q34_json": q34_json,
     "q35_range_join": q35_range_join,
     "q36_sql_tpch_q1": q36_sql_tpch_q1,
+    "q37_distinct_percentiles": q37_distinct_percentiles,
+    "q38_array_ops": q38_array_ops,
     "q16b_asof_by_user": q16b_asof_by_user,
 }
