@@ -286,8 +286,15 @@ def encode_timebox(
     return buf.getvalue()
 
 
-def decode_timebox(raw: bytes) -> pd.DataFrame:
-    """.npb bytes -> pandas frame with a 'ts' datetime64 index."""
+def decode_timebox(raw: bytes, columns: list | None = None) -> pd.DataFrame:
+    """.npb bytes -> pandas frame with a 'ts' datetime64 index.
+
+    ``columns``: decode only these tags — the reference's acknowledged
+    TODO ("read certain tags/dates", /root/reference/timebox/
+    timebox.py:105). Non-selected column blocks are skipped by size
+    (their byte extent is computable from the header), so a 2-of-80
+    column scan reads ~2/80ths of the data section.
+    """
     mv = memoryview(raw)
     pos = 0
 
@@ -342,6 +349,7 @@ def decode_timebox(raw: bytes) -> pd.DataFrame:
         step_s = int(np.frombuffer(take(4), "<u4")[0])
         dates = start.astype("datetime64[ns]") + np.arange(num_points) * np.timedelta64(step_s, "s")
 
+    wanted = None if columns is None else set(columns)
     cols = {}
     for s in specs:
         n_read = num_points
@@ -353,11 +361,22 @@ def decode_timebox(raw: bytes) -> pd.DataFrame:
             read_dtype = np.dtype("i8")
         else:
             read_dtype = s.dtype
-        block = np.frombuffer(take(read_dtype.itemsize * n_read), dtype=read_dtype)
+        nbytes = read_dtype.itemsize * n_read
+        if wanted is not None and s.identifier not in wanted and str(s.identifier) not in wanted:
+            pos += nbytes  # skip the block without decoding
+            continue
+        block = np.frombuffer(take(nbytes), dtype=read_dtype)
         cols[s.identifier] = _decode_column(block, s, num_points)
 
     out = pd.DataFrame(cols, index=pd.DatetimeIndex(dates, name="ts"))
     return out
+
+
+def scan_time_range(raw: bytes) -> tuple:
+    """(start, end) datetimes of a file from header + deltas only (no
+    column blocks touched) — used for file-level time pruning."""
+    pdf = decode_timebox(raw, columns=[])
+    return (pdf.index.min(), pdf.index.max()) if len(pdf) else (None, None)
 
 
 # ------------------------------------------------------------------ files
@@ -380,10 +399,18 @@ def read_npb_file(path: str) -> pd.DataFrame:
 # ------------------------------------------------------------------ Spark
 
 
-def read_npb(spark, path_glob: str):
+def read_npb(spark, path_glob: str, columns: list[str] | None = None,
+             time_range: tuple | None = None):
     """Distributed scan of .npb files: binaryFile source + per-file
     decode in mapInPandas. Column schema is read from the FIRST file's
-    header (driver-side, header bytes only)."""
+    header (driver-side, header bytes only).
+
+    ``columns``: project only these tags (block-skipping decode).
+    ``time_range``: (start, end) — files whose [start, end] span
+    doesn't intersect are skipped after a header+deltas-only probe,
+    and rows are filtered exactly; together these close the
+    reference's partial-read TODO (timebox.py:105) at cluster scale.
+    """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -403,17 +430,31 @@ def read_npb(spark, path_glob: str):
         "uint32": T.LongType(), "uint64": T.DecimalType(20, 0),
         "float16": T.FloatType(), "float32": T.FloatType(), "float64": T.DoubleType(),
     }
-    for c in sample.columns:
-        fields.append(T.StructField(str(c), np_to_spark[str(sample[c].dtype)], True))
+    keep = [str(c) for c in sample.columns]
+    if columns is not None:
+        missing = set(columns) - set(keep)
+        if missing:
+            raise NpbFormatError(f"unknown npb columns: {sorted(missing)}")
+        keep = [c for c in keep if c in set(columns)]
+    for c in keep:
+        fields.append(T.StructField(c, np_to_spark[str(sample[c].dtype)], True))
     schema = T.StructType(fields)
-    colnames = [str(c) for c in sample.columns]
+    colnames = keep
+    tr = time_range
 
     def decode(batches):
         for pdf in batches:
             for _, row in pdf.iterrows():
-                frame = decode_timebox(bytes(row["content"]))
+                raw = bytes(row["content"])
+                if tr is not None:
+                    lo, hi = scan_time_range(raw)
+                    if lo is None or hi < pd.Timestamp(tr[0]) or lo > pd.Timestamp(tr[1]):
+                        continue  # file-level prune: header+deltas only
+                frame = decode_timebox(raw, columns=colnames)
                 frame.columns = [str(c) for c in frame.columns]
                 out = frame.reset_index().rename(columns={"index": "ts"})
+                if tr is not None:
+                    out = out[(out["ts"] >= pd.Timestamp(tr[0])) & (out["ts"] <= pd.Timestamp(tr[1]))]
                 for c in colnames:
                     if str(out[c].dtype) == "uint64":
                         out[c] = out[c].astype("float64")  # Decimal via float is lossy; kept simple
