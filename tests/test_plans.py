@@ -1,0 +1,59 @@
+"""Physical-plan regression tests: the properties that make these
+queries scale (pushdown, pruning, join strategy) are asserted, not
+just eyeballed — a regression to a nested-loop join or a full-schema
+scan fails CI."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+from timebox_spark.plans import queries as Q
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_agg_pushdown_and_pruning(spark):
+    plan = _plan(Q.q11_filter_agg(spark, SF_SMOKE))
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    # column pruning: only the 4 needed columns reach the scan
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_quantity" in read and "l_extendedprice" in read
+    assert "l_orderkey" not in read and "l_partkey" not in read
+
+
+def test_join_topk_broadcasts_dim_no_bnlj(spark):
+    plan = _plan(Q.q12_join_topk(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_range_join_is_equi_join(spark):
+    plan = _plan(Q.q35_range_join(spark, SF_SMOKE))
+    # the bucketing rewrite must keep this a hash/merge equi-join
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_single_shuffle_no_join_explosion(spark):
+    plan = _plan(Q.q16b_asof_by_user(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange") <= 6  # union + window shuffles only
+
+
+def test_events_scan_prunes_columns(spark):
+    plan = _plan(Q.q15_time_bucket(spark, SF_SMOKE))
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "props" not in read and "user_id" not in read
