@@ -48,8 +48,13 @@ def main() -> None:
         sf = -1.0
     spark = get_spark(app_name="timebox-bench")
 
-    # warm the JVM/codegen once with a trivial action
+    # warm the JVM/codegen/committer once: a trivial action plus a tiny
+    # parquet write+read so the first measured query isn't paying
+    # one-time parquet/committer initialization (~1.7s locally)
     spark.range(1).count()
+    warm = "/tmp/timebox_bench_warmup"
+    spark.range(100).write.mode("overwrite").parquet(warm)
+    spark.read.parquet(warm).count()
 
     timings: dict[str, float] = {}
     for name, fn in HEADLINE.items():

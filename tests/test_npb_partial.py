@@ -106,3 +106,32 @@ def test_roundtrip_property_compressed_ints(pdf, mode):
     )
     for c in int_cols:
         np.testing.assert_array_equal(back[c].to_numpy(), pdf[c].to_numpy())
+
+
+def test_uint64_lossless_via_decimal(spark, tmp_path):
+    import os
+    from decimal import Decimal
+
+    d = str(tmp_path / "u64")
+    os.makedirs(d)
+    big = np.array([2**63 + 5, 2**64 - 1, 7], dtype=np.uint64)
+    pdf = pd.DataFrame(
+        {"u": big}, index=pd.date_range("2020-01-01", periods=3, freq="1h")
+    )
+    npb.write_npb_file(pdf, f"{d}/u.npb")
+    df = npb.read_npb(spark, d)
+    assert df.schema["u"].dataType.simpleString() == "decimal(20,0)"
+    got = sorted(r["u"] for r in df.collect())
+    assert got == sorted(Decimal(int(v)) for v in big)
+
+
+def test_select_tags_and_between(spark):
+    from timebox_spark.table import TimeBoxTable
+    from timebox_spark.plans.tables import load
+    from tests.conftest import SF_SMOKE
+
+    t = TimeBoxTable(load(spark, SF_SMOKE, "events"))
+    sub = t.select_tags("value").between("2024-01-05", "2024-01-10")
+    assert sub.df.columns == ["ts", "value"]
+    n, lo, hi = sub.time_range()
+    assert n > 0 and str(lo) >= "2024-01-05" and str(hi) <= "2024-01-10 23:59:59.999999"

@@ -81,6 +81,54 @@ def word_shingles(col: str, n: int = 3):
 
 # ---------------------------------------------------------------- minhash
 
+# deterministic universal-hash constants (odd multipliers)
+_MH_SEED = 1234
+
+
+def _mh_consts(num_hashes: int):
+    import numpy as np
+
+    rng = np.random.RandomState(_MH_SEED)
+    a = rng.randint(1, 2**61, num_hashes).astype(np.uint64) | np.uint64(1)
+    b = rng.randint(0, 2**61, num_hashes).astype(np.uint64)
+    return a, b
+
+
+def _batch_shingle_values(texts, n: int):
+    """Vectorized char-n-gram polynomial hashes for a batch of texts.
+
+    Returns (values uint64, doc_index int64, seg_starts int64): one
+    value per shingle position, grouped contiguously by doc. All
+    numpy — one sliding_window_view over the concatenated bytes, no
+    per-document Python loop.
+    """
+    import re
+
+    import numpy as np
+
+    ws = re.compile(r"\s+")
+    norm = [ws.sub(" ", t.lower()).strip().encode() for t in texts]
+    norm = [t if len(t) >= n else t + b"\x00" * (n - len(t)) for t in norm]
+    lens = np.array([len(t) for t in norm], dtype=np.int64)
+    blob = np.frombuffer(b"".join(norm), dtype=np.uint8)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    counts = lens - (n - 1)  # valid windows per doc
+
+    win = np.lib.stride_tricks.sliding_window_view(blob, n).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        val = np.zeros(len(win), dtype=np.uint64)
+        for j in range(n):
+            val = val * np.uint64(257) + win[:, j]
+    # select only windows fully inside one doc
+    idx = np.concatenate(
+        [np.arange(s, s + c) for s, c in zip(starts, counts)]
+    ) if len(norm) else np.empty(0, dtype=np.int64)
+    values = val[idx]
+    doc_index = np.repeat(np.arange(len(norm), dtype=np.int64), counts)
+    seg_starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    return values, doc_index, seg_starts
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -88,21 +136,42 @@ def minhash_signatures(
     num_hashes: int = 32,
     shingle_n: int = 5,
 ) -> DataFrame:
-    """Per-doc MinHash signature, computed entirely map-side:
-    min(xxhash64(seed, shingle)) per seed via array_min(transform(...))
-    over the per-row shingle array — zero shuffle (an explode+groupBy
-    formulation shuffles |doc|·|shingles| rows for nothing)."""
-    shingled = with_norm(df, text_col).select(
-        F.col(id_col),
-        F.array_distinct(char_shingles("__norm", shingle_n)).alias("sh"),
-    )
-    sig_cols = [
-        F.array_min(
-            F.transform("sh", lambda s, i=i: F.xxhash64(F.lit(i), s))
-        ).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
-    return shingled.select(F.col(id_col), *sig_cols)
+    """Per-doc MinHash signature via an Arrow-batched numpy kernel:
+    one polynomial base hash per shingle position, ``num_hashes``
+    universal-hash permutations, per-doc minima via
+    ``np.minimum.reduceat`` — zero shuffle, no per-row Python.
+
+    (A pure JVM higher-order-function variant was 1.5× slower because
+    Spark interprets lambda-transform expressions per element;
+    duplicate shingles need no dedup — they cannot change a min.)
+    """
+    import numpy as np
+    import pandas as pd
+
+    from timebox_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    a_const, b_const = _mh_consts(num_hashes)
+    k = num_hashes
+
+    def compute(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            values, _doc_idx, seg_starts = _batch_shingle_values(
+                list(pdf[text_col]), shingle_n
+            )
+            out = {id_col: pdf[id_col].to_numpy()}
+            with np.errstate(over="ignore"):
+                for i in range(k):
+                    hs = values * a_const[i] + b_const[i]
+                    out[f"mh_{i}"] = np.minimum.reduceat(hs, seg_starts).astype(
+                        np.int64
+                    )
+            yield pd.DataFrame(out)
+
+    schema = f"{id_col} long, " + ", ".join(f"mh_{i} long" for i in range(k))
+    return df.select(id_col, text_col).mapInPandas(compute, schema=schema)
 
 
 def minhash_lsh_candidates(
@@ -142,6 +211,48 @@ def minhash_lsh_candidates(
     return pairs
 
 
+def shingle_hash_sets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Per-doc sorted unique shingle-hash sets (array<long>) from the
+    vectorized numpy kernel — the verify-stage companion of
+    minhash_signatures (intersecting longs is far cheaper than
+    intersecting n-gram strings; hash collisions at 64 bits are
+    negligible for Jaccard estimation)."""
+    import numpy as np
+    import pandas as pd
+
+    from timebox_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+
+    def compute(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            values, doc_index, _seg = _batch_shingle_values(
+                list(pdf[text_col]), shingle_n
+            )
+            order = np.lexsort((values, doc_index))
+            dv, vv = doc_index[order], values[order]
+            keep = np.ones(len(vv), dtype=bool)
+            if len(vv) > 1:
+                keep[1:] = (vv[1:] != vv[:-1]) | (dv[1:] != dv[:-1])
+            dv, vv = dv[keep], vv[keep].astype(np.int64)
+            bounds = np.searchsorted(dv, np.arange(1, len(pdf)))
+            sets = np.split(vv, bounds)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "sh_set": [s for s in sets]}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        compute, schema=f"{id_col} long, sh_set array<long>"
+    )
+
+
 def jaccard_verify(
     df: DataFrame,
     pairs: DataFrame,
@@ -150,12 +261,9 @@ def jaccard_verify(
     shingle_n: int = 5,
     threshold: float = 0.7,
 ) -> DataFrame:
-    """Exact n-gram Jaccard on candidate pairs only (join shingle sets
-    back by id — candidates are few, so this is a small join)."""
-    sets_df = with_norm(df, text_col).select(
-        F.col(id_col),
-        F.array_distinct(char_shingles("__norm", shingle_n)).alias("sh_set"),
-    )
+    """n-gram Jaccard on candidate pairs only (join hashed shingle
+    sets back by id — candidates are few, so this is a small join)."""
+    sets_df = shingle_hash_sets(df, id_col, text_col, shingle_n)
     out = (
         pairs.join(sets_df.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh_set", "sh_a"), "id_a")
         .join(sets_df.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh_set", "sh_b"), "id_b")

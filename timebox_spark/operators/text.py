@@ -41,17 +41,28 @@ def bpe_ish_token_count(col: str = "text") -> Column:
     return F.size(F.regexp_extract_all(F.col(col), F.lit(BPE_ISH_RE), F.lit(0)))
 
 
+def word_alternation_re(words: list[str]) -> str:
+    """One non-capturing alternation matching any of the words —
+    a single scan instead of len(words) scans (the words are distinct
+    whole tokens, so the match count equals the sum of per-word
+    counts)."""
+    return r"\b(?:" + "|".join(words) + r")\b"
+
+
 def _word_hits(col: str, word: str) -> Column:
     return F.size(
         F.regexp_extract_all(F.col(col), F.lit(rf"\b{word}\b"), F.lit(0))
     )
 
 
+def _words_hits(col: str, words: list[str]) -> Column:
+    return F.size(
+        F.regexp_extract_all(F.col(col), F.lit(word_alternation_re(words)), F.lit(0))
+    )
+
+
 def stopword_count(col: str = "text") -> Column:
-    out = F.lit(0)
-    for w in STOPWORDS:
-        out = out + _word_hits(col, w)
-    return out
+    return _words_hits(col, STOPWORDS)
 
 
 def punct_count(col: str = "text") -> Column:
@@ -99,10 +110,7 @@ def lang_id(col: str = "text") -> Column:
     argmax wins, ties broken by language code order. Deterministic and
     SQL-expressible (the oracle mirrors the same CASE ladder)."""
     counts = {
-        lang: sum(
-            (_word_hits(col, w) for w in words), start=F.lit(0)
-        )
-        for lang, words in LANG_MARKERS.items()
+        lang: _words_hits(col, words) for lang, words in LANG_MARKERS.items()
     }
     langs = sorted(LANG_MARKERS)
     best = F.greatest(*[counts[lg] for lg in langs])

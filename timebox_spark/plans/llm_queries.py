@@ -19,12 +19,12 @@ from timebox_spark.plans.tables import load
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
 
-def _hits_sql(word: str) -> str:
-    return f"length(regexp_extract_all(text, '\\b{word}\\b'))"
+def _hits_sql(words: list[str]) -> str:
+    return f"length(regexp_extract_all(text, '{text.word_alternation_re(words)}'))"
 
 
 def _stopword_sql() -> str:
-    return " + ".join(_hits_sql(w) for w in text.STOPWORDS)
+    return _hits_sql(text.STOPWORDS)
 
 
 # ------------------------------------------------------------------ q20
@@ -73,10 +73,7 @@ def q21_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _lang_sql() -> str:
     langs = sorted(text.LANG_MARKERS)
-    counts = {
-        lg: " + ".join(_hits_sql(w) for w in ws)
-        for lg, ws in text.LANG_MARKERS.items()
-    }
+    counts = {lg: _hits_sql(ws) for lg, ws in text.LANG_MARKERS.items()}
     best = "greatest(" + ", ".join(f"c_{lg}" for lg in langs) + ")"
     case = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
         f"WHEN c_{lg} = {best} THEN '{lg}'" for lg in langs

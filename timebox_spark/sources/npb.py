@@ -457,7 +457,11 @@ def read_npb(spark, path_glob: str, columns: list[str] | None = None,
                     out = out[(out["ts"] >= pd.Timestamp(tr[0])) & (out["ts"] <= pd.Timestamp(tr[1]))]
                 for c in colnames:
                     if str(out[c].dtype) == "uint64":
-                        out[c] = out[c].astype("float64")  # Decimal via float is lossy; kept simple
+                        # lossless uint64 → DecimalType(20,0) via
+                        # python Decimal objects (Arrow decimal128)
+                        from decimal import Decimal
+
+                        out[c] = out[c].map(lambda v: Decimal(int(v)))
                     elif str(out[c].dtype).startswith("uint"):
                         out[c] = out[c].astype(f"int{min(64, 16 * out[c].dtype.itemsize)}")
                     elif str(out[c].dtype) == "float16":

@@ -90,10 +90,33 @@ class TimeBoxTable:
         (timebox.py:123-159).
         """
         df = self.df
-        writer = df.repartitionByRange(
-            *( [buckets] if buckets else [] ), F.col(self.TS_COL)
-        ).sortWithinPartitions(self.TS_COL)
+        if buckets is None:
+            buckets = self._auto_buckets()
+        writer = df.repartitionByRange(buckets, F.col(self.TS_COL)).sortWithinPartitions(
+            self.TS_COL
+        )
         writer.write.mode(mode).parquet(path)
+
+    _TARGET_BUCKET_BYTES = 96 * 1024 * 1024  # ~96 MiB of source parquet per bucket
+
+    def _auto_buckets(self) -> int:
+        """Size the range shuffle to the input: one bucket per ~96 MiB
+        of source data (a 100 TB input gets ~1M well-sized buckets; a
+        2 MB test table gets 1 — no 32-task overhead on tiny data).
+        Falls back to the session's shuffle parallelism when the input
+        size is unknowable (non-file sources)."""
+        import os
+
+        try:
+            total = sum(
+                os.path.getsize(f.replace("file:", ""))
+                for f in self.df.inputFiles()
+            )
+        except Exception:
+            total = 0
+        if total <= 0:
+            return int(self.df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        return max(1, -(-total // self._TARGET_BUCKET_BYTES))
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "TimeBoxTable":
@@ -136,6 +159,24 @@ class TimeBoxTable:
         n = self.monotonicity_violations(keys)
         if n:
             raise DateDataError(f"{n} out-of-order timestamps")
+
+    # -- partial reads (the reference's acknowledged TODO: "read
+    # certain tags/dates", timebox.py:105 — free here via Catalyst
+    # column pruning + parquet row-group skipping on the sorted ts)
+
+    def select_tags(self, *tags: str) -> "TimeBoxTable":
+        return TimeBoxTable(self.df.select(self.TS_COL, *tags))
+
+    def between(self, start, end) -> "TimeBoxTable":
+        """Rows with start <= ts <= end. The predicate reaches the
+        parquet scan; with range-clustered files (see save) whole
+        row groups/files outside the range are skipped."""
+        return TimeBoxTable(
+            self.df.filter(
+                (F.col(self.TS_COL) >= F.lit(start))
+                & (F.col(self.TS_COL) <= F.lit(end))
+            )
+        )
 
     # -- basic stats (reference O4: start date = np.amin(dates), timebox.py:369)
 
