@@ -195,6 +195,30 @@ def min_width_report(df: DataFrame, cols: list[str]) -> dict[str, dict]:
     return report
 
 
+# ---------------------------------------------------------------- rolling
+
+def rolling_agg(
+    df: DataFrame,
+    ts_col: str,
+    aggs: dict,
+    window_us: int,
+    partition_by: list[str] | None = None,
+) -> DataFrame:
+    """Trailing time-range window: for each row, aggregate over rows of
+    the same series within [ts − window, ts]. Uses a RANGE frame on
+    unix_micros — evaluated in one pass per sorted partition (no
+    self-join). The classic rolling mean/max the reference cannot
+    express (SURVEY §2.7)."""
+    w = Window.orderBy(F.unix_micros(F.col(ts_col)))
+    if partition_by:
+        w = Window.partitionBy(*partition_by).orderBy(F.unix_micros(F.col(ts_col)))
+    w = w.rangeBetween(-window_us, 0)
+    out = df
+    for name, expr in aggs.items():
+        out = out.withColumn(name, expr.over(w))
+    return out
+
+
 # ---------------------------------------------------------------- helpers
 
 def _w(order_by: list[str], partition_by: list[str] | None) -> Window:

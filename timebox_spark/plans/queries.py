@@ -615,6 +615,58 @@ def q38_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------------ Q39
+# Pivot: hourly event counts pivoted to one column per event type.
+
+def q39_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        events.groupBy(F.date_trunc("hour", "ts").alias("hour_ts"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "hour_ts",
+            *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+        )
+    )
+
+
+# ------------------------------------------------------------------ Q40
+# Histogram / binning via width_bucket.
+
+def q40_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return (
+        events.select(
+            F.width_bucket(F.col("value"), F.lit(0.0), F.lit(500.0), F.lit(10)).alias(
+                "bin"
+            )
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ------------------------------------------------------------------ Q41
+# Rolling (trailing 1-hour) per-series window aggregates — RANGE frame
+# over event time, one sorted pass per series, no self-join.
+
+def q41_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    rolled = kernels.rolling_agg(
+        events,
+        "ts",
+        {
+            "n_1h": F.count(F.lit(1)),
+            "sum_q_1h": F.sum(_q(F.col("value"), 3)),
+        },
+        window_us=3_600_000_000,
+        partition_by=["event_type"],
+    )
+    return rolled.select("event_id", "event_type", "n_1h", "sum_q_1h")
+
+
 # ------------------------------------------------------------------ oracles
 
 _UNIT_LADDER_SQL = """
@@ -851,6 +903,33 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY p.purchase_id
     """,
     "q36_sql_tpch_q1": _Q36_SQL,
+    "q39_pivot": """
+        SELECT date_trunc('hour', ts) AS hour_ts,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+               CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+        FROM events GROUP BY 1
+    """,
+    "q40_histogram": """
+        -- DuckDB 1.0 has no width_bucket; this is its exact formula
+        -- for (0, 500, 10): bucket width 50 divides evenly so the
+        -- double arithmetic matches Spark's width_bucket bit-for-bit
+        SELECT CASE WHEN value < 0.0 THEN 0
+                    WHEN value >= 500.0 THEN 11
+                    ELSE CAST(floor(value / 50.0) + 1 AS BIGINT) END AS bin,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    """,
+    "q41_rolling": """
+        SELECT event_id, event_type,
+               CAST(count(*) OVER w AS BIGINT) AS n_1h,
+               CAST(sum(CAST(round(value * 1000) AS BIGINT)) OVER w AS BIGINT) AS sum_q_1h
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
     "q37_distinct_percentiles": """
         SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
                CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
@@ -906,5 +985,8 @@ QUERIES = {
     "q36_sql_tpch_q1": q36_sql_tpch_q1,
     "q37_distinct_percentiles": q37_distinct_percentiles,
     "q38_array_ops": q38_array_ops,
+    "q39_pivot": q39_pivot,
+    "q40_histogram": q40_histogram,
+    "q41_rolling": q41_rolling,
     "q16b_asof_by_user": q16b_asof_by_user,
 }
