@@ -413,6 +413,82 @@ def ngram_jaccard_pairs(
     )
 
 
+# ---------------------------------------------------------------- clustering
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs → duplicate clusters.
+
+    Iterative min-label propagation: every node repeatedly adopts the
+    smallest label among itself and its neighbors until no label
+    changes. Each iteration is one join + one aggregate (all
+    DataFrame ops, checkpoint-free loop with localCheckpoint to stop
+    lineage blowup); converges in O(diameter) iterations — near-dup
+    clusters are shallow, so this terminates in a handful of rounds
+    at any scale. Returns (node, component) with component = min node
+    id of the cluster.
+
+    This is the cluster-resolution step a 100 TB dedup pipeline runs
+    after pair generation (pick one canonical doc per component).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                ).alias("component"),
+                (F.coalesce(F.col("nbr_component"), F.col("component")) < F.col("component")).alias(
+                    "__changed"
+                ),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)
+        changed = updated.filter(F.col("__changed")).limit(1).count()
+        labels = updated.drop("__changed")
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Canonical-doc assignment: every doc mapped to its cluster's min
+    id (docs with no near-dup map to themselves)."""
+    comp = connected_components(pairs)
+    return (
+        df.select(F.col(id_col))
+        .join(comp, df[id_col] == comp.node, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("canonical_id"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- embeddings
 
 def embedding_near_dups(

@@ -250,7 +250,22 @@ FROM documents
 """
 
 
+# ------------------------------------------------------------------ q31
+# Duplicate-cluster resolution: minhash pairs → connected components →
+# canonical doc per cluster. Rows-only (iterative algorithm), but
+# deterministic; tests pin it against a driver-side union-find.
+
+def q31_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup(docs, threshold=0.35)
+    clusters = dedup.dedup_clusters(docs, pairs)
+    return clusters.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    ).filter(F.col("cluster_size") > 1)
+
+
 QUERIES = {
+    "q31_dedup_clusters": q31_dedup_clusters,
     "q20_text_stats": q20_text_stats,
     "q21_lang_id": q21_lang_id,
     "q22_top_words": q22_top_words,

@@ -667,6 +667,40 @@ def q41_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolled.select("event_id", "event_type", "n_1h", "sum_q_1h")
 
 
+# ------------------------------------------------------------------ Q42
+# Window-function suite: lead/lag offsets, ranks, ntile, cume_dist.
+
+def q42_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lead("o_orderkey", 1).over(w).alias("next_orderkey"),
+        F.lag("o_orderkey", 1).over(w).alias("prev_orderkey"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        _q(F.cume_dist().over(w), 6).alias("cume_q"),
+    )
+
+
+# ------------------------------------------------------------------ Q43
+# String-function suite over customer names.
+
+def q43_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_head"),
+        F.regexp_replace("c_name", "[0-9]", "#").alias("name_masked"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+        F.levenshtein(F.lower("c_name"), F.lit("customer")).alias("lev_dist"),
+    )
+
+
 # ------------------------------------------------------------------ oracles
 
 _UNIT_LADDER_SQL = """
@@ -903,6 +937,27 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY p.purchase_id
     """,
     "q36_sql_tpch_q1": _Q36_SQL,
+    "q42_window_suite": """
+        SELECT o_custkey, o_orderkey,
+               lead(o_orderkey, 1) OVER w AS next_orderkey,
+               lag(o_orderkey, 1) OVER w AS prev_orderkey,
+               CAST(rank() OVER w AS BIGINT) AS rnk,
+               CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+               CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+               CAST(round(cume_dist() OVER w * 1000000) AS BIGINT) AS cume_q
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "q43_string_suite": """
+        SELECT c_custkey,
+               upper(c_name) AS name_upper,
+               CAST(length(c_name) AS INTEGER) AS name_len,
+               substr(c_name, 1, 8) AS name_head,
+               regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked,
+               lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+               CAST(levenshtein(lower(c_name), 'customer') AS INTEGER) AS lev_dist
+        FROM customer
+    """,
     "q39_pivot": """
         SELECT date_trunc('hour', ts) AS hour_ts,
                CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
@@ -988,5 +1043,7 @@ QUERIES = {
     "q39_pivot": q39_pivot,
     "q40_histogram": q40_histogram,
     "q41_rolling": q41_rolling,
+    "q42_window_suite": q42_window_suite,
+    "q43_string_suite": q43_string_suite,
     "q16b_asof_by_user": q16b_asof_by_user,
 }
