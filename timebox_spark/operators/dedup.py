@@ -330,11 +330,18 @@ def simhash_near_dups(
     block_bits: int = 16,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
-    Blocking: 4 blocks of 16 bits — by pigeonhole, any pair within
-    Hamming 3 agrees exactly on ≥1 block, so candidates come from
-    equi-joins on block values, never a cross join."""
+    Blocking: 64/block_bits blocks — by pigeonhole, any pair within
+    Hamming (n_blocks − 1) agrees exactly on ≥1 block, so candidates
+    come from equi-joins on block values, never a cross join. A
+    ``max_hamming`` beyond that bound would silently lose recall, so
+    it is rejected."""
     sigs = simhash64(df, id_col, text_col)
     n_blocks = 64 // block_bits
+    if max_hamming > n_blocks - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole guarantee "
+            f"of {n_blocks} blocks (≤{n_blocks - 1}); use more/smaller blocks"
+        )
     mask = (1 << block_bits) - 1
     blocked = sigs.select(
         id_col,

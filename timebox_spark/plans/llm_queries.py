@@ -172,7 +172,7 @@ def q25_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q26_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    return dedup.simhash_near_dups(docs, max_hamming=8)
+    return dedup.simhash_near_dups(docs, max_hamming=3)
 
 
 # ------------------------------------------------------------------ q27
