@@ -117,3 +117,55 @@ def test_running_max_stateful(spark, tmp_path, staged_events):
     for row in final:
         exp = expected[row["event_type"]]
         assert row["mx"] == exp[0] and row["n"] == exp[1]
+
+
+def test_sliding_rollup_stream(spark, tmp_path, staged_events):
+    src, events = staged_events
+    sliding = ingest.sliding_rollup(
+        ingest.read_event_stream(spark, src), window="1 hour", slide="30 minutes"
+    )
+    ingest.run_to_memory(sliding, "sliding_t", "complete", str(tmp_path / "ck6"))
+    got = spark.table("sliding_t")
+    # each event lands in exactly window/slide = 2 sliding windows
+    assert got.agg(F.sum("n")).collect()[0][0] == events.count() * 2
+
+
+def test_late_data_dropped_in_append_mode(spark, tmp_path):
+    import time
+
+    src = str(tmp_path / "latesrc")
+    os.makedirs(src, exist_ok=True)
+    events = load(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    on_time = events.filter(F.col("ts") >= "2024-01-10")
+    late = events.filter(F.col("ts") < "2024-01-05")  # far behind watermark
+    on_time.coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "lateout")
+    ck = str(tmp_path / "ck7")
+    rollup = ingest.hourly_rollup(
+        ingest.read_event_stream(spark, src, max_files_per_trigger=1),
+        watermark="1 hour",
+    )
+    ingest.run_available_now(rollup, "parquet", "append", ck, path=out)
+    n_after_first = spark.read.parquet(out).agg(F.sum("n")).collect()[0][0] or 0
+
+    # second arrival: only rows >5 days older than the watermark
+    late.coalesce(1).write.mode("append").parquet(src)
+    time.sleep(0.2)
+    ingest.run_available_now(
+        ingest.hourly_rollup(
+            ingest.read_event_stream(spark, src, max_files_per_trigger=1),
+            watermark="1 hour",
+        ),
+        "parquet",
+        "append",
+        ck,
+        path=out,
+    )
+    n_after_late = spark.read.parquet(out).agg(F.sum("n")).collect()[0][0] or 0
+    # late rows are beyond the watermark: no new closed windows emitted
+    # may emit nothing new; must NOT include the late rows
+    assert n_after_late - n_after_first < late.count()
+    assert n_after_late <= on_time.count()

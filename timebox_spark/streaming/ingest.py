@@ -53,10 +53,15 @@ def hourly_rollup(
     """
     return (
         stream.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).start.alias("hour_ts"), "event_type")
+        # group by the window STRUCT (not .start): append mode needs
+        # the grouping key to carry the event-time watermark
+        .groupBy(F.window("ts", window), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.round(F.col("value") * 1000).cast("long")).alias("value_q_sum"),
+        )
+        .select(
+            F.col("window.start").alias("hour_ts"), "event_type", "n", "value_q_sum"
         )
     )
 
@@ -69,8 +74,9 @@ def sliding_rollup(
 ) -> DataFrame:
     return (
         stream.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window, slide).start.alias("win_ts"), "event_type")
+        .groupBy(F.window("ts", window, slide), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("win_ts"), "event_type", "n")
     )
 
 
