@@ -79,7 +79,15 @@ class TimeBoxTable:
 
     # -- persistence (reference S1/S2: write/read, timebox.py:102-159)
 
-    def save(self, path: str, mode: str = "overwrite", buckets: int | None = None) -> None:
+    PARTITION_COL = "ts_date"
+
+    def save(
+        self,
+        path: str,
+        mode: str = "overwrite",
+        buckets: int | None = None,
+        partition_by_day: bool = False,
+    ) -> None:
         """Persist as Parquet, clustered + sorted by time.
 
         ``repartitionByRange(ts)`` + ``sortWithinPartitions(ts)`` gives
@@ -88,10 +96,28 @@ class TimeBoxTable:
         min/max row-group stats prune time-predicate scans. This is the
         scalable replacement for the reference's single sorted file
         (timebox.py:123-159).
+
+        ``partition_by_day=True`` additionally hive-partitions by
+        ``ts_date`` — directory-level pruning, so a one-day query on a
+        multi-year table lists exactly one partition instead of
+        footer-probing every file. The day column is derived (dropped
+        on load).
         """
         df = self.df
         if buckets is None:
             buckets = self._auto_buckets()
+        if partition_by_day:
+            out = df.withColumn(self.PARTITION_COL, F.to_date(self.TS_COL))
+            (
+                out.repartitionByRange(
+                    max(buckets, 1), F.col(self.PARTITION_COL), F.col(self.TS_COL)
+                )
+                .sortWithinPartitions(self.PARTITION_COL, self.TS_COL)
+                .write.mode(mode)
+                .partitionBy(self.PARTITION_COL)
+                .parquet(path)
+            )
+            return
         writer = df.repartitionByRange(buckets, F.col(self.TS_COL)).sortWithinPartitions(
             self.TS_COL
         )
@@ -122,8 +148,29 @@ class TimeBoxTable:
     def load(cls, spark: SparkSession, path: str) -> "TimeBoxTable":
         """Lazy scan (reference read() materializes everything,
         timebox.py:102-121; the 'read certain tags/dates' TODO at
-        timebox.py:105 is free here via pushdown/pruning)."""
-        return cls(spark.read.parquet(path))
+        timebox.py:105 is free here via pushdown/pruning). Day
+        partitions, if present, stay available for pruning but are
+        dropped from the logical schema."""
+        df = spark.read.parquet(path)
+        if cls.PARTITION_COL in df.columns:
+            df = df.drop(cls.PARTITION_COL)
+        return cls(df)
+
+    def compact(self, path: str, buckets: int | None = None) -> None:
+        """Rewrite a table directory into well-sized range-clustered
+        files — the maintenance job a streaming sink needs (each
+        micro-batch commit adds small files; compaction restores scan
+        efficiency). Writes to a temp dir, then atomically swaps."""
+        import os
+        import shutil
+        import uuid
+
+        tmp = f"{path}.__compact_{uuid.uuid4().hex[:8]}"
+        TimeBoxTable(self.df).save(tmp, buckets=buckets)
+        old = f"{path}.__old_{uuid.uuid4().hex[:8]}"
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
 
     # -- egest (reference S9: to_pandas, timebox.py:90-100)
 
