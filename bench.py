@@ -34,9 +34,12 @@ HEADLINE = {
     "q14_window_rank": Q.q14_window_rank,
     "q15_time_bucket": Q.q15_time_bucket,
     "q16_asof": Q.q16_asof,
+    "q17_npb_roundtrip": Q.q17_npb_roundtrip,
+    "q18_resample_gapfill": Q.q18_resample_gapfill,
     "q20_text_stats": LQ.q20_text_stats,
     "q25_minhash_dedup": LQ.q25_minhash_dedup,
     "q28_knn_bruteforce": LQ.q28_knn_bruteforce,
+    "q35_range_join": Q.q35_range_join,
 }
 
 

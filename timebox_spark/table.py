@@ -183,7 +183,9 @@ class TimeBoxTable:
         computation in Spark.
         """
         pdf = self.df.toPandas()
-        return pdf.set_index(self.TS_COL)
+        # the reference's to_pandas always yields time order (its dates
+        # array IS the order); partition scan order isn't — restore it
+        return pdf.set_index(self.TS_COL).sort_index(kind="stable")
 
     # -- validation (reference O2/O3: timebox.py:281-303, 370-374)
 
