@@ -1,0 +1,71 @@
+"""Error-path coverage, mirroring the reference's error tests
+(SURVEY §5.1: test_timebox_dates.py, test_timebox_data_io.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from timebox_spark.operators import dedup
+from timebox_spark.operators.resample import interval_us, time_bucket
+from timebox_spark.table import DateDataError, TimeBoxTable
+
+
+def test_interval_parse_errors():
+    assert interval_us("1 hour") == 3_600_000_000
+    assert interval_us("30 minutes") == 1_800_000_000
+    assert interval_us("2 days") == 2 * 86_400_000_000
+    for bad in ("fortnight", "1 lightyear", "", "hour 1"):
+        with pytest.raises(ValueError):
+            interval_us(bad)
+
+
+def test_timeboxtable_requires_ts(spark):
+    df = spark.createDataFrame([(1,)], "v long")
+    with pytest.raises(DateDataError):
+        TimeBoxTable(df)
+
+
+def test_timeboxtable_renames_custom_ts(spark):
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2020, 1, 1), 1)], "event_time timestamp, v long"
+    )
+    t = TimeBoxTable(df, ts_col="event_time")
+    assert t.df.columns == ["ts", "v"]
+
+
+def test_simhash_rejects_unguaranteed_hamming(spark):
+    from tests.conftest import SF_SMOKE
+    from timebox_spark.plans.tables import load
+
+    docs = load(spark, SF_SMOKE, "documents").limit(10)
+    with pytest.raises(ValueError):
+        dedup.simhash_near_dups(docs, max_hamming=8, block_bits=16)
+
+
+def test_npb_caps_and_bad_dtypes():
+    import numpy as np
+    import pandas as pd
+
+    from timebox_spark.sources import npb
+
+    idx = pd.date_range("2020-01-01", periods=2, freq="1h")
+    with pytest.raises(npb.NpbFormatError):
+        npb.encode_timebox(pd.DataFrame({"s": ["a", "b"]}, index=idx))
+    too_wide = pd.DataFrame(
+        {f"c{i}": np.zeros(2, dtype=np.int8) for i in range(256)}, index=idx
+    )
+    with pytest.raises(npb.NpbFormatError):
+        npb.encode_timebox(too_wide)
+
+
+def test_word_shingles_semantics(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("the quick brown fox jumps",)], "text string")
+    out = df.select(dedup.word_shingles("text", 3).alias("sh")).collect()[0]["sh"]
+    assert out == ["the quick brown", "quick brown fox", "brown fox jumps"]
+    short = spark.createDataFrame([("just two",)], "text string")
+    out2 = short.select(dedup.word_shingles("text", 3).alias("sh")).collect()[0]["sh"]
+    assert out2 == ["just two"]
