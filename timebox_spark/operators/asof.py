@@ -24,13 +24,23 @@ def asof_join(
     by: list[str] | None = None,
     value_cols: list[str] | None = None,
     tolerance_us: int | None = None,
+    global_bucket: str = "1 day",
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     ``right[on] <= left[on]`` (backward as-of), optionally per ``by``
     key and within ``tolerance_us`` microseconds.
 
     Equal timestamps match (right row sorts before the left row).
-    Left rows with no match keep nulls.
+    Left rows with no match keep nulls. With duplicate right
+    timestamps per key the winner is unspecified — pre-aggregate the
+    right side per (key, ts) for determinism.
+
+    Scale: with ``by`` keys, one shuffle partitioned by key. WITHOUT
+    keys a naive global window would serialize through one task, so
+    the unkeyed path partitions by a ``global_bucket`` time bucket,
+    carries values within each bucket, and patches bucket-head rows
+    from a tiny per-bucket summary prefix (two shuffles of the data +
+    one broadcast of ~n_buckets rows — fully parallel).
     """
     by = by or []
     value_cols = value_cols or [c for c in right.columns if c != on and c not in by]
@@ -53,22 +63,26 @@ def asof_join(
 
     unioned = l.unionByName(r)
     order = [F.unix_micros(F.col(on)), F.col(_SIDE)]
-    w = (
-        Window.partitionBy(*by).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
-        if by
-        else Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
-    )
-    out = unioned
-    carried = []
-    for c in value_cols:
-        out = out.withColumn(f"__last_{c}", F.last(f"__r_{c}", ignorenulls=True).over(w))
-        carried.append(c)
-    if tolerance_us is not None:
-        out = out.withColumn(
-            "__last_ts", F.last(F.when(F.col(_SIDE) == 0, F.col(on)), ignorenulls=True).over(w)
+
+    if by:
+        w = Window.partitionBy(*by).orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, 0
         )
+        out = unioned
+        for c in value_cols:
+            out = out.withColumn(
+                f"__last_{c}", F.last(f"__r_{c}", ignorenulls=True).over(w)
+            )
+        if tolerance_us is not None:
+            out = out.withColumn(
+                "__last_ts",
+                F.last(F.when(F.col(_SIDE) == 0, F.col(on)), ignorenulls=True).over(w),
+            )
+    else:
+        out = _carry_unkeyed(unioned, on, value_cols, tolerance_us, global_bucket)
+
     out = out.filter(F.col(_SIDE) == 1)
-    for c in carried:
+    for c in value_cols:
         val = F.col(f"__last_{c}")
         if tolerance_us is not None:
             in_tol = (
@@ -80,6 +94,65 @@ def asof_join(
     if tolerance_us is not None:
         drop.append("__last_ts")
     return out.drop(*drop)
+
+
+def _carry_unkeyed(
+    unioned: DataFrame,
+    on: str,
+    value_cols: list[str],
+    tolerance_us: int | None,
+    global_bucket: str,
+) -> DataFrame:
+    """Global (no-key) backward carry without a single-task window:
+    in-bucket window carry + cross-bucket prefix patch."""
+    from timebox_spark.operators.resample import time_bucket
+
+    order = [F.unix_micros(F.col(on)), F.col(_SIDE)]
+    bucketed = unioned.withColumn("__bucket", time_bucket(on, global_bucket))
+    w = (
+        Window.partitionBy("__bucket")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = bucketed
+    for c in value_cols:
+        out = out.withColumn(f"__last_{c}", F.last(f"__r_{c}", ignorenulls=True).over(w))
+    out = out.withColumn(
+        "__last_ts_in",
+        F.last(F.when(F.col(_SIDE) == 0, F.col(on)), ignorenulls=True).over(w),
+    )
+
+    # per-bucket summary of the LAST right-side row (tiny: one row per
+    # bucket), then a strictly-preceding prefix over buckets
+    right_rows = bucketed.filter(F.col(_SIDE) == 0)
+    summary = right_rows.groupBy("__bucket").agg(
+        F.max_by(
+            F.struct(
+                *[F.col(f"__r_{c}").alias(f"v_{c}") for c in value_cols],
+                F.col(on).alias("rts"),
+            ),
+            F.unix_micros(F.col(on)),
+        ).alias("__lastrow")
+    )
+    all_buckets = bucketed.select("__bucket").distinct()
+    wb = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = (
+        all_buckets.join(summary, "__bucket", "left")
+        .withColumn("__carry", F.last("__lastrow", ignorenulls=True).over(wb))
+        .select("__bucket", "__carry")
+    )
+
+    out = out.join(F.broadcast(prefix), "__bucket", "left")
+    for c in value_cols:
+        out = out.withColumn(
+            f"__last_{c}",
+            F.coalesce(F.col(f"__last_{c}"), F.col(f"__carry.v_{c}")),
+        )
+    if tolerance_us is not None:
+        out = out.withColumn(
+            "__last_ts", F.coalesce(F.col("__last_ts_in"), F.col("__carry.rts"))
+        )
+    return out.drop("__bucket", "__carry", "__last_ts_in")
 
 
 def range_join(
