@@ -135,3 +135,20 @@ def test_select_tags_and_between(spark):
     assert sub.df.columns == ["ts", "value"]
     n, lo, hi = sub.time_range()
     assert n > 0 and str(lo) >= "2024-01-05" and str(hi) <= "2024-01-10 23:59:59.999999"
+
+
+def test_python_datasource_format_npb(spark, tmp_path):
+    import os
+
+    from timebox_spark.sources.npb_datasource import register_npb
+
+    d = str(tmp_path / "ds")
+    os.makedirs(d)
+    npb.write_npb_file(_frame(n=30, seed=4), f"{d}/x.npb")
+    npb.write_npb_file(_frame(n=20, seed=5), f"{d}/y.npb")
+    register_npb(spark)
+    df = spark.read.format("npb").load(d)
+    assert df.count() == 50
+    pruned = spark.read.format("npb").option("columns", "tag_f64").load(d)
+    assert pruned.columns == ["ts", "tag_f64"]
+    assert pruned.count() == 50
