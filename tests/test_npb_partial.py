@@ -152,3 +152,18 @@ def test_python_datasource_format_npb(spark, tmp_path):
     pruned = spark.read.format("npb").option("columns", "tag_f64").load(d)
     assert pruned.columns == ["ts", "tag_f64"]
     assert pruned.count() == 50
+
+
+def test_python_datasource_write_npb(spark, tmp_path):
+    from timebox_spark.sources.npb_datasource import register_npb
+
+    register_npb(spark)
+    pdf = _frame(n=40, seed=6)
+    sdf = spark.createDataFrame(pdf.reset_index().rename(columns={"index": "ts"}))
+    out = str(tmp_path / "dsw")
+    sdf.repartition(2).write.format("npb").mode("overwrite").save(out)
+    back = spark.read.format("npb").load(out)
+    assert back.count() == 40
+    # overwrite replaces, not appends
+    sdf.repartition(2).write.format("npb").mode("overwrite").save(out)
+    assert spark.read.format("npb").load(out).count() == 40

@@ -16,7 +16,15 @@ emitted directly, so rows never pass through Python one at a time.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 from pyspark.sql import types as T
 
 _NP_TO_SPARK = {
@@ -74,6 +82,17 @@ class NpbDataSource(DataSource):
     def reader(self, schema):
         return NpbReader(self.options["path"], [f.name for f in schema.fields if f.name != "ts"])
 
+    def writer(self, schema, overwrite: bool):
+        if overwrite:  # driver-side: clear prior files before tasks run
+            import os
+
+            for f in _list_files(self.options["path"]):
+                try:
+                    os.remove(f)
+                except OSError:
+                    pass
+        return NpbWriter(self.options["path"], overwrite)
+
 
 class NpbReader(DataSourceReader):
     def __init__(self, path: str, columns: list[str]):
@@ -105,6 +124,53 @@ class NpbReader(DataSourceReader):
             out[["ts"] + self.columns], preserve_index=False
         )
         yield from table.to_batches()
+
+
+@dataclass
+class NpbCommit(WriterCommitMessage):
+    file: str
+    rows: int
+
+
+class NpbWriter(DataSourceWriter):
+    """``df.write.format("npb").save(path)`` — one file per task
+    partition (callers control file sizing via repartitionByRange on
+    ts upstream, exactly like the parquet path)."""
+
+    def __init__(self, path: str, overwrite: bool):
+        self.path = path
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        import pandas as pd
+
+        from timebox_spark.sources.npb import write_npb_file
+
+        rows = list(iterator)
+        fname = os.path.join(self.path, f"part-{uuid.uuid4().hex[:12]}.npb")
+        if not rows:
+            return NpbCommit(file="", rows=0)
+        pdf = pd.DataFrame([r.asDict() for r in rows])
+        pdf = pdf.set_index("ts")
+        os.makedirs(self.path, exist_ok=True)
+        write_npb_file(pdf, fname)
+        return NpbCommit(file=fname, rows=len(pdf))
+
+    def commit(self, messages):
+        return None
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m and getattr(m, "file", ""):
+                try:
+                    os.remove(m.file)
+                except OSError:
+                    pass
 
 
 def register_npb(spark) -> None:
