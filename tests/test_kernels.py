@@ -259,3 +259,22 @@ def test_compact_restores_single_wellsized_files(spark, tmp_path):
     n_after = len(glob.glob(f"{path}/*.parquet"))
     assert n_after < n_before
     assert spark.read.parquet(path).count() == total
+
+
+def test_bucketed_prev_equals_global_window(spark):
+    from pyspark.sql import Window as W
+    from timebox_spark.plans.tables import load as load_table
+    from tests.conftest import SF_SMOKE
+
+    events = load_table(spark, SF_SMOKE, "events").select("event_id", "ts")
+    scal = kernels.bucketed_prev(
+        events,
+        order_by=["event_id"],
+        value_col="ts",
+        bucket=F.floor(F.col("event_id") / F.lit(97)),  # awkward width on purpose
+        out_col="prev",
+    )
+    glob = events.withColumn("prev", F.lag("ts").over(W.orderBy("event_id")))
+    a = {r["event_id"]: r["prev"] for r in scal.collect()}
+    b = {r["event_id"]: r["prev"] for r in glob.collect()}
+    assert a == b

@@ -106,16 +106,32 @@ def q03_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q04_monotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, sf_dir, "events")
-    w_raw = Window.orderBy("event_id")
-    w_sorted = Window.orderBy("ts", "event_id")
-    flagged = events.select(
-        F.when(F.col("ts") < F.lag("ts").over(w_raw), 1).otherwise(0).alias("v_raw"),
-        F.when(F.col("ts") < F.lag("ts").over(w_sorted), 1).otherwise(0).alias("v_sorted"),
+    # global-order lags via bucketed_prev: no single-task window
+    raw = kernels.bucketed_prev(
+        events.select("event_id", "ts"),
+        order_by=["event_id"],
+        value_col="ts",
+        bucket=F.floor(F.col("event_id") / F.lit(4096)),
+        out_col="prev_raw",
     )
-    return flagged.agg(
-        F.sum("v_raw").alias("n_violations_raw"),
-        F.sum("v_sorted").alias("n_violations_sorted"),
+    flagged_raw = raw.agg(
+        F.sum(F.when(F.col("ts") < F.col("prev_raw"), 1).otherwise(0)).alias(
+            "n_violations_raw"
+        )
     )
+    srt = kernels.bucketed_prev(
+        events.select("event_id", "ts"),
+        order_by=["ts", "event_id"],
+        value_col="ts",
+        bucket=F.date_trunc("day", F.col("ts")),
+        out_col="prev_sorted",
+    )
+    flagged_sorted = srt.agg(
+        F.sum(F.when(F.col("ts") < F.col("prev_sorted"), 1).otherwise(0)).alias(
+            "n_violations_sorted"
+        )
+    )
+    return flagged_raw.crossJoin(flagged_sorted)
 
 
 # ------------------------------------------------------------------ Q5
@@ -204,9 +220,15 @@ def q09_float_downcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 # D3/D4 coarsest exact time unit of deltas, for events and orders.
 
 def _unit_ladder(df: DataFrame, ts_col: str, order_extra: str, label: str) -> DataFrame:
-    w = Window.orderBy(ts_col, order_extra)
     us = F.unix_micros(F.col(ts_col))
-    d = df.select((us - F.lag(us).over(w)).alias("delta")).filter(
+    with_prev = kernels.bucketed_prev(
+        df.select(F.col(ts_col), F.col(order_extra), us.alias("us")),
+        order_by=[ts_col, order_extra],
+        value_col="us",
+        bucket=F.date_trunc("month", F.col(ts_col)),
+        out_col="prev_us",
+    )
+    d = with_prev.select((F.col("us") - F.col("prev_us")).alias("delta")).filter(
         F.col("delta").isNotNull()
     )
     aggs = [
