@@ -278,3 +278,30 @@ def test_bucketed_prev_equals_global_window(spark):
     a = {r["event_id"]: r["prev"] for r in scal.collect()}
     b = {r["event_id"]: r["prev"] for r in glob.collect()}
     assert a == b
+
+
+def test_bucketed_prev_with_partition_keys(spark):
+    from pyspark.sql import Window as W
+    from timebox_spark.plans.tables import load as load_table
+    from tests.conftest import SF_SMOKE
+
+    events = load_table(spark, SF_SMOKE, "events").select(
+        "event_type", "event_id", "ts"
+    )
+    scal = kernels.bucketed_prev(
+        events,
+        order_by=["ts", "event_id"],
+        value_col="event_id",
+        bucket=F.date_trunc("day", F.col("ts")),
+        out_col="prev",
+        partition_by=["event_type"],
+    )
+    glob = events.withColumn(
+        "prev",
+        F.lag("event_id").over(
+            W.partitionBy("event_type").orderBy("ts", "event_id")
+        ),
+    )
+    a = {r["event_id"]: r["prev"] for r in scal.collect()}
+    b = {r["event_id"]: r["prev"] for r in glob.collect()}
+    assert a == b

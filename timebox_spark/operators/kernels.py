@@ -203,31 +203,39 @@ def bucketed_prev(
     value_col: str,
     bucket: Column,
     out_col: str = "prev_value",
+    partition_by: list[str] | None = None,
 ) -> DataFrame:
-    """Previous value in GLOBAL ``order_by`` order, without the
-    single-task window that ``Window.orderBy(...)`` with no partition
-    key implies.
+    """Previous value in ``order_by`` order (globally, or per
+    ``partition_by`` series), without the single-task window that
+    ``Window.orderBy(...)`` with no partition key implies — and, with
+    series keys, without serializing a huge series through one task.
 
-    ``bucket`` must be monotone in the order keys (e.g.
-    floor(id/N), or a time bucket of the leading ts). Plan: lag within
-    each bucket; bucket-head rows take the previous nonempty bucket's
-    last value from a broadcast prefix over the (tiny) per-bucket
-    summary. Identical results to a global-window lag.
+    ``bucket`` must be monotone in the order keys (e.g. floor(id/N),
+    or a time bucket of the leading ts). Plan: lag within each
+    (series, bucket); bucket-head rows take the previous nonempty
+    bucket's last value from a broadcast prefix over the (tiny)
+    per-(series, bucket) summary. Identical results to a plain
+    windowed lag.
     """
+    keys = partition_by or []
     d = df.withColumn("__bkt", bucket)
-    w_in = Window.partitionBy("__bkt").orderBy(*order_by)
+    w_in = Window.partitionBy(*keys, "__bkt").orderBy(*order_by)
     d = d.withColumn(out_col, F.lag(value_col).over(w_in))
 
     ord_struct = F.struct(*[F.col(c) for c in order_by])
-    summary = d.groupBy("__bkt").agg(
+    summary = d.groupBy(*keys, "__bkt").agg(
         F.max_by(F.col(value_col), ord_struct).alias("__last_v")
     )
-    wb = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    wb = (
+        Window.partitionBy(*keys).orderBy("__bkt")
+        if keys
+        else Window.orderBy("__bkt")
+    ).rowsBetween(Window.unboundedPreceding, -1)
     prefix = summary.withColumn(
         "__prev_last", F.last("__last_v", ignorenulls=True).over(wb)
-    ).select("__bkt", "__prev_last")
+    ).select(*keys, "__bkt", "__prev_last")
 
-    d = d.join(F.broadcast(prefix), "__bkt", "left")
+    d = d.join(F.broadcast(prefix), [*keys, "__bkt"], "left")
     return d.withColumn(
         out_col, F.coalesce(F.col(out_col), F.col("__prev_last"))
     ).drop("__bkt", "__prev_last")
