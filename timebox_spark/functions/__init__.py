@@ -1,0 +1,44 @@
+"""User-facing column-function surface of the engine.
+
+One import point for the engine's reusable column expressions —
+mirrors how ``pyspark.sql.functions`` exposes Catalyst expressions:
+
+    from timebox_spark import functions as TF
+    df.select(TF.quantize("price", 2), TF.time_bucket("ts", "1 hour"))
+
+Everything here is a pure column expression (JVM-side, codegen-
+friendly); DataFrame-shaped operators live in ``timebox_spark.operators``.
+"""
+
+from timebox_spark.operators.kernels import (
+    dequantize,
+    float32_roundtrip_exact,
+    quantize,
+)
+from timebox_spark.operators.resample import interval_us, time_bucket
+from timebox_spark.operators.similarity import cosine
+from timebox_spark.operators.text import (
+    bpe_ish_token_count,
+    fingerprint,
+    lang_id,
+    punct_count,
+    quality_score_q,
+    stopword_count,
+    token_count,
+)
+
+__all__ = [
+    "quantize",
+    "dequantize",
+    "float32_roundtrip_exact",
+    "time_bucket",
+    "interval_us",
+    "cosine",
+    "token_count",
+    "bpe_ish_token_count",
+    "punct_count",
+    "stopword_count",
+    "quality_score_q",
+    "lang_id",
+    "fingerprint",
+]
