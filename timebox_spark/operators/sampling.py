@@ -1,0 +1,48 @@
+"""Deterministic sampling / dataset splitting for training pipelines.
+
+Random sampling is engine- and partitioning-dependent; training-data
+pipelines need splits that are REPRODUCIBLE and stable under
+re-partitioning, backfills, and engine swaps. These operators derive
+buckets from md5 of a stable key, so the same row lands in the same
+split on any engine (the DuckDB oracle reproduces them exactly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key: Column | str, buckets: int = 100) -> Column:
+    """Stable bucket in [0, buckets) from md5 of the key's string
+    form — engine-portable (md5 is standardized; xxhash/murmur seeds
+    are not)."""
+    c = F.col(key) if isinstance(key, str) else key
+    hex8 = F.substring(F.md5(F.encode(c.cast("string"), "UTF-8")), 1, 8)
+    return (F.conv(hex8, 16, 10).cast("long") % F.lit(buckets)).alias("bucket")
+
+
+def deterministic_split(
+    df: DataFrame,
+    key: str,
+    weights: dict[str, int] | None = None,
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split by hash bucket, e.g.
+    {'train': 80, 'val': 10, 'test': 10} (percentages, sum 100)."""
+    weights = weights or {"train": 80, "val": 10, "test": 10}
+    if sum(weights.values()) != 100:
+        raise ValueError("split weights must sum to 100")
+    b = hash_bucket(key, 100)
+    expr = None
+    acc = 0
+    for name, w in weights.items():
+        acc += w
+        cond = b < F.lit(acc)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn(out_col, expr)
+
+
+def hash_sample(df: DataFrame, key: str, rate_pct: int, buckets: int = 100) -> DataFrame:
+    """Deterministic ~rate% sample: keep rows whose bucket < rate."""
+    return df.filter(hash_bucket(key, buckets) < F.lit(rate_pct))

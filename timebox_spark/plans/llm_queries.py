@@ -264,8 +264,39 @@ def q31_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("cluster_size") > 1)
 
 
+# ------------------------------------------------------------------ q44
+# Deterministic hash-split: engine-portable train/val/test assignment.
+
+def q44_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timebox_spark.operators.sampling import deterministic_split
+
+    docs = load(spark, sf_dir, "documents")
+    split = deterministic_split(docs, key="doc_id")
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("min_id"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
+_Q44_SQL = """
+WITH b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(doc_id) AS BIGINT) AS min_id,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM b GROUP BY 1
+"""
+
+
 QUERIES = {
     "q31_dedup_clusters": q31_dedup_clusters,
+    "q44_train_split": q44_train_split,
     "q20_text_stats": q20_text_stats,
     "q21_lang_id": q21_lang_id,
     "q22_top_words": q22_top_words,
@@ -288,6 +319,7 @@ ORACLE_SQL = {
     "q27_embedding_neardups": _Q27_SQL,
     "q28_knn_bruteforce": _Q28_SQL,
     "q30_multimodal_features": _Q30_SQL,
+    "q44_train_split": _Q44_SQL,
     # q25/q26/q29: minhash, simhash, LSH — not SQL-expressible; the
     # driver records rows-only checks, and tests/test_llm_ops.py pins
     # their semantics against engine-internal oracles instead.
