@@ -169,3 +169,53 @@ def test_late_data_dropped_in_append_mode(spark, tmp_path):
     # may emit nothing new; must NOT include the late rows
     assert n_after_late - n_after_first < late.count()
     assert n_after_late <= on_time.count()
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "ssj")
+    os.makedirs(src, exist_ok=True)
+    events = load(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    events.coalesce(1).write.mode("append").parquet(src)
+
+    stream = ingest.read_event_stream(spark, src)
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts", "value"
+    )
+    joined = ingest.stream_stream_join(
+        clicks, purchases, on="user_id", max_delay="2 hours"
+    ).select("click_id", F.col("r_purchase_id").alias("purchase_id"))
+    ingest.run_to_memory(joined, "ssj_t", "append", str(tmp_path / "ck_ssj"))
+    got = spark.table("ssj_t")
+
+    bc = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("cts")
+    )
+    bp = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("pts")
+    )
+    batch = bc.join(bp, "user_id").filter(
+        (F.col("pts") <= F.col("cts"))
+        & (F.col("pts") >= F.col("cts") - F.expr("interval 2 hours"))
+    ).select("click_id", "purchase_id")
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert a == b and len(a) > 0
+
+
+def test_stream_npb_sink(spark, tmp_path, staged_events):
+    src, events = staged_events
+    from timebox_spark.sources import npb
+
+    stream = ingest.read_event_stream(spark, src).select(
+        F.date_trunc("second", "ts").alias("ts"), "event_id", "user_id", "value"
+    )
+    out = str(tmp_path / "npb_sink")
+    q = ingest.write_stream_npb(stream, out, str(tmp_path / "ck_npb")).start()
+    q.awaitTermination()
+    back = npb.read_npb(spark, f"{out}/batch=*")
+    assert back.count() == events.count()

@@ -141,6 +141,61 @@ def running_max_per_key(stream: DataFrame, watermark: str = "1 hour") -> DataFra
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "1 hour",
+    max_delay: str = "2 hours",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Stream–stream inner join with event-time bounds: match right
+    rows within [left_ts − max_delay, left_ts]. Watermarks on both
+    sides bound the join state (rows older than watermark+delay are
+    evicted) — the streaming analog of the backward as-of window."""
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark)
+    r = r.select(
+        F.col(on).alias(f"{right_prefix}{on}"),
+        F.col(right_ts).alias(f"{right_prefix}{right_ts}"),
+        *[
+            F.col(c).alias(f"{right_prefix}{c}")
+            for c in right.columns
+            if c not in (on, right_ts)
+        ],
+    ).alias("r")
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{right_prefix}{on}"))
+        & (F.col(f"r.{right_prefix}{right_ts}") <= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_prefix}{right_ts}")
+            >= F.col(f"l.{left_ts}") - F.expr(f"interval {max_delay}")
+        )
+    )
+    return l.join(r, cond, "inner")
+
+
+def write_stream_npb(df: DataFrame, path: str, checkpoint: str):
+    """Streaming sink into the .npb interop format via foreachBatch:
+    each micro-batch writes day-bucketed .npb files (exactly-once per
+    batch id through the checkpoint). Numeric columns + ts only, per
+    the format."""
+    from timebox_spark.sources import npb
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        npb.write_npb(batch_df, f"{path}/batch={batch_id}", bucket="1 day")
+
+    return (
+        df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
 def write_stream_parquet(
     df: DataFrame, path: str, checkpoint: str, output_mode: str = "append"
 ):
