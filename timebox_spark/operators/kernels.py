@@ -255,6 +255,9 @@ def rolling_agg(
     unix_micros — evaluated in one pass per sorted partition (no
     self-join). The classic rolling mean/max the reference cannot
     express (SURVEY §2.7)."""
+    # without partition_by this is a single sorted task — pass series
+    # keys on data-sized inputs (the trailing frame needs contiguous
+    # history, so unlike plain lag it cannot be bucket-patched cheaply)
     w = Window.orderBy(F.unix_micros(F.col(ts_col)))
     if partition_by:
         w = Window.partitionBy(*partition_by).orderBy(F.unix_micros(F.col(ts_col)))

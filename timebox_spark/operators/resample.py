@@ -104,6 +104,9 @@ def gap_fill(
     obs = df.withColumn(bucket_col, time_bucket(ts_col, interval))
     joined = grid.join(obs, [*keys, bucket_col], "left")
     if fill == "ffill":
+        # the window runs over the BUCKET-LEVEL grid (one row per
+        # bucket per key), not raw rows; unkeyed grids are n_buckets
+        # rows — small by construction
         w = (
             Window.partitionBy(*keys)
             .orderBy(bucket_col)

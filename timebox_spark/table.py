@@ -193,14 +193,19 @@ class TimeBoxTable:
         """Count of rows whose ts precedes the previous row's ts.
 
         Reference rejects unsorted dates via
-        ``np.amin(np.ediff1d(dates)) < 0`` (timebox.py:370-374). As a
-        distributed analog: lag over (optionally per-key) ts order.
+        ``np.amin(np.ediff1d(dates)) < 0`` (timebox.py:370-374).
+        Distributed analog: previous-ts via the bucketed-lag kernel —
+        no single-task global window even without keys.
         """
-        w = Window.orderBy(self.TS_COL)
-        if keys:
-            w = Window.partitionBy(*keys).orderBy(self.TS_COL)
-        flagged = self.df.withColumn(
-            "_prev", F.lag(self.TS_COL).over(w)
+        from timebox_spark.operators.kernels import bucketed_prev
+
+        flagged = bucketed_prev(
+            self.df.select(*(keys or []), self.TS_COL),
+            order_by=[self.TS_COL],
+            value_col=self.TS_COL,
+            bucket=F.date_trunc("day", F.col(self.TS_COL)),
+            out_col="_prev",
+            partition_by=keys,
         ).filter(F.col(self.TS_COL) < F.col("_prev"))
         return flagged.count()
 
