@@ -723,6 +723,22 @@ def q43_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------------ Q45
+# Semi / anti joins (EXISTS / NOT EXISTS shapes).
+
+def q45_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    big_orders = orders.filter(F.col("o_totalprice") > 300000).select("o_custkey")
+    with_big = cust.join(
+        big_orders, cust.c_custkey == big_orders.o_custkey, "left_semi"
+    ).agg(F.count(F.lit(1)).alias("n_with_big"), F.sum("c_custkey").alias("key_sum_semi"))
+    without_any = cust.join(
+        orders.select("o_custkey"), cust.c_custkey == F.col("o_custkey"), "left_anti"
+    ).agg(F.count(F.lit(1)).alias("n_without_orders"), F.sum("c_custkey").alias("key_sum_anti"))
+    return with_big.crossJoin(without_any)
+
+
 # ------------------------------------------------------------------ oracles
 
 _UNIT_LADDER_SQL = """
@@ -959,6 +975,19 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY p.purchase_id
     """,
     "q36_sql_tpch_q1": _Q36_SQL,
+    "q45_semi_anti": """
+        SELECT
+          (SELECT CAST(count(*) AS BIGINT) FROM customer c
+           WHERE EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)) AS n_with_big,
+          (SELECT CAST(sum(c_custkey) AS BIGINT) FROM customer c
+           WHERE EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)) AS key_sum_semi,
+          (SELECT CAST(count(*) AS BIGINT) FROM customer c
+           WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_without_orders,
+          (SELECT CAST(sum(c_custkey) AS BIGINT) FROM customer c
+           WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS key_sum_anti
+    """,
     "q42_window_suite": """
         SELECT o_custkey, o_orderkey,
                lead(o_orderkey, 1) OVER w AS next_orderkey,
@@ -1067,5 +1096,6 @@ QUERIES = {
     "q41_rolling": q41_rolling,
     "q42_window_suite": q42_window_suite,
     "q43_string_suite": q43_string_suite,
+    "q45_semi_anti": q45_semi_anti,
     "q16b_asof_by_user": q16b_asof_by_user,
 }
