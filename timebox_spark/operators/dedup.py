@@ -279,6 +279,37 @@ def jaccard_verify(
     return out
 
 
+def minhash_estimate_filter(
+    pairs: DataFrame,
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    min_estimate: float = 0.0,
+) -> DataFrame:
+    """Estimated Jaccard per candidate pair from signature agreement
+    (the fraction of equal MinHash components is an unbiased Jaccard
+    estimator). Used to discard low-similarity candidates before the
+    exact shingle-set verify — a cheap long-comparison per hash vs an
+    array intersection per pair."""
+    a = sigs.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(num_hashes)],
+    )
+    b = sigs.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(num_hashes)],
+    )
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    agree = sum(
+        (F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0) for i in range(num_hashes)),
+        start=F.lit(0),
+    )
+    est = agree / F.lit(float(num_hashes))
+    return joined.withColumn("jaccard_est", est).filter(
+        F.col("jaccard_est") >= min_estimate
+    ).select("id_a", "id_b", "jaccard_est")
+
+
 def minhash_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -287,12 +318,22 @@ def minhash_dedup(
     bands: int = 8,
     shingle_n: int = 5,
     threshold: float = 0.7,
+    estimate_margin: float = 0.25,
 ) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline:
-    shingle → minhash → band → bucket-join → exact-Jaccard verify."""
+    """Full MinHash-LSH near-dup pipeline: shingle → minhash → band →
+    bucket-join → signature-estimate prefilter → exact-Jaccard verify.
+
+    The prefilter keeps candidates whose estimated Jaccard is within
+    ``estimate_margin`` below the threshold (loose enough that the
+    estimator's variance at 32 hashes doesn't cost recall), so the
+    expensive exact intersection runs on a fraction of the candidates.
+    """
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     cands = minhash_lsh_candidates(sigs, id_col, num_hashes, bands)
-    return jaccard_verify(df, cands, id_col, text_col, shingle_n, threshold)
+    screened = minhash_estimate_filter(
+        cands, sigs, id_col, num_hashes, min_estimate=max(0.0, threshold - estimate_margin)
+    ).select("id_a", "id_b")
+    return jaccard_verify(df, screened, id_col, text_col, shingle_n, threshold)
 
 
 # ---------------------------------------------------------------- simhash
