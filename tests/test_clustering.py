@@ -50,3 +50,12 @@ def test_dedup_clusters_on_documents(spark):
     got = {r["doc_id"]: r["canonical_id"] for r in clusters.collect()}
     for node, root in uf.items():
         assert got[node] == root
+
+
+def test_minhash_prefilter_preserves_results(spark):
+    docs = load(spark, SF_SMOKE, "documents")
+    plain = dedup.minhash_dedup(docs, threshold=0.35)
+    screened = dedup.minhash_dedup(docs, threshold=0.35, estimate_margin=0.25)
+    a = sorted((r["id_a"], r["id_b"]) for r in plain.collect())
+    b = sorted((r["id_a"], r["id_b"]) for r in screened.collect())
+    assert a == b and len(a) > 0

@@ -318,22 +318,32 @@ def minhash_dedup(
     bands: int = 8,
     shingle_n: int = 5,
     threshold: float = 0.7,
-    estimate_margin: float = 0.25,
+    estimate_margin: float | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → minhash → band →
-    bucket-join → signature-estimate prefilter → exact-Jaccard verify.
+    bucket-join → [optional signature-estimate prefilter] →
+    exact-Jaccard verify.
 
-    The prefilter keeps candidates whose estimated Jaccard is within
-    ``estimate_margin`` below the threshold (loose enough that the
-    estimator's variance at 32 hashes doesn't cost recall), so the
-    expensive exact intersection runs on a fraction of the candidates.
+    ``estimate_margin`` (e.g. 0.25) enables the prefilter: keep
+    candidates whose estimated Jaccard is within the margin below the
+    threshold before running the exact intersection. Worth it when
+    band candidates are huge relative to true positives (loose
+    thresholds / dirty corpora at full scale); at small candidate
+    counts the extra sig joins cost more than the skipped intersects,
+    so it is off by default.
     """
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    if estimate_margin is not None:
+        # sigs feed the band join AND both sides of the estimate join —
+        # persist so the (numpy) signature kernel runs once, not 3×
+        sigs = sigs.persist()
     cands = minhash_lsh_candidates(sigs, id_col, num_hashes, bands)
-    screened = minhash_estimate_filter(
-        cands, sigs, id_col, num_hashes, min_estimate=max(0.0, threshold - estimate_margin)
-    ).select("id_a", "id_b")
-    return jaccard_verify(df, screened, id_col, text_col, shingle_n, threshold)
+    if estimate_margin is not None:
+        cands = minhash_estimate_filter(
+            cands, sigs, id_col, num_hashes,
+            min_estimate=max(0.0, threshold - estimate_margin),
+        ).select("id_a", "id_b")
+    return jaccard_verify(df, cands, id_col, text_col, shingle_n, threshold)
 
 
 # ---------------------------------------------------------------- simhash
