@@ -739,6 +739,28 @@ def q45_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_big.crossJoin(without_any)
 
 
+# ------------------------------------------------------------------ Q46
+# Map functions: build a per-user map<event_type, count>, then explode
+# it back to rows — exercises map_from_entries / explode(map) with a
+# deterministic relational result (map column order never hashed).
+
+def q46_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    per = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    mapped = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("counts")
+    )
+    return mapped.select(
+        "user_id",
+        F.size(F.map_keys("counts")).alias("n_types"),
+        F.explode("counts").alias("event_type", "n"),
+    ).select("user_id", "event_type", "n", "n_types")
+
+
 # ------------------------------------------------------------------ oracles
 
 _UNIT_LADDER_SQL = """
@@ -975,6 +997,15 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY p.purchase_id
     """,
     "q36_sql_tpch_q1": _Q36_SQL,
+    "q46_map_roundtrip": """
+        WITH per AS (
+          SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2
+        )
+        SELECT user_id, event_type, n,
+               CAST(count(*) OVER (PARTITION BY user_id) AS INTEGER) AS n_types
+        FROM per
+    """,
     "q45_semi_anti": """
         SELECT
           (SELECT CAST(count(*) AS BIGINT) FROM customer c
@@ -1097,5 +1128,6 @@ QUERIES = {
     "q42_window_suite": q42_window_suite,
     "q43_string_suite": q43_string_suite,
     "q45_semi_anti": q45_semi_anti,
+    "q46_map_roundtrip": q46_map_roundtrip,
     "q16b_asof_by_user": q16b_asof_by_user,
 }
