@@ -34,6 +34,36 @@ def test_lsh_recall_vs_bruteforce(spark):
             assert exact_scores[key] == r["cosine_q"]
 
 
+def test_ivf_recall_vs_bruteforce(spark):
+    emb = load(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = similarity.cosine_topk(emb, queries, k=5)
+    approx = similarity.ivf_topk(emb, queries, k=5, nlist=16, nprobe=6)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # probing 6/16 cells must keep most true neighbors (neighbors
+    # concentrate in the query's nearest cells — the IVF premise)
+    assert recall >= 0.5, f"IVF recall collapsed: {recall}"
+    # scores for surfaced pairs must equal the exact cosine (IVF only
+    # prunes candidates, never perturbs scores)
+    exact_scores = {
+        (r["query_id"], r["neighbor_id"]): r["cosine_q"]
+        for r in similarity.cosine_topk(emb, queries, k=500).collect()
+    }
+    for r in approx.collect():
+        key = (r["query_id"], r["neighbor_id"])
+        assert exact_scores[key] == r["cosine_q"]
+
+
+def test_ivf_deterministic(spark):
+    emb = load(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    a = similarity.ivf_topk(emb, queries, k=3).collect()
+    b = similarity.ivf_topk(emb.repartition(7), queries, k=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
 def test_asof_tolerance(spark):
     import datetime as dt
 

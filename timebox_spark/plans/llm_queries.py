@@ -233,6 +233,14 @@ def q29_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, queries, k=5, planes=6)
 
 
+# ------------------------------------------------------------------ q47 (rows-only: IVF k-means index not SQL-expressible)
+
+def q47_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(emb, queries, k=5, nlist=16, nprobe=6)
+
+
 # ------------------------------------------------------------------ q30
 
 def q30_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -308,6 +316,7 @@ QUERIES = {
     "q28_knn_bruteforce": q28_knn_bruteforce,
     "q29_lsh_ann": q29_lsh_ann,
     "q30_multimodal_features": q30_multimodal_features,
+    "q47_ivf_ann": q47_ivf_ann,
 }
 
 ORACLE_SQL = {
@@ -320,7 +329,7 @@ ORACLE_SQL = {
     "q28_knn_bruteforce": _Q28_SQL,
     "q30_multimodal_features": _Q30_SQL,
     "q44_train_split": _Q44_SQL,
-    # q25/q26/q29: minhash, simhash, LSH — not SQL-expressible; the
+    # q25/q26/q29/q47: minhash, simhash, LSH, IVF — not SQL-expressible; the
     # driver records rows-only checks, and tests/test_llm_ops.py pins
     # their semantics against engine-internal oracles instead.
 }
