@@ -761,6 +761,83 @@ def q46_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "event_type", "n", "n_types")
 
 
+# ------------------------------------------------------------------ Q48
+# CUBE grouping sets — all 4 subtotal combinations in one shuffle
+# (Spark expands grouping sets map-side; no per-set re-scan).
+
+def q48_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_q(F.col("l_extendedprice"), 2)).alias("price_q"),
+        F.grouping_id().cast("int").alias("gid"),
+    )
+
+
+# ------------------------------------------------------------------ Q49
+# Unpivot / melt: wide measure columns to (measure, value) rows —
+# the inverse of q39's pivot. Narrow-at-scale: unpivot is a map-side
+# explode, no shuffle; measures quantized so both engines emit BIGINT.
+
+def q49_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    wide = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        _q(F.col("l_quantity"), 2).alias("quantity_q"),
+        _q(F.col("l_extendedprice"), 2).alias("extendedprice_q"),
+        _q(F.col("l_discount"), 2).alias("discount_q"),
+        _q(F.col("l_tax"), 2).alias("tax_q"),
+    )
+    return wide.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["quantity_q", "extendedprice_q", "discount_q", "tax_q"],
+        "measure",
+        "v",
+    )
+
+
+# ------------------------------------------------------------------ Q50
+# TPC-H Q5 shape: 6-way join region⋈nation⋈customer⋈orders⋈lineitem
+# ⋈supplier with the local-supplier predicate. All dims broadcast;
+# the only shuffles are orders⋈lineitem on orderkey and the final
+# per-nation agg — the plan a 100 TB run needs.
+
+def q50_tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    asia_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(cust),
+            (orders.o_custkey == cust.c_custkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(asia_nations), supp.s_nationkey == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.sum(
+                _q(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2)
+            ).alias("revenue_q"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select("n_name", "revenue_q", "n_rows")
+    )
+
+
 # ------------------------------------------------------------------ oracles
 
 _UNIT_LADDER_SQL = """
@@ -1081,6 +1158,44 @@ ORACLE_SQL: dict[str, str] = {
                CAST(round(list_sum(e[1:8]) / 8.0 * 1000000) AS BIGINT) AS head_mean_q
         FROM v
     """,
+    "q48_cube": """
+        SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_q,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    "q49_unpivot": """
+        WITH w AS (
+          SELECT l_orderkey, l_linenumber,
+                 CAST(round(l_quantity * 100) AS BIGINT) AS quantity_q,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS extendedprice_q,
+                 CAST(round(l_discount * 100) AS BIGINT) AS discount_q,
+                 CAST(round(l_tax * 100) AS BIGINT) AS tax_q
+          FROM lineitem
+        )
+        SELECT l_orderkey, l_linenumber, 'quantity_q' AS measure, quantity_q AS v FROM w
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'extendedprice_q', extendedprice_q FROM w
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'discount_q', discount_q FROM w
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'tax_q', tax_q FROM w
+    """,
+    "q50_tpch_q5_shape": """
+        SELECT n_name,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_q,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+    """,
     "q16b_asof_by_user": """
         WITH clicks AS (
           SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
@@ -1129,5 +1244,8 @@ QUERIES = {
     "q43_string_suite": q43_string_suite,
     "q45_semi_anti": q45_semi_anti,
     "q46_map_roundtrip": q46_map_roundtrip,
+    "q48_cube": q48_cube,
+    "q49_unpivot": q49_unpivot,
+    "q50_tpch_q5_shape": q50_tpch_q5_shape,
     "q16b_asof_by_user": q16b_asof_by_user,
 }
