@@ -40,6 +40,8 @@ HEADLINE = {
     "q25_minhash_dedup": LQ.q25_minhash_dedup,
     "q28_knn_bruteforce": LQ.q28_knn_bruteforce,
     "q35_range_join": Q.q35_range_join,
+    "q47_ivf_ann": LQ.q47_ivf_ann,
+    "q50_tpch_q5_shape": Q.q50_tpch_q5_shape,
 }
 
 

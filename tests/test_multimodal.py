@@ -1,0 +1,54 @@
+"""Multimodal plumbing: frame sampling (1→N mapInPandas fan-out),
+payload resize (media-layout-preserving transform), decode stub."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+from timebox_spark.operators import multimodal
+from timebox_spark.plans.tables import load
+
+
+def _media(spark):
+    return multimodal.to_media_table(load(spark, SF_SMOKE, "documents"))
+
+
+def test_sample_frames_reconstructs_payload(spark):
+    media = _media(spark).filter("doc_id < 5")
+    src = {r["doc_id"]: bytes(r["payload"]) for r in media.collect()}
+    frames = multimodal.sample_frames(media, frame_bytes=64, every_n=1).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rows in by_doc.items():
+        b = src[doc_id]
+        rows.sort(key=lambda r: r["frame_idx"])
+        assert [r["frame_idx"] for r in rows] == list(range(len(rows)))
+        assert sum(r["n_bytes"] for r in rows) == len(b)
+        assert rows[0]["byte_sum_mod"] == sum(b[:64]) % 2147483647
+
+
+def test_sample_frames_every_n_skips(spark):
+    media = _media(spark).filter("doc_id < 5")
+    every4 = multimodal.sample_frames(media, frame_bytes=64, every_n=4).collect()
+    assert every4 and all(r["frame_idx"] % 4 == 0 for r in every4)
+
+
+def test_resize_payload_keeps_media_layout(spark):
+    media = _media(spark).filter("doc_id < 20")
+    resized = multimodal.resize_payload(media, target_bytes=128)
+    assert resized.schema == multimodal.MEDIA_SCHEMA
+    for r in resized.collect():
+        n = len(bytes(r["payload"]))
+        assert n <= 128
+        assert r["meta"]["n_bytes"] == n
+        assert r["meta"]["format"] == "text/plain"
+    # resize composes with downstream feature extraction
+    feats = multimodal.fake_decode_features(resized)
+    assert feats.count() == media.count()
+
+
+def test_decode_image_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")

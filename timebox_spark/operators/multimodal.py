@@ -95,3 +95,95 @@ def fake_decode_features(media: DataFrame, batch_size_hint: int = 1024) -> DataF
             )
 
     return media.mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("byte_sum_mod", T.LongType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, frame_bytes: int = 64, every_n: int = 4
+) -> DataFrame:
+    """Frame sampling for video-like payloads: the payload is treated
+    as a sequence of fixed-size frames; every ``every_n``-th frame is
+    emitted with per-frame features. Exercises the 1→N row shape of
+    mapInPandas (one input row fans out to many frame rows inside the
+    same Arrow batch — no explode shuffle, no driver round-trip). At
+    deploy time the chunker becomes an ffmpeg keyframe reader with the
+    same output schema."""
+
+    from timebox_spark.session import ship_package
+
+    ship_package(media.sparkSession)
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sizes, sums = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = -(-len(b) // frame_bytes)  # ceil
+                for i in range(0, n_frames, every_n):
+                    chunk = b[i * frame_bytes : (i + 1) * frame_bytes]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    sizes.append(len(chunk))
+                    sums.append(sum(chunk) % 2147483647)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "n_bytes": pd.Series(sizes, dtype="int64"),
+                    "byte_sum_mod": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        sample, schema=FRAME_SCHEMA
+    )
+
+
+def resize_payload(media: DataFrame, target_bytes: int = 128) -> DataFrame:
+    """Deterministic stride resample of each payload to
+    ``target_bytes`` — the stand-in for image resize (real impl: PIL
+    ``Image.resize`` inside the same mapInPandas harness; schema and
+    batch shape identical). Output keeps the media layout with
+    ``meta.n_bytes`` updated, so resize composes with the other
+    multimodal stages."""
+
+    from timebox_spark.session import ship_package
+
+    ship_package(media.sparkSession)
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payload = []
+            for payload in pdf["payload"]:
+                b = bytes(payload)
+                if len(b) <= target_bytes:
+                    out_payload.append(b)
+                else:
+                    out_payload.append(
+                        bytes(b[i * len(b) // target_bytes] for i in range(target_bytes))
+                    )
+            meta = pd.DataFrame(
+                {
+                    "format": [m["format"] for m in pdf["meta"]],
+                    "n_bytes": pd.Series(map(len, out_payload), dtype="int64"),
+                    "source": [m["source"] for m in pdf["meta"]],
+                }
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": out_payload,
+                    "meta": meta.to_dict("records"),
+                }
+            )
+
+    return media.mapInPandas(resize, schema=MEDIA_SCHEMA)

@@ -258,6 +258,36 @@ FROM documents
 """
 
 
+# ------------------------------------------------------------------ q51
+# Frame sampling over the multimodal layout: payload chunked into
+# 64-byte frames, every 4th emitted with per-frame features.
+
+_FRAME_BYTES = 64
+_FRAME_EVERY = 4
+
+
+def q51_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    media = multimodal.to_media_table(docs)
+    return multimodal.sample_frames(
+        media, frame_bytes=_FRAME_BYTES, every_n=_FRAME_EVERY
+    )
+
+
+_Q51_SQL = f"""
+WITH f AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+         substr(text, CAST(i * {_FRAME_BYTES} + 1 AS BIGINT), {_FRAME_BYTES}) AS chunk
+  FROM documents,
+       LATERAL (SELECT unnest(range(0, CAST(ceil(strlen(text) / {_FRAME_BYTES}.0) AS BIGINT), {_FRAME_EVERY})) AS i)
+)
+SELECT doc_id, frame_idx, CAST(strlen(chunk) AS BIGINT) AS n_bytes,
+       CAST(list_sum(list_transform(range(1, strlen(chunk) + 1),
+                     j -> ord(substr(chunk, j, 1)))) % 2147483647 AS BIGINT) AS byte_sum_mod
+FROM f
+"""
+
+
 # ------------------------------------------------------------------ q31
 # Duplicate-cluster resolution: minhash pairs → connected components →
 # canonical doc per cluster. Rows-only (iterative algorithm), but
@@ -317,6 +347,7 @@ QUERIES = {
     "q29_lsh_ann": q29_lsh_ann,
     "q30_multimodal_features": q30_multimodal_features,
     "q47_ivf_ann": q47_ivf_ann,
+    "q51_frame_sample": q51_frame_sample,
 }
 
 ORACLE_SQL = {
@@ -329,6 +360,7 @@ ORACLE_SQL = {
     "q28_knn_bruteforce": _Q28_SQL,
     "q30_multimodal_features": _Q30_SQL,
     "q44_train_split": _Q44_SQL,
+    "q51_frame_sample": _Q51_SQL,
     # q25/q26/q29/q47: minhash, simhash, LSH, IVF — not SQL-expressible; the
     # driver records rows-only checks, and tests/test_llm_ops.py pins
     # their semantics against engine-internal oracles instead.
