@@ -723,6 +723,53 @@ def q43_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------------ Q52
+# Date/time-function suite over order dates: extraction, offsets,
+# truncation, differences. All JVM built-ins, UTC everywhere.
+
+def q52_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.quarter(d).alias("qtr"),
+        F.month(d).alias("mo"),
+        F.dayofweek(d).alias("dow"),
+        F.dayofyear(d).alias("doy"),
+        F.date_add(d, 30).cast("string").alias("plus_30d"),
+        F.trunc(d, "month").cast("string").alias("month_start"),
+        F.last_day(d).cast("string").alias("month_end"),
+        F.datediff(F.lit("2000-01-01").cast("date"), d).alias("days_to_y2k"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    )
+
+
+# ------------------------------------------------------------------ Q53
+# Conditional / null-handling suite: CASE, coalesce, nullif, least/
+# greatest, null-safe equality over account balances.
+
+def q53_conditional_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    bal_q = _q(bal, 2)
+    return cust.select(
+        "c_custkey",
+        F.when(bal < 0, "debt")
+        .when(bal < 5000, "low")
+        .otherwise("high")
+        .alias("tier"),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_nb"),
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("(bldg)")
+        ).alias("seg_filled"),
+        F.least(bal_q, F.lit(0).cast("long")).alias("neg_part_q"),
+        F.greatest(bal_q, F.lit(0).cast("long")).alias("pos_part_q"),
+        bal.eqNullSafe(F.lit(None).cast("double")).alias("is_null_nullsafe"),
+        (F.abs(bal_q) % 97).alias("abs_mod_q"),
+    )
+
+
 # ------------------------------------------------------------------ Q45
 # Semi / anti joins (EXISTS / NOT EXISTS shapes).
 
@@ -1158,6 +1205,33 @@ ORACLE_SQL: dict[str, str] = {
                CAST(round(list_sum(e[1:8]) / 8.0 * 1000000) AS BIGINT) AS head_mean_q
         FROM v
     """,
+    "q52_date_suite": """
+        SELECT o_orderkey,
+               CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS yr,
+               CAST(quarter(CAST(o_orderdate AS DATE)) AS INTEGER) AS qtr,
+               CAST(month(CAST(o_orderdate AS DATE)) AS INTEGER) AS mo,
+               CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INTEGER) AS dow,
+               CAST(dayofyear(CAST(o_orderdate AS DATE)) AS INTEGER) AS doy,
+               strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS plus_30d,
+               strftime(date_trunc('month', CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_start,
+               strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+               CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INTEGER) AS days_to_y2k,
+               CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+        FROM orders
+    """,
+    "q53_conditional_suite": """
+        SELECT c_custkey,
+               CASE WHEN c_acctbal < 0 THEN 'debt'
+                    WHEN c_acctbal < 5000 THEN 'low'
+                    ELSE 'high' END AS tier,
+               nullif(c_mktsegment, 'BUILDING') AS seg_nb,
+               coalesce(nullif(c_mktsegment, 'BUILDING'), '(bldg)') AS seg_filled,
+               least(CAST(round(c_acctbal * 100) AS BIGINT), 0) AS neg_part_q,
+               greatest(CAST(round(c_acctbal * 100) AS BIGINT), 0) AS pos_part_q,
+               (c_acctbal IS NOT DISTINCT FROM NULL) AS is_null_nullsafe,
+               abs(CAST(round(c_acctbal * 100) AS BIGINT)) % 97 AS abs_mod_q
+        FROM customer
+    """,
     "q48_cube": """
         SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_q,
@@ -1246,6 +1320,8 @@ QUERIES = {
     "q46_map_roundtrip": q46_map_roundtrip,
     "q48_cube": q48_cube,
     "q49_unpivot": q49_unpivot,
+    "q52_date_suite": q52_date_suite,
+    "q53_conditional_suite": q53_conditional_suite,
     "q50_tpch_q5_shape": q50_tpch_q5_shape,
     "q16b_asof_by_user": q16b_asof_by_user,
 }
