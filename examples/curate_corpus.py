@@ -1,0 +1,55 @@
+"""LLM training-corpus curation walkthrough: the standard pre-training
+data flow, end to end, on the engine's operators.
+
+    documents ──ann──▶ lang/quality/tokens ──gate──▶ kept
+        ──dedup(exact fp)──▶ unique ──split──▶ train/val/test
+    plus: minhash near-dup clusters and IVF similarity probes on the
+    embeddings table.
+
+Run: python examples/curate_corpus.py  [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from timebox_spark.operators import dedup, pipeline, similarity
+from timebox_spark.plans.tables import load
+from timebox_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="curate-example")
+
+    docs = load(spark, sf_dir, "documents")
+
+    # 1. curate: annotate -> gate -> exact-dedup -> split (one shuffle)
+    curated = pipeline.curate(docs, langs=("en",), min_quality_q=500_000)
+    print("curated per split:")
+    curated.groupBy("split").count().orderBy("split").show()
+
+    # 2. fuzzy dedup on what survived: minhash near-dup clusters
+    pairs = dedup.minhash_dedup(docs, threshold=0.35)
+    clusters = dedup.dedup_clusters(docs, pairs)
+    n_clustered = clusters.groupBy("canonical_id").count().filter("count > 1")
+    print(f"near-dup clusters (>1 member): {n_clustered.count()}")
+
+    # 3. similarity probe: IVF ANN over the embeddings table
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3)
+    print("IVF top-3 neighbors for 3 probe vectors:")
+    similarity.ivf_topk(emb, probes, k=3, nlist=16, nprobe=6).orderBy(
+        "query_id", "rank"
+    ).show()
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

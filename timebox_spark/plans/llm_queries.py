@@ -27,6 +27,33 @@ def _stopword_sql() -> str:
     return _hits_sql(text.STOPWORDS)
 
 
+def _quality_sql() -> str:
+    """The exact quality_score_q expression (see text.quality_score_q)
+    as DuckDB SQL over a ``text`` column."""
+    return f"""CAST(round((
+           0.4 * least(CAST(length(regexp_extract_all(text, '{text.TOKEN_RE}')) AS DOUBLE) / 100.0, 1.0)
+         + 0.3 * least(CAST({_stopword_sql()} AS DOUBLE) * 5.0
+                       / greatest(CAST(length(regexp_extract_all(text, '{text.TOKEN_RE}')) AS DOUBLE), 1.0), 1.0)
+         + 0.3 * (1.0 - least(CAST(length(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) * 10.0
+                       / greatest(CAST(length(regexp_extract_all(text, '{text.TOKEN_RE}')) AS DOUBLE), 1.0), 1.0))
+       ) * 1000000) AS BIGINT)"""
+
+
+def _lang_pred_sql(extra_cols: str = "") -> str:
+    """Per-document language prediction (see text.lang_id) as a
+    DuckDB subquery yielding (doc_id, lang_pred[, extra_cols])."""
+    langs = sorted(text.LANG_MARKERS)
+    counts = {lg: _hits_sql(ws) for lg, ws in text.LANG_MARKERS.items()}
+    best = "greatest(" + ", ".join(f"c_{lg}" for lg in langs) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN c_{lg} = {best} THEN '{lg}'" for lg in langs
+    ) + " END"
+    inner = ", ".join(f"{counts[lg]} AS c_{lg}" for lg in langs)
+    extra = f", {extra_cols}" if extra_cols else ""
+    return f"""SELECT doc_id, {case} AS lang_pred{extra}
+      FROM (SELECT doc_id, text, {inner} FROM documents)"""
+
+
 # ------------------------------------------------------------------ q20
 
 def q20_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -72,16 +99,9 @@ def q21_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lang_sql() -> str:
-    langs = sorted(text.LANG_MARKERS)
-    counts = {lg: _hits_sql(ws) for lg, ws in text.LANG_MARKERS.items()}
-    best = "greatest(" + ", ".join(f"c_{lg}" for lg in langs) + ")"
-    case = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
-        f"WHEN c_{lg} = {best} THEN '{lg}'" for lg in langs
-    ) + " END"
-    inner = ", ".join(f"{counts[lg]} AS c_{lg}" for lg in langs)
     return f"""
     SELECT lang_pred, CAST(count(*) AS BIGINT) AS n FROM (
-      SELECT {case} AS lang_pred FROM (SELECT {inner} FROM documents)
+      {_lang_pred_sql()}
     ) GROUP BY lang_pred
     """
 
@@ -288,6 +308,54 @@ FROM f
 """
 
 
+# ------------------------------------------------------------------ q54
+# End-to-end curation pipeline: annotate → gate → dedup → split.
+
+_CURATE_MIN_Q = 500_000
+_CURATE_MIN_TOKENS = 10
+
+
+def q54_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timebox_spark.operators import pipeline
+
+    docs = load(spark, sf_dir, "documents")
+    return pipeline.curate(
+        docs,
+        langs=("en",),
+        min_quality_q=_CURATE_MIN_Q,
+        min_tokens=_CURATE_MIN_TOKENS,
+    )
+
+
+def _q54_sql() -> str:
+    ann = _lang_pred_sql(
+        extra_cols=(
+            f"{_quality_sql()} AS quality_q, "
+            f"length(regexp_extract_all(text, '{text.TOKEN_RE}')) AS n_tokens, "
+            f"md5({_NORM}) AS fp"
+        )
+    )
+    return f"""
+    WITH ann AS ({ann}),
+    kept AS (
+      SELECT * FROM ann
+      WHERE lang_pred IN ('en') AND quality_q >= {_CURATE_MIN_Q}
+        AND n_tokens >= {_CURATE_MIN_TOKENS}
+    ),
+    ded AS (
+      SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM kept
+    )
+    SELECT doc_id, lang_pred, quality_q, n_tokens,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+    FROM (
+      SELECT *, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+      FROM ded WHERE rn = 1
+    )
+    """
+
+
 # ------------------------------------------------------------------ q31
 # Duplicate-cluster resolution: minhash pairs → connected components →
 # canonical doc per cluster. Rows-only (iterative algorithm), but
@@ -348,6 +416,7 @@ QUERIES = {
     "q30_multimodal_features": q30_multimodal_features,
     "q47_ivf_ann": q47_ivf_ann,
     "q51_frame_sample": q51_frame_sample,
+    "q54_curation_pipeline": q54_curation_pipeline,
 }
 
 ORACLE_SQL = {
@@ -361,6 +430,7 @@ ORACLE_SQL = {
     "q30_multimodal_features": _Q30_SQL,
     "q44_train_split": _Q44_SQL,
     "q51_frame_sample": _Q51_SQL,
+    "q54_curation_pipeline": _q54_sql(),
     # q25/q26/q29/q47: minhash, simhash, LSH, IVF — not SQL-expressible; the
     # driver records rows-only checks, and tests/test_llm_ops.py pins
     # their semantics against engine-internal oracles instead.
