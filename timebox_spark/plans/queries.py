@@ -885,6 +885,22 @@ def q50_tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------------ Q55
+# Mergeable HLL distinct rollup: per-day sketches unioned to months
+# without rescanning base data. Rows-only (DataSketches HLL estimates
+# can't hash-match DuckDB's HLL); tests/test_sketches.py bounds the
+# error vs exact countDistinct at ≤5%.
+
+def q55_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timebox_spark.operators import sketches
+
+    events = load(spark, sf_dir, "events")
+    daily = sketches.daily_distinct_sketches(events, "user_id")
+    return sketches.rollup_distinct(daily, "month").select(
+        "period", F.col("n_distinct_approx").cast("long").alias("n_distinct_approx"), "n_rows"
+    )
+
+
 # ------------------------------------------------------------------ oracles
 
 _UNIT_LADDER_SQL = """
@@ -1322,6 +1338,7 @@ QUERIES = {
     "q49_unpivot": q49_unpivot,
     "q52_date_suite": q52_date_suite,
     "q53_conditional_suite": q53_conditional_suite,
+    "q55_hll_rollup": q55_hll_rollup,
     "q50_tpch_q5_shape": q50_tpch_q5_shape,
     "q16b_asof_by_user": q16b_asof_by_user,
 }
