@@ -70,6 +70,36 @@ def test_stream_parquet_sink_exactly_once(spark, tmp_path, staged_events):
     assert spark.read.parquet(out).count() == n_src
 
 
+def test_stream_static_enrichment_matches_batch(spark, tmp_path, staged_events):
+    src, events = staged_events
+    dim = (
+        events.select("event_type")
+        .distinct()
+        .withColumn("type_code", F.crc32("event_type").cast("long"))
+    )
+    stream = ingest.read_event_stream(spark, src)
+    enriched = ingest.enrich_with_dim(stream, dim, on="event_type")
+    ingest.run_to_memory(
+        enriched.groupBy("event_type", "type_code").agg(
+            F.count(F.lit(1)).alias("n")
+        ),
+        "enrich_t",
+        "complete",
+        str(tmp_path / "ck_enrich"),
+    )
+    got = sorted(map(tuple, spark.table("enrich_t").collect()))
+    expected = sorted(
+        map(
+            tuple,
+            events.join(F.broadcast(dim), "event_type", "left")
+            .groupBy("event_type", "type_code")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect(),
+        )
+    )
+    assert got == expected
+
+
 def test_stream_dedup_drops_replayed_rows(spark, tmp_path):
     src = str(tmp_path / "dupsrc")
     os.makedirs(src, exist_ok=True)

@@ -177,6 +177,20 @@ def stream_stream_join(
     return l.join(r, cond, "inner")
 
 
+def enrich_with_dim(
+    stream: DataFrame, dim: DataFrame, on: str, broadcast: bool = True
+) -> DataFrame:
+    """Stream-to-static enrichment join: each micro-batch joins the
+    (small) dimension table map-side via broadcast — no shuffle of
+    the stream, no state store (static side is re-resolvable per
+    batch, so dim updates between batches are picked up). The 100 TB
+    pattern for attaching user/item attributes to an event firehose."""
+    d = dim
+    if broadcast:
+        d = F.broadcast(d)
+    return stream.join(d, on, "left")
+
+
 def write_stream_npb(df: DataFrame, path: str, checkpoint: str):
     """Streaming sink into the .npb interop format via foreachBatch:
     each micro-batch writes day-bucketed .npb files (exactly-once per
