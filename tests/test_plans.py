@@ -57,3 +57,39 @@ def test_events_scan_prunes_columns(spark):
     plan = _plan(Q.q15_time_bucket(spark, SF_SMOKE))
     read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "props" not in read and "user_id" not in read
+
+
+def _shuffles(plan: str) -> int:
+    """Shuffle exchanges in the formatted plan (each node appears
+    twice: once in the tree, once in the detail list)."""
+    return (plan.count("Exchange") - plan.count("BroadcastExchange")) // 2
+
+
+def test_q50_all_dims_broadcast_one_shuffle(spark):
+    plan = _plan(Q.q50_tpch_q5_shape(spark, SF_SMOKE))
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the fact-side agg is the only shuffle; every dim join is broadcast
+    assert _shuffles(plan) <= 1
+
+
+def test_q49_unpivot_is_map_only(spark):
+    plan = _plan(Q.q49_unpivot(spark, SF_SMOKE))
+    assert _shuffles(plan) == 0
+    assert "Expand" in plan
+
+
+def test_q48_cube_single_shuffle(spark):
+    plan = _plan(Q.q48_cube(spark, SF_SMOKE))
+    assert "Expand" in plan  # grouping sets expanded map-side
+    assert _shuffles(plan) <= 1
+
+
+def test_q54_curation_single_shuffle(spark):
+    from timebox_spark.plans import llm_queries as LQ
+
+    plan = _plan(LQ.q54_curation_pipeline(spark, SF_SMOKE))
+    # annotate/gate/split are map-side; the fingerprint-dedup window
+    # is the only exchange
+    assert _shuffles(plan) <= 1
+    assert "CartesianProduct" not in plan
