@@ -42,6 +42,7 @@ HEADLINE = {
     "q35_range_join": Q.q35_range_join,
     "q47_ivf_ann": LQ.q47_ivf_ann,
     "q50_tpch_q5_shape": Q.q50_tpch_q5_shape,
+    "q54_curation_pipeline": LQ.q54_curation_pipeline,
 }
 
 

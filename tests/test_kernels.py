@@ -305,3 +305,52 @@ def test_bucketed_prev_with_partition_keys(spark):
     a = {r["event_id"]: r["prev"] for r in scal.collect()}
     b = {r["event_id"]: r["prev"] for r in glob.collect()}
     assert a == b
+
+
+# ---- interpolate: linear gap fill on the dense grid (gap §2.7)
+
+def test_interpolate_linear_exact(spark):
+    from datetime import datetime, timezone
+
+    from timebox_spark.operators.resample import interpolate
+
+    def ts(h):
+        return datetime(2024, 1, 1, h, tzinfo=timezone.utc)
+
+    # observations at hours 0 (v=10) and 3 (v=40); hours 1-2 missing
+    df = spark.createDataFrame(
+        [(ts(0), 10.0), (ts(3), 40.0)], schema="ts timestamp, v double"
+    )
+    out = (
+        interpolate(df, "1 hour", ["v"], bucket_col="hr")
+        .orderBy("hr")
+        .select("v")
+        .collect()
+    )
+    assert [r["v"] for r in out] == [10.0, 20.0, 30.0, 40.0]
+
+
+def test_interpolate_edges_stay_null_and_keys_independent(spark):
+    from datetime import datetime, timezone
+
+    from timebox_spark.operators.resample import interpolate
+
+    def ts(h):
+        return datetime(2024, 1, 1, h, tzinfo=timezone.utc)
+
+    # key a: obs at hours 1 and 3 (hour 2 interpolated); key b: single obs.
+    # Rows carry a second null-valued column at observed-but-null spots:
+    # hour 2 exists for a with v NULL -> still interpolated.
+    df = spark.createDataFrame(
+        [("a", ts(1), 0.0), ("a", ts(2), None), ("a", ts(3), 8.0), ("b", ts(5), 7.0)],
+        schema="k string, ts timestamp, v double",
+    )
+    rows = (
+        interpolate(df, "1 hour", ["v"], keys=["k"], bucket_col="hr")
+        .orderBy("k", "hr")
+        .collect()
+    )
+    a_vals = [r["v"] for r in rows if r["k"] == "a"]
+    b_vals = [r["v"] for r in rows if r["k"] == "b"]
+    assert a_vals == [0.0, 4.0, 8.0]
+    assert b_vals == [7.0]

@@ -88,6 +88,56 @@ def dense_grid(
     )
 
 
+def interpolate(
+    df: DataFrame,
+    interval: str,
+    value_cols: list[str],
+    ts_col: str = "ts",
+    keys: list[str] | None = None,
+    bucket_col: str = "bucket_ts",
+) -> DataFrame:
+    """Join observations onto the dense grid; missing buckets get
+    LINEARLY interpolated values between the nearest observed buckets.
+
+    ``out = prev + (next - prev) * (t - t_prev) / (t_next - t_prev)``
+    computed in double; buckets before the first / after the last
+    observation stay null. The reference has no interpolation at all
+    (gap §2.7; its regular-spacing fast path is storage-side only,
+    /root/reference/timebox/timebox.py:235-238).
+
+    Scale: same shape as ``gap_fill`` — windows run over the
+    bucket-level grid (one row per key per bucket), partitioned by key;
+    one shuffle. Unkeyed grids are n_buckets rows, small by
+    construction.
+    """
+    keys = keys or []
+    grid = dense_grid(df, interval, ts_col, keys, bucket_col)
+    obs = df.withColumn(bucket_col, time_bucket(ts_col, interval))
+    joined = grid.join(obs, [*keys, bucket_col], "left")
+    base = (
+        Window.partitionBy(*keys).orderBy(bucket_col)
+        if keys
+        else Window.orderBy(bucket_col)
+    )
+    w_prev = base.rowsBetween(Window.unboundedPreceding, 0)
+    w_next = base.rowsBetween(0, Window.unboundedFollowing)
+    t = F.unix_micros(F.col(bucket_col)).cast("double")
+    for c in value_cols:
+        v = F.col(c).cast("double")
+        marked_ts = F.when(F.col(c).isNotNull(), t)
+        pv = F.last(v, ignorenulls=True).over(w_prev)
+        pt = F.last(marked_ts, ignorenulls=True).over(w_prev)
+        nv = F.first(v, ignorenulls=True).over(w_next)
+        nt = F.first(marked_ts, ignorenulls=True).over(w_next)
+        joined = joined.withColumn(
+            c,
+            F.when(F.col(c).isNotNull(), v).otherwise(
+                pv + (nv - pv) * ((t - pt) / (nt - pt))
+            ),
+        )
+    return joined
+
+
 def gap_fill(
     df: DataFrame,
     interval: str,

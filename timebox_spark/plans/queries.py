@@ -901,6 +901,167 @@ def q55_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------------ Q56
+# Linear-interpolation gap fill: hourly value sums for rare high-value
+# events (so the grid has real gaps), missing hours linearly
+# interpolated between neighbors. The interpolation arithmetic is the
+# literal expression `pv + (nv - pv) * ((t - pt) / (nt - pt))` in
+# double on BOTH engines (inputs are exact BIGINTs), so the floors
+# match bit-for-bit.
+
+def q56_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timebox_spark.operators.resample import interpolate, resample
+
+    events = load(spark, sf_dir, "events").filter(F.col("value") > 4.5)
+    hourly = resample(
+        events,
+        "1 hour",
+        {"vq": F.sum(_q(F.col("value"), 3))},
+        keys=["event_type"],
+    )
+    interp = interpolate(
+        hourly.withColumn("ts", F.col("bucket_ts")),
+        "1 hour",
+        value_cols=["vq"],
+        keys=["event_type"],
+        bucket_col="hr",
+    )
+    return interp.select(
+        "event_type",
+        "hr",
+        F.floor(F.col("vq")).cast("long").alias("vq_interp"),
+    )
+
+
+# ------------------------------------------------------------------ Q57
+# Cross-series correlation matrix: Pearson correlation between the
+# hourly value sums of every event-type pair. Computed from exact
+# integer co-moments (n, Sx, Sy, Sxx, Syy, Sxy as BIGINT sums) so the
+# final double-precision corr is engine-deterministic — no reliance on
+# either engine's streaming corr() summation order. The pair join runs
+# on the bucket-level table (hours x types — tiny at any SF, broadcast).
+
+def q57_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timebox_spark.operators.resample import resample
+
+    events = load(spark, sf_dir, "events")
+    hourly = resample(
+        events,
+        "1 hour",
+        {"vq": F.sum(_q(F.col("value"), 3))},
+        keys=["event_type"],
+        bucket_col="hr",
+    )
+    a = hourly.select("hr", F.col("event_type").alias("ta"), F.col("vq").alias("x"))
+    b = hourly.select("hr", F.col("event_type").alias("tb"), F.col("vq").alias("y"))
+    pairs = a.join(F.broadcast(b), "hr").filter(F.col("ta") < F.col("tb"))
+    mom = pairs.groupBy("ta", "tb").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    num = n * F.col("sxy").cast("double") - sx * sy
+    den = F.sqrt(n * F.col("sxx").cast("double") - sx * sx) * F.sqrt(
+        n * F.col("syy").cast("double") - sy * sy
+    )
+    return mom.select(
+        "ta",
+        "tb",
+        "n",
+        F.round(num / den * 1e6).cast("long").alias("corr_q"),
+    )
+
+
+# ------------------------------------------------------------------ Q58
+# Z-score anomaly detection: per event_type, flag rows whose value is
+# >3 sample standard deviations from that type's mean. Mean/std are
+# derived from exact integer moments (sum, sum-of-squares of the
+# quantized value), making the double z-scores engine-deterministic.
+# One aggregate pass + a broadcast join of the per-type stats back onto
+# the stream — no second shuffle of the fact table.
+
+def q58_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events").select(
+        "event_type", _q(F.col("value"), 3).alias("vq")
+    )
+    stats = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vq").alias("s"),
+        F.sum(F.col("vq") * F.col("vq")).alias("ss"),
+    )
+    n = F.col("n").cast("double")
+    s = F.col("s").cast("double")
+    ss = F.col("ss").cast("double")
+    stats = stats.select(
+        "event_type",
+        "n",
+        (s / n).alias("mean"),
+        F.sqrt((ss - s * s / n) / (n - F.lit(1.0))).alias("std"),
+    )
+    z = F.abs((F.col("vq").cast("double") - F.col("mean")) / F.col("std"))
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .withColumn("z", z)
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum(F.when(F.col("z") > 3.0, 1).otherwise(0)).alias("n_anomalies"),
+            F.round(F.max("z") * 1e6).cast("long").alias("z_max_q"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ Q59
+# TPC-H Q3 shape: large-LARGE shuffle join (filtered orders x filtered
+# lineitem on orderkey) under a broadcast customer-segment filter, then
+# grouped revenue + global top-10. Complements q12/q50, which only
+# exercise broadcast-dim joins: here both join sides are fact-sized.
+# At bench SFs AQE still broadcasts the filtered orders side (right
+# call — it fits); past the threshold the same declarative plan becomes
+# a shuffle join on l_orderkey with AQE-coalesced partitions. Filters
+# push to all three scans; the top-10 is TakeOrderedAndProject (per-
+# partition heap + driver merge, no global sort). Revenue is
+# quantized per-term; the top-10 ordering carries a full tiebreak so
+# the LIMIT set is deterministic on both engines.
+
+def q59_tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1998-06-01").cast("timestamp")
+    cust = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cutoff)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > cutoff)
+        .select(
+            "l_orderkey",
+            _q(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), 2).alias(
+                "rev_q"
+            ),
+        )
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum("rev_q").alias("revenue_q"))
+        .orderBy(F.desc("revenue_q"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
 # ------------------------------------------------------------------ oracles
 
 _UNIT_LADDER_SQL = """
@@ -1298,6 +1459,98 @@ ORACLE_SQL: dict[str, str] = {
         FROM clicks c ASOF LEFT JOIN purchases p
           ON c.user_id = p.user_id AND c.ts >= p.ts
     """,
+    "q56_interpolate": """
+        WITH h AS (
+          SELECT event_type, date_trunc('hour', ts) AS hr,
+                 CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS vq
+          FROM events WHERE value > 4.5 GROUP BY 1, 2
+        ), b AS (
+          SELECT event_type, min(hr) AS mn, max(hr) AS mx FROM h GROUP BY 1
+        ), g AS (
+          SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr FROM b
+        ), j AS (
+          SELECT g.event_type, g.hr, h.vq,
+                 CAST(epoch_us(g.hr) AS DOUBLE) AS t,
+                 last_value(CAST(h.vq AS DOUBLE) IGNORE NULLS) OVER wp AS pv,
+                 last_value(CASE WHEN h.vq IS NOT NULL
+                   THEN CAST(epoch_us(g.hr) AS DOUBLE) END IGNORE NULLS) OVER wp AS pt,
+                 first_value(CAST(h.vq AS DOUBLE) IGNORE NULLS) OVER wn AS nv,
+                 first_value(CASE WHEN h.vq IS NOT NULL
+                   THEN CAST(epoch_us(g.hr) AS DOUBLE) END IGNORE NULLS) OVER wn AS nt
+          FROM g LEFT JOIN h ON g.event_type = h.event_type AND g.hr = h.hr
+          WINDOW wp AS (PARTITION BY g.event_type ORDER BY g.hr
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 wn AS (PARTITION BY g.event_type ORDER BY g.hr
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT event_type, hr,
+               CAST(floor(CASE WHEN vq IS NOT NULL THEN CAST(vq AS DOUBLE)
+                    ELSE pv + (nv - pv) * ((t - pt) / (nt - pt)) END) AS BIGINT) AS vq_interp
+        FROM j
+    """,
+    "q57_corr_matrix": """
+        WITH h AS (
+          SELECT event_type, date_trunc('hour', ts) AS hr,
+                 CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS vq
+          FROM events GROUP BY 1, 2
+        ), p AS (
+          SELECT a.event_type AS ta, b.event_type AS tb, a.vq AS x, b.vq AS y
+          FROM h a JOIN h b ON a.hr = b.hr AND a.event_type < b.event_type
+        ), m AS (
+          SELECT ta, tb, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy
+          FROM p GROUP BY 1, 2
+        )
+        SELECT ta, tb, n,
+               CAST(round(
+                 (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 * 1e6) AS BIGINT) AS corr_q
+        FROM m
+    """,
+    "q59_tpch_q3_shape": """
+        SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+               CAST(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) * 100)
+                    AS BIGINT)) AS BIGINT) AS revenue_q
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-06-01'
+          AND l.l_shipdate > TIMESTAMP '1998-06-01'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue_q DESC, o.o_orderdate, l.l_orderkey
+        LIMIT 10
+    """,
+    "q58_anomaly_zscore": """
+        WITH e AS (
+          SELECT event_type, CAST(round(value * 1000) AS BIGINT) AS vq FROM events
+        ), st AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(vq) AS BIGINT) AS s,
+                 CAST(sum(vq * vq) AS BIGINT) AS ss
+          FROM e GROUP BY 1
+        ), zc AS (
+          SELECT e.event_type, st.n,
+                 abs((CAST(e.vq AS DOUBLE)
+                      - CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE))
+                     / sqrt((CAST(st.ss AS DOUBLE)
+                             - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE)
+                               / CAST(st.n AS DOUBLE))
+                            / (CAST(st.n AS DOUBLE) - 1.0))) AS z
+          FROM e JOIN st ON e.event_type = st.event_type
+        )
+        SELECT event_type, max(n) AS n,
+               CAST(sum(CASE WHEN z > 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+               CAST(round(max(z) * 1e6) AS BIGINT) AS z_max_q
+        FROM zc GROUP BY event_type
+    """,
 }
 
 QUERIES = {
@@ -1341,4 +1594,8 @@ QUERIES = {
     "q55_hll_rollup": q55_hll_rollup,
     "q50_tpch_q5_shape": q50_tpch_q5_shape,
     "q16b_asof_by_user": q16b_asof_by_user,
+    "q56_interpolate": q56_interpolate,
+    "q57_corr_matrix": q57_corr_matrix,
+    "q58_anomaly_zscore": q58_anomaly_zscore,
+    "q59_tpch_q3_shape": q59_tpch_q3_shape,
 }
