@@ -93,3 +93,39 @@ def test_q54_curation_single_shuffle(spark):
     # is the only exchange
     assert _shuffles(plan) <= 1
     assert "CartesianProduct" not in plan
+
+
+def test_q59_pushdown_no_cartesian_topk_no_global_sort(spark):
+    plan = _plan(Q.q59_tpch_q3_shape(spark, SF_SMOKE))
+    # filters reach all three scans; join stays hash-based
+    assert "GreaterThan(l_shipdate" in plan
+    assert "LessThan(o_orderdate" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # top-10 must be a per-partition heap, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q57_pair_join_broadcasts_bucket_table(spark):
+    plan = _plan(Q.q57_corr_matrix(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q58_stats_join_broadcast_two_scans_max(spark):
+    plan = _plan(Q.q58_anomaly_zscore(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # events scan reads only the two needed columns
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "props" not in read and "user_id" not in read
+
+
+def test_q56_interpolate_windows_are_keyed(spark):
+    plan = _plan(Q.q56_interpolate(spark, SF_SMOKE))
+    # every Window in the plan is partitioned by event_type -- no
+    # single-task global window on data-sized input
+    for line in plan.splitlines():
+        if "Window" in line and "partition" in line.lower():
+            assert "event_type" in line
