@@ -1062,6 +1062,50 @@ def q59_tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------------ Q60
+# Irregular-time EWMA digest: the exponentially-weighted average of
+# each event_type's values at that type's last timestamp (adjust form,
+# halflife 1h). Runs the pure-DataFrame ewma_at_end (one agg + one
+# broadcast join, no Python); the DuckDB oracle is the same weighted
+# sum. Distributed double summation order differs between engines by
+# ~1 ulp, so the digest quantizes at 1e4 — far above that noise. The
+# per-row applyInPandas `ewma` is cross-validated against this digest
+# in tests/test_timeseries.py.
+
+def q60_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timebox_spark.operators.timeseries import ewma_at_end
+
+    events = load(spark, sf_dir, "events")
+    r = ewma_at_end(events, "1 hour", keys=["event_type"])
+    return r.select(
+        "event_type",
+        F.round(F.col("ewma_end") * 10000).cast("long").alias("ewma_q"),
+        "n",
+    )
+
+
+# ------------------------------------------------------------------ Q61
+# LTTB downsampling: each event_type's hourly series reduced to 24
+# visually-representative points. The input values are integer-
+# quantized hourly sums, so the numpy triangle-area argmax is exact and
+# the output is run-to-run deterministic (rows-only check; LTTB has no
+# SQL equivalent).
+
+def q61_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timebox_spark.operators.resample import resample
+    from timebox_spark.operators.timeseries import lttb
+
+    events = load(spark, sf_dir, "events")
+    hourly = resample(
+        events,
+        "1 hour",
+        {"vq": F.sum(_q(F.col("value"), 3))},
+        keys=["event_type"],
+        bucket_col="hr",
+    ).select("event_type", F.col("hr").alias("ts"), F.col("vq").alias("value"))
+    return lttb(hourly, 24, keys=["event_type"])
+
+
 # ------------------------------------------------------------------ oracles
 
 _UNIT_LADDER_SQL = """
@@ -1528,6 +1572,18 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY revenue_q DESC, o.o_orderdate, l.l_orderkey
         LIMIT 10
     """,
+    "q60_ewma": """
+        WITH m AS (SELECT event_type, max(ts) AS tend FROM events GROUP BY 1)
+        SELECT e.event_type,
+               CAST(round(
+                 sum(pow(0.5, (epoch_us(m.tend) - epoch_us(e.ts)) / 3600000000.0)
+                     * e.value)
+                 / sum(pow(0.5, (epoch_us(m.tend) - epoch_us(e.ts)) / 3600000000.0))
+                 * 10000) AS BIGINT) AS ewma_q,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events e JOIN m ON e.event_type = m.event_type
+        GROUP BY e.event_type
+    """,
     "q58_anomaly_zscore": """
         WITH e AS (
           SELECT event_type, CAST(round(value * 1000) AS BIGINT) AS vq FROM events
@@ -1598,4 +1654,6 @@ QUERIES = {
     "q57_corr_matrix": q57_corr_matrix,
     "q58_anomaly_zscore": q58_anomaly_zscore,
     "q59_tpch_q3_shape": q59_tpch_q3_shape,
+    "q60_ewma": q60_ewma,
+    "q61_lttb_downsample": q61_lttb_downsample,
 }
