@@ -43,6 +43,7 @@ HEADLINE = {
     "q47_ivf_ann": LQ.q47_ivf_ann,
     "q50_tpch_q5_shape": Q.q50_tpch_q5_shape,
     "q54_curation_pipeline": LQ.q54_curation_pipeline,
+    "q59_tpch_q3_shape": Q.q59_tpch_q3_shape,
 }
 
 

@@ -249,3 +249,63 @@ def test_stream_npb_sink(spark, tmp_path, staged_events):
     q.awaitTermination()
     back = npb.read_npb(spark, f"{out}/batch=*")
     assert back.count() == events.count()
+
+
+def test_zscore_anomalies_single_batch_matches_batch(spark, tmp_path):
+    import numpy as np
+
+    src = str(tmp_path / "zsrc")
+    os.makedirs(src, exist_ok=True)
+    events = load(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    events.coalesce(1).write.mode("append").parquet(src)
+
+    stream = ingest.zscore_anomalies(ingest.read_event_stream(spark, src))
+    ingest.run_to_memory(stream, "z_t", "append", str(tmp_path / "ckz1"))
+    got = {
+        r["event_type"]: r["n"]
+        for r in spark.table("z_t").groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+
+    # batch expectation with the same sample-variance formula
+    pdf = events.select("event_type", "value").toPandas()
+    expected = {}
+    for k, grp in pdf.groupby("event_type"):
+        v = grp["value"].to_numpy(dtype="float64")
+        z = np.abs((v - v.mean()) / v.std(ddof=1))
+        if (z > 3.0).sum():
+            expected[k] = int((z > 3.0).sum())
+    assert got == expected
+
+
+def test_zscore_anomalies_state_accumulates_across_batches(spark, tmp_path):
+    import numpy as np
+    from datetime import datetime
+
+    src = str(tmp_path / "zsrc2")
+    os.makedirs(src, exist_ok=True)
+    base = [
+        (i, datetime(2024, 1, 1, 0, i), 1, "a", 1.0 + (i % 2) * 0.1)
+        for i in range(50)
+    ]
+    spike = [(99, datetime(2024, 1, 1, 2, 0), 1, "a", 100.0)]
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    spark.createDataFrame(base, schema).coalesce(1).write.mode("append").parquet(src)
+    first = sorted(os.listdir(src))
+    spark.createDataFrame(spike, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = ingest.zscore_anomalies(
+        ingest.read_event_stream(spark, src, max_files_per_trigger=1)
+    )
+    ingest.run_to_memory(stream, "z_t2", "append", str(tmp_path / "ckz2"))
+    rows = spark.table("z_t2").collect()
+
+    # only the spike is anomalous, scored against the CUMULATIVE moments
+    v = np.array([b[4] for b in base] + [100.0])
+    z_spike = abs((100.0 - v.mean()) / v.std(ddof=1))
+    assert len(rows) == 1
+    assert rows[0]["value"] == 100.0
+    assert abs(rows[0]["z"] - z_spike) < 1e-9

@@ -141,6 +141,62 @@ def running_max_per_key(stream: DataFrame, watermark: str = "1 hour") -> DataFra
     )
 
 
+def zscore_anomalies(
+    stream: DataFrame,
+    threshold: float = 3.0,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming z-score anomaly detection (streaming counterpart of
+    batch q58): per event_type, carry running moments (n, sum, sum of
+    squares) across micro-batches via ``applyInPandasWithState`` and
+    emit each batch's rows whose |z| against the cumulative
+    distribution exceeds ``threshold``.
+
+    State is three numbers per key — O(keys), never O(rows) — so the
+    operator holds at any stream volume; the per-batch scoring is
+    vectorized numpy over the Arrow batch.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "event_type string, ts timestamp, value double, z double"
+    state_schema = "n long, s double, ss double"
+
+    def update(key, pdfs, state: GroupState):
+        import numpy as np
+
+        n, s, ss = state.get if state.exists else (0, 0.0, 0.0)
+        batches = [pdf for pdf in pdfs if len(pdf)]
+        if batches:
+            allb = pd.concat(batches, ignore_index=True)
+            v = allb["value"].to_numpy(dtype="float64")
+            n += len(v)
+            s += float(v.sum())
+            ss += float((v * v).sum())
+            state.update((n, s, ss))
+            if n >= 2:
+                mean = s / n
+                var = (ss - s * s / n) / (n - 1)
+                if var > 0:
+                    z = np.abs((v - mean) / np.sqrt(var))
+                    hits = allb[z > threshold].copy()
+                    hits["z"] = z[z > threshold]
+                    if len(hits):
+                        yield hits[["event_type", "ts", "value", "z"]]
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def stream_stream_join(
     left: DataFrame,
     right: DataFrame,
