@@ -1106,6 +1106,125 @@ def q61_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lttb(hourly, 24, keys=["event_type"])
 
 
+# ------------------------------------------------------------------ Q62
+# Per-series linear trend: OLS slope/intercept of the quantized value
+# against minutes-since-2024 per event_type, from exact integer
+# co-moments (same engine-determinism argument as q57/q58: the sums
+# are exact BIGINTs, the final double expressions are identical).
+# Single agg pass, one shuffle on the series key.
+
+_T0_US = 1704067200000000  # 2024-01-01T00:00:00Z in unix micros
+
+
+def q62_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor((F.unix_micros("ts") - F.lit(_T0_US)) / F.lit(60000000.0)).alias("tm"),
+        _q(F.col("value"), 3).alias("vq"),
+    )
+    mom = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("tm").alias("st"),
+        F.sum("vq").alias("sv"),
+        F.sum(F.col("tm") * F.col("tm")).alias("stt"),
+        F.sum(F.col("tm") * F.col("vq")).alias("stv"),
+    )
+    n = F.col("n").cast("double")
+    st = F.col("st").cast("double")
+    sv = F.col("sv").cast("double")
+    slope = (n * F.col("stv").cast("double") - st * sv) / (
+        n * F.col("stt").cast("double") - st * st
+    )
+    intercept = (sv - slope * st) / n
+    return mom.select(
+        "event_type",
+        "n",
+        F.round(slope * 1e9).cast("long").alias("slope_q"),
+        F.round(intercept * 1e6).cast("long").alias("intercept_q"),
+    )
+
+
+# ------------------------------------------------------------------ Q63
+# Ordered funnel: users who signed up, then clicked strictly after
+# their first signup, then purchased strictly after that first
+# qualifying click. Three keyed aggs + two equi-joins on user_id (all
+# shuffles on the same key — co-partitioned at scale); counts are
+# exact integers, conversion rates derived from them.
+
+def q63_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    t1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = (
+        t1.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(t2.agg(F.count(F.lit(1)).alias("n_click_after")))
+        .crossJoin(t3.agg(F.count(F.lit(1)).alias("n_purchase_after")))
+    )
+    return counts.select(
+        "n_signup",
+        "n_click_after",
+        "n_purchase_after",
+        F.round(
+            F.col("n_click_after").cast("double")
+            / F.col("n_signup").cast("double")
+            * 1e6
+        )
+        .cast("long")
+        .alias("conv1_q"),
+        F.round(
+            F.col("n_purchase_after").cast("double")
+            / F.col("n_click_after").cast("double")
+            * 1e6
+        )
+        .cast("long")
+        .alias("conv2_q"),
+    )
+
+
+# ------------------------------------------------------------------ Q64
+# Cohort retention: users grouped by first-seen week; for each (cohort
+# week, weeks-since-cohort) cell, how many distinct users were active.
+# One agg for first-seen, a user_id-keyed join back (co-partitioned
+# with the next agg's shuffle), then a distinct-count per cell. All
+# integer arithmetic — deterministic across engines.
+
+def q64_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    return (
+        ev.join(first, "user_id")
+        .withColumn(
+            "week_offset",
+            F.floor(
+                (F.unix_micros(F.date_trunc("week", F.col("ts")))
+                 - F.unix_micros(F.col("cohort_week")))
+                / F.lit(604800000000.0)
+            ).cast("long"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
 # ------------------------------------------------------------------ oracles
 
 _UNIT_LADDER_SQL = """
@@ -1572,6 +1691,70 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY revenue_q DESC, o.o_orderdate, l.l_orderkey
         LIMIT 10
     """,
+    "q64_cohort_retention": """
+        WITH f AS (
+          SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+          FROM events GROUP BY 1
+        )
+        SELECT f.cohort_week,
+               CAST(floor((epoch_us(date_trunc('week', e.ts))
+                           - epoch_us(f.cohort_week)) / 604800000000.0)
+                    AS BIGINT) AS week_offset,
+               CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+        FROM events e JOIN f ON e.user_id = f.user_id
+        GROUP BY 1, 2
+    """,
+    "q62_linear_trend": """
+        WITH e AS (
+          SELECT event_type,
+                 CAST(floor((epoch_us(ts) - 1704067200000000) / 60000000.0) AS BIGINT) AS tm,
+                 CAST(round(value * 1000) AS BIGINT) AS vq
+          FROM events
+        ), m AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(tm) AS BIGINT) AS st, CAST(sum(vq) AS BIGINT) AS sv,
+                 CAST(sum(tm * tm) AS BIGINT) AS stt,
+                 CAST(sum(tm * vq) AS BIGINT) AS stv
+          FROM e GROUP BY 1
+        )
+        SELECT event_type, n,
+               CAST(round(
+                 (CAST(n AS DOUBLE) * CAST(stv AS DOUBLE)
+                    - CAST(st AS DOUBLE) * CAST(sv AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                    - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) * 1e9) AS BIGINT) AS slope_q,
+               CAST(round(
+                 (CAST(sv AS DOUBLE)
+                  - (CAST(n AS DOUBLE) * CAST(stv AS DOUBLE)
+                     - CAST(st AS DOUBLE) * CAST(sv AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                       - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+                    * CAST(st AS DOUBLE))
+                 / CAST(n AS DOUBLE) * 1e6) AS BIGINT) AS intercept_q
+        FROM m
+    """,
+    "q63_funnel": """
+        WITH t1 AS (
+          SELECT user_id, min(ts) AS t1 FROM events
+          WHERE event_type = 'signup' GROUP BY 1
+        ), t2 AS (
+          SELECT e.user_id, min(e.ts) AS t2 FROM events e
+          JOIN t1 ON e.user_id = t1.user_id
+          WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1
+        ), t3 AS (
+          SELECT e.user_id, min(e.ts) AS t3 FROM events e
+          JOIN t2 ON e.user_id = t2.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1
+        )
+        SELECT
+          (SELECT CAST(count(*) AS BIGINT) FROM t1) AS n_signup,
+          (SELECT CAST(count(*) AS BIGINT) FROM t2) AS n_click_after,
+          (SELECT CAST(count(*) AS BIGINT) FROM t3) AS n_purchase_after,
+          CAST(round(CAST((SELECT count(*) FROM t2) AS DOUBLE)
+               / CAST((SELECT count(*) FROM t1) AS DOUBLE) * 1e6) AS BIGINT) AS conv1_q,
+          CAST(round(CAST((SELECT count(*) FROM t3) AS DOUBLE)
+               / CAST((SELECT count(*) FROM t2) AS DOUBLE) * 1e6) AS BIGINT) AS conv2_q
+    """,
     "q60_ewma": """
         WITH m AS (SELECT event_type, max(ts) AS tend FROM events GROUP BY 1)
         SELECT e.event_type,
@@ -1656,4 +1839,7 @@ QUERIES = {
     "q59_tpch_q3_shape": q59_tpch_q3_shape,
     "q60_ewma": q60_ewma,
     "q61_lttb_downsample": q61_lttb_downsample,
+    "q62_linear_trend": q62_linear_trend,
+    "q63_funnel": q63_funnel,
+    "q64_cohort_retention": q64_cohort_retention,
 }
