@@ -90,8 +90,11 @@ def test_q54_curation_single_shuffle(spark):
 
     plan = _plan(LQ.q54_curation_pipeline(spark, SF_SMOKE))
     # annotate/gate/split are map-side; the fingerprint-dedup window
-    # is the only exchange
-    assert _shuffles(plan) <= 1
+    # is the only data-sized exchange. At this smoke SF the
+    # ensure_parallelism guard adds one round-robin fan-out of the
+    # single-file scan; at scale that guard is a no-op (see SCALE.md),
+    # so the budget is dedup-shuffle + small-scan fan-out.
+    assert _shuffles(plan) <= 2
     assert "CartesianProduct" not in plan
 
 

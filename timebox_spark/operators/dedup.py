@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from timebox_spark.operators.text import TOKEN_RE
+from timebox_spark.session import ensure_parallelism
 
 
 # ---------------------------------------------------------------- exact
@@ -171,7 +172,9 @@ def minhash_signatures(
             yield pd.DataFrame(out)
 
     schema = f"{id_col} long, " + ", ".join(f"mh_{i} long" for i in range(k))
-    return df.select(id_col, text_col).mapInPandas(compute, schema=schema)
+    return ensure_parallelism(df.select(id_col, text_col)).mapInPandas(
+        compute, schema=schema
+    )
 
 
 def minhash_lsh_candidates(
@@ -248,7 +251,7 @@ def shingle_hash_sets(
                 {id_col: pdf[id_col].to_numpy(), "sh_set": [s for s in sets]}
             )
 
-    return df.select(id_col, text_col).mapInPandas(
+    return ensure_parallelism(df.select(id_col, text_col)).mapInPandas(
         compute, schema=f"{id_col} long, sh_set array<long>"
     )
 
@@ -352,7 +355,7 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     """64-bit SimHash over word tokens: per bit, sum ±1 votes of
     xxhash64(token); bit set where the vote is positive. One explode +
     one groupBy with 64 conditional sums — all JVM-side."""
-    toks = df.select(
+    toks = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col),
         F.explode(
             F.regexp_extract_all(normalize_text(text_col), F.lit(TOKEN_RE), F.lit(0))

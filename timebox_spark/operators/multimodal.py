@@ -19,6 +19,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from timebox_spark.session import ensure_parallelism
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -94,7 +96,7 @@ def fake_decode_features(media: DataFrame, batch_size_hint: int = 1024) -> DataF
                 }
             )
 
-    return media.mapInPandas(extract, schema=FEATURE_SCHEMA)
+    return ensure_parallelism(media).mapInPandas(extract, schema=FEATURE_SCHEMA)
 
 
 FRAME_SCHEMA = T.StructType(
@@ -143,7 +145,7 @@ def sample_frames(
                 }
             )
 
-    return media.select("doc_id", "payload").mapInPandas(
+    return ensure_parallelism(media.select("doc_id", "payload")).mapInPandas(
         sample, schema=FRAME_SCHEMA
     )
 
@@ -186,4 +188,4 @@ def resize_payload(media: DataFrame, target_bytes: int = 128) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(resize, schema=MEDIA_SCHEMA)
+    return ensure_parallelism(media).mapInPandas(resize, schema=MEDIA_SCHEMA)

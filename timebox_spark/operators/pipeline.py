@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from timebox_spark.operators import dedup, text
 from timebox_spark.operators.sampling import deterministic_split
+from timebox_spark.session import ensure_parallelism
 
 
 def curate(
@@ -38,7 +39,7 @@ def curate(
     """Return the curated corpus: one row per kept document with
     ``(id, lang_pred, quality_q, n_tokens, split)``. Duplicate texts
     (after whitespace/case normalization) keep the smallest id."""
-    annotated = docs.select(
+    annotated = ensure_parallelism(docs).select(
         F.col(id_col),
         text.lang_id(text_col).alias("lang_pred"),
         text.quality_score_q(text_col).alias("quality_q"),

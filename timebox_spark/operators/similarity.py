@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from timebox_spark.session import ensure_parallelism
+
 
 def _dot(x, y):
     return F.aggregate(
@@ -69,9 +71,9 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
     )
-    cand = corpus.crossJoin(F.broadcast(q)).filter(
-        F.col(id_col) != F.col(query_id_col)
-    )
+    cand = ensure_parallelism(corpus.select(id_col, vec_col)).crossJoin(
+        F.broadcast(q)
+    ).filter(F.col(id_col) != F.col(query_id_col))
     return _score_topk(cand, k, id_col, vec_col, query_id_col)
 
 
@@ -138,7 +140,7 @@ def lsh_topk(
             ).alias("__b"),
         ).select(out_id, vec_out, "__b.tbl", "__b.bkt")
 
-    cb = buckets(corpus, id_col, vec_col)
+    cb = buckets(ensure_parallelism(corpus.select(id_col, vec_col)), id_col, vec_col)
     qb = buckets(queries, query_id_col, "__qvec")
     cand = (
         cb.join(F.broadcast(qb), ["tbl", "bkt"])
@@ -193,7 +195,9 @@ def _assign_clusters(
             )
 
     schema = f"{id_col} long, {vec_col} array<float>, cluster int"
-    return df.select(id_col, vec_col).mapInPandas(compute, schema=schema)
+    return ensure_parallelism(df.select(id_col, vec_col)).mapInPandas(
+        compute, schema=schema
+    )
 
 
 def ivf_train(

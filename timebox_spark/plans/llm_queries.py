@@ -57,7 +57,11 @@ def _lang_pred_sql(extra_cols: str = "") -> str:
 # ------------------------------------------------------------------ q20
 
 def q20_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    from timebox_spark.session import ensure_parallelism
+
+    # six regex projections per row are the cost here, not the scan —
+    # fan the small-file scan out so codegen runs on every core
+    docs = ensure_parallelism(load(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         text.token_count().alias("n_tokens"),

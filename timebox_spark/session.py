@@ -14,7 +14,7 @@ from __future__ import annotations
 import os
 import zipfile
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 # SQL confs the engine requires regardless of who built the session
 # (the driver may hand us a vanilla SparkSession). All runtime-settable.
@@ -69,6 +69,24 @@ def ship_package(spark: SparkSession) -> None:
                 zf.write(full, rel)
     spark.sparkContext.addPyFile(zip_path)
     _SHIPPED.add(key)
+
+
+def ensure_parallelism(df: "DataFrame") -> "DataFrame":
+    """Guard for compute-heavy stages (Arrow numpy kernels, wide regex
+    projections): if the upstream scan produced fewer partitions than
+    the cluster's default parallelism — the small-file case at test
+    scale factors, where one parquet file = one task pins the whole
+    kernel to a single core — hash-repartition up to full parallelism.
+
+    At production scale a 100 TB scan already has orders of magnitude
+    more partitions than cores, the guard is false, and this is a
+    no-op: no extra shuffle is ever introduced on big inputs.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def get_spark(
