@@ -354,3 +354,132 @@ def test_interpolate_edges_stay_null_and_keys_independent(spark):
     b_vals = [r["v"] for r in rows if r["k"] == "b"]
     assert a_vals == [0.0, 4.0, 8.0]
     assert b_vals == [7.0]
+
+
+# ---- C3 float16 tier (ref numpy_utils.py:159-184,
+#      test_numpy_float_compression.py:38-113 — golden byte patterns)
+
+_F16_GOLDEN = [
+    0.0,
+    -0.0,
+    1.0,
+    2.0,
+    1.0 / 3.0,
+    0.1,
+    0.05,
+    2048.0,
+    2049.0,           # granularity at 2^11 is 2 — not representable
+    2050.0,
+    65504.0,          # f16 max
+    65505.0,
+    -65504.0,
+    2.0 ** -14,       # min normal
+    (2.0 ** -14) * (1.0 + 2.0 ** -10),   # last mantissa bit set — ok
+    (2.0 ** -14) * (1.0 + 2.0 ** -11),   # needs an 11th bit — not ok
+    2.0 ** -24,       # min subnormal
+    3.0 * 2.0 ** -24,
+    2.0 ** -25,       # below subnormal grid
+    float("nan"),
+    float("inf"),
+    float("-inf"),
+    # reference golden byte patterns (values only):
+    float(np.frombuffer(b"\x00p\x7f@", dtype=np.float32)[0]),   # f32-only
+    float(np.frombuffer(b"\x00`\x7f@", dtype=np.float32)[0]),   # f16-exact
+    float(np.frombuffer(b"\x00\x00\x7f\x7f", dtype=np.float32)[0]),  # exp too big
+]
+
+
+def test_float16_formula_matches_numpy_golden(spark):
+    expected = kernels.float16_roundtrip_exact_np(_F16_GOLDEN)
+    df = _df(spark, _F16_GOLDEN, dtype="double")
+    got = (
+        df.withColumn("ok", kernels.float16_roundtrip_exact("v"))
+        .orderBy("idx")
+        .collect()
+    )
+    for v, e, r in zip(_F16_GOLDEN, expected, got):
+        assert r["ok"] == bool(e), f"{v!r}: spark={r['ok']} numpy={e}"
+
+
+def test_float16_formula_matches_numpy_random(spark):
+    rng = np.random.RandomState(7)
+    vals = np.concatenate(
+        [
+            rng.uniform(-1e5, 1e5, 200),                      # mostly inexact
+            rng.uniform(-1, 1, 200),
+            np.float16(rng.uniform(-6e4, 6e4, 200)).astype(np.float64),  # exact
+            np.float16(rng.uniform(-1e-4, 1e-4, 100)).astype(np.float64),
+        ]
+    )
+    expected = kernels.float16_roundtrip_exact_np(vals)
+    df = _df(spark, [float(v) for v in vals], dtype="double")
+    got = (
+        df.withColumn("ok", kernels.float16_roundtrip_exact("v"))
+        .orderBy("idx")
+        .collect()
+    )
+    mism = [
+        (float(v), bool(e), r["ok"])
+        for v, e, r in zip(vals, expected, got)
+        if r["ok"] != bool(e)
+    ]
+    assert not mism, mism[:5]
+
+
+def test_float16_formula_matches_numpy_in_duckdb():
+    """The q09 oracle's SQL transliteration of the formula must agree
+    with numpy too (engine parity of the oracle itself)."""
+    import duckdb
+
+    vals = [v for v in _F16_GOLDEN if not np.isnan(v)]
+    expected = kernels.float16_roundtrip_exact_np(vals)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES {}) v(x)".format(
+        ", ".join(f"(CAST('{v!r}' AS DOUBLE))" for v in vals)
+    ))
+    rows = con.execute("""
+        SELECT CASE
+          WHEN isnan(x) THEN 1
+          WHEN abs(x) = 0.0 THEN 1
+          WHEN isinf(x) THEN 1
+          WHEN abs(x) > 65504.0 THEN 0
+          WHEN abs(x) >= 0.00006103515625
+            THEN CASE WHEN x * pow(2.0, 10.0 - floor(log2(abs(x))))
+                      = floor(x * pow(2.0, 10.0 - floor(log2(abs(x)))))
+                 THEN 1 ELSE 0 END
+          ELSE CASE WHEN x * 16777216.0 = floor(x * 16777216.0)
+               THEN 1 ELSE 0 END END
+        FROM t
+    """).fetchall()
+    for v, e, (r,) in zip(vals, expected, rows):
+        assert bool(r) == bool(e), f"{v!r}: duckdb={r} numpy={e}"
+
+
+def test_float_downcast_width_ladder(spark):
+    # reference test_float_array_compresses: powers of two -> f16
+    df = _df(spark, [2.0, 4.0, 8.0, 16.0, 32.0, 64.0, 128.0], dtype="double")
+    assert kernels.float_downcast_width(df, "v") == 2
+    # f32 max/min survive f32 but not f16 (test_can_compress)
+    fmax = float(np.finfo(np.float32).max)
+    df = _df(spark, [fmax, -fmax], dtype="double")
+    assert kernels.float_downcast_width(df, "v") == 4
+    # f16 max/min -> 2
+    hmax = float(np.finfo(np.float16).max)
+    df = _df(spark, [hmax, -hmax], dtype="double")
+    assert kernels.float_downcast_width(df, "v") == 2
+    # significant low mantissa bits -> stays f64 (test_significant_bits)
+    v8 = float(np.frombuffer(b"\x00\x00\x00\xf0\xff\xff\x0f@", dtype=np.float64)[0])
+    df = _df(spark, [v8], dtype="double")
+    assert kernels.float_downcast_width(df, "v") == 8
+    # one bit over -> f32 exactly
+    v4 = float(np.frombuffer(b"\x00\x00\x00\xe0\xff\xff\x0f@", dtype=np.float64)[0])
+    df = _df(spark, [v4], dtype="double")
+    assert kernels.float_downcast_width(df, "v") == 4
+
+
+def test_rolling_agg_requires_partition_key(spark):
+    df = _df(spark, [1.0, 2.0], dtype="double").withColumn(
+        "ts", F.to_timestamp(F.lit("2024-01-01"))
+    )
+    with pytest.raises(ValueError, match="partition_by"):
+        kernels.rolling_agg(df, "ts", {"n": F.count(F.lit(1))}, window_us=1)

@@ -139,6 +139,50 @@ def float32_roundtrip_exact(col: Column | str) -> Column:
     return (back == c) | (F.isnan(c) & F.isnan(back))
 
 
+def float16_roundtrip_exact(col: Column | str) -> Column:
+    """True where a double survives a float16 round trip bit-exactly —
+    the second rung of the reference's downcast ladder
+    (numpy_utils.py:159-184: f32→f16 when the low 13 mantissa bits are
+    zero and the exponent fits).
+
+    Spark/DuckDB have no half type, so representability is decided
+    arithmetically: a finite x≠0 is an f16 value iff
+      - |x| ≤ 65504 (f16 max), and
+      - normal range (|x| ≥ 2⁻¹⁴): x·2^(10−⌊log2|x|⌋) is an integer
+        (the 11-bit significand is exhausted), or
+      - subnormal range: x·2²⁴ is an integer.
+    Scaling by a power of two is exact in binary floating point, so the
+    integer test is bit-reliable; ⌊log2⌋ can only wobble within 1e-12
+    of a power of two, where no non-power-of-two f16 value lives (the
+    nearest is 2⁻¹¹ away relative), and exact powers of two pass under
+    either rounding. The same formula runs verbatim on the DuckDB
+    oracle; tests pin it against numpy's float16 cast on golden vectors.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    m = F.abs(c)
+    scale = F.pow(F.lit(2.0), F.lit(10.0) - F.floor(F.log2(m)))
+    scaled = c * scale
+    sub = c * F.lit(2.0**24)
+    return (
+        F.when(F.isnan(c), F.lit(True))
+        .when(m == 0.0, F.lit(True))
+        .when(m == float("inf"), F.lit(True))  # ±inf casts to f16 ±inf
+        .when(m > 65504.0, F.lit(False))
+        .when(m >= F.lit(2.0**-14), scaled == F.floor(scaled))
+        .otherwise(sub == F.floor(sub))
+    )
+
+
+def float16_roundtrip_exact_np(values) -> "object":
+    """Ground-truth numpy check (np.float16 round trip) used by the
+    writer policy and to pin the Column formula in tests."""
+    import numpy as np
+
+    arr = np.asarray(values, dtype=np.float64)
+    back = arr.astype(np.float16).astype(np.float64)
+    return (back == arr) | (np.isnan(arr) & np.isnan(back))
+
+
 def lossless_float32_downcast(df: DataFrame, col: str) -> tuple[DataFrame, bool]:
     """Writer policy: downcast a double column to float only if every
     value (NaN included) round-trips exactly — the distributed analog
@@ -148,6 +192,23 @@ def lossless_float32_downcast(df: DataFrame, col: str) -> tuple[DataFrame, bool]
     if bad == 0:
         return df.withColumn(col, F.col(col).cast("float")), True
     return df, False
+
+
+def float_downcast_width(df: DataFrame, col: str) -> int:
+    """Smallest lossless float itemsize {2, 4, 8} for a double column —
+    the full reference ladder f64→f32→f16 (numpy_utils.py:103-184) as
+    ONE aggregate pass. Spark has no half type, so 2 means "an f16
+    container would be lossless" (the .npb writer uses this to pick the
+    stored dtype); the column itself is narrowed to float at most."""
+    row = df.agg(
+        F.min(float32_roundtrip_exact(col).cast("int")).alias("f32"),
+        F.min(float16_roundtrip_exact(col).cast("int")).alias("f16"),
+    ).collect()[0]
+    if row["f16"] in (1, None):
+        return 2
+    if row["f32"] == 1:
+        return 4
+    return 8
 
 
 # ---------------------------------------------------------------- C4/W5
@@ -254,13 +315,21 @@ def rolling_agg(
     the same series within [ts − window, ts]. Uses a RANGE frame on
     unix_micros — evaluated in one pass per sorted partition (no
     self-join). The classic rolling mean/max the reference cannot
-    express (SURVEY §2.7)."""
-    # without partition_by this is a single sorted task — pass series
-    # keys on data-sized inputs (the trailing frame needs contiguous
-    # history, so unlike plain lag it cannot be bucket-patched cheaply)
-    w = Window.orderBy(F.unix_micros(F.col(ts_col)))
-    if partition_by:
-        w = Window.partitionBy(*partition_by).orderBy(F.unix_micros(F.col(ts_col)))
+    express (SURVEY §2.7).
+
+    ``partition_by`` is required: without it the RANGE frame is a
+    single sorted task (the trailing frame needs contiguous history,
+    so unlike plain lag it cannot be bucket-patched cheaply). Callers
+    with a genuinely tiny pre-aggregated input can pass an explicit
+    constant key, e.g. ``partition_by=[F.lit(0)]`` via a literal
+    column name."""
+    if not partition_by:
+        raise ValueError(
+            "rolling_agg requires partition_by: an unkeyed RANGE window "
+            "serializes the whole input through one task; pass series "
+            "keys, or an explicit constant column for tiny inputs"
+        )
+    w = Window.partitionBy(*partition_by).orderBy(F.unix_micros(F.col(ts_col)))
     w = w.rangeBetween(-window_us, 0)
     out = df
     for name, expr in aggs.items():

@@ -205,14 +205,16 @@ def q08_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------------------ Q9
-# C3 float32 downcast guard (numpy_utils.py:103-184)
+# C3 float downcast ladder f64→f32→f16 (numpy_utils.py:103-184)
 
 def q09_float_downcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    exact = kernels.float32_roundtrip_exact("l_discount")
+    f32 = kernels.float32_roundtrip_exact("l_discount")
+    f16 = kernels.float16_roundtrip_exact("l_discount")
     return li.agg(
-        F.sum(F.when(exact, 1).otherwise(0)).alias("n_exact"),
         F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(f32, 1).otherwise(0)).alias("n_exact_f32"),
+        F.sum(F.when(f16, 1).otherwise(0)).alias("n_exact_f16"),
     )
 
 
@@ -887,17 +889,35 @@ def q50_tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------------ Q55
 # Mergeable HLL distinct rollup: per-day sketches unioned to months
-# without rescanning base data. Rows-only (DataSketches HLL estimates
-# can't hash-match DuckDB's HLL); tests/test_sketches.py bounds the
-# error vs exact countDistinct at ≤5%.
+# without rescanning base data. DataSketches HLL estimates can't
+# hash-match DuckDB's HLL, so the driver-checkable output is the exact
+# per-month distinct count plus a within-±5% flag on the sketch
+# estimate: the oracle asserts the flag is 1 and the exact count
+# matches, which hash-verifies the sketch path end-to-end within its
+# documented error bound (tests/test_sketches.py pins the bound too).
 
 def q55_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from timebox_spark.operators import sketches
 
     events = load(spark, sf_dir, "events")
     daily = sketches.daily_distinct_sketches(events, "user_id")
-    return sketches.rollup_distinct(daily, "month").select(
-        "period", F.col("n_distinct_approx").cast("long").alias("n_distinct_approx"), "n_rows"
+    approx = sketches.rollup_distinct(daily, "month")
+    exact = events.groupBy(
+        F.date_trunc("month", F.col("ts")).cast("date").alias("period")
+    ).agg(F.countDistinct("user_id").alias("n_distinct_exact"))
+    return (
+        approx.join(exact, "period")
+        .select(
+            F.col("period").cast("timestamp").alias("period"),
+            "n_distinct_exact",
+            "n_rows",
+            (
+                F.abs(F.col("n_distinct_approx") - F.col("n_distinct_exact"))
+                <= 0.05 * F.col("n_distinct_exact")
+            )
+            .cast("long")
+            .alias("within_5pct"),
+        )
     )
 
 
@@ -1086,10 +1106,13 @@ def q60_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------------ Q61
 # LTTB downsampling: each event_type's hourly series reduced to 24
-# visually-representative points. The input values are integer-
-# quantized hourly sums, so the numpy triangle-area argmax is exact and
-# the output is run-to-run deterministic (rows-only check; LTTB has no
-# SQL equivalent).
+# visually-representative points. The interior argmax choices have no
+# SQL equivalent, but LTTB's contract DOES have oracle-checkable
+# parts, which this digest pins: endpoint preservation (first/last
+# point kept verbatim), output size min(n, 24), and the identity path
+# (n_out >= n returns the series unchanged — checked via an exact
+# value sum). The full kept-point set is pinned against a reference
+# Python LTTB in tests/test_timeseries.py.
 
 def q61_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from timebox_spark.operators.resample import resample
@@ -1103,7 +1126,26 @@ def q61_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["event_type"],
         bucket_col="hr",
     ).select("event_type", F.col("hr").alias("ts"), F.col("vq").alias("value"))
-    return lttb(hourly, 24, keys=["event_type"])
+    down = (
+        lttb(hourly, 24, keys=["event_type"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.unix_micros(F.min("ts")).alias("t0_us"),
+            F.unix_micros(F.max("ts")).alias("t1_us"),
+            F.min_by("value", "ts").alias("v_first"),
+            F.max_by("value", "ts").alias("v_last"),
+        )
+    )
+    ident = (
+        lttb(hourly, 1_000_000, keys=["event_type"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_identity"),
+            F.sum("value").alias("identity_vq_sum"),
+        )
+    )
+    return down.join(ident, "event_type")
 
 
 # ------------------------------------------------------------------ Q62
@@ -1311,9 +1353,24 @@ ORACLE_SQL: dict[str, str] = {
         FROM lineitem
     """,
     "q09_float_downcast": """
-        SELECT CAST(sum(CASE WHEN CAST(CAST(l_discount AS FLOAT) AS DOUBLE) = l_discount
-                             THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
-               CAST(count(*) AS BIGINT) AS n_rows
+        -- f16 representability by the same arithmetic formula as
+        -- kernels.float16_roundtrip_exact (power-of-two scaling is
+        -- exact; see the kernel docstring for the boundary argument)
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN CAST(CAST(l_discount AS FLOAT) AS DOUBLE) = l_discount
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_f32,
+               CAST(sum(CASE
+                 WHEN isnan(l_discount) THEN 1
+                 WHEN abs(l_discount) = 0.0 THEN 1
+                 WHEN isinf(l_discount) THEN 1
+                 WHEN abs(l_discount) > 65504.0 THEN 0
+                 WHEN abs(l_discount) >= 0.00006103515625
+                   THEN CASE WHEN l_discount * pow(2.0, 10.0 - floor(log2(abs(l_discount))))
+                             = floor(l_discount * pow(2.0, 10.0 - floor(log2(abs(l_discount)))))
+                        THEN 1 ELSE 0 END
+                 ELSE CASE WHEN l_discount * 16777216.0 = floor(l_discount * 16777216.0)
+                      THEN 1 ELSE 0 END
+               END) AS BIGINT) AS n_exact_f16
         FROM lineitem
     """,
     "q10_time_units": (
@@ -1766,6 +1823,32 @@ ORACLE_SQL: dict[str, str] = {
                CAST(count(*) AS BIGINT) AS n
         FROM events e JOIN m ON e.event_type = m.event_type
         GROUP BY e.event_type
+    """,
+    "q55_hll_rollup": """
+        -- the oracle asserts the exact per-month distinct count AND
+        -- that the engine's HLL estimate landed within its documented
+        -- ±5% bound (within_5pct must be 1 for the hash to match)
+        SELECT date_trunc('month', ts) AS period,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_exact,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(1 AS BIGINT) AS within_5pct
+        FROM events GROUP BY 1
+    """,
+    "q61_lttb_downsample": """
+        WITH h AS (
+          SELECT event_type, date_trunc('hour', ts) AS hr,
+                 CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS vq
+          FROM events GROUP BY 1, 2
+        )
+        SELECT event_type,
+               CAST(least(24, count(*)) AS BIGINT) AS n_kept,
+               epoch_us(min(hr)) AS t0_us,
+               epoch_us(max(hr)) AS t1_us,
+               CAST(arg_min(vq, hr) AS BIGINT) AS v_first,
+               CAST(arg_max(vq, hr) AS BIGINT) AS v_last,
+               CAST(count(*) AS BIGINT) AS n_identity,
+               CAST(sum(vq) AS BIGINT) AS identity_vq_sum
+        FROM h GROUP BY event_type
     """,
     "q58_anomaly_zscore": """
         WITH e AS (

@@ -1,0 +1,810 @@
+"""Driver-facing query surface: ≤50 keys, every one oracle-checked.
+
+Round 1 exposed 65 keys and the driver checked exactly the first 50 in
+dict order — the LLM-pipeline suite (positions 51-65) never reached
+CORRECTNESS_r01.json. This module composes the same underlying
+operators into suite wrappers (union / cross-join of reshaped digests,
+oracle SQL composed from the per-query SQL) so the whole surface fits
+in the driver's window, ordered LLM-suite first.
+
+Every wrapper reuses the exact per-operator plan from
+``plans.queries`` / ``plans.llm_queries`` — nothing is re-implemented
+here, so the repo's fine-grained pytest suite and this driver surface
+exercise identical code paths.
+"""
+
+from __future__ import annotations
+
+import shutil
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timebox_spark.operators import dedup
+from timebox_spark.plans import llm_queries as LQ
+from timebox_spark.plans import queries as Q
+from timebox_spark.plans.tables import load
+
+
+def _lit0():
+    return F.lit(0).cast("long")
+
+
+# ------------------------------------------------------------------
+# LLM pipeline suites
+# ------------------------------------------------------------------
+
+def q21_text_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID distribution + top-20 words in one uniform shape."""
+    lang = LQ.q21_lang_id(spark, sf_dir).select(
+        F.lit("lang").alias("chk"), F.col("lang_pred").alias("k"), "n"
+    )
+    words = LQ.q22_top_words(spark, sf_dir).select(
+        F.lit("word").alias("chk"), F.col("word").alias("k"), "n"
+    )
+    return lang.unionByName(words)
+
+
+_Q21_SUITE_SQL = f"""
+SELECT 'lang' AS chk, lang_pred AS k, n FROM ({LQ.ORACLE_SQL['q21_lang_id']})
+UNION ALL
+SELECT 'word' AS chk, word AS k, n FROM ({LQ.ORACLE_SQL['q22_top_words']})
+"""
+
+
+def q25_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH + SimHash near-dup pair sets (rows-only: both rest
+    on engine-internal 64-bit hashing; tests/test_clustering pins their
+    recall and determinism against exact oracles)."""
+    mh = LQ.q25_minhash_dedup(spark, sf_dir).select(
+        F.lit("minhash").alias("method"),
+        "id_a",
+        "id_b",
+        F.col("jaccard_q").alias("score_q"),
+    )
+    sh = LQ.q26_simhash_neardups(spark, sf_dir).select(
+        F.lit("simhash").alias("method"),
+        "id_a",
+        "id_b",
+        F.col("hamming").cast("long").alias("score_q"),
+    )
+    return mh.unionByName(sh)
+
+
+def q29_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH and IVF approximate nearest neighbors (rows-only: bucket
+    assignment depends on seeded random hyperplanes / k-means; recall
+    vs the exact q28 baseline is bounded in tests/test_similarity_ops)."""
+    lsh = LQ.q29_lsh_ann(spark, sf_dir).select(
+        F.lit("lsh").alias("method"), "query_id", "rank", "neighbor_id", "cosine_q"
+    )
+    ivf = LQ.q47_ivf_ann(spark, sf_dir).select(
+        F.lit("ivf").alias("method"), "query_id", "rank", "neighbor_id", "cosine_q"
+    )
+    return lsh.unionByName(ivf)
+
+
+def q30_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-payload decode features + sampled per-frame features."""
+    whole = LQ.q30_multimodal_features(spark, sf_dir).select(
+        "doc_id",
+        F.lit(-1).cast("int").alias("frame_idx"),
+        "n_bytes",
+        "head_hex",
+        "byte_sum_mod",
+    )
+    frames = LQ.q51_frame_sample(spark, sf_dir).select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        "n_bytes",
+        F.lit("").alias("head_hex"),
+        "byte_sum_mod",
+    )
+    return whole.unionByName(frames)
+
+
+_Q30_SUITE_SQL = f"""
+SELECT doc_id, CAST(-1 AS INTEGER) AS frame_idx, n_bytes, head_hex, byte_sum_mod
+FROM ({LQ.ORACLE_SQL['q30_multimodal_features']})
+UNION ALL
+SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx, n_bytes, '' AS head_hex, byte_sum_mod
+FROM ({LQ.ORACLE_SQL['q51_frame_sample']})
+"""
+
+
+def q31_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution with a full oracle: blocked n-gram
+    Jaccard pairs (the q24 pair set — SQL-expressible) fed through
+    distributed min-label propagation; DuckDB recomputes the same
+    connected components with a recursive CTE. The minhash-pair
+    variant of clustering is pinned separately in tests/test_clustering."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "len_bucket", F.floor(F.length("text") / LQ._J_BUCKET).cast("long")
+    )
+    pairs = dedup.ngram_jaccard_pairs(
+        docs,
+        block_cols=["lang", "len_bucket"],
+        shingle_n=LQ._J_SHINGLE_N,
+        threshold=LQ._J_THRESHOLD,
+    )
+    clusters = dedup.dedup_clusters(docs, pairs)
+    return (
+        clusters.groupBy("canonical_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .filter(F.col("cluster_size") > 1)
+    )
+
+
+_Q31_SQL = f"""
+WITH RECURSIVE pairs AS ({LQ.ORACLE_SQL['q24_ngram_jaccard']}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach AS (
+  SELECT src AS node, src AS lbl FROM edges
+  UNION
+  SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node, min(lbl) AS canonical_id FROM reach GROUP BY node)
+SELECT canonical_id, CAST(count(*) AS BIGINT) AS cluster_size
+FROM comp GROUP BY canonical_id HAVING count(*) > 1
+"""
+
+
+# ------------------------------------------------------------------
+# Streaming suites (Structured Streaming drained with availableNow)
+# ------------------------------------------------------------------
+
+def _stage_stream_input(
+    spark: SparkSession, sf_dir: str, n_files: int, sentinel: bool = False
+) -> str:
+    """Write events as n_files range-partitioned parquet files so the
+    file-source stream sees time-ordered micro-batches (FileStreamSource
+    orders by modification time; ranges share one write, order among
+    them is immaterial).
+
+    With ``sentinel=True``, one extra row 30 days past max(ts) is
+    written afterwards as its own (newest) file: with Trigger.AvailableNow
+    Spark runs no trailing no-data batch, so without it the final data
+    batch's windows would never cross the watermark and append-mode
+    aggregations would under-emit. Processing the sentinel as the last
+    micro-batch advances the watermark past every real window; the
+    sentinel's own window stays in state, unemitted."""
+    import glob
+    import os
+    import time
+
+    src = Q._tmp("stream_src", sf_dir) + ("_s" if sentinel else "")
+    events = load(spark, sf_dir, "events").select(
+        "ts", "event_id", "user_id", "event_type", "value"
+    )
+    (
+        events.repartitionByRange(n_files, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    # FileStreamSource batches files in modification-time order; the
+    # parallel write leaves ties, so stamp strictly increasing mtimes
+    # in partition (= ts-range) order to make arrival order == event
+    # time order (no late-data drops, deterministic batches)
+    parts = sorted(glob.glob(os.path.join(src, "part-*")))
+    base = int(time.time())
+    for i, p in enumerate(parts):
+        os.utime(p, (base + i, base + i))
+    if sentinel:
+        (
+            events.agg(F.max("ts").alias("mx"))
+            .select(
+                (F.col("mx") + F.expr("interval 30 days")).alias("ts"),
+                F.lit(-1).cast("long").alias("event_id"),
+                F.lit(-1).cast("long").alias("user_id"),
+                F.lit("__sentinel__").alias("event_type"),
+                F.lit(0.0).alias("value"),
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        for p in glob.glob(os.path.join(src, "part-*")):
+            if p not in parts:
+                os.utime(p, (base + n_files + 10, base + n_files + 10))
+    return src
+
+
+def q65_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window rollup over a multi-batch file
+    stream, drained with Trigger.AvailableNow into a memory sink.
+
+    Append mode emits exactly the windows whose end <= final watermark.
+    The staged sentinel row (30 days past max) advances the watermark
+    past every real window on the final micro-batch, so the emitted set
+    is ALL real hourly windows — the batch group-by exactly — and only
+    the sentinel's own window is retained in state. Exercises: file
+    stream source, event-time watermark, windowed agg state,
+    exactly-once append emission.
+    """
+    from timebox_spark.streaming import ingest
+
+    src = _stage_stream_input(spark, sf_dir, n_files=8, sentinel=True)
+    ckpt = Q._tmp("stream_hourly_ckpt", sf_dir)
+    shutil.rmtree(ckpt, ignore_errors=True)  # fresh drain each run
+    stream = ingest.read_event_stream(spark, src, max_files_per_trigger=2)
+    rolled = ingest.hourly_rollup(stream, watermark="1 hour", window="1 hour")
+    name = "q65_stream_hourly_sink"
+    ingest.run_to_memory(rolled, name, "append", ckpt)
+    return spark.table(name).select("hour_ts", "event_type", "n", "value_q_sum")
+
+
+_Q65_SQL = """
+SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS value_q_sum
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q66_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join (clicks x purchases per user within a
+    2-hour lookback) drained via availableNow, digested per user.
+    Single-batch drain: every match is co-resident in state, so the
+    result equals the batch join and the DuckDB oracle is exact.
+    Multi-batch state eviction is pinned in tests/test_streaming."""
+    from timebox_spark.streaming import ingest
+
+    src = _stage_stream_input(spark, sf_dir, n_files=8)
+    ckpt = Q._tmp("stream_join_ckpt", sf_dir)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    clicks = ingest.read_event_stream(spark, src).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = ingest.read_event_stream(spark, src).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = ingest.stream_stream_join(
+        clicks, purchases, on="user_id", watermark="1 hour", max_delay="2 hours"
+    )
+    name = "q66_stream_join_sink"
+    # inner-join matches emit in the batch they pair up — append mode,
+    # no watermark wait; the digest is a batch agg over the drained sink
+    ingest.run_to_memory(
+        joined.select("user_id", "event_id", "r_event_id"), name, "append", ckpt
+    )
+    return spark.table(name).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("event_id").alias("click_id_sum"),
+        F.sum("r_event_id").alias("purchase_id_sum"),
+    )
+
+
+_Q66_SQL = """
+WITH c AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(c.event_id) AS BIGINT) AS click_id_sum,
+       CAST(sum(p.event_id) AS BIGINT) AS purchase_id_sum
+FROM c JOIN p ON c.user_id = p.user_id
+  AND p.ts <= c.ts AND p.ts >= c.ts - INTERVAL 2 HOUR
+GROUP BY c.user_id
+"""
+
+
+# ------------------------------------------------------------------
+# Storage / codec suites
+# ------------------------------------------------------------------
+
+def q01_io_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet round-trip, pandas bridge, CSV round-trip digests."""
+    a = Q.q01_roundtrip(spark, sf_dir).select(
+        F.lit("parquet").alias("chk"),
+        "n_rows",
+        "ts_min",
+        "ts_max",
+        F.col("value_q_sum").alias("s1"),
+        _lit0().alias("s2"),
+        _lit0().alias("s3"),
+    )
+    b = Q.q02_pandas_bridge(spark, sf_dir).select(
+        F.lit("pandas").alias("chk"),
+        "n_rows",
+        "ts_min",
+        "ts_max",
+        F.col("value_q_sum").alias("s1"),
+        F.col("event_id_sum").alias("s2"),
+        F.col("user_id_sum").alias("s3"),
+    )
+    c = Q.q03_csv_roundtrip(spark, sf_dir).select(
+        F.lit("csv").alias("chk"),
+        "n_rows",
+        "ts_min",
+        "ts_max",
+        F.col("value_q_sum").alias("s1"),
+        F.col("event_id_sum").alias("s2"),
+        F.col("n_types").alias("s3"),
+    )
+    return a.unionByName(b).unionByName(c)
+
+
+_Q01_SUITE_SQL = f"""
+SELECT 'parquet' AS chk, n_rows, ts_min, ts_max, value_q_sum AS s1,
+       CAST(0 AS BIGINT) AS s2, CAST(0 AS BIGINT) AS s3
+FROM ({Q.ORACLE_SQL['q01_roundtrip']})
+UNION ALL
+SELECT 'pandas', n_rows, ts_min, ts_max, value_q_sum, event_id_sum, user_id_sum
+FROM ({Q.ORACLE_SQL['q02_pandas_bridge']})
+UNION ALL
+SELECT 'csv', n_rows, ts_min, ts_max, value_q_sum, event_id_sum, n_types
+FROM ({Q.ORACLE_SQL['q03_csv_roundtrip']})
+"""
+
+
+def q04_validation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotonicity violations + index extremes as one digest table."""
+    mono = Q.q04_monotonic(spark, sf_dir).select(
+        F.lit("monotonic").alias("chk"),
+        F.col("n_violations_raw").alias("v1"),
+        F.col("n_violations_sorted").alias("v2"),
+        _lit0().alias("v3"),
+        _lit0().alias("v4"),
+    )
+    ext = Q.q05_extremes(spark, sf_dir).select(
+        F.lit("extremes").alias("chk"),
+        F.unix_micros("odate_min").alias("v1"),
+        F.unix_micros("odate_max").alias("v2"),
+        F.col("price_min_q").alias("v3"),
+        F.col("price_max_q").alias("v4"),
+    )
+    return mono.unionByName(ext)
+
+
+_Q04_SUITE_SQL = f"""
+SELECT 'monotonic' AS chk, n_violations_raw AS v1, n_violations_sorted AS v2,
+       CAST(0 AS BIGINT) AS v3, CAST(0 AS BIGINT) AS v4
+FROM ({Q.ORACLE_SQL['q04_monotonic']})
+UNION ALL
+SELECT 'extremes', epoch_us(odate_min), epoch_us(odate_max), price_min_q, price_max_q
+FROM ({Q.ORACLE_SQL['q05_extremes']})
+"""
+
+
+def q06_codec_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta/prefix-sum, frame-of-reference, quantize, float-downcast
+    codecs in one digest table (reference numpy_utils.py semantics)."""
+    delta = Q.q06_delta_reconstruct(spark, sf_dir).select(
+        F.lit("delta").alias("chk"),
+        F.col("event_type").alias("k"),
+        "n",
+        F.col("n_exact").alias("v1"),
+        _lit0().alias("v2"),
+    )
+    for_ = Q.q07_frame_of_reference(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qty_for_q").alias("v1"),
+        F.max("qty_for_q").alias("v2"),
+    ).select(F.lit("for").alias("chk"), F.lit("").alias("k"), "n", "v1", "v2")
+    quant = Q.q08_quantize(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("price_q").alias("v1"),
+        F.sum(
+            F.when(
+                F.round(F.col("price_dq") * 100).cast("long") == F.col("price_q"), 1
+            ).otherwise(0)
+        ).alias("v2"),
+    ).select(F.lit("quantize").alias("chk"), F.lit("").alias("k"), "n", "v1", "v2")
+    down = Q.q09_float_downcast(spark, sf_dir).select(
+        F.lit("downcast").alias("chk"),
+        F.lit("").alias("k"),
+        F.col("n_rows").alias("n"),
+        F.col("n_exact_f32").alias("v1"),
+        F.col("n_exact_f16").alias("v2"),
+    )
+    return delta.unionByName(for_).unionByName(quant).unionByName(down)
+
+
+_Q06_SUITE_SQL = f"""
+SELECT 'delta' AS chk, event_type AS k, n, n_exact AS v1, CAST(0 AS BIGINT) AS v2
+FROM ({Q.ORACLE_SQL['q06_delta_reconstruct']})
+UNION ALL
+SELECT 'for', '', CAST(count(*) AS BIGINT),
+       CAST(sum(qty_for_q) AS BIGINT), CAST(max(qty_for_q) AS BIGINT)
+FROM ({Q.ORACLE_SQL['q07_frame_of_reference']})
+UNION ALL
+SELECT 'quantize', '', CAST(count(*) AS BIGINT), CAST(sum(price_q) AS BIGINT),
+       CAST(sum(CASE WHEN CAST(round(price_dq * 100) AS BIGINT) = price_q
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM ({Q.ORACLE_SQL['q08_quantize']})
+UNION ALL
+SELECT 'downcast', '', n_rows, n_exact_f32, n_exact_f16
+FROM ({Q.ORACLE_SQL['q09_float_downcast']})
+"""
+
+
+# ------------------------------------------------------------------
+# Relational suites
+# ------------------------------------------------------------------
+
+def q32_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP + CUBE grouping sets in one table."""
+    r = Q.q32_rollup(spark, sf_dir).select(
+        F.lit("rollup").alias("setkind"),
+        "l_returnflag",
+        "l_linestatus",
+        "n",
+        F.col("qty_q").alias("agg_q"),
+        "gid",
+    )
+    c = Q.q48_cube(spark, sf_dir).select(
+        F.lit("cube").alias("setkind"),
+        "l_returnflag",
+        "l_linestatus",
+        "n",
+        F.col("price_q").alias("agg_q"),
+        "gid",
+    )
+    return r.unionByName(c)
+
+
+_Q32_SUITE_SQL = f"""
+SELECT 'rollup' AS setkind, l_returnflag, l_linestatus, n, qty_q AS agg_q, gid
+FROM ({Q.ORACLE_SQL['q32_rollup']})
+UNION ALL
+SELECT 'cube', l_returnflag, l_linestatus, n, price_q, gid
+FROM ({Q.ORACLE_SQL['q48_cube']})
+"""
+
+
+def q33_setops_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION/INTERSECT/EXCEPT counts x semi/anti-join digests."""
+    return Q.q33_setops(spark, sf_dir).crossJoin(Q.q45_semi_anti(spark, sf_dir))
+
+
+_Q33_SUITE_SQL = f"""
+SELECT * FROM ({Q.ORACLE_SQL['q33_setops']}) CROSS JOIN ({Q.ORACLE_SQL['q45_semi_anti']})
+"""
+
+
+def q34_nested_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction, array kernels, map round-trip digests."""
+    js = Q.q34_json(spark, sf_dir).select(
+        F.lit("json").alias("chk"),
+        F.col("event_type").alias("k"),
+        F.col("k_sum").alias("v1"),
+        F.col("k_max").alias("v2"),
+        F.col("n_gt50").alias("v3"),
+    )
+    arr = Q.q38_array_ops(spark, sf_dir).agg(
+        F.sum("norm_q").alias("v1"),
+        F.sum("head_mean_q").alias("v2"),
+        F.count(F.lit(1)).alias("v3"),
+    ).select(F.lit("array").alias("chk"), F.lit("").alias("k"), "v1", "v2", "v3")
+    mp = (
+        Q.q46_map_roundtrip(spark, sf_dir)
+        .groupBy(F.col("event_type").alias("k"))
+        .agg(
+            F.sum("n").alias("v1"),
+            F.sum("n_types").alias("v2"),
+            F.count(F.lit(1)).alias("v3"),
+        )
+        .select(F.lit("map").alias("chk"), "k", "v1", "v2", "v3")
+    )
+    return js.unionByName(arr).unionByName(mp)
+
+
+_Q34_SUITE_SQL = f"""
+SELECT 'json' AS chk, event_type AS k, k_sum AS v1, k_max AS v2, n_gt50 AS v3
+FROM ({Q.ORACLE_SQL['q34_json']})
+UNION ALL
+SELECT 'array', '', CAST(sum(norm_q) AS BIGINT), CAST(sum(head_mean_q) AS BIGINT),
+       CAST(count(*) AS BIGINT)
+FROM ({Q.ORACLE_SQL['q38_array_ops']})
+UNION ALL
+SELECT 'map', event_type, CAST(sum(n) AS BIGINT), CAST(sum(n_types) AS BIGINT),
+       CAST(count(*) AS BIGINT)
+FROM ({Q.ORACLE_SQL['q46_map_roundtrip']}) GROUP BY event_type
+"""
+
+
+def q41_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling time-range frames + rank/offset window functions."""
+    roll = (
+        Q.q41_rolling(spark, sf_dir)
+        .groupBy(F.col("event_type").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_1h").alias("s1"),
+            F.sum("sum_q_1h").alias("s2"),
+            F.max("n_1h").alias("s3"),
+        )
+        .select(F.lit("rolling").alias("chk"), "k", "n", "s1", "s2", "s3")
+    )
+    ranks = Q.q42_window_suite(spark, sf_dir)
+    r1 = ranks.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("next_orderkey").alias("s1"),
+        F.sum("prev_orderkey").alias("s2"),
+        F.sum("rnk").alias("s3"),
+    ).select(F.lit("ranks_a").alias("chk"), F.lit("").alias("k"), "n", "s1", "s2", "s3")
+    r2 = ranks.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("drnk").alias("s1"),
+        F.sum("quartile").alias("s2"),
+        F.sum("cume_q").alias("s3"),
+    ).select(F.lit("ranks_b").alias("chk"), F.lit("").alias("k"), "n", "s1", "s2", "s3")
+    return roll.unionByName(r1).unionByName(r2)
+
+
+_Q41_SUITE_SQL = f"""
+SELECT 'rolling' AS chk, event_type AS k, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(n_1h) AS BIGINT) AS s1, CAST(sum(sum_q_1h) AS BIGINT) AS s2,
+       CAST(max(n_1h) AS BIGINT) AS s3
+FROM ({Q.ORACLE_SQL['q41_rolling']}) GROUP BY event_type
+UNION ALL
+SELECT 'ranks_a', '', CAST(count(*) AS BIGINT), CAST(sum(next_orderkey) AS BIGINT),
+       CAST(sum(prev_orderkey) AS BIGINT), CAST(sum(rnk) AS BIGINT)
+FROM ({Q.ORACLE_SQL['q42_window_suite']})
+UNION ALL
+SELECT 'ranks_b', '', CAST(count(*) AS BIGINT), CAST(sum(drnk) AS BIGINT),
+       CAST(sum(quartile) AS BIGINT), CAST(sum(cume_q) AS BIGINT)
+FROM ({Q.ORACLE_SQL['q42_window_suite']})
+"""
+
+
+def _h(col):
+    """Engine-portable string digest: first 8 hex chars of md5 as a
+    BIGINT (same formula on DuckDB: ('0x' || substr(md5(x),1,8))::BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def q43_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String, date, and conditional scalar-function suites digested
+    with portable md5 content hashes."""
+    s = Q.q43_string_suite(spark, sf_dir)
+    string = s.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("name_len").alias("s1"),
+        F.sum("lev_dist").alias("s2"),
+        F.sum(_h(F.col("name_masked"))).alias("s3"),
+        F.sum(
+            _h(F.concat_ws("|", "key_padded", "name_upper", "name_head"))
+        ).alias("s4"),
+    ).select(F.lit("string").alias("chk"), "n", "s1", "s2", "s3", "s4")
+    d = Q.q52_date_suite(spark, sf_dir)
+    date = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.col("yr") + F.col("qtr") + F.col("mo") + F.col("dow") + F.col("doy")
+        ).alias("s1"),
+        F.sum("days_to_y2k").alias("s2"),
+        F.sum("epoch_s").alias("s3"),
+        F.sum(
+            _h(F.concat_ws("|", "plus_30d", "month_start", "month_end"))
+        ).alias("s4"),
+    ).select(F.lit("date").alias("chk"), "n", "s1", "s2", "s3", "s4")
+    c = Q.q53_conditional_suite(spark, sf_dir)
+    cond = c.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("neg_part_q").alias("s1"),
+        F.sum("pos_part_q").alias("s2"),
+        F.sum("abs_mod_q").alias("s3"),
+        F.sum(
+            _h(
+                F.concat_ws(
+                    "|",
+                    "tier",
+                    "seg_filled",
+                    F.coalesce(F.col("seg_nb"), F.lit("~")),
+                    F.col("is_null_nullsafe").cast("string"),
+                )
+            )
+        ).alias("s4"),
+    ).select(F.lit("cond").alias("chk"), "n", "s1", "s2", "s3", "s4")
+    return string.unionByName(date).unionByName(cond)
+
+
+_HD = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
+
+_Q43_SUITE_SQL = f"""
+SELECT 'string' AS chk, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(name_len) AS BIGINT) AS s1, CAST(sum(lev_dist) AS BIGINT) AS s2,
+       CAST(sum({_HD.format(x='name_masked')}) AS BIGINT) AS s3,
+       CAST(sum({_HD.format(x="concat_ws('|', key_padded, name_upper, name_head)")}) AS BIGINT) AS s4
+FROM ({Q.ORACLE_SQL['q43_string_suite']})
+UNION ALL
+SELECT 'date', CAST(count(*) AS BIGINT),
+       CAST(sum(yr + qtr + mo + dow + doy) AS BIGINT),
+       CAST(sum(days_to_y2k) AS BIGINT), CAST(sum(epoch_s) AS BIGINT),
+       CAST(sum({_HD.format(x="concat_ws('|', plus_30d, month_start, month_end)")}) AS BIGINT)
+FROM ({Q.ORACLE_SQL['q52_date_suite']})
+UNION ALL
+SELECT 'cond', CAST(count(*) AS BIGINT),
+       CAST(sum(neg_part_q) AS BIGINT), CAST(sum(pos_part_q) AS BIGINT),
+       CAST(sum(abs_mod_q) AS BIGINT),
+       CAST(sum({_HD.format(x="concat_ws('|', tier, seg_filled, coalesce(seg_nb, '~'), CAST(is_null_nullsafe AS VARCHAR))")}) AS BIGINT)
+FROM ({Q.ORACLE_SQL['q53_conditional_suite']})
+"""
+
+
+def q57_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation matrix + per-series linear trend from exact moments."""
+    corr = Q.q57_corr_matrix(spark, sf_dir).select(
+        F.lit("corr").alias("chk"),
+        F.col("ta").alias("ka"),
+        F.col("tb").alias("kb"),
+        "n",
+        F.col("corr_q").alias("m1_q"),
+        _lit0().alias("m2_q"),
+    )
+    trend = Q.q62_linear_trend(spark, sf_dir).select(
+        F.lit("trend").alias("chk"),
+        F.col("event_type").alias("ka"),
+        F.lit("").alias("kb"),
+        "n",
+        F.col("slope_q").alias("m1_q"),
+        F.col("intercept_q").alias("m2_q"),
+    )
+    return corr.unionByName(trend)
+
+
+_Q57_SUITE_SQL = f"""
+SELECT 'corr' AS chk, ta AS ka, tb AS kb, n, corr_q AS m1_q, CAST(0 AS BIGINT) AS m2_q
+FROM ({Q.ORACLE_SQL['q57_corr_matrix']})
+UNION ALL
+SELECT 'trend', event_type, '', n, slope_q, intercept_q
+FROM ({Q.ORACLE_SQL['q62_linear_trend']})
+"""
+
+
+def q63_event_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel + cohort retention in one digest table."""
+    f = Q.q63_funnel(spark, sf_dir)
+    counts = f.select(
+        F.lit("funnel_counts").alias("chk"),
+        F.col("n_signup").alias("v1"),
+        F.col("n_click_after").alias("v2"),
+        F.col("n_purchase_after").alias("v3"),
+    )
+    conv = f.select(
+        F.lit("funnel_conv").alias("chk"),
+        F.col("conv1_q").alias("v1"),
+        F.col("conv2_q").alias("v2"),
+        _lit0().alias("v3"),
+    )
+    cohort = Q.q64_cohort_retention(spark, sf_dir).select(
+        F.lit("cohort").alias("chk"),
+        F.unix_micros("cohort_week").alias("v1"),
+        F.col("week_offset").alias("v2"),
+        F.col("n_active").alias("v3"),
+    )
+    return counts.unionByName(conv).unionByName(cohort)
+
+
+_Q63_SUITE_SQL = f"""
+SELECT 'funnel_counts' AS chk, n_signup AS v1, n_click_after AS v2, n_purchase_after AS v3
+FROM ({Q.ORACLE_SQL['q63_funnel']})
+UNION ALL
+SELECT 'funnel_conv', conv1_q, conv2_q, CAST(0 AS BIGINT)
+FROM ({Q.ORACLE_SQL['q63_funnel']})
+UNION ALL
+SELECT 'cohort', epoch_us(cohort_week), week_offset, n_active
+FROM ({Q.ORACLE_SQL['q64_cohort_retention']})
+"""
+
+
+# ------------------------------------------------------------------
+# Driver dict: ≤50 keys, LLM suite first.
+# ------------------------------------------------------------------
+
+DRIVER_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- LLM pipeline (unchecked in round 1 — ordered first) ---
+    "q20_text_stats": LQ.q20_text_stats,
+    "q21_text_aggregates": q21_text_aggregates,
+    "q23_exact_dedup": LQ.q23_exact_dedup,
+    "q24_ngram_jaccard": LQ.q24_ngram_jaccard,
+    "q27_embedding_neardups": LQ.q27_embedding_neardups,
+    "q28_knn_bruteforce": LQ.q28_knn_bruteforce,
+    "q30_multimodal_suite": q30_multimodal_suite,
+    "q31_dedup_clusters": q31_dedup_clusters,
+    "q44_train_split": LQ.q44_train_split,
+    "q54_curation_pipeline": LQ.q54_curation_pipeline,
+    "q25_neardup_pairs": q25_neardup_pairs,
+    "q29_ann_suite": q29_ann_suite,
+    # --- streaming (new on the driver contract this round) ---
+    "q65_stream_hourly": q65_stream_hourly,
+    "q66_stream_join": q66_stream_join,
+    # --- storage / codec ---
+    "q01_io_suite": q01_io_suite,
+    "q04_validation_suite": q04_validation_suite,
+    "q06_codec_suite": q06_codec_suite,
+    "q10_time_units": Q.q10_time_units,
+    "q17_npb_roundtrip": Q.q17_npb_roundtrip,
+    # --- relational / time series ---
+    "q11_filter_agg": Q.q11_filter_agg,
+    "q12_join_topk": Q.q12_join_topk,
+    "q13_groupby_having": Q.q13_groupby_having,
+    "q14_window_rank": Q.q14_window_rank,
+    "q15_time_bucket": Q.q15_time_bucket,
+    "q16_asof": Q.q16_asof,
+    "q16b_asof_by_user": Q.q16b_asof_by_user,
+    "q18_resample_gapfill": Q.q18_resample_gapfill,
+    "q19_sessionize": Q.q19_sessionize,
+    "q32_grouping_sets": q32_grouping_sets,
+    "q33_setops_semi": q33_setops_semi,
+    "q34_nested_suite": q34_nested_suite,
+    "q35_range_join": Q.q35_range_join,
+    "q36_sql_tpch_q1": Q.q36_sql_tpch_q1,
+    "q37_distinct_percentiles": Q.q37_distinct_percentiles,
+    "q39_pivot": Q.q39_pivot,
+    "q40_histogram": Q.q40_histogram,
+    "q41_window_functions": q41_window_functions,
+    "q43_scalar_suite": q43_scalar_suite,
+    "q49_unpivot": Q.q49_unpivot,
+    "q50_tpch_q5_shape": Q.q50_tpch_q5_shape,
+    "q55_hll_rollup": Q.q55_hll_rollup,
+    "q56_interpolate": Q.q56_interpolate,
+    "q57_stats_suite": q57_stats_suite,
+    "q58_anomaly_zscore": Q.q58_anomaly_zscore,
+    "q59_tpch_q3_shape": Q.q59_tpch_q3_shape,
+    "q60_ewma": Q.q60_ewma,
+    "q61_lttb_downsample": Q.q61_lttb_downsample,
+    "q63_event_analytics": q63_event_analytics,
+}
+
+DRIVER_ORACLE_SQL: dict[str, str] = {
+    "q20_text_stats": LQ.ORACLE_SQL["q20_text_stats"],
+    "q21_text_aggregates": _Q21_SUITE_SQL,
+    "q23_exact_dedup": LQ.ORACLE_SQL["q23_exact_dedup"],
+    "q24_ngram_jaccard": LQ.ORACLE_SQL["q24_ngram_jaccard"],
+    "q27_embedding_neardups": LQ.ORACLE_SQL["q27_embedding_neardups"],
+    "q28_knn_bruteforce": LQ.ORACLE_SQL["q28_knn_bruteforce"],
+    "q30_multimodal_suite": _Q30_SUITE_SQL,
+    "q31_dedup_clusters": _Q31_SQL,
+    "q44_train_split": LQ.ORACLE_SQL["q44_train_split"],
+    "q54_curation_pipeline": LQ.ORACLE_SQL["q54_curation_pipeline"],
+    # q25_neardup_pairs / q29_ann_suite: minhash+simhash pair mining and
+    # LSH/IVF ANN rest on engine-internal hashing / seeded projections —
+    # not SQL-expressible; rows-only by declaration, recall + determinism
+    # pinned in tests/test_clustering.py and tests/test_similarity_ops.py.
+    "q65_stream_hourly": _Q65_SQL,
+    "q66_stream_join": _Q66_SQL,
+    "q01_io_suite": _Q01_SUITE_SQL,
+    "q04_validation_suite": _Q04_SUITE_SQL,
+    "q06_codec_suite": _Q06_SUITE_SQL,
+    "q10_time_units": Q.ORACLE_SQL["q10_time_units"],
+    "q17_npb_roundtrip": Q.ORACLE_SQL["q17_npb_roundtrip"],
+    "q11_filter_agg": Q.ORACLE_SQL["q11_filter_agg"],
+    "q12_join_topk": Q.ORACLE_SQL["q12_join_topk"],
+    "q13_groupby_having": Q.ORACLE_SQL["q13_groupby_having"],
+    "q14_window_rank": Q.ORACLE_SQL["q14_window_rank"],
+    "q15_time_bucket": Q.ORACLE_SQL["q15_time_bucket"],
+    "q16_asof": Q.ORACLE_SQL["q16_asof"],
+    "q16b_asof_by_user": Q.ORACLE_SQL["q16b_asof_by_user"],
+    "q18_resample_gapfill": Q.ORACLE_SQL["q18_resample_gapfill"],
+    "q19_sessionize": Q.ORACLE_SQL["q19_sessionize"],
+    "q32_grouping_sets": _Q32_SUITE_SQL,
+    "q33_setops_semi": _Q33_SUITE_SQL,
+    "q34_nested_suite": _Q34_SUITE_SQL,
+    "q35_range_join": Q.ORACLE_SQL["q35_range_join"],
+    "q36_sql_tpch_q1": Q.ORACLE_SQL["q36_sql_tpch_q1"],
+    "q37_distinct_percentiles": Q.ORACLE_SQL["q37_distinct_percentiles"],
+    "q39_pivot": Q.ORACLE_SQL["q39_pivot"],
+    "q40_histogram": Q.ORACLE_SQL["q40_histogram"],
+    "q41_window_functions": _Q41_SUITE_SQL,
+    "q43_scalar_suite": _Q43_SUITE_SQL,
+    "q49_unpivot": Q.ORACLE_SQL["q49_unpivot"],
+    "q50_tpch_q5_shape": Q.ORACLE_SQL["q50_tpch_q5_shape"],
+    "q55_hll_rollup": Q.ORACLE_SQL["q55_hll_rollup"],
+    "q56_interpolate": Q.ORACLE_SQL["q56_interpolate"],
+    "q57_stats_suite": _Q57_SUITE_SQL,
+    "q58_anomaly_zscore": Q.ORACLE_SQL["q58_anomaly_zscore"],
+    "q59_tpch_q3_shape": Q.ORACLE_SQL["q59_tpch_q3_shape"],
+    "q60_ewma": Q.ORACLE_SQL["q60_ewma"],
+    "q61_lttb_downsample": Q.ORACLE_SQL["q61_lttb_downsample"],
+    "q63_event_analytics": _Q63_SUITE_SQL,
+}
