@@ -483,3 +483,33 @@ def test_rolling_agg_requires_partition_key(spark):
     )
     with pytest.raises(ValueError, match="partition_by"):
         kernels.rolling_agg(df, "ts", {"n": F.count(F.lit(1))}, window_us=1)
+
+
+def test_compact_retains_previous_snapshot(spark, tmp_path):
+    import glob
+    import os
+
+    from tests.conftest import SF_SMOKE
+    from timebox_spark.plans.tables import load as load_table
+
+    events = load_table(spark, SF_SMOKE, "events").limit(200)
+    path = str(tmp_path / "tbl")
+    TimeBoxTable(events).save(path)
+    t = TimeBoxTable.load(spark, path)
+    t.compact(path)  # plain dir -> symlink layout
+    assert os.path.islink(path)
+    v1 = os.path.realpath(path)
+    TimeBoxTable.load(spark, path).compact(path)  # atomic repoint
+    assert os.path.islink(path)
+    v2 = os.path.realpath(path)
+    assert v1 != v2
+    # the immediately-previous snapshot is retained for in-flight scans
+    assert os.path.isdir(v1)
+    assert spark.read.parquet(v1).count() == 200
+    assert spark.read.parquet(path).count() == 200
+    # a third compact garbage-collects the oldest version
+    TimeBoxTable.load(spark, path).compact(path)
+    assert not os.path.isdir(v1)
+    assert os.path.isdir(v2)
+    versions = glob.glob(f"{path}.__v_*")
+    assert len(versions) == 2

@@ -78,15 +78,53 @@ def test_int_identifiers():
     assert list(back.columns) == sorted(pdf.columns)
 
 
-def test_regular_spacing_compacts_units():
+def test_regular_spacing_uses_implicit_dates_layout():
+    # constant whole-second deltas → seconds_between_points layout
+    # (option bit off; reference timebox.py:234-237): no delta block
     idx = pd.date_range("2018-01-01", periods=10, freq="1D")
     pdf = pd.DataFrame({"v": np.arange(10, dtype=np.int32)}, index=idx)
     raw = npb.encode_timebox(pdf)
-    # day-unit deltas of 1 → 1 byte per delta
-    # header: 9 + (4*len('v')=4 + 40) + 8 + 3 + 9*1 + 10*4
-    assert len(raw) == 9 + 44 + 8 + 3 + 9 + 40
+    opts = int(np.frombuffer(raw[1:3], "<u2")[0])
+    assert not (opts & npb.OPT_DATE_DIFFS_STORED)
+    # header: 9 + (4*len('v')=4 + 40) + 8 + step u32 + 10*4
+    assert len(raw) == 9 + 44 + 8 + 4 + 40
     back = npb.decode_timebox(raw)
     np.testing.assert_array_equal(back["v"].to_numpy(), pdf["v"].to_numpy())
+    np.testing.assert_array_equal(
+        back.index.values.astype("datetime64[ns]"), idx.values
+    )
+
+
+def test_irregular_spacing_keeps_delta_layout():
+    pdf = _frame()
+    raw = npb.encode_timebox(pdf)
+    opts = int(np.frombuffer(raw[1:3], "<u2")[0])
+    assert opts & npb.OPT_DATE_DIFFS_STORED
+
+
+def test_subsecond_spacing_stays_in_delta_layout():
+    # constant 500ms deltas are regular but not whole seconds — must
+    # stay on the explicit-deltas path (step is stored in seconds)
+    idx = pd.to_datetime("2018-01-01") + pd.to_timedelta(
+        np.arange(8) * 500, unit="ms"
+    )
+    pdf = pd.DataFrame({"v": np.arange(8, dtype=np.int32)}, index=idx)
+    raw = npb.encode_timebox(pdf)
+    opts = int(np.frombuffer(raw[1:3], "<u2")[0])
+    assert opts & npb.OPT_DATE_DIFFS_STORED
+    back = npb.decode_timebox(raw)
+    np.testing.assert_array_equal(
+        back.index.values.astype("datetime64[ns]"), idx.values
+    )
+
+
+def test_subsecond_start_raises():
+    idx = pd.to_datetime("2018-01-01 00:00:00.250") + pd.to_timedelta(
+        np.arange(4), unit="h"
+    )
+    pdf = pd.DataFrame({"v": np.arange(4, dtype=np.int32)}, index=idx)
+    with pytest.raises(npb.NpbFormatError, match="second-aligned"):
+        npb.encode_timebox(pdf)
 
 
 def test_unsorted_input_is_sorted():
@@ -177,3 +215,30 @@ def test_we_write_reference_reads(tmp_path):
         np.testing.assert_allclose(
             got.astype(np.float64), pdf[c].to_numpy().astype(np.float64), rtol=0
         )
+
+
+@pytest.mark.skipif(not _reference_importable(), reason="reference not importable")
+def test_we_write_regular_spacing_reference_reads(tmp_path):
+    # the implicit-dates layout must round-trip through the REFERENCE
+    # reader (timebox.py:234-237 seconds_between_points path)
+    from timebox.timebox import TimeBox
+
+    idx = pd.date_range("2019-06-01", periods=24, freq="1h")
+    pdf = pd.DataFrame(
+        {"a": np.arange(24, dtype=np.int64), "b": (np.arange(24) * 0.5)},
+        index=idx,
+    )
+    path = str(tmp_path / "regular.npb")
+    npb.write_npb_file(pdf, path)
+    tb = TimeBox(path)
+    tb.read()
+    for c in pdf.columns:
+        np.testing.assert_allclose(
+            tb._tags[c].data.astype(np.float64),
+            pdf[c].to_numpy().astype(np.float64),
+            rtol=0,
+        )
+    # the reference keeps regular-mode dates implicit: _dates stays
+    # unset and (start, seconds_between_points) describe the grid
+    assert int(tb._seconds_between_points) == 3600
+    assert np.datetime64(tb._start_date, "s") == idx.values[0].astype("datetime64[s]")

@@ -132,3 +132,82 @@ def test_q56_interpolate_windows_are_keyed(spark):
     for line in plan.splitlines():
         if "Window" in line and "partition" in line.lower():
             assert "event_type" in line
+
+
+# ---------------- mechanical no-single-task invariant (SCALE.md)
+
+def _single_partition_offenders(plan: str) -> list[str]:
+    """Lines where an Exchange SinglePartition is fed by an UNREDUCED
+    table scan: its subtree reaches a FileScan/Scan with no Aggregate
+    or Limit in between — the one plan shape that cannot survive a
+    100x scale-up. Post-aggregate single partitions (tiny inputs:
+    bucket summaries, 1-row digests, broadcast prefixes) are fine.
+    """
+    import re
+
+    lines = plan.splitlines()
+
+    def start_col(ln: str) -> int:
+        return re.match(r"^[\s:+\-*]*", ln).end()
+
+    offenders = []
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        col = start_col(ln)
+        reduced = False
+        scans = False
+        for sub in lines[i + 1 :]:
+            if sub.strip() and start_col(sub) <= col:
+                break
+            if re.search(r"Aggregate|Limit|TakeOrdered|CollectLimit", sub):
+                reduced = True
+                break  # everything deeper is below a reduction
+            if re.search(r"FileScan|Scan parquet|BatchScan|Scan ExistingRDD", sub):
+                scans = True
+        if scans and not reduced:
+            offenders.append(ln.strip())
+    return offenders
+
+
+def _driver_query_names():
+    from timebox_spark.plans import suites
+
+    # streaming queries run a stateful drain inside the builder — their
+    # returned frame is a batch agg over the drained sink; walking them
+    # would execute the stream here, so they're covered by their own
+    # streaming tests instead
+    return [
+        n for n in suites.DRIVER_QUERIES
+        if n not in ("q65_stream_hourly", "q66_stream_join")
+    ]
+
+
+def _simple_plan(df) -> str:
+    # the one-line-per-operator form ("Exchange SinglePartition ...");
+    # explain("formatted") splits operator name and arguments across
+    # sections, which a line walker cannot pair up
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", _driver_query_names())
+def test_no_unreduced_single_partition_exchange(name, spark):
+    from timebox_spark.plans import suites
+
+    df = suites.DRIVER_QUERIES[name](spark, SF_SMOKE)
+    offenders = _single_partition_offenders(_simple_plan(df))
+    assert not offenders, f"{name}: {offenders}"
+
+
+def test_single_partition_walker_catches_bad_plan(spark):
+    # sanity for the walker itself: an unkeyed global-window plan over
+    # a table scan MUST be flagged
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from timebox_spark.plans.tables import load
+
+    events = load(spark, SF_SMOKE, "events")
+    bad = events.withColumn(
+        "rn", F.row_number().over(Window.orderBy("ts"))
+    )
+    assert _single_partition_offenders(_simple_plan(bad))

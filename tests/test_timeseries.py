@@ -6,6 +6,7 @@ from __future__ import annotations
 from datetime import datetime
 
 import pytest
+from pyspark.sql import functions as F
 
 from timebox_spark.operators.timeseries import ewma, ewma_at_end, lttb
 
@@ -85,3 +86,43 @@ def test_lttb_rejects_tiny_n_out(spark):
     df = spark.createDataFrame([(_ts(0), 1.0)], schema="ts timestamp, value double")
     with pytest.raises(ValueError):
         lttb(df, 2)
+
+
+def test_unkeyed_ewma_bucketed_matches_pandas(spark):
+    # the unkeyed path must be the distributed bucketed-carry plan AND
+    # agree with pandas ewm across bucket boundaries (halflife 1h ->
+    # bucket width 16h; 300 hourly points span ~19 buckets)
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(11)
+    ts = pd.date_range("2024-01-01", periods=300, freq="1h")
+    # irregular: drop a third of the points to create gaps
+    keep = rng.rand(300) > 0.33
+    pdf = pd.DataFrame({"ts": ts[keep], "value": rng.randn(keep.sum()) * 50})
+    expected = (
+        pdf.sort_values("ts")["value"]
+        .ewm(halflife=pd.Timedelta(hours=1), times=pd.DatetimeIndex(pdf.sort_values("ts")["ts"]), adjust=True)
+        .mean()
+        .to_numpy()
+    )
+    df = spark.createDataFrame(pdf)
+    got = (
+        ewma(df, "1 hour").orderBy("ts").toPandas()["ewma"].to_numpy()
+    )
+    np.testing.assert_allclose(got, expected, rtol=1e-9)
+    # plan check: no single-partition sort of the data (the window is
+    # keyed by bucket)
+    plan = ewma(df, "1 hour")._jdf.queryExecution().executedPlan().toString()
+    assert "__b" in plan
+
+
+def test_unkeyed_lttb_refuses_data_sized_input(spark):
+    import pandas as pd
+
+    df = spark.range(0, 100).select(
+        F.to_timestamp(F.lit("2024-01-01")).alias("ts"),
+        F.col("id").cast("double").alias("value"),
+    )
+    with pytest.raises(ValueError, match="single_task_limit"):
+        lttb(df, 10, single_task_limit=50)

@@ -5,20 +5,23 @@ The reference has no smoothing/downsampling at all (gap SURVEY §2.7 —
 its surface stops at storage codecs, /root/reference/timebox/
 timebox.py); these are standard time-series-engine operations.
 
-Scale design: both operators are per-series — ``applyInPandas``
-grouped by the series keys, so work distributes across series and
-each group's points land in one Arrow batch. EWMA additionally has a
-pure-DataFrame variant (``ewma_at_end``) whose weighted sum stays
-entirely JVM-side (one agg + one broadcast join), used as the
-oracle-checkable digest. Unkeyed input collapses to one group — for
-giant single series, pre-bucket by day and stitch like
-``kernels.bucketed_prev``.
+Scale design: keyed input runs ``applyInPandas`` grouped by the
+series keys, so work distributes across series and each group's
+points land in one Arrow batch. UNKEYED input does NOT collapse to a
+single Python task: ``ewma`` switches to an exact bucketed-carry plan
+(in-bucket prefix sums via a keyed window + a tiny cross-bucket decay
+scan broadcast back — same shape as ``kernels.bucketed_prev``), and
+``lttb`` — whose interior argmax genuinely needs the whole series —
+counts its input first and refuses data-sized single-task runs.
+EWMA additionally has a pure-DataFrame variant (``ewma_at_end``)
+whose weighted sum stays entirely JVM-side (one agg + one broadcast
+join), used as the oracle-checkable digest.
 """
 
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -39,11 +42,20 @@ def ewma(
 
     ``ewma_i = sum_{j<=i} 0.5^((t_i - t_j)/halflife) * v_j
                / sum_{j<=i} 0.5^((t_i - t_j)/halflife)``
+
+    Keyed input: one pandas ``ewm`` pass per series (parallel across
+    series). Unkeyed input: the exact bucketed-carry plan — no single
+    Python task (see ``_ewma_bucketed``).
     """
     from timebox_spark.session import ship_package
 
-    ship_package(df.sparkSession)
     keys = keys or []
+    if not keys:
+        return _ewma_bucketed(
+            df, float(interval_us(halflife)), ts_col, value_col, out_col
+        )
+
+    ship_package(df.sparkSession)
     hl = pd.Timedelta(microseconds=interval_us(halflife))
     in_cols = [*keys, ts_col, value_col]
     schema = T.StructType(
@@ -58,12 +70,82 @@ def ewma(
         )
         return pdf
 
-    sel = df.select(*in_cols)
-    if keys:
-        return sel.groupBy(*keys).applyInPandas(smooth, schema=schema)
-    return sel.groupBy(F.lit(0).alias("__g")).applyInPandas(
-        lambda pdf: smooth(pdf.drop(columns="__g", errors="ignore")), schema=schema
+    return df.select(*in_cols).groupBy(*keys).applyInPandas(smooth, schema=schema)
+
+
+_EWMA_BUCKET_HALFLIVES = 16.0  # decay across one bucket = 2^-16: the
+# in-bucket weight ratio stays ≤ 2^16, so double prefix sums keep
+# ~2^-36 relative precision while cross-bucket state shrinks fast
+
+
+def _ewma_bucketed(
+    df: DataFrame,
+    hl_us: float,
+    ts_col: str,
+    value_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Exact adjust-form EWMA for a single global series WITHOUT a
+    single-task window (the scale fix for the unkeyed landmine).
+
+    Derivation: with bucket start S and width W = 16·halflife,
+      numerator_i = Σ_{j≤i} 0.5^((t_i−t_j)/hl)·v_j
+                  = 0.5^((t_i−S)/hl)·C(S) + decay_i·Σ_{j in bkt, j≤i} g_j·v_j
+    where g_j = 2^((t_j−S)/hl) and C(S) carries all earlier buckets'
+    weighted sum evaluated at S. Scaling by powers of two is exact, so
+    the in-bucket part is a keyed running sum (Window per bucket); the
+    carries (C, D) satisfy a per-bucket linear recurrence — a scan over
+    the TINY per-bucket summary table, done driver-side and broadcast
+    back (span/16hl rows, e.g. a year at 1h halflife = ~550 rows).
+    Two shuffles total (bucket window + broadcast join), no Python.
+    """
+    spark = df.sparkSession
+    W = _EWMA_BUCKET_HALFLIVES * hl_us
+    t = F.unix_micros(F.col(ts_col)).cast("double")
+    d = df.withColumn("__t", t).withColumn(
+        "__b", F.floor(F.col("__t") / F.lit(W)).cast("long")
     )
+    rel = (F.col("__t") - F.col("__b").cast("double") * F.lit(W)) / F.lit(hl_us)
+    g = F.pow(F.lit(2.0), rel)
+    decay = F.pow(F.lit(0.5), rel)
+    w = Window.partitionBy("__b").orderBy(ts_col, value_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    d = (
+        d.withColumn("__ga", F.sum(g * F.col(value_col)).over(w))
+        .withColumn("__gb", F.sum(g).over(w))
+        .withColumn("__decay", decay)
+    )
+
+    summary = (
+        d.groupBy("__b")
+        .agg(
+            F.sum(g * F.col(value_col)).alias("ga"),
+            F.sum(g).alias("gb"),
+        )
+        .collect()
+    )
+    shrink = 0.5 ** _EWMA_BUCKET_HALFLIVES  # decay across one bucket
+    carries, zc, zd, prev_b = [], 0.0, 0.0, None
+    for row in sorted(summary, key=lambda r: r["__b"]):
+        b = row["__b"]
+        if prev_b is None:
+            cb = db = 0.0
+        else:
+            gap = 0.5 ** ((b - prev_b - 1) * _EWMA_BUCKET_HALFLIVES)
+            cb, db = zc * gap, zd * gap  # decay from prev bucket end to S_b
+        carries.append((b, cb, db))
+        zc = (cb + row["ga"]) * shrink  # state at this bucket's end
+        zd = (db + row["gb"]) * shrink
+        prev_b = b
+    carry_df = spark.createDataFrame(carries, schema="__b long, __c double, __d double")
+
+    out = d.join(F.broadcast(carry_df), "__b", "left").withColumn(
+        out_col,
+        (F.col("__decay") * (F.col("__c") + F.col("__ga")))
+        / (F.col("__decay") * (F.col("__d") + F.col("__gb"))),
+    )
+    return out.select(ts_col, value_col, out_col)
 
 
 def ewma_at_end(
@@ -100,12 +182,16 @@ def ewma_at_end(
     )
 
 
+LTTB_SINGLE_TASK_LIMIT = 2_000_000
+
+
 def lttb(
     df: DataFrame,
     n_out: int,
     ts_col: str = "ts",
     value_col: str = "value",
     keys: list[str] | None = None,
+    single_task_limit: int = LTTB_SINGLE_TASK_LIMIT,
 ) -> DataFrame:
     """Largest-Triangle-Three-Buckets downsampling per series: keep
     first and last points; split the interior into ``n_out - 2``
@@ -114,6 +200,12 @@ def lttb(
     centroid (Steinarsson 2013). Series with <= n_out points pass
     through unchanged. Deterministic: ties resolve to the first
     (lowest-ts) argmax in each bucket.
+
+    The interior argmax chain genuinely needs the whole series, so an
+    unkeyed call is one Python task: the input is counted first and
+    refused above ``single_task_limit`` rows (downsampling input is
+    normally an already-resampled series — tiny; for raw data, resample
+    first or pass series ``keys``). Keyed series distribute across keys.
     """
     if n_out < 3:
         raise ValueError(f"n_out must be >= 3, got {n_out}")
@@ -121,6 +213,15 @@ def lttb(
 
     ship_package(df.sparkSession)
     keys = keys or []
+    if not keys:
+        n_in = df.count()
+        if n_in > single_task_limit:
+            raise ValueError(
+                f"unkeyed lttb over {n_in} rows would serialize the whole "
+                f"series through one task (limit {single_task_limit}); "
+                "resample/pre-aggregate first, pass series keys, or raise "
+                "single_task_limit explicitly"
+            )
     in_cols = [*keys, ts_col, value_col]
     schema = T.StructType([df.schema[c] for c in in_cols])
 

@@ -220,11 +220,41 @@ def encode_timebox(
     dates_ns = idx.values.astype("datetime64[ns]").astype(np.int64)
     if np.any(np.diff(dates_ns) < 0):
         raise NpbFormatError("dates not sortable")
+    if len(dates_ns) and int(dates_ns.min()) % 1_000_000_000 != 0:
+        # the format anchors all dates at an int64-SECONDS start
+        # (reference datetime64[s], timebox.py:380-383); deltas are
+        # exact relative to the true first timestamp, so a sub-second
+        # remainder on the first row would silently shift every decoded
+        # date by that remainder
+        raise NpbFormatError(
+            "npb stores the start date at second precision; the first "
+            "timestamp must be second-aligned (e.g. date_trunc('second', ts))"
+        )
     start_s = int(dates_ns.min() // 1_000_000_000)
 
-    deltas, unit = _coarsen_deltas(np.diff(dates_ns))
-    delta_width = _uint_width(int(deltas.max())) if deltas.size else 1
-    deltas_raw = deltas.astype(np.dtype(f"u{delta_width}"))
+    diffs_ns = np.diff(dates_ns)
+    # regular-spacing layout (reference timebox.py:234-237, 378-396):
+    # when deltas are a constant whole number of seconds, store only
+    # seconds_between_points (u32) with OPT_DATE_DIFFS_STORED off —
+    # byte-minimal for regular series and exercises the reference's
+    # implicit-dates read path on interop round trips
+    step_s = 0
+    regular = (
+        diffs_ns.size > 0
+        and bool((diffs_ns == diffs_ns[0]).all())
+        and int(diffs_ns[0]) % 1_000_000_000 == 0
+        # reference validation requires seconds_between_points > 0
+        # (timebox.py:301-302), so a zero step stays on the delta path
+        and 1 <= int(diffs_ns[0]) // 1_000_000_000 < (1 << 32)
+    )
+    if regular:
+        step_s = int(diffs_ns[0]) // 1_000_000_000
+        deltas_raw = np.array([], dtype="u1")
+        delta_width, unit = 1, "s"
+    else:
+        deltas, unit = _coarsen_deltas(diffs_ns)
+        delta_width = _uint_width(int(deltas.max())) if deltas.size else 1
+        deltas_raw = deltas.astype(np.dtype(f"u{delta_width}"))
 
     specs: list[TagSpec] = []
     for c in sorted(pdf.columns):
@@ -255,7 +285,9 @@ def encode_timebox(
     blocks = [_encode_column(pdf[s.identifier].to_numpy(), s) for s in specs]
 
     buf = io.BytesIO()
-    opts = (OPT_TAG_NAMES_ARE_STRINGS if names_are_strings else 0) | OPT_DATE_DIFFS_STORED
+    opts = (OPT_TAG_NAMES_ARE_STRINGS if names_are_strings else 0) | (
+        0 if regular else OPT_DATE_DIFFS_STORED
+    )
     buf.write(np.uint8(VERSION).tobytes())
     buf.write(np.uint16(opts).tobytes())
     buf.write(np.uint8(len(specs)).tobytes())
@@ -278,9 +310,12 @@ def encode_timebox(
         buf.write(np.uint32(0).tobytes())
         buf.write(_tag_untyped_bytes(s))
     buf.write(np.int64(start_s).tobytes())
-    buf.write(np.uint8(delta_width).tobytes())
-    buf.write(np.uint16(UNIT_ORDER[unit]).tobytes())
-    buf.write(deltas_raw.tobytes())
+    if regular:
+        buf.write(np.uint32(step_s).tobytes())
+    else:
+        buf.write(np.uint8(delta_width).tobytes())
+        buf.write(np.uint16(UNIT_ORDER[unit]).tobytes())
+        buf.write(deltas_raw.tobytes())
     for block in blocks:
         buf.write(block.tobytes())
     return buf.getvalue()
@@ -475,12 +510,28 @@ def write_npb(df, path: str, bucket: str | None = None, **kw) -> None:
     """DataFrame -> .npb. With ``bucket`` (e.g. '1 day'): one file per
     time bucket via applyInPandas — the scalable layout (each bucket
     independently within format caps). Without: single driver-side
-    file (bounded by the format's own 2^32-row cap)."""
+    file (bounded by the format's own 2^32-row cap).
+
+    Timestamps must start second-aligned per bucket (the format anchors
+    at an int64-seconds start; ``encode_timebox`` raises otherwise) —
+    ``date_trunc('second', ts)`` first for sub-second event data.
+
+    The bucketed path assumes executors and driver share ``path``
+    (local mode or a shared POSIX FS — the same assumption the
+    reference's single-process writer makes). Task-commit protocol:
+    tasks write complete files into a job-scoped staging subdirectory
+    (each file itself tmp+rename atomic), and only after the job
+    succeeds does the driver move them into ``path`` — a failed or
+    speculatively retried job never leaves partial or orphaned files
+    visible (the staging dir is removed)."""
     os.makedirs(path, exist_ok=True)
     if bucket is None:
         pdf = df.toPandas().set_index("ts")
         write_npb_file(pdf, os.path.join(path, "part-00000.npb"), **kw)
         return
+
+    import shutil
+    import uuid
 
     from pyspark.sql import functions as F
 
@@ -488,15 +539,23 @@ def write_npb(df, path: str, bucket: str | None = None, **kw) -> None:
 
     ship_package(df.sparkSession)
     bucketed = df.withColumn("__bucket", F.window(F.col("ts"), bucket).start)
+    staging = os.path.join(path, f"_staging_{uuid.uuid4().hex}")
+    os.makedirs(staging, exist_ok=True)
 
     def write_group(key, pdf):
         stamp = pd.Timestamp(key[0]).strftime("%Y%m%d%H%M%S")
         pdf = pdf.drop(columns="__bucket").set_index("ts")
-        n = write_npb_file(pdf, os.path.join(path, f"part-{stamp}.npb"), **kw)
+        n = write_npb_file(pdf, os.path.join(staging, f"part-{stamp}.npb"), **kw)
         return pd.DataFrame({"bucket": [stamp], "bytes": [n]})
 
-    (
-        bucketed.groupBy("__bucket")
-        .applyInPandas(write_group, schema="bucket string, bytes long")
-        .collect()
-    )
+    try:
+        (
+            bucketed.groupBy("__bucket")
+            .applyInPandas(write_group, schema="bucket string, bytes long")
+            .collect()
+        )
+        for name in os.listdir(staging):  # job commit: publish atomically per file
+            if name.endswith(".npb"):
+                os.replace(os.path.join(staging, name), os.path.join(path, name))
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)

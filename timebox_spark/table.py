@@ -160,17 +160,44 @@ class TimeBoxTable:
         """Rewrite a table directory into well-sized range-clustered
         files — the maintenance job a streaming sink needs (each
         micro-batch commit adds small files; compaction restores scan
-        efficiency). Writes to a temp dir, then atomically swaps."""
+        efficiency).
+
+        Snapshot-versioned swap: ``path`` becomes a symlink to an
+        immutable version directory; each compact writes a NEW version
+        and atomically repoints the link (``os.replace`` of a symlink),
+        RETAINING the previous version so in-flight lazy scans that
+        already resolved file paths keep reading a complete snapshot —
+        this preserves the immutable-snapshot guarantee the module
+        header advertises. Versions older than the immediately-previous
+        one are removed. The very first compact of a plain directory
+        has one brief non-atomic window (directory rename + link
+        creation) — unavoidable because a directory cannot be atomically
+        replaced by a symlink; every subsequent swap is atomic.
+        """
+        import glob as _glob
         import os
         import shutil
         import uuid
 
-        tmp = f"{path}.__compact_{uuid.uuid4().hex[:8]}"
-        TimeBoxTable(self.df).save(tmp, buckets=buckets)
-        old = f"{path}.__old_{uuid.uuid4().hex[:8]}"
-        os.rename(path, old)
-        os.rename(tmp, path)
-        shutil.rmtree(old)
+        version = f"{path}.__v_{uuid.uuid4().hex[:8]}"
+        TimeBoxTable(self.df).save(version, buckets=buckets)
+        prev = None
+        if os.path.islink(path):
+            prev = os.path.realpath(path)
+            tmplink = f"{path}.__lnk_{uuid.uuid4().hex[:8]}"
+            os.symlink(version, tmplink)
+            os.replace(tmplink, path)  # atomic repoint
+        else:
+            if os.path.exists(path):
+                prev = f"{path}.__v_prev_{uuid.uuid4().hex[:8]}"
+                os.rename(path, prev)  # legacy layout: brief window
+            os.symlink(version, path)
+        for d in _glob.glob(f"{path}.__v_*"):
+            if os.path.abspath(d) not in (
+                os.path.abspath(version),
+                os.path.abspath(prev or version),
+            ):
+                shutil.rmtree(d, ignore_errors=True)
 
     # -- egest (reference S9: to_pandas, timebox.py:90-100)
 
