@@ -242,3 +242,43 @@ def test_we_write_regular_spacing_reference_reads(tmp_path):
     # unset and (start, seconds_between_points) describe the grid
     assert int(tb._seconds_between_points) == 3600
     assert np.datetime64(tb._start_date, "s") == idx.values[0].astype("datetime64[s]")
+
+
+def test_downcast_floats_writer_policy():
+    idx = pd.date_range("2020-01-01", periods=8, freq="1h")
+    pdf = pd.DataFrame(
+        {
+            "f16able": np.array([2, 4, 8, 16, 32, 64, 128, 256], dtype=np.float64),
+            "f32able": np.full(8, np.float64(np.finfo(np.float32).max)),
+            "f64only": np.full(8, 0.1, dtype=np.float64),
+        },
+        index=idx,
+    )
+    raw = npb.encode_timebox(pdf, downcast_floats=True)
+    back = npb.decode_timebox(raw)
+    assert back["f16able"].dtype == np.float16
+    assert back["f32able"].dtype == np.float32
+    assert back["f64only"].dtype == np.float64
+    for c in pdf.columns:
+        np.testing.assert_array_equal(
+            back[c].to_numpy().astype(np.float64), pdf[c].to_numpy()
+        )
+    # narrower than the un-downcast encoding
+    assert len(raw) < len(npb.encode_timebox(pdf))
+
+
+@pytest.mark.skipif(not _reference_importable(), reason="reference not importable")
+def test_downcast_floats_reference_reads(tmp_path):
+    from timebox.timebox import TimeBox
+
+    idx = pd.date_range("2020-01-01", periods=8, freq="1h")
+    pdf = pd.DataFrame(
+        {"v": np.array([1, 2, 3, 4, 5, 6, 7, 8], dtype=np.float64)}, index=idx
+    )
+    path = str(tmp_path / "f16.npb")
+    npb.write_npb_file(pdf, path, downcast_floats=True)
+    tb = TimeBox(path)
+    tb.read()
+    np.testing.assert_array_equal(
+        tb._tags["v"].data.astype(np.float64), pdf["v"].to_numpy()
+    )

@@ -585,3 +585,170 @@ def _dot(x, y):
 
 def _cosine(x, y):
     return _dot(x, y) / (F.sqrt(_dot(x, x)) * F.sqrt(_dot(y, y)))
+
+
+# ---------------------------------------------------------------- portable (md5) variants
+
+# Engine-portable near-dup mining: the SAME algorithms as the numpy
+# Arrow kernels above, but with an md5-derived hash family that any
+# SQL engine reproduces bit-for-bit — so the driver's DuckDB oracle
+# recomputes signatures, banding, candidates, and verification and
+# hash-matches the full output. The numpy kernels (minhash_signatures
+# etc.) remain the fast path at scale (one vectorized mix vs 32 md5
+# calls per shingle); these run entirely JVM-side (explode + md5 +
+# min/conditional-sum aggs — no Python at all), so they distribute
+# identically: one shuffle to aggregate signatures, band-bucket
+# equi-joins for candidates, never an all-pairs join.
+
+
+def _md5_u32(col, salt: str | None = None):
+    """First 8 hex chars of md5 as a BIGINT in [0, 2^32) — identical
+    on DuckDB as ('0x' || substr(md5(x), 1, 8))::BIGINT."""
+    c = F.concat(F.lit(f"{salt}|"), col) if salt is not None else col
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def portable_minhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.35,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs with the portable hash family:
+    h_i(s) = md5(f"{i}|" + s) truncated to 32 bits; signatures are
+    minima per salt, band keys are md5 over r = num_perm/bands
+    signature values, candidates are band-key collisions, and the
+    output is candidates whose EXACT shingle jaccard >= threshold.
+    Deterministic and SQL-expressible end-to-end."""
+    if num_perm % bands:
+        raise ValueError("num_perm must divide into bands")
+    r = num_perm // bands
+    d = (
+        with_norm(df.select(id_col, text_col))
+        .withColumn("__sh", F.array_distinct(char_shingles("__norm", shingle_n)))
+        .select(id_col, "__sh")
+    )
+    ex = ensure_parallelism(d).select(id_col, F.explode("__sh").alias("s"))
+    sigs = ex.groupBy(id_col).agg(
+        *[F.min(_md5_u32(F.col("s"), str(i))).alias(f"h{i}") for i in range(num_perm)]
+    )
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",", *[F.col(f"h{j * r + k}").cast("string") for k in range(r)]
+                )
+            ).alias("key"),
+        )
+        for j in range(bands)
+    ]
+    banded = sigs.select(
+        id_col, F.explode(F.array(*band_structs)).alias("b")
+    ).select(id_col, "b.band", "b.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    sh_a = d.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
+    sh_b = d.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
+    joined = cand.join(sh_a, "id_a").join(sh_b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size("sh_a").cast("double") + F.size("sh_b").cast("double") - inter
+    return (
+        joined.select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def portable_simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs with portable 64-bit token hashes built
+    from two md5 halves (hi/lo 32 bits); the fingerprint is carried as
+    four 16-bit blocks, which double as the pigeonhole blocking keys
+    (4 blocks guarantee recall for hamming <= 3). Votes, blocks, and
+    hamming are plain integer arithmetic — identical in DuckDB."""
+    n_blocks = 4
+    if max_hamming > n_blocks - 1:
+        raise ValueError(f"max_hamming={max_hamming} exceeds the pigeonhole bound")
+    toks = ensure_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(normalize_text(text_col), F.lit(TOKEN_RE), F.lit(0))
+        ).alias("tok"),
+    )
+    hi = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(F.md5(F.col("tok")), 9, 8), 16, 10).cast("long")
+    toks = toks.withColumn("hhi", hi).withColumn("hlo", lo)
+
+    def vote(p: int):
+        src = F.col("hlo") if p < 32 else F.col("hhi")
+        sh = p if p < 32 else p - 32
+        bit = F.shiftright(src, sh).bitwiseAND(F.lit(1))
+        return F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"v{p}")
+
+    agg = toks.groupBy(id_col).agg(*[vote(p) for p in range(64)])
+    block_cols = []
+    for k in range(n_blocks):
+        blk = F.lit(0).cast("long")
+        for q in range(16):
+            p = 16 * k + q
+            blk = blk + F.when(
+                F.col(f"v{p}") > 0, F.lit(1 << q).cast("long")
+            ).otherwise(0)
+        block_cols.append(blk.alias(f"b{k}"))
+    fps = agg.select(F.col(id_col), *block_cols)
+
+    blocked = fps.select(
+        id_col,
+        *[F.col(f"b{k}") for k in range(n_blocks)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(k).alias("blk"), F.col(f"b{k}").alias("key"))
+                    for k in range(n_blocks)
+                ]
+            )
+        ).alias("e"),
+    ).select(id_col, *[f"b{k}" for k in range(n_blocks)], "e.blk", "e.key")
+    a, b = blocked.alias("a"), blocked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            *[F.col(f"a.b{k}").alias(f"ab{k}") for k in range(n_blocks)],
+            *[F.col(f"b.b{k}").alias(f"bb{k}") for k in range(n_blocks)],
+        )
+        .distinct()
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"ab{k}").bitwiseXOR(F.col(f"bb{k}")))
+        for k in range(n_blocks)
+    )
+    return (
+        cand.withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

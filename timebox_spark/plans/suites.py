@@ -53,23 +53,133 @@ SELECT 'word' AS chk, word AS k, n FROM ({LQ.ORACLE_SQL['q22_top_words']})
 """
 
 
+_MH_THRESHOLD = 0.35
+_MH_NUM_PERM = 32
+_MH_BANDS = 8
+_SH_MAX_HAMMING = 3
+
+
 def q25_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH + SimHash near-dup pair sets (rows-only: both rest
-    on engine-internal 64-bit hashing; tests/test_clustering pins their
-    recall and determinism against exact oracles)."""
-    mh = LQ.q25_minhash_dedup(spark, sf_dir).select(
+    """MinHash-LSH + SimHash near-dup pair sets, fully oracle-checked:
+    both run the engine-portable md5 hash family (dedup.portable_*),
+    so the DuckDB oracle recomputes signatures, banding/blocking,
+    candidates, and verification bit-for-bit. The vectorized numpy
+    kernels (the fast path at scale, same algorithms) are pinned
+    against exact oracles in tests/test_clustering."""
+    docs = load(spark, sf_dir, "documents")
+    mh = dedup.portable_minhash_pairs(
+        docs,
+        threshold=_MH_THRESHOLD,
+        num_perm=_MH_NUM_PERM,
+        bands=_MH_BANDS,
+        shingle_n=LQ._J_SHINGLE_N,
+    ).select(
         F.lit("minhash").alias("method"),
         "id_a",
         "id_b",
-        F.col("jaccard_q").alias("score_q"),
+        F.round(F.col("jaccard") * 1e6).cast("long").alias("score_q"),
     )
-    sh = LQ.q26_simhash_neardups(spark, sf_dir).select(
+    sh = dedup.portable_simhash_pairs(
+        docs, max_hamming=_SH_MAX_HAMMING
+    ).select(
         F.lit("simhash").alias("method"),
         "id_a",
         "id_b",
         F.col("hamming").cast("long").alias("score_q"),
     )
     return mh.unionByName(sh)
+
+
+def _portable_minhash_sql() -> str:
+    n = LQ._J_SHINGLE_N
+    r = _MH_NUM_PERM // _MH_BANDS
+    sig_exprs = ", ".join(
+        f"min(('0x' || substr(md5('{i}|' || s), 1, 8))::BIGINT) AS h{i}"
+        for i in range(_MH_NUM_PERM)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {j} AS band, md5(concat_ws(',', {cols})) AS key FROM sigs".format(
+            j=j,
+            cols=", ".join(f"CAST(h{j * r + k} AS VARCHAR)" for k in range(r)),
+        )
+        for j in range(_MH_BANDS)
+    )
+    shingle = (
+        f"CASE WHEN length(norm) < {n} THEN [norm] "
+        f"ELSE list_transform(range(1, length(norm) - {n - 2}), i -> substr(norm, i, {n})) END"
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, list_distinct({shingle}) AS sh
+  FROM (SELECT doc_id, {LQ._NORM} AS norm FROM documents)
+), ex AS (SELECT doc_id, unnest(sh) AS s FROM d),
+sigs AS (SELECT doc_id, {sig_exprs} FROM ex GROUP BY doc_id),
+banded AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+j AS (
+  SELECT c.id_a, c.id_b,
+         CAST(length(list_intersect(da.sh, db.sh)) AS DOUBLE)
+         / (length(da.sh) + length(db.sh) - length(list_intersect(da.sh, db.sh))) AS jac
+  FROM cand c JOIN d da ON da.doc_id = c.id_a JOIN d db ON db.doc_id = c.id_b
+)
+SELECT id_a, id_b, CAST(round(jac * 1000000) AS BIGINT) AS score_q
+FROM j WHERE jac >= {_MH_THRESHOLD}
+"""
+
+
+def _portable_simhash_sql() -> str:
+    def vote(p: int) -> str:
+        src = "hlo" if p < 32 else "hhi"
+        sh = p if p < 32 else p - 32
+        return f"sum(CASE WHEN (({src} >> {sh}) & 1) = 1 THEN 1 ELSE -1 END) AS v{p}"
+
+    votes = ", ".join(vote(p) for p in range(64))
+    blocks = ", ".join(
+        "("
+        + " + ".join(
+            f"CASE WHEN v{16 * k + q} > 0 THEN {1 << q} ELSE 0 END" for q in range(16)
+        )
+        + f") AS b{k}"
+        for k in range(4)
+    )
+    blocked = " UNION ALL ".join(
+        f"SELECT doc_id, b0, b1, b2, b3, {k} AS blk, b{k} AS key FROM fps"
+        for k in range(4)
+    )
+    hamming = " + ".join(f"bit_count(xor(ab{k}, bb{k}))" for k in range(4))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(norm, '\\S+')) AS tok
+  FROM (SELECT doc_id, {LQ._NORM} AS norm FROM documents)
+), h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hhi,
+         ('0x' || substr(md5(tok), 9, 8))::BIGINT AS hlo
+  FROM toks
+), v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id),
+fps AS (SELECT doc_id, {blocks} FROM v),
+blocked AS ({blocked}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.b0 AS ab0, a.b1 AS ab1, a.b2 AS ab2, a.b3 AS ab3,
+         b.b0 AS bb0, b.b1 AS bb1, b.b2 AS bb2, b.b3 AS bb3
+  FROM blocked a JOIN blocked b
+    ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST({hamming} AS BIGINT) AS score_q
+FROM cand WHERE {hamming} <= {_SH_MAX_HAMMING}
+"""
+
+
+_Q25_SUITE_SQL = f"""
+SELECT 'minhash' AS method, id_a, id_b, score_q FROM ({_portable_minhash_sql()})
+UNION ALL
+SELECT 'simhash' AS method, id_a, id_b, score_q FROM ({_portable_simhash_sql()})
+"""
 
 
 def q29_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -767,10 +877,11 @@ DRIVER_ORACLE_SQL: dict[str, str] = {
     "q31_dedup_clusters": _Q31_SQL,
     "q44_train_split": LQ.ORACLE_SQL["q44_train_split"],
     "q54_curation_pipeline": LQ.ORACLE_SQL["q54_curation_pipeline"],
-    # q25_neardup_pairs / q29_ann_suite: minhash+simhash pair mining and
-    # LSH/IVF ANN rest on engine-internal hashing / seeded projections —
-    # not SQL-expressible; rows-only by declaration, recall + determinism
-    # pinned in tests/test_clustering.py and tests/test_similarity_ops.py.
+    "q25_neardup_pairs": _Q25_SUITE_SQL,
+    # q29_ann_suite: LSH/IVF ANN rest on seeded random hyperplanes and
+    # k-means iterations — not SQL-expressible; rows-only by
+    # declaration, recall + determinism pinned in
+    # tests/test_similarity_ops.py. (The ONLY rows-only key.)
     "q65_stream_hourly": _Q65_SQL,
     "q66_stream_join": _Q66_SQL,
     "q01_io_suite": _Q01_SUITE_SQL,

@@ -26,6 +26,10 @@ RUNTIME_CONFS = {
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # numpy kernels (minhash signatures, IVF assign, npb decode) want
+    # large Arrow batches: per-batch Python/Arrow overhead amortizes
+    # and vectorized loops run longer between transfers
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
 }
 
 
@@ -128,6 +132,7 @@ def get_spark(
         # read parquet naive timestamps as TIMESTAMP (session tz =
         # UTC), not TIMESTAMP_NTZ — one timestamp type everywhere
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -195,17 +195,36 @@ def _parse_untyped_bytes(spec: TagSpec, raw: bytes, compressed: bool, rounded: b
         spec.decimals = raw[pos]
 
 
+def _lossless_float_downcast_np(arr: np.ndarray) -> np.ndarray:
+    """The reference writer's float ladder f64→f32→f16
+    (numpy_utils.py:103-184): narrow only when every value (NaN
+    included) round-trips bit-exactly."""
+    def exact(a: np.ndarray, dt) -> bool:
+        back = a.astype(dt).astype(a.dtype)
+        ok = (back == a) | (np.isnan(a) & np.isnan(back))
+        return bool(ok.all())
+
+    if arr.dtype == np.float64 and exact(arr, np.float32):
+        arr = arr.astype(np.float32)
+    if arr.dtype == np.float32 and exact(arr, np.float16):
+        arr = arr.astype(np.float16)
+    return arr
+
+
 def encode_timebox(
     pdf: pd.DataFrame,
     compress: dict | None = None,
     decimals: dict | None = None,
+    downcast_floats: bool = False,
 ) -> bytes:
     """pandas frame (datetime index) -> .npb bytes.
 
     ``compress``: {column: 'e'|'m'}; ``decimals``: {column: int} for
     fixed-decimal float rounding (implies int64 storage; pairs with
     compression exactly like the reference's performance harness,
-    performance_tests.py:76-99).
+    performance_tests.py:76-99). ``downcast_floats``: apply the
+    reference writer's lossless f64→f32→f16 ladder per float column
+    before encoding (numpy_utils.py:103-184).
     """
     if len(pdf) >= 1 << 32:
         raise NpbFormatError("npb caps rows at 2^32-1")
@@ -213,6 +232,12 @@ def encode_timebox(
         raise NpbFormatError("npb caps tags at 255")
     compress = compress or {}
     decimals = decimals or {}
+    if downcast_floats:
+        pdf = pdf.copy()
+        for c in pdf.columns:
+            dt = np.dtype(pdf[c].dtype)
+            if dt.kind == "f" and c not in decimals and c not in compress:
+                pdf[c] = _lossless_float_downcast_np(pdf[c].to_numpy())
 
     idx = pd.to_datetime(pdf.index)
     pdf = pdf.iloc[np.argsort(idx.values, kind="stable")]

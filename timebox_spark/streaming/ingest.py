@@ -251,7 +251,10 @@ def write_stream_npb(df: DataFrame, path: str, checkpoint: str):
     """Streaming sink into the .npb interop format via foreachBatch:
     each micro-batch writes day-bucketed .npb files (exactly-once per
     batch id through the checkpoint). Numeric columns + ts only, per
-    the format."""
+    the format; each bucket's first timestamp must be second-aligned
+    (the format anchors at int64 seconds — ``encode_timebox`` raises
+    otherwise), so truncate sub-second event time with
+    ``date_trunc('second', ts)`` upstream."""
     from timebox_spark.sources import npb
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
