@@ -265,8 +265,23 @@ def jaccard_verify(
     threshold: float = 0.7,
 ) -> DataFrame:
     """n-gram Jaccard on candidate pairs only (join hashed shingle
-    sets back by id — candidates are few, so this is a small join)."""
-    sets_df = shingle_hash_sets(df, id_col, text_col, shingle_n)
+    sets back by id — candidates are few, so this is a small join).
+
+    Shingle sets are computed ONLY for docs that appear in a candidate
+    pair (left-semi join first): at corpus scale candidates are a tiny
+    fraction of documents, so the verify kernel touches a sliver of
+    the data; the resulting set table is persisted so the numpy kernel
+    runs once even though both pair sides join against it. ``pairs``
+    is persisted too — it feeds the id extraction AND the output join,
+    and recomputing it would re-run the whole candidate pipeline."""
+    pairs = pairs.persist()
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    needed = df.join(cand_ids, id_col, "left_semi")
+    sets_df = shingle_hash_sets(needed, id_col, text_col, shingle_n).persist()
     out = (
         pairs.join(sets_df.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh_set", "sh_a"), "id_a")
         .join(sets_df.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh_set", "sh_b"), "id_b")

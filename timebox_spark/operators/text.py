@@ -140,3 +140,88 @@ def top_words(df: DataFrame, col: str = "text", k: int = 20) -> DataFrame:
     )
     counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
     return counts.orderBy(F.desc("n"), "word").limit(k)
+
+
+# ------------------------------------------------------------------
+# Gopher-style quality gates, repetition, and PII redaction — the
+# standard curation signals a training-data pipeline layers on top of
+# the basic counts (public recipe: Rae et al. 2021 "Scaling Language
+# Models" appendix A). All JVM regex/array built-ins; every expression
+# is mirror-able in ANSI SQL for the DuckDB oracle.
+
+# RE2-safe patterns (DuckDB uses RE2; no lookarounds/backrefs)
+EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+PHONE_RE = r"\+?[0-9][0-9\- ]{7,}[0-9]"
+
+GOPHER_MIN_TOKENS = 10
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MIN_MEAN_WL = 2.0
+GOPHER_MAX_MEAN_WL = 12.0
+GOPHER_MIN_STOPWORDS = 1
+GOPHER_MAX_DUP_2GRAM = 0.30
+
+
+def _tokens(col: str = "text") -> Column:
+    return F.regexp_extract_all(F.col(col), F.lit(TOKEN_RE), F.lit(0))
+
+
+def mean_word_length(col: str = "text") -> Column:
+    """Mean token length (0.0 for empty docs) — double; quantize for
+    cross-engine hashing."""
+    toks = _tokens(col)
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        total.cast("double") / F.size(toks).cast("double")
+    )
+
+
+def dup_2gram_fraction(col: str = "text") -> Column:
+    """Fraction of duplicate token 2-grams — the repetition signal
+    (near-1.0 for degenerate looping text). 0.0 below 2 tokens.
+
+    Built with ``zip_with`` over two pre-evaluated slices: referencing
+    the tokens expression INSIDE a lambda (e.g. ``element_at(toks, i)``)
+    re-evaluates the token regex once per element — O(tokens²) regex
+    work per row (measured 8× on q54); zip_with's array arguments are
+    evaluated once per row."""
+    toks = _tokens(col)
+    nt = F.size(toks)
+    pair_len = F.greatest(nt - 1, F.lit(0))
+    grams = F.zip_with(
+        F.slice(toks, F.lit(1), pair_len),
+        F.slice(toks, F.lit(2), pair_len),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    n = F.size(grams)
+    return F.when(nt < 2, F.lit(0.0)).otherwise(
+        (n - F.size(F.array_distinct(grams))).cast("double") / n.cast("double")
+    )
+
+
+def gopher_pass(col: str = "text") -> Column:
+    """1 where the document passes the Gopher-style gates: token count
+    in range, mean word length in range, at least one stopword, and
+    bounded 2-gram repetition."""
+    toks = token_count(col)
+    mwl = mean_word_length(col)
+    return (
+        (toks >= GOPHER_MIN_TOKENS)
+        & (toks <= GOPHER_MAX_TOKENS)
+        & (mwl >= GOPHER_MIN_MEAN_WL)
+        & (mwl <= GOPHER_MAX_MEAN_WL)
+        & (stopword_count(col) >= GOPHER_MIN_STOPWORDS)
+        & (dup_2gram_fraction(col) <= GOPHER_MAX_DUP_2GRAM)
+    ).cast("long")
+
+
+def redact(col: str = "text") -> Column:
+    """PII scrubbing: emails, URLs, and phone-shaped digit runs
+    replaced with typed placeholders. Order matters (URLs may contain
+    @; emails before phones so digits inside addresses don't match)."""
+    out = F.regexp_replace(F.col(col), URL_RE, "<URL>")
+    out = F.regexp_replace(out, EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PHONE_RE, "<PHONE>")
+    return out

@@ -59,7 +59,7 @@ def _lang_pred_sql(extra_cols: str = "") -> str:
 def q20_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from timebox_spark.session import ensure_parallelism
 
-    # six regex projections per row are the cost here, not the scan —
+    # the regex projections per row are the cost here, not the scan —
     # fan the small-file scan out so codegen runs on every core
     docs = ensure_parallelism(load(spark, sf_dir, "documents"))
     return docs.select(
@@ -70,24 +70,60 @@ def q20_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.stopword_count().alias("n_stopwords"),
         text.quality_score_q().alias("quality_q"),
         text.fingerprint().alias("fp"),
+        F.round(text.mean_word_length() * 1e6).cast("long").alias("mean_wl_q"),
+        F.round(text.dup_2gram_fraction() * 1e6).cast("long").alias("dup2_q"),
+        text.gopher_pass().alias("gopher_pass"),
+        F.md5(text.redact()).alias("redacted_fp"),
     )
 
 
+_GOPHER_SQL = f"""CASE WHEN n_tokens >= {text.GOPHER_MIN_TOKENS}
+         AND n_tokens <= {text.GOPHER_MAX_TOKENS}
+         AND mean_wl >= {text.GOPHER_MIN_MEAN_WL}
+         AND mean_wl <= {text.GOPHER_MAX_MEAN_WL}
+         AND n_stopwords >= {text.GOPHER_MIN_STOPWORDS}
+         AND dup2 <= {text.GOPHER_MAX_DUP_2GRAM} THEN 1 ELSE 0 END"""
+
 _Q20_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         regexp_extract_all(text, '{text.TOKEN_RE}') AS toks,
+         length(regexp_extract_all(text, '{text.TOKEN_RE}')) AS n_tokens,
+         {_stopword_sql()} AS n_stopwords
+  FROM documents
+), feat AS (
+  SELECT *,
+         CASE WHEN n_tokens = 0 THEN 0.0
+              ELSE CAST(list_sum(list_transform(toks, t -> strlen(t))) AS DOUBLE)
+                   / CAST(n_tokens AS DOUBLE) END AS mean_wl,
+         CASE WHEN n_tokens < 2 THEN 0.0
+              ELSE CAST(n_tokens - 1
+                        - length(list_distinct(list_transform(range(1, n_tokens),
+                              i -> toks[i] || ' ' || toks[i + 1]))) AS DOUBLE)
+                   / CAST(n_tokens - 1 AS DOUBLE) END AS dup2
+  FROM base
+)
 SELECT doc_id,
-       length(regexp_extract_all(text, '{text.TOKEN_RE}')) AS n_tokens,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
        length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
        length(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
-       {_stopword_sql()} AS n_stopwords,
+       CAST(n_stopwords AS BIGINT) AS n_stopwords,
        CAST(round((
-           0.4 * least(CAST(length(regexp_extract_all(text, '{text.TOKEN_RE}')) AS DOUBLE) / 100.0, 1.0)
-         + 0.3 * least(CAST({_stopword_sql()} AS DOUBLE) * 5.0
-                       / greatest(CAST(length(regexp_extract_all(text, '{text.TOKEN_RE}')) AS DOUBLE), 1.0), 1.0)
+           0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+         + 0.3 * least(CAST(n_stopwords AS DOUBLE) * 5.0
+                       / greatest(CAST(n_tokens AS DOUBLE), 1.0), 1.0)
          + 0.3 * (1.0 - least(CAST(length(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) * 10.0
-                       / greatest(CAST(length(regexp_extract_all(text, '{text.TOKEN_RE}')) AS DOUBLE), 1.0), 1.0))
+                       / greatest(CAST(n_tokens AS DOUBLE), 1.0), 1.0))
        ) * 1000000) AS BIGINT) AS quality_q,
-       md5({_NORM}) AS fp
-FROM documents
+       md5({_NORM}) AS fp,
+       CAST(round(mean_wl * 1000000) AS BIGINT) AS mean_wl_q,
+       CAST(round(dup2 * 1000000) AS BIGINT) AS dup2_q,
+       CAST({_GOPHER_SQL} AS BIGINT) AS gopher_pass,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '{text.URL_RE}', '<URL>', 'g'),
+             '{text.EMAIL_RE}', '<EMAIL>', 'g'),
+             '{text.PHONE_RE}', '<PHONE>', 'g')) AS redacted_fp
+FROM feat
 """
 
 
@@ -328,7 +364,29 @@ def q54_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         langs=("en",),
         min_quality_q=_CURATE_MIN_Q,
         min_tokens=_CURATE_MIN_TOKENS,
+        gopher_gates=True,
     )
+
+
+_TOKS_SQL = f"regexp_extract_all(text, '{text.TOKEN_RE}')"
+_NTOK_SQL = f"length({_TOKS_SQL})"
+_MWL_SQL = f"""CASE WHEN {_NTOK_SQL} = 0 THEN 0.0
+    ELSE CAST(list_sum(list_transform({_TOKS_SQL}, t -> strlen(t))) AS DOUBLE)
+         / CAST({_NTOK_SQL} AS DOUBLE) END"""
+_DUP2_SQL = f"""CASE WHEN {_NTOK_SQL} < 2 THEN 0.0
+    ELSE CAST({_NTOK_SQL} - 1
+              - length(list_distinct(list_transform(range(1, {_NTOK_SQL}),
+                    i -> {_TOKS_SQL}[i] || ' ' || {_TOKS_SQL}[i + 1]))) AS DOUBLE)
+         / CAST({_NTOK_SQL} - 1 AS DOUBLE) END"""
+
+
+def _gopher_inline_sql() -> str:
+    return f"""CASE WHEN {_NTOK_SQL} >= {text.GOPHER_MIN_TOKENS}
+        AND {_NTOK_SQL} <= {text.GOPHER_MAX_TOKENS}
+        AND {_MWL_SQL} >= {text.GOPHER_MIN_MEAN_WL}
+        AND {_MWL_SQL} <= {text.GOPHER_MAX_MEAN_WL}
+        AND {_stopword_sql()} >= {text.GOPHER_MIN_STOPWORDS}
+        AND {_DUP2_SQL} <= {text.GOPHER_MAX_DUP_2GRAM} THEN 1 ELSE 0 END"""
 
 
 def _q54_sql() -> str:
@@ -336,7 +394,8 @@ def _q54_sql() -> str:
         extra_cols=(
             f"{_quality_sql()} AS quality_q, "
             f"length(regexp_extract_all(text, '{text.TOKEN_RE}')) AS n_tokens, "
-            f"md5({_NORM}) AS fp"
+            f"md5({_NORM}) AS fp, "
+            f"{_gopher_inline_sql()} AS gopher"
         )
     )
     return f"""
@@ -344,7 +403,7 @@ def _q54_sql() -> str:
     kept AS (
       SELECT * FROM ann
       WHERE lang_pred IN ('en') AND quality_q >= {_CURATE_MIN_Q}
-        AND n_tokens >= {_CURATE_MIN_TOKENS}
+        AND n_tokens >= {_CURATE_MIN_TOKENS} AND gopher = 1
     ),
     ded AS (
       SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
