@@ -98,3 +98,21 @@ def test_range_join_matches_naive(spark):
         & (clicks.ts <= windows.t1),
     ).select("cid", "pid")
     assert sorted(map(tuple, bucketed.collect())) == sorted(map(tuple, naive.collect()))
+
+
+def test_portable_ann_recall_floors(spark):
+    """The driver's q29 suite computes per-query recall rows in-engine;
+    pin floors so a silent recall collapse fails fast (parity with the
+    DuckDB oracle is covered by test_oracle_queries)."""
+    from timebox_spark.plans.suites import q29_ann_suite
+
+    rows = q29_ann_suite(spark, SF_SMOKE).collect()
+    by_m = {}
+    for r in rows:
+        if r["method"].endswith("_recall"):
+            by_m.setdefault(r["method"], []).append(r["cosine_q"])
+    k = similarity.ANN_K
+    lsh = sum(by_m["lsh_recall"]) / (k * len(by_m["lsh_recall"]))
+    ivf = sum(by_m["ivf_recall"]) / (k * len(by_m["ivf_recall"]))
+    assert lsh >= 0.4, f"portable LSH recall collapsed: {lsh}"
+    assert ivf >= 0.5, f"portable IVF recall collapsed: {ivf}"

@@ -43,21 +43,47 @@ def curate(
     ``gopher_gates`` additionally requires ``text.gopher_pass`` (word
     count, mean word length, stopword presence, 2-gram repetition) —
     still map-side column expressions, no extra scan or shuffle."""
-    annotated = ensure_parallelism(docs).select(
+    feats = text.token_features(
+        ensure_parallelism(docs).select(id_col, text_col), text_col
+    )
+    # __bar (monotonically_increasing_id) makes the projection
+    # non-deterministic so Catalyst cannot push the gate predicates
+    # through it — pushdown would inline the full regex trees into the
+    # filter AND leave copies in the projection, tokenizing every doc
+    # twice (the round-2 q54 regression). The annotate stage then runs
+    # each regex exactly once per doc; the marker costs one long
+    # counter and is dropped after the filter.
+    annotated = feats.select(
         F.col(id_col),
         text.lang_id(text_col).alias("lang_pred"),
-        text.quality_score_q(text_col).alias("quality_q"),
-        text.token_count(text_col).alias("n_tokens"),
+        text.quality_score_q_from(
+            F.col("__nt"), F.col("__nsw"), F.col("__npunct")
+        ).alias("quality_q"),
+        F.col("__nt").alias("n_tokens"),
         F.md5(F.encode(dedup.normalize_text(text_col), "UTF-8")).alias("__fp"),
-        *([text.gopher_pass(text_col).alias("__gopher")] if gopher_gates else []),
+        *(
+            [
+                text.gopher_pass_from(
+                    F.col("__toks"), F.col("__nt"), F.col("__nsw")
+                ).alias("__gopher")
+            ]
+            if gopher_gates
+            else []
+        ),
+        F.monotonically_increasing_id().alias("__bar"),
     )
+    # the (__bar >= 0) conjunct is always true; it exists to REFERENCE
+    # the nondeterministic marker so ColumnPruning keeps it in the
+    # projection, which in turn stops PushPredicateThroughNonJoin
+    # (requires an all-deterministic project list) from inlining the
+    # expensive aliases into a pre-projection filter
     kept = annotated.filter(
         F.col("lang_pred").isin(list(langs))
         & (F.col("quality_q") >= min_quality_q)
         & (F.col("n_tokens") >= min_tokens)
-    )
-    if gopher_gates:
-        kept = kept.filter(F.col("__gopher") == 1).drop("__gopher")
+        & (F.col("__bar") >= 0)
+        & (F.col("__gopher") == 1 if gopher_gates else F.lit(True))
+    ).drop("__bar", *(["__gopher"] if gopher_gates else []))
     w = Window.partitionBy("__fp").orderBy(id_col)
     deduped = (
         kept.withColumn("__rn", F.row_number().over(w))

@@ -255,6 +255,328 @@ def ivf_train(
     return cmat
 
 
+# ------------------------------------------------- portable (exact) ANN
+# Engine-portable variants of the LSH and IVF paths, used by the driver
+# correctness key q29_ann_suite. Every reduction is an exact BIGINT sum
+# over 1e-6-quantized components, and every float op is a deterministic
+# scalar (divide / sqrt / floor) on identical integer inputs — so a
+# DuckDB oracle re-derives hyperplane buckets, k-means centroids,
+# candidate sets, cosine scores, AND recall bit-for-bit. The xxhash /
+# float64-matmul variants above remain the throughput path (bench q47);
+# these share their algorithmic shape but trade a little speed for an
+# airtight cross-engine contract. The reference has no similarity
+# search; this extends it for LLM-pipeline workloads.
+
+ANN_QSCALE = 1_000_000  # embedding component quantization (1e-6)
+ANN_COS_SCALE = 1_000_000_000  # cosine quantization (1e-9)
+ANN_DIM = 64
+ANN_PLANES = 4  # 16 buckets/table on the test corpus
+ANN_TABLES = 8  # OR-amplification: ~76% recall@5 scoring ~43% of pairs
+ANN_NLIST = 16
+ANN_NPROBE = 6
+ANN_ITERS = 2
+ANN_K = 5
+ANN_NULL_SCORE = -2 * ANN_COS_SCALE  # zero-norm guard, both engines
+
+
+def lsh_plane_signs(
+    tables: int = ANN_TABLES, planes: int = ANN_PLANES, dim: int = ANN_DIM
+):
+    """±1 hyperplane components derived from md5 of "t|p|d" — computed
+    once driver-side and embedded as plain literals in BOTH the Spark
+    plan and the oracle SQL, so neither engine's hash functions are in
+    the contract."""
+    import hashlib
+
+    return [
+        [
+            [
+                1
+                if int(hashlib.md5(f"{t}|{p}|{d}".encode()).hexdigest()[:8], 16) % 2
+                else -1
+                for d in range(dim)
+            ]
+            for p in range(planes)
+        ]
+        for t in range(tables)
+    ]
+
+
+def quantized_vec(vec_col):
+    """array<float> → array<long> at 1e6 scale via floor(x*1e6 + 0.5)
+    (explicit half-up: Spark CAST truncates, DuckDB CAST rounds)."""
+    return F.transform(
+        vec_col,
+        lambda e: F.floor(
+            e.cast("double") * F.lit(float(ANN_QSCALE)) + F.lit(0.5)
+        ).cast("long"),
+    )
+
+
+def _dot_long(x, y):
+    """Exact integer dot product (order-free — safe against partition
+    nondeterminism, unlike float accumulation)."""
+    return F.aggregate(
+        F.zip_with(x, y, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _cosine_q_portable(vq, qq):
+    dot = _dot_long(vq, qq)
+    na = _dot_long(vq, vq)
+    nb = _dot_long(qq, qq)
+    return (
+        F.when((na == 0) | (nb == 0), F.lit(ANN_NULL_SCORE).cast("long"))
+        .otherwise(
+            F.floor(
+                dot.cast("double")
+                / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double")))
+                * F.lit(float(ANN_COS_SCALE))
+                + F.lit(0.5)
+            ).cast("long")
+        )
+    )
+
+
+def _score_topk_portable(cand: DataFrame, k: int, query_id_col: str) -> DataFrame:
+    """Integer-cosine top-k tail over candidate pairs carrying __vq
+    (corpus) and __qq (query) quantized vectors."""
+    scored = cand.select(
+        F.col(query_id_col),
+        F.col("vec_id").alias("neighbor_id"),
+        _cosine_q_portable(F.col("__vq"), F.col("__qq")).alias("cosine_q"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine_q"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", "neighbor_id", "cosine_q")
+    )
+
+
+def _quantize_sides(corpus: DataFrame, queries: DataFrame, id_col, vec_col, query_id_col):
+    cq = ensure_parallelism(
+        corpus.select(F.col(id_col).alias("vec_id"), quantized_vec(F.col(vec_col)).alias("__vq"))
+    )
+    qq = queries.select(
+        F.col(id_col).alias(query_id_col), quantized_vec(F.col(vec_col)).alias("__qq")
+    )
+    return cq, qq
+
+
+def portable_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = ANN_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact brute-force top-k on quantized vectors — the recall
+    baseline the oracle can recompute verbatim."""
+    cq, qq = _quantize_sides(corpus, queries, id_col, vec_col, query_id_col)
+    cand = cq.crossJoin(F.broadcast(qq)).filter(
+        F.col("vec_id") != F.col(query_id_col)
+    )
+    return _score_topk_portable(cand, k, query_id_col)
+
+
+def portable_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = ANN_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    planes: int = ANN_PLANES,
+    tables: int = ANN_TABLES,
+    dim: int = ANN_DIM,
+) -> DataFrame:
+    """LSH top-k with literal ±1 hyperplanes and exact integer
+    projections: bucket membership is a pure BIGINT computation, so
+    the DuckDB oracle reproduces the candidate set exactly."""
+    signs = lsh_plane_signs(tables, planes, dim)
+
+    def bucket_expr(vq, t):
+        b = F.lit(0).cast("long")
+        for p in range(planes):
+            plane = F.array(*[F.lit(s).cast("long") for s in signs[t][p]])
+            proj = F.aggregate(
+                F.zip_with(vq, plane, lambda v, s: v * s),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            b = b + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        return b
+
+    def with_buckets(df, idc, vecc):
+        return df.select(
+            idc,
+            vecc,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tbl"),
+                            bucket_expr(F.col(vecc), t).alias("bkt"),
+                        )
+                        for t in range(tables)
+                    ]
+                )
+            ).alias("__b"),
+        ).select(idc, vecc, "__b.tbl", "__b.bkt")
+
+    cq, qq = _quantize_sides(corpus, queries, id_col, vec_col, query_id_col)
+    cb = with_buckets(cq, "vec_id", "__vq")
+    qb = with_buckets(qq, query_id_col, "__qq")
+    cand = (
+        cb.join(F.broadcast(qb), ["tbl", "bkt"])
+        .filter(F.col("vec_id") != F.col(query_id_col))
+        .select("vec_id", "__vq", query_id_col, "__qq")
+        .dropDuplicates(["vec_id", query_id_col])
+    )
+    return _score_topk_portable(cand, k, query_id_col)
+
+
+def _portable_ivf_assign(
+    df: DataFrame, cmat, id_col: str, vec_col: str, nprobe: int = 1
+) -> DataFrame:
+    """Nearest-centroid assignment on integer vectors: int64 matmul
+    (exact), then score = dot / sqrt(||c||²) as elementwise float64 —
+    identical scalar arithmetic to the oracle's per-pair expression.
+    Ties break to the smallest centroid id (argsort is stable)."""
+    import numpy as np
+    import pandas as pd
+
+    from timebox_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    cm = np.ascontiguousarray(cmat, dtype=np.int64)
+    n2 = (cm * cm).sum(axis=1)
+    denom = np.sqrt(n2.astype(np.float64))
+    denom[n2 == 0] = 1.0
+    n_out = min(nprobe, len(cm))
+
+    def compute(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.int64)
+            score = (mat @ cm.T).astype(np.float64) / denom[None, :]
+            score[:, n2 == 0] = -1e308
+            order = np.argsort(-score, axis=1, kind="stable")[:, :n_out]
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), n_out),
+                    vec_col: pdf[vec_col].iloc[
+                        np.repeat(np.arange(len(pdf)), n_out)
+                    ].to_numpy(),
+                    "cluster": order.reshape(-1).astype(np.int32),
+                }
+            )
+
+    schema = f"{id_col} long, {vec_col} array<long>, cluster int"
+    return ensure_parallelism(df.select(id_col, vec_col)).mapInPandas(
+        compute, schema=schema
+    )
+
+
+def portable_ivf_train(
+    corpus_q: DataFrame,
+    nlist: int = ANN_NLIST,
+    iters: int = ANN_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "__vq",
+):
+    """Integer k-means: seeds are the ``nlist`` vectors with smallest
+    (md5-prefix(id), id); each Lloyd step sums BIGINT components
+    exactly (order-free) and the new centroid component is
+    floor(sum/count + 0.5) — one deterministic double division per
+    (cluster, dim). Empty clusters keep their centroid. Returns an
+    int64 (nlist × dim) matrix the oracle re-derives exactly."""
+    import math
+
+    import numpy as np
+
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    rows = (
+        corpus_q.select(vec_col, h.alias("__h"), F.col(id_col).alias("__i"))
+        .orderBy("__h", "__i")
+        .limit(nlist)
+        .collect()
+    )
+    cmat = np.array([list(r[vec_col]) for r in rows], dtype=np.int64)
+    for _ in range(iters):
+        assigned = _portable_ivf_assign(corpus_q, cmat, id_col, vec_col, nprobe=1)
+        sums = (
+            assigned.select("cluster", F.posexplode(vec_col))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("col").alias("s"), F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        new = cmat.copy()
+        for r in sums:
+            new[r["cluster"], r["pos"]] = math.floor(
+                float(r["s"]) / float(r["cnt"]) + 0.5
+            )
+        cmat = new
+    return cmat
+
+
+def portable_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = ANN_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    nlist: int = ANN_NLIST,
+    nprobe: int = ANN_NPROBE,
+    iters: int = ANN_ITERS,
+) -> DataFrame:
+    """IVF top-k over the integer k-means index. Same plan shape as
+    ``ivf_topk`` (corpus shuffles once by cell, probes broadcast);
+    candidate pairs unique by construction."""
+    cq, qq = _quantize_sides(corpus, queries, id_col, vec_col, query_id_col)
+    cmat = portable_ivf_train(cq, nlist, iters, id_col="vec_id", vec_col="__vq")
+    cb = _portable_ivf_assign(cq, cmat, "vec_id", "__vq", nprobe=1)
+    qb = _portable_ivf_assign(qq, cmat, query_id_col, "__qq", nprobe=nprobe)
+    cand = (
+        cb.join(F.broadcast(qb), "cluster")
+        .filter(F.col("vec_id") != F.col(query_id_col))
+        .select("vec_id", "__vq", query_id_col, "__qq")
+    )
+    return _score_topk_portable(cand, k, query_id_col)
+
+
+def recall_hits(
+    ann_topk: DataFrame, exact_topk: DataFrame, query_id_col: str = "query_id"
+) -> DataFrame:
+    """Per-query |ann ∩ exact| — an exact integer the oracle
+    recomputes (it derives both top-k sets itself)."""
+    hits = (
+        ann_topk.join(
+            exact_topk.select(query_id_col, "neighbor_id"),
+            [query_id_col, "neighbor_id"],
+            "left_semi",
+        )
+        .groupBy(query_id_col)
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    qids = exact_topk.select(query_id_col).distinct()
+    return qids.join(hits, query_id_col, "left").select(
+        query_id_col, F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -217,6 +217,77 @@ def gopher_pass(col: str = "text") -> Column:
     ).cast("long")
 
 
+# ------------------------------------------------------------------
+# Tokenize-once variants: evaluate TOKEN_RE / stopword / punct regexes
+# exactly once per row in a stage-1 projection, then derive every
+# downstream signal from the materialized columns. Catalyst's
+# CollapseProject keeps the projection boundary (an alias consumed
+# more than once whose producer is non-cheap is not inlined), so the
+# regex work is 1× per doc instead of ~6× (q54 regressed 36% in round
+# 2 from exactly this duplication).
+
+
+def token_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stage-1 projection: token array + stopword/punct counts, each
+    regex evaluated once. Adds ``__toks``, ``__nt``, ``__nsw``,
+    ``__npunct``."""
+    return df.select(
+        "*",
+        _tokens(text_col).alias("__toks"),
+        stopword_count(text_col).alias("__nsw"),
+        punct_count(text_col).alias("__npunct"),
+    ).withColumn("__nt", F.size(F.col("__toks")))
+
+
+def quality_score_q_from(
+    nt: Column, nsw: Column, npunct: Column, scale: int = 1_000_000
+) -> Column:
+    """``quality_score_q`` from pre-computed counts (same formula)."""
+    toks = nt.cast("double")
+    sw = nsw.cast("double")
+    pn = npunct.cast("double")
+    len_term = F.least(toks / F.lit(100.0), F.lit(1.0))
+    sw_term = F.least(sw * F.lit(5.0) / F.greatest(toks, F.lit(1.0)), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(
+        pn * F.lit(10.0) / F.greatest(toks, F.lit(1.0)), F.lit(1.0)
+    )
+    score = F.lit(0.4) * len_term + F.lit(0.3) * sw_term + F.lit(0.3) * punct_term
+    return F.round(score * F.lit(float(scale))).cast("long")
+
+
+def mean_word_length_from(toks: Column) -> Column:
+    total = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        total.cast("double") / F.size(toks).cast("double")
+    )
+
+
+def dup_2gram_fraction_from(toks: Column) -> Column:
+    nt = F.size(toks)
+    pair_len = F.greatest(nt - F.lit(1), F.lit(0))
+    grams = F.zip_with(
+        F.slice(toks, F.lit(1), pair_len),
+        F.slice(toks, F.lit(2), pair_len),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    n = F.size(grams)
+    return F.when(nt < 2, F.lit(0.0)).otherwise(
+        (n - F.size(F.array_distinct(grams))).cast("double") / n.cast("double")
+    )
+
+
+def gopher_pass_from(toks: Column, nt: Column, nsw: Column) -> Column:
+    mwl = mean_word_length_from(toks)
+    return (
+        (nt >= GOPHER_MIN_TOKENS)
+        & (nt <= GOPHER_MAX_TOKENS)
+        & (mwl >= GOPHER_MIN_MEAN_WL)
+        & (mwl <= GOPHER_MAX_MEAN_WL)
+        & (nsw >= GOPHER_MIN_STOPWORDS)
+        & (dup_2gram_fraction_from(toks) <= GOPHER_MAX_DUP_2GRAM)
+    ).cast("long")
+
+
 def redact(col: str = "text") -> Column:
     """PII scrubbing: emails, URLs, and phone-shaped digit runs
     replaced with typed placeholders. Order matters (URLs may contain

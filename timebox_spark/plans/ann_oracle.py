@@ -1,0 +1,186 @@
+"""DuckDB oracle for the portable ANN suite (q29).
+
+Generates one SQL statement that independently re-derives, from the
+``embeddings`` table alone, everything the Spark side computes in
+``operators.similarity`` (portable variants):
+
+- 1e6-quantized integer vectors (floor(x*1e6 + 0.5)),
+- LSH buckets from the SAME literal ±1 hyperplanes (exact BIGINT
+  projections — no engine hash functions in the contract),
+- the integer k-means index: seeded by md5-prefix order, ``ITERS``
+  Lloyd steps unrolled as CTE layers, all cluster sums exact BIGINT,
+  centroid components floor(sum/count + 0.5),
+- candidate sets, integer-cosine scores (quantized 1e-9), top-k with
+  (score DESC, neighbor_id) tie-break, and per-query recall hits
+  against the exact baseline.
+
+Float ops are deterministic scalars (divide/sqrt/floor) on identical
+integer inputs, so both engines produce bit-identical rows; the driver
+hash check passes for real rather than by declaration.
+"""
+
+from __future__ import annotations
+
+from timebox_spark.operators.similarity import (
+    ANN_COS_SCALE,
+    ANN_DIM,
+    ANN_ITERS,
+    ANN_K,
+    ANN_NLIST,
+    ANN_NPROBE,
+    ANN_NULL_SCORE,
+    ANN_PLANES,
+    ANN_QSCALE,
+    ANN_TABLES,
+    lsh_plane_signs,
+)
+
+ANN_QUERY_MAX_ID = 10  # queries = embeddings with vec_id < 10
+
+
+def _dot(x: str, y: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {ANN_DIM + 1}), d -> {x}[d] * {y}[d]))"
+    )
+
+
+def _n2(x: str) -> str:
+    return f"list_sum(list_transform({x}, x -> x * x))"
+
+
+def _cos_q(v: str, q: str) -> str:
+    return f"""CASE WHEN {_n2(v)} = 0 OR {_n2(q)} = 0 THEN CAST({ANN_NULL_SCORE} AS BIGINT)
+      ELSE CAST(floor(CAST({_dot(v, q)} AS DOUBLE)
+                / (sqrt(CAST({_n2(v)} AS DOUBLE)) * sqrt(CAST({_n2(q)} AS DOUBLE)))
+                * {ANN_COS_SCALE} + 0.5) AS BIGINT) END"""
+
+
+def _topk(src: str, qid: str = "query_id") -> str:
+    return f"""SELECT {qid}, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine_q FROM (
+      SELECT *, row_number() OVER (PARTITION BY {qid}
+               ORDER BY cosine_q DESC, neighbor_id) AS rank FROM {src}
+    ) WHERE rank <= {ANN_K}"""
+
+
+def _bucket(v: str, t: int, signs) -> str:
+    terms = []
+    for p in range(ANN_PLANES):
+        arr = "[" + ", ".join(str(s) for s in signs[t][p]) + "]"
+        proj = (
+            f"list_sum(list_transform(range(1, {ANN_DIM + 1}),"
+            f" d -> {v}[d] * ({arr})[d]))"
+        )
+        terms.append(f"CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _assign(centroids: str, src: str, idc: str, vecc: str, rn_bound: int) -> str:
+    """Assignment block: row per (vector, probed cell). ``rn_bound=1``
+    is hard assignment; larger = query probes."""
+    score = f"""CASE WHEN {_n2('c.c')} = 0 THEN -1e308
+          ELSE CAST({_dot(f'e.{vecc}', 'c.c')} AS DOUBLE)
+               / sqrt(CAST({_n2('c.c')} AS DOUBLE)) END"""
+    return f"""SELECT {idc}, {vecc}, j FROM (
+      SELECT e.{idc}, e.{vecc}, c.j,
+             row_number() OVER (PARTITION BY e.{idc} ORDER BY {score} DESC, c.j) AS rn
+      FROM {src} e CROSS JOIN {centroids} c
+    ) WHERE rn <= {rn_bound}"""
+
+
+def portable_ann_sql() -> str:
+    signs = lsh_plane_signs()
+
+    cb = " UNION ALL ".join(
+        f"SELECT vec_id, v, {t} AS tbl, {_bucket('v', t, signs)} AS bkt FROM eq"
+        for t in range(ANN_TABLES)
+    )
+    qb = " UNION ALL ".join(
+        f"SELECT query_id, qv, {t} AS tbl, {_bucket('qv', t, signs)} AS bkt FROM qe"
+        for t in range(ANN_TABLES)
+    )
+
+    # unrolled integer k-means: c0 → (a1, m1, g1, c1) → ... → c{ITERS}
+    kmeans = []
+    for i in range(ANN_ITERS):
+        kmeans.append(
+            f"a{i + 1} AS ({_assign(f'c{i}', 'eq', 'vec_id', 'v', 1)}),\n"
+            f"m{i + 1} AS (\n"
+            f"  SELECT j, r.range AS d, CAST(sum(v[r.range]) AS BIGINT) AS s,\n"
+            f"         count(*) AS cnt\n"
+            f"  FROM a{i + 1} CROSS JOIN range(1, {ANN_DIM + 1}) r GROUP BY 1, 2\n"
+            f"),\n"
+            f"g{i + 1} AS (\n"
+            f"  SELECT j, list(CAST(floor(CAST(s AS DOUBLE) / cnt + 0.5) AS BIGINT)\n"
+            f"                 ORDER BY d) AS c\n"
+            f"  FROM m{i + 1} GROUP BY j\n"
+            f"),\n"
+            f"c{i + 1} AS (SELECT p.j, coalesce(g.c, p.c) AS c\n"
+            f"            FROM c{i} p LEFT JOIN g{i + 1} g ON g.j = p.j)"
+        )
+    kmeans_sql = ",\n".join(kmeans)
+    cfin = f"c{ANN_ITERS}"
+
+    return f"""
+WITH eq AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           e -> CAST(floor(CAST(e AS DOUBLE) * {ANN_QSCALE} + 0.5) AS BIGINT)) AS v
+  FROM embeddings
+),
+qe AS (SELECT vec_id AS query_id, v AS qv FROM eq WHERE vec_id < {ANN_QUERY_MAX_ID}),
+ex_s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, {_cos_q('e.v', 'q.qv')} AS cosine_q
+  FROM eq e CROSS JOIN qe q WHERE e.vec_id <> q.query_id
+),
+ex_k AS ({_topk('ex_s')}),
+cb AS ({cb}),
+qb AS ({qb}),
+lsh_cand AS (
+  SELECT DISTINCT a.vec_id, q.query_id
+  FROM cb a JOIN qb q ON a.tbl = q.tbl AND a.bkt = q.bkt AND a.vec_id <> q.query_id
+),
+lsh_s AS (
+  SELECT p.query_id, p.vec_id AS neighbor_id, {_cos_q('a.v', 'q.qv')} AS cosine_q
+  FROM lsh_cand p JOIN eq a ON a.vec_id = p.vec_id JOIN qe q ON q.query_id = p.query_id
+),
+lsh_k AS ({_topk('lsh_s')}),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS j, c FROM (
+    SELECT ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS h,
+           vec_id, v AS c
+    FROM eq ORDER BY 1, 2 LIMIT {ANN_NLIST}
+  )
+),
+{kmeans_sql},
+af AS ({_assign(cfin, 'eq', 'vec_id', 'v', 1)}),
+qp AS ({_assign(cfin, 'qe', 'query_id', 'qv', ANN_NPROBE)}),
+ivf_s AS (
+  SELECT qp.query_id, af.vec_id AS neighbor_id, {_cos_q('af.v', 'qp.qv')} AS cosine_q
+  FROM af JOIN qp ON af.j = qp.j WHERE af.vec_id <> qp.query_id
+),
+ivf_k AS ({_topk('ivf_s')}),
+qids AS (SELECT DISTINCT query_id FROM qe),
+lsh_rec AS (
+  SELECT q.query_id, CAST(count(x.neighbor_id) AS BIGINT) AS hits
+  FROM qids q LEFT JOIN (
+    SELECT l.query_id, l.neighbor_id
+    FROM lsh_k l JOIN ex_k e ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+  ) x ON x.query_id = q.query_id GROUP BY q.query_id
+),
+ivf_rec AS (
+  SELECT q.query_id, CAST(count(x.neighbor_id) AS BIGINT) AS hits
+  FROM qids q LEFT JOIN (
+    SELECT l.query_id, l.neighbor_id
+    FROM ivf_k l JOIN ex_k e ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+  ) x ON x.query_id = q.query_id GROUP BY q.query_id
+)
+SELECT 'exact' AS method, query_id, rank, neighbor_id, cosine_q FROM ex_k
+UNION ALL
+SELECT 'lsh', query_id, rank, neighbor_id, cosine_q FROM lsh_k
+UNION ALL
+SELECT 'ivf', query_id, rank, neighbor_id, cosine_q FROM ivf_k
+UNION ALL
+SELECT 'lsh_recall', query_id, CAST(0 AS INTEGER), CAST(-1 AS BIGINT), hits FROM lsh_rec
+UNION ALL
+SELECT 'ivf_recall', query_id, CAST(0 AS INTEGER), CAST(-1 AS BIGINT), hits FROM ivf_rec
+"""

@@ -60,19 +60,24 @@ def q20_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from timebox_spark.session import ensure_parallelism
 
     # the regex projections per row are the cost here, not the scan —
-    # fan the small-file scan out so codegen runs on every core
+    # fan the small-file scan out so codegen runs on every core, and
+    # tokenize once (token_features) instead of per-signal
     docs = ensure_parallelism(load(spark, sf_dir, "documents"))
-    return docs.select(
+    feats = text.token_features(docs)
+    toks, nt = F.col("__toks"), F.col("__nt")
+    return feats.select(
         "doc_id",
-        text.token_count().alias("n_tokens"),
+        nt.alias("n_tokens"),
         text.bpe_ish_token_count().alias("n_bpe_tokens"),
-        text.punct_count().alias("n_punct"),
-        text.stopword_count().alias("n_stopwords"),
-        text.quality_score_q().alias("quality_q"),
+        F.col("__npunct").alias("n_punct"),
+        F.col("__nsw").alias("n_stopwords"),
+        text.quality_score_q_from(nt, F.col("__nsw"), F.col("__npunct")).alias(
+            "quality_q"
+        ),
         text.fingerprint().alias("fp"),
-        F.round(text.mean_word_length() * 1e6).cast("long").alias("mean_wl_q"),
-        F.round(text.dup_2gram_fraction() * 1e6).cast("long").alias("dup2_q"),
-        text.gopher_pass().alias("gopher_pass"),
+        F.round(text.mean_word_length_from(toks) * 1e6).cast("long").alias("mean_wl_q"),
+        F.round(text.dup_2gram_fraction_from(toks) * 1e6).cast("long").alias("dup2_q"),
+        text.gopher_pass_from(toks, nt, F.col("__nsw")).alias("gopher_pass"),
         F.md5(text.redact()).alias("redacted_fp"),
     )
 

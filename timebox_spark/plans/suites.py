@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from timebox_spark.operators import dedup
+from timebox_spark.plans import ann_oracle
 from timebox_spark.plans import llm_queries as LQ
 from timebox_spark.plans import queries as Q
 from timebox_spark.plans.tables import load
@@ -183,16 +184,42 @@ SELECT 'simhash' AS method, id_a, id_b, score_q FROM ({_portable_simhash_sql()})
 
 
 def q29_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH and IVF approximate nearest neighbors (rows-only: bucket
-    assignment depends on seeded random hyperplanes / k-means; recall
-    vs the exact q28 baseline is bounded in tests/test_similarity_ops)."""
-    lsh = LQ.q29_lsh_ann(spark, sf_dir).select(
-        F.lit("lsh").alias("method"), "query_id", "rank", "neighbor_id", "cosine_q"
+    """LSH + IVF ANN on the hard oracle signal: the engine-portable
+    integer-exact variants (operators.similarity portable_*) whose
+    buckets, k-means centroids, candidates, quantized cosines, and
+    per-query recall the DuckDB oracle (plans.ann_oracle) re-derives
+    independently and bit-for-bit. The xxhash/float64 fast variants
+    stay on bench q47 with recall pinned in tests/test_similarity_ops."""
+    from timebox_spark.operators import similarity as S
+    from timebox_spark.plans.ann_oracle import ANN_QUERY_MAX_ID
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_QUERY_MAX_ID)
+    exact = S.portable_cosine_topk(emb, queries)
+    lsh = S.portable_lsh_topk(emb, queries)
+    ivf = S.portable_ivf_topk(emb, queries)
+
+    def tagged(df, m):
+        return df.select(
+            F.lit(m).alias("method"), "query_id", "rank", "neighbor_id", "cosine_q"
+        )
+
+    def rec(df, m):
+        return df.select(
+            F.lit(m).alias("method"),
+            "query_id",
+            F.lit(0).cast("int").alias("rank"),
+            F.lit(-1).cast("long").alias("neighbor_id"),
+            F.col("hits").alias("cosine_q"),
+        )
+
+    return (
+        tagged(exact, "exact")
+        .unionByName(tagged(lsh, "lsh"))
+        .unionByName(tagged(ivf, "ivf"))
+        .unionByName(rec(S.recall_hits(lsh, exact), "lsh_recall"))
+        .unionByName(rec(S.recall_hits(ivf, exact), "ivf_recall"))
     )
-    ivf = LQ.q47_ivf_ann(spark, sf_dir).select(
-        F.lit("ivf").alias("method"), "query_id", "rank", "neighbor_id", "cosine_q"
-    )
-    return lsh.unionByName(ivf)
 
 
 def q30_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -878,10 +905,7 @@ DRIVER_ORACLE_SQL: dict[str, str] = {
     "q44_train_split": LQ.ORACLE_SQL["q44_train_split"],
     "q54_curation_pipeline": LQ.ORACLE_SQL["q54_curation_pipeline"],
     "q25_neardup_pairs": _Q25_SUITE_SQL,
-    # q29_ann_suite: LSH/IVF ANN rest on seeded random hyperplanes and
-    # k-means iterations — not SQL-expressible; rows-only by
-    # declaration, recall + determinism pinned in
-    # tests/test_similarity_ops.py. (The ONLY rows-only key.)
+    "q29_ann_suite": ann_oracle.portable_ann_sql(),
     "q65_stream_hourly": _Q65_SQL,
     "q66_stream_join": _Q66_SQL,
     "q01_io_suite": _Q01_SUITE_SQL,
