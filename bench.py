@@ -97,6 +97,28 @@ def main() -> None:
     timings = run_pass(sf_dir)       # first data pass at target SF
     warm_timings = run_pass(sf_dir)  # steady-state repeat
 
+    # scale-stress: the dedup/ANN/curation path again on a 10×
+    # duplicate-amplified corpus (see plans/scale_stress.py) — the
+    # ratio vs the 1× pass shows whether the blocking/bucketing keeps
+    # the shuffle sub-quadratic before a real cluster would
+    from timebox_spark.plans import scale_stress
+
+    amp_factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
+    amp_dir = f"/tmp/timebox_scale{amp_factor}_{os.path.basename(sf_dir.rstrip('/'))}"
+    t0 = time.perf_counter()
+    scale_stress.amplify_sf_dir(spark, sf_dir, amp_dir, factor=amp_factor)
+    amp_build = round(time.perf_counter() - t0, 3)
+    scale_queries = {
+        "q25_minhash_dedup": LQ.q25_minhash_dedup,
+        "q47_ivf_ann": LQ.q47_ivf_ann,
+        "q54_curation_pipeline": LQ.q54_curation_pipeline,
+    }
+    scale_timings: dict[str, float] = {}
+    for name, fn in scale_queries.items():
+        t0 = time.perf_counter()
+        fn(spark, amp_dir).write.mode("overwrite").format("noop").save()
+        scale_timings[name] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -107,6 +129,14 @@ def main() -> None:
                 "queries": timings,
                 "warm_total": round(sum(warm_timings.values()), 3),
                 "warm_queries": warm_timings,
+                "scale10_queries": scale_timings,
+                "scale10_factor": amp_factor,
+                "scale10_build_sec": amp_build,
+                "scale10_ratio": {
+                    k: round(scale_timings[k] / timings[k], 2)
+                    for k in scale_timings
+                    if timings.get(k)
+                },
                 "sf": sf,
             }
         )

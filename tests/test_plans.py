@@ -179,7 +179,7 @@ def _driver_query_names():
     # streaming tests instead
     return [
         n for n in suites.DRIVER_QUERIES
-        if n not in ("q65_stream_hourly", "q66_stream_join")
+        if n not in ("q65_stream_hourly", "q66_stream_join", "q67_stream_zscore")
     ]
 
 
@@ -211,3 +211,29 @@ def test_single_partition_walker_catches_bad_plan(spark):
         "rn", F.row_number().over(Window.orderBy("ts"))
     )
     assert _single_partition_offenders(_simple_plan(bad))
+
+
+def test_unkeyed_delta_paths_are_bucketed(spark):
+    """delta_encode / delta_decode / ts_delta_us without partition_by
+    must run the bucketed-carry plan (no data-sized single-partition
+    exchange) and still be exact vs the keyed/window semantics."""
+    from timebox_spark.operators import kernels
+    from timebox_spark.plans.tables import load
+
+    events = load(spark, SF_SMOKE, "events").select("ts", "event_id", "value")
+    enc = kernels.delta_encode(events, "value", order_by=["ts", "event_id"])
+    assert not _single_partition_offenders(_simple_plan(enc))
+    dts = kernels.ts_delta_us(events, order_by=["ts", "event_id"])
+    assert not _single_partition_offenders(_simple_plan(dts))
+    dec = kernels.delta_decode(
+        enc, "value_delta", "value", order_by=["ts", "event_id"]
+    )
+    assert not _single_partition_offenders(_simple_plan(dec))
+
+    # exactness: reconstruct == original value everywhere
+    from pyspark.sql import functions as F
+
+    bad = dec.filter(
+        F.abs(F.col("reconstructed") - F.col("value")) > 1e-9
+    ).count()
+    assert bad == 0

@@ -187,8 +187,19 @@ def range_join(
             )
         ),
     )
-    cond = [l["__bucket"] == r["__bucket"]] + [l[k] == r[k] for k in by]
+    # rename the right side's join keys: left and right commonly derive
+    # from the same source table, and `l[k] == r[k]` on shared lineage
+    # resolves both sides to one attribute (Spark warns "trivially true
+    # equals predicate"); distinct names make the equi-join explicit.
+    # The duplicate key columns are dropped from the output (the left
+    # side's values are identical by the join condition).
+    ren = {"__bucket": "__bucket_r", **{k: f"__{k}_r" for k in by}}
+    for old, new in ren.items():
+        r = r.withColumnRenamed(old, new)
+    cond = [l["__bucket"] == F.col("__bucket_r")] + [
+        l[k] == F.col(f"__{k}_r") for k in by
+    ]
     joined = l.join(r, cond, "inner").where(
-        (l[left_ts] >= r[right_start]) & (l[left_ts] <= r[right_end])
+        (l[left_ts] >= F.col(right_start)) & (l[left_ts] <= F.col(right_end))
     )
-    return joined.drop(l["__bucket"]).drop(r["__bucket"])
+    return joined.drop("__bucket", *ren.values())

@@ -136,11 +136,18 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = 32,
     shingle_n: int = 5,
+    emit_sets: bool = False,
 ) -> DataFrame:
     """Per-doc MinHash signature via an Arrow-batched numpy kernel:
     one polynomial base hash per shingle position, ``num_hashes``
     universal-hash permutations, per-doc minima via
     ``np.minimum.reduceat`` — zero shuffle, no per-row Python.
+
+    ``emit_sets=True`` additionally emits the sorted unique shingle-
+    hash set per doc (``sh_set array<long>``) from the SAME shingle
+    pass — the verify stage then joins sets out of this one table
+    instead of re-shingling the corpus in a second kernel (the text
+    work is the dominant map-side cost; one pass halves it).
 
     (A pure JVM higher-order-function variant was 1.5× slower because
     Spark interprets lambda-transform expressions per element;
@@ -159,7 +166,7 @@ def minhash_signatures(
         for pdf in batches:
             if not len(pdf):
                 continue
-            values, _doc_idx, seg_starts = _batch_shingle_values(
+            values, doc_index, seg_starts = _batch_shingle_values(
                 list(pdf[text_col]), shingle_n
             )
             out = {id_col: pdf[id_col].to_numpy()}
@@ -169,9 +176,21 @@ def minhash_signatures(
                     out[f"mh_{i}"] = np.minimum.reduceat(hs, seg_starts).astype(
                         np.int64
                     )
-            yield pd.DataFrame(out)
+            res = pd.DataFrame(out)
+            if emit_sets:
+                order = np.lexsort((values, doc_index))
+                dv, vv = doc_index[order], values[order]
+                keep = np.ones(len(vv), dtype=bool)
+                if len(vv) > 1:
+                    keep[1:] = (vv[1:] != vv[:-1]) | (dv[1:] != dv[:-1])
+                dv, vv = dv[keep], vv[keep].astype(np.int64)
+                bounds = np.searchsorted(dv, np.arange(1, len(pdf)))
+                res["sh_set"] = list(np.split(vv, bounds))
+            yield res
 
     schema = f"{id_col} long, " + ", ".join(f"mh_{i} long" for i in range(k))
+    if emit_sets:
+        schema += ", sh_set array<long>"
     return ensure_parallelism(df.select(id_col, text_col)).mapInPandas(
         compute, schema=schema
     )
@@ -256,33 +275,9 @@ def shingle_hash_sets(
     )
 
 
-def jaccard_verify(
-    df: DataFrame,
-    pairs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    shingle_n: int = 5,
-    threshold: float = 0.7,
-) -> DataFrame:
-    """n-gram Jaccard on candidate pairs only (join hashed shingle
-    sets back by id — candidates are few, so this is a small join).
-
-    Shingle sets are computed ONLY for docs that appear in a candidate
-    pair (left-semi join first): at corpus scale candidates are a tiny
-    fraction of documents, so the verify kernel touches a sliver of
-    the data; the resulting set table is persisted so the numpy kernel
-    runs once even though both pair sides join against it. ``pairs``
-    is persisted too — it feeds the id extraction AND the output join,
-    and recomputing it would re-run the whole candidate pipeline."""
-    pairs = pairs.persist()
-    cand_ids = (
-        pairs.select(F.col("id_a").alias(id_col))
-        .union(pairs.select(F.col("id_b").alias(id_col)))
-        .distinct()
-    )
-    needed = df.join(cand_ids, id_col, "left_semi")
-    sets_df = shingle_hash_sets(needed, id_col, text_col, shingle_n).persist()
-    out = (
+def _jaccard_join(pairs: DataFrame, sets_df: DataFrame, id_col: str, threshold: float) -> DataFrame:
+    """Exact Jaccard over candidate pairs given a (id, sh_set) table."""
+    return (
         pairs.join(sets_df.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh_set", "sh_a"), "id_a")
         .join(sets_df.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh_set", "sh_b"), "id_b")
         .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
@@ -294,7 +289,47 @@ def jaccard_verify(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return out
+
+
+def jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+    threshold: float = 0.7,
+    sets_source: DataFrame | None = None,
+) -> DataFrame:
+    """n-gram Jaccard on candidate pairs only (join hashed shingle
+    sets back by id — candidates are few, so this is a small join).
+
+    Shingle sets come from ``sets_source`` (an (id, sh_set) table,
+    e.g. the ``emit_sets`` output of ``minhash_signatures``) when
+    given — no re-shingling; otherwise they are computed ONLY for
+    docs that appear in a candidate pair (left-semi join first): at
+    corpus scale candidates are a tiny fraction of documents, so the
+    verify kernel touches a sliver of the data.
+
+    Caching: a LOCAL copy of ``pairs`` and the sets table are
+    persisted (both feed two joins; recomputing them would re-run the
+    whole candidate pipeline). Entries are keyed by canonicalized
+    plan, so repeated invocations of the same query in one session
+    reuse rather than accumulate; they are dropped on session end.
+    The caller's DataFrame object is never mutated."""
+    pairs = pairs.select("id_a", "id_b").persist()
+    if sets_source is not None:
+        # already materialized — the inner joins in _jaccard_join prune
+        # non-candidate docs themselves; no semi-join needed
+        sets_df = sets_source.select(id_col, "sh_set")
+    else:
+        cand_ids = (
+            pairs.select(F.col("id_a").alias(id_col))
+            .union(pairs.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        needed = df.join(cand_ids, id_col, "left_semi")
+        sets_df = shingle_hash_sets(needed, id_col, text_col, shingle_n).persist()
+    return _jaccard_join(pairs, sets_df, id_col, threshold)
 
 
 def minhash_estimate_filter(
@@ -349,19 +384,24 @@ def minhash_dedup(
     thresholds / dirty corpora at full scale); at small candidate
     counts the extra sig joins cost more than the skipped intersects,
     so it is off by default.
+
+    One shingle pass: signatures AND shingle sets come out of the
+    same kernel (``emit_sets``), persisted once; banding reads the
+    sig columns, verify joins the set column — the corpus text is
+    tokenized exactly once end-to-end.
     """
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    if estimate_margin is not None:
-        # sigs feed the band join AND both sides of the estimate join —
-        # persist so the (numpy) signature kernel runs once, not 3×
-        sigs = sigs.persist()
-    cands = minhash_lsh_candidates(sigs, id_col, num_hashes, bands)
+    combined = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_n, emit_sets=True
+    ).persist()
+    cands = minhash_lsh_candidates(combined, id_col, num_hashes, bands)
     if estimate_margin is not None:
         cands = minhash_estimate_filter(
-            cands, sigs, id_col, num_hashes,
+            cands, combined, id_col, num_hashes,
             min_estimate=max(0.0, threshold - estimate_margin),
         ).select("id_a", "id_b")
-    return jaccard_verify(df, cands, id_col, text_col, shingle_n, threshold)
+    return jaccard_verify(
+        df, cands, id_col, text_col, shingle_n, threshold, sets_source=combined
+    )
 
 
 # ---------------------------------------------------------------- simhash

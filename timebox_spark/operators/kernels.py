@@ -39,6 +39,15 @@ def delta_encode(
     null (the reference stores the first value separately as the
     reference value, numpy_utils.py:218-222)."""
     out_col = out_col or f"{value_col}_delta"
+    if not partition_by:
+        # no series key: a bare Window.orderBy would serialize the data
+        # through one task — run the exact bucketed-carry plan instead
+        d = bucketed_prev(
+            df, order_by, value_col, _auto_bucket(df, order_by), out_col="__prev"
+        )
+        return d.withColumn(out_col, F.col(value_col) - F.col("__prev")).drop(
+            "__prev"
+        )
     w = _w(order_by, partition_by)
     return df.withColumn(out_col, F.col(value_col) - F.lag(value_col).over(w))
 
@@ -54,6 +63,19 @@ def delta_decode(
     """Prefix-sum reconstruction: first_value + running sum of deltas
     (reference cumsum+prepend, numpy_utils.py:258-260 and
     timebox.py:349-361). Null deltas (series heads) count as 0."""
+    if not partition_by:
+        # exact distributed prefix sum (bucketed carry) + the global
+        # first value via a one-row agg broadcast — no unkeyed window
+        ord_struct = F.struct(*[F.col(c) for c in order_by])
+        fv = df.agg(F.min_by(F.col(first_value_col), ord_struct).alias("__fv"))
+        d = bucketed_running_sum(
+            df, order_by, delta_col, _auto_bucket(df, order_by), out_col="__rs"
+        )
+        return (
+            d.crossJoin(F.broadcast(fv))
+            .withColumn(out_col, F.col("__fv") + F.col("__rs"))
+            .drop("__fv", "__rs")
+        )
     w = _w(order_by, partition_by).rowsBetween(Window.unboundedPreceding, 0)
     wf = _w(order_by, partition_by)
     return df.withColumn(
@@ -74,8 +96,16 @@ def ts_delta_us(
     ``np.ediff1d(self._dates)``, timebox.py:370; µs because Spark
     timestamps are µs-precision)."""
     order_by = order_by or [ts_col]
-    w = _w(order_by, partition_by)
     us = F.unix_micros(F.col(ts_col))
+    if not partition_by:
+        d = df.withColumn("__us", us)
+        d = bucketed_prev(
+            d, order_by, "__us", _auto_bucket(d, order_by), out_col="__prev_us"
+        )
+        return d.withColumn(out_col, F.col("__us") - F.col("__prev_us")).drop(
+            "__us", "__prev_us"
+        )
+    w = _w(order_by, partition_by)
     return df.withColumn(out_col, us - F.lag(us).over(w))
 
 
@@ -300,6 +330,74 @@ def bucketed_prev(
     return d.withColumn(
         out_col, F.coalesce(F.col(out_col), F.col("__prev_last"))
     ).drop("__bkt", "__prev_last")
+
+
+def bucketed_running_sum(
+    df: DataFrame,
+    order_by: list[str],
+    value_col: str,
+    bucket: Column,
+    out_col: str = "running_sum",
+    partition_by: list[str] | None = None,
+) -> DataFrame:
+    """Inclusive prefix sum in ``order_by`` order without an unkeyed
+    window: cumulative sum within each (series, bucket) plus a
+    broadcast prefix of per-bucket totals (nulls count 0). ``bucket``
+    must be monotone in the order keys. Identical results to
+    ``F.sum(...).over(Window.orderBy(...).rowsBetween(up, 0))``."""
+    keys = partition_by or []
+    d = df.withColumn("__bkt", bucket).withColumn(
+        "__v0", F.coalesce(F.col(value_col), F.lit(0))
+    )
+    w_in = (
+        Window.partitionBy(*keys, "__bkt")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = d.withColumn(out_col, F.sum("__v0").over(w_in))
+    summary = d.groupBy(*keys, "__bkt").agg(F.sum("__v0").alias("__s"))
+    wb = (
+        Window.partitionBy(*keys).orderBy("__bkt")
+        if keys
+        else Window.orderBy("__bkt")
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    prefix = summary.withColumn(
+        "__pfx", F.coalesce(F.sum("__s").over(wb), F.lit(0))
+    ).select(*keys, "__bkt", "__pfx")
+    d = d.join(F.broadcast(prefix), [*keys, "__bkt"], "left")
+    return d.withColumn(out_col, F.col(out_col) + F.col("__pfx")).drop(
+        "__bkt", "__v0", "__pfx"
+    )
+
+
+def _auto_bucket(df: DataFrame, order_by: list[str], n_buckets: int = 256) -> Column:
+    """Monotone bucket over the leading order column for the unkeyed
+    bucketed-carry paths: floor((x − min) / width) from a one-row
+    min/max agg. Works for numeric and timestamp leading keys;
+    anything else must pass explicit series keys."""
+    from pyspark.sql.types import NumericType, TimestampType
+
+    lead = order_by[0]
+    dtype = df.schema[lead].dataType if lead in df.columns else None
+    if isinstance(dtype, TimestampType):
+        c = F.unix_micros(F.col(lead)).cast("double")
+    elif isinstance(dtype, NumericType):
+        c = F.col(lead).cast("double")
+    else:
+        raise ValueError(
+            f"cannot derive a distribution bucket from order column "
+            f"{lead!r} (type {dtype}); pass partition_by= series keys "
+            "for a keyed plan"
+        )
+    row = df.agg(
+        F.min(c).alias("lo"), F.max(c).alias("hi"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    if row["n"] == 0 or row["lo"] is None or row["hi"] == row["lo"]:
+        return F.lit(0)
+    width = (row["hi"] - row["lo"]) / float(n_buckets)
+    return F.least(
+        F.floor((c - F.lit(row["lo"])) / F.lit(width)), F.lit(n_buckets - 1)
+    )
 
 
 # ---------------------------------------------------------------- rolling

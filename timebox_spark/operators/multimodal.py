@@ -62,13 +62,188 @@ def to_media_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
-def decode_image(payload: bytes):
-    """Real media decode — not available in this container.
+def encode_bmp(pixels) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a 24-bit uncompressed
+    BMP (BITMAPINFOHEADER): bottom-up rows, BGR channel order, rows
+    padded to 4 bytes — the standard layout every viewer accepts."""
+    import struct
 
-    At deploy time this becomes Pillow/torchvision/ffmpeg inside the
-    same mapInPandas harness; the batch shape and schema don't change.
-    """
-    raise NotImplementedError("media decode libs not present in this environment")
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    stride = (3 * w + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : 3 * w] = px[::-1, :, ::-1].reshape(h, 3 * w)  # bottom-up, BGR
+    data = rows.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return header + dib + data
+
+
+def encode_ppm(pixels) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as binary PPM (P6)."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    return f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+
+
+def decode_image(payload: bytes):
+    """Pure-numpy decode of uncompressed raster formats to an
+    (h, w, 3) uint8 RGB array: 24-bit BMP (BITMAPINFOHEADER, top-down
+    or bottom-up, padded rows, BGR) and binary PPM (P6, maxval ≤ 255,
+    comment-tolerant header). Compressed formats (PNG/JPEG/...) still
+    raise — their codecs are not in this container; at deploy time
+    Pillow slots into the same mapInPandas harness unchanged."""
+    import struct
+
+    import numpy as np
+
+    b = bytes(payload)
+    if b[:2] == b"BM":
+        offset = struct.unpack_from("<I", b, 10)[0]
+        size, w, h, planes, bpp, comp = struct.unpack_from("<IiiHHI", b, 14)
+        if size < 40 or bpp != 24 or comp != 0:
+            raise ValueError(f"unsupported BMP variant (bpp={bpp}, comp={comp})")
+        bottom_up = h > 0
+        h = abs(h)
+        stride = (3 * w + 3) & ~3
+        raster = np.frombuffer(b, dtype=np.uint8, count=h * stride, offset=offset)
+        rows = raster.reshape(h, stride)[:, : 3 * w].reshape(h, w, 3)
+        rows = rows[:, :, ::-1]  # BGR → RGB
+        return (rows[::-1] if bottom_up else rows).copy()
+    if b[:2] == b"P6":
+        # header: P6 <w> <h> <maxval>, tokens separated by whitespace,
+        # '#' comments run to end of line; one whitespace then raster
+        pos, tokens = 2, []
+        while len(tokens) < 3:
+            while pos < len(b) and b[pos : pos + 1].isspace():
+                pos += 1
+            if pos < len(b) and b[pos : pos + 1] == b"#":
+                while pos < len(b) and b[pos : pos + 1] != b"\n":
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(b) and not b[pos : pos + 1].isspace():
+                pos += 1
+            tokens.append(int(b[start:pos]))
+        pos += 1  # the single whitespace before the raster
+        w, h, maxval = tokens
+        if maxval > 255:
+            raise ValueError("16-bit PPM not supported")
+        raster = np.frombuffer(b, dtype=np.uint8, count=h * w * 3, offset=pos)
+        return raster.reshape(h, w, 3).copy()
+    raise NotImplementedError(
+        "compressed media codecs (PNG/JPEG/...) are not present in this "
+        "environment; BMP and P6 PPM decode natively"
+    )
+
+
+# Deterministic synthetic-image parameters: every value is a pure
+# integer function of doc_id, so the DuckDB oracle recomputes the
+# expected decode digest (dims + pixel sum) WITHOUT decoding — the
+# encode→decode round-trip is what's under test on the Spark side.
+SYNTH_PIX_MOD = 256
+SYNTH_H = (8, 9)  # h = 8 + doc_id % 9          → 8..16
+SYNTH_W = (8, 7, 9)  # w = 8 + (doc_id*7) % 9   → 8..16
+
+
+def synth_dims(doc_id: int) -> tuple[int, int]:
+    return 8 + doc_id % 9, 8 + (doc_id * 7) % 9
+
+
+def synth_pixels(doc_id: int):
+    """(h, w, 3) uint8: pixel(y,x,c) = (31·doc_id + 17y + 5x + 11c) mod 256."""
+    import numpy as np
+
+    h, w = synth_dims(doc_id)
+    y, x, c = np.ogrid[0:h, 0:w, 0:3]
+    return ((31 * doc_id + 17 * y + 5 * x + 11 * c) % SYNTH_PIX_MOD).astype(
+        np.uint8
+    )
+
+
+def synth_media_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One synthetic raster image per document row — BMP for even ids,
+    PPM for odd — in the standard media layout. The payloads are REAL
+    encoded files (padded BMP rows, PPM headers), produced in an
+    Arrow-batched kernel."""
+    from timebox_spark.session import ship_package
+
+    ship_package(docs.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, fmts = [], []
+            for doc_id in pdf[id_col].astype("int64"):
+                px = synth_pixels(int(doc_id))
+                if doc_id % 2 == 0:
+                    payloads.append(encode_bmp(px))
+                    fmts.append("image/bmp")
+                else:
+                    payloads.append(encode_ppm(px))
+                    fmts.append("image/x-portable-pixmap")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload": payloads,
+                    "meta": [
+                        {"format": f, "n_bytes": len(p), "source": "synth"}
+                        for f, p in zip(fmts, payloads)
+                    ],
+                }
+            )
+
+    return ensure_parallelism(docs.select(id_col)).mapInPandas(
+        gen, schema=MEDIA_SCHEMA
+    )
+
+
+DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("pixel_sum", T.LongType()),
+    ]
+)
+
+
+def decode_features(media: DataFrame) -> DataFrame:
+    """REAL decode over mapInPandas: parse each payload with
+    ``decode_image`` (BMP/PPM numpy codecs) and emit dimensions + the
+    exact pixel sum. Any mis-parse (padding, channel order, row
+    direction, header) shifts the digest and fails the oracle."""
+    from timebox_spark.session import ship_package
+
+    ship_package(media.sparkSession)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fmts, hs, ws, sums = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_image(bytes(payload))
+                ids.append(doc_id)
+                fmts.append("bmp" if bytes(payload)[:2] == b"BM" else "ppm")
+                hs.append(px.shape[0])
+                ws.append(px.shape[1])
+                sums.append(int(px.astype("int64").sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "fmt": fmts,
+                    "height": pd.Series(hs, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int64"),
+                    "pixel_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return ensure_parallelism(media.select("doc_id", "payload")).mapInPandas(
+        extract, schema=DECODE_SCHEMA
+    )
 
 
 def fake_decode_features(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame:

@@ -77,6 +77,8 @@ _EWMA_BUCKET_HALFLIVES = 16.0  # decay across one bucket = 2^-16: the
 # in-bucket weight ratio stays ≤ 2^16, so double prefix sums keep
 # ~2^-36 relative precision while cross-bucket state shrinks fast
 
+EWMA_BUCKET_LIMIT = 500_000  # max carry buckets collected to the driver
+
 
 def _ewma_bucketed(
     df: DataFrame,
@@ -101,6 +103,24 @@ def _ewma_bucketed(
     """
     spark = df.sparkSession
     W = _EWMA_BUCKET_HALFLIVES * hl_us
+    # the per-bucket summary is collected to the driver: bucket count =
+    # span / (16·halflife) and is unbounded for tiny halflives over a
+    # long span — refuse past the same single-point-bottleneck limit
+    # class lttb uses, with actionable advice
+    span = df.agg(
+        F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi")
+    ).collect()[0]
+    if span["lo"] is not None:
+        n_buckets = (
+            span["hi"] - span["lo"]
+        ).total_seconds() * 1e6 / W
+        if n_buckets > EWMA_BUCKET_LIMIT:
+            raise ValueError(
+                f"unkeyed ewma over this span needs ~{int(n_buckets)} "
+                f"carry buckets (> {EWMA_BUCKET_LIMIT}): the driver-side "
+                "carry scan would bottleneck; pass series keys or use a "
+                "larger halflife"
+            )
     t = F.unix_micros(F.col(ts_col)).cast("double")
     d = df.withColumn("__t", t).withColumn(
         "__b", F.floor(F.col("__t") / F.lit(W)).cast("long")

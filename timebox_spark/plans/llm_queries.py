@@ -99,7 +99,7 @@ WITH base AS (
 ), feat AS (
   SELECT *,
          CASE WHEN n_tokens = 0 THEN 0.0
-              ELSE CAST(list_sum(list_transform(toks, t -> strlen(t))) AS DOUBLE)
+              ELSE CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
                    / CAST(n_tokens AS DOUBLE) END AS mean_wl,
          CASE WHEN n_tokens < 2 THEN 0.0
               ELSE CAST(n_tokens - 1
@@ -376,7 +376,7 @@ def q54_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TOKS_SQL = f"regexp_extract_all(text, '{text.TOKEN_RE}')"
 _NTOK_SQL = f"length({_TOKS_SQL})"
 _MWL_SQL = f"""CASE WHEN {_NTOK_SQL} = 0 THEN 0.0
-    ELSE CAST(list_sum(list_transform({_TOKS_SQL}, t -> strlen(t))) AS DOUBLE)
+    ELSE CAST(list_sum(list_transform({_TOKS_SQL}, t -> length(t))) AS DOUBLE)
          / CAST({_NTOK_SQL} AS DOUBLE) END"""
 _DUP2_SQL = f"""CASE WHEN {_NTOK_SQL} < 2 THEN 0.0
     ELSE CAST({_NTOK_SQL} - 1

@@ -911,12 +911,17 @@ def q55_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("period").cast("timestamp").alias("period"),
             "n_distinct_exact",
             "n_rows",
+            # bound = 12% ≈ 7.4σ for lg_k 12 (1.63% rse): deterministic
+            # in practice for ANY data (a 3σ bound like 5% flakes ~0.2%
+            # per period — a probabilistic property must not sit inside
+            # an exact hash match), while still failing on real bugs
+            # (unioned-sketch corruption, wrong lg_k, off-by-2× counts)
             (
                 F.abs(F.col("n_distinct_approx") - F.col("n_distinct_exact"))
-                <= 0.05 * F.col("n_distinct_exact")
+                <= 0.12 * F.col("n_distinct_exact")
             )
             .cast("long")
-            .alias("within_5pct"),
+            .alias("within_bound"),
         )
     )
 
@@ -1826,12 +1831,13 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "q55_hll_rollup": """
         -- the oracle asserts the exact per-month distinct count AND
-        -- that the engine's HLL estimate landed within its documented
-        -- ±5% bound (within_5pct must be 1 for the hash to match)
+        -- that the engine's HLL estimate landed within a 12% (~7.4
+        -- sigma at lg_k 12) bound — wide enough to be deterministic
+        -- for any data, tight enough to catch real sketch bugs
         SELECT date_trunc('month', ts) AS period,
                CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_exact,
                CAST(count(*) AS BIGINT) AS n_rows,
-               CAST(1 AS BIGINT) AS within_5pct
+               CAST(1 AS BIGINT) AS within_bound
         FROM events GROUP BY 1
     """,
     "q61_lttb_downsample": """

@@ -223,7 +223,15 @@ def q29_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q30_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whole-payload decode features + sampled per-frame features."""
+    """Whole-payload features + sampled per-frame features + REAL
+    image decode: synthetic BMP/PPM payloads (pure functions of
+    doc_id) are encoded then decoded by the numpy raster codecs, and
+    the digest (dims + exact pixel sum) must equal what the oracle
+    derives arithmetically from doc_id alone — any encode/decode
+    mis-parse (row padding, BGR order, bottom-up rows, PPM header)
+    breaks the hash."""
+    from timebox_spark.operators import multimodal
+
     whole = LQ.q30_multimodal_features(spark, sf_dir).select(
         "doc_id",
         F.lit(-1).cast("int").alias("frame_idx"),
@@ -238,8 +246,38 @@ def q30_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("").alias("head_hex"),
         "byte_sum_mod",
     )
-    return whole.unionByName(frames)
+    docs = load(spark, sf_dir, "documents")
+    decoded = multimodal.decode_features(
+        multimodal.synth_media_table(docs)
+    ).select(
+        "doc_id",
+        F.lit(-2).cast("int").alias("frame_idx"),
+        (F.col("height") * F.col("width") * 3).cast("long").alias("n_bytes"),
+        F.concat_ws(
+            ":",
+            F.col("fmt"),
+            F.concat(F.col("height").cast("string"), F.lit("x"), F.col("width").cast("string")),
+        ).alias("head_hex"),
+        F.col("pixel_sum").alias("byte_sum_mod"),
+    )
+    return whole.unionByName(frames).unionByName(decoded)
 
+
+_SYNTH_H_SQL = "(8 + doc_id % 9)"
+_SYNTH_W_SQL = "(8 + (doc_id * 7) % 9)"
+
+_Q30_DECODE_SQL = f"""
+SELECT doc_id, CAST(-2 AS INTEGER) AS frame_idx,
+       CAST({_SYNTH_H_SQL} * {_SYNTH_W_SQL} * 3 AS BIGINT) AS n_bytes,
+       (CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END) || ':' ||
+         CAST({_SYNTH_H_SQL} AS VARCHAR) || 'x' || CAST({_SYNTH_W_SQL} AS VARCHAR)
+         AS head_hex,
+       CAST(list_sum(list_transform(range(0, {_SYNTH_H_SQL} * {_SYNTH_W_SQL} * 3),
+            i -> (31 * doc_id + 17 * (i // ({_SYNTH_W_SQL} * 3))
+                  + 5 * ((i // 3) % {_SYNTH_W_SQL}) + 11 * (i % 3)) % 256))
+            AS BIGINT) AS byte_sum_mod
+FROM documents
+"""
 
 _Q30_SUITE_SQL = f"""
 SELECT doc_id, CAST(-1 AS INTEGER) AS frame_idx, n_bytes, head_hex, byte_sum_mod
@@ -247,6 +285,8 @@ FROM ({LQ.ORACLE_SQL['q30_multimodal_features']})
 UNION ALL
 SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx, n_bytes, '' AS head_hex, byte_sum_mod
 FROM ({LQ.ORACLE_SQL['q51_frame_sample']})
+UNION ALL
+SELECT doc_id, frame_idx, n_bytes, head_hex, byte_sum_mod FROM ({_Q30_DECODE_SQL})
 """
 
 
@@ -430,6 +470,65 @@ SELECT c.user_id, CAST(count(*) AS BIGINT) AS n_pairs,
 FROM c JOIN p ON c.user_id = p.user_id
   AND p.ts <= c.ts AND p.ts >= c.ts - INTERVAL 2 HOUR
 GROUP BY c.user_id
+"""
+
+
+def q67_stream_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator on the driver contract:
+    ``zscore_anomalies`` (applyInPandasWithState — running moments per
+    event_type, vectorized scoring) drained with Trigger.AvailableNow.
+
+    The drain is a SINGLE micro-batch (no maxFilesPerTrigger), so the
+    cumulative moments equal the global moments and the emitted
+    anomaly set equals the batch z-score formula — which IS the DuckDB
+    oracle. Values are pre-quantized to integer-valued doubles, so
+    every reduction (numpy float64 sums / DuckDB BIGINT sums) is exact
+    and the z computation is deterministic scalar float math on both
+    engines. Multi-batch cumulative semantics and state eviction stay
+    pinned in tests/test_streaming."""
+    from timebox_spark.streaming import ingest
+
+    src = _stage_stream_input(spark, sf_dir, n_files=8)
+    ckpt = Q._tmp("stream_zscore_ckpt", sf_dir)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    stream = ingest.read_event_stream(spark, src).withColumn(
+        "value", F.round(F.col("value") * 1000).cast("long").cast("double")
+    )
+    anomalies = ingest.zscore_anomalies(stream, threshold=3.0)
+    name = "q67_stream_zscore_sink"
+    ingest.run_to_memory(anomalies, name, "append", ckpt)
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_anomalies"),
+            F.round(F.max("z") * 1e6).cast("long").alias("z_max_q"),
+            F.sum(F.col("value").cast("long")).alias("anom_vq_sum"),
+        )
+    )
+
+
+_Q67_SQL = """
+WITH e AS (
+  SELECT event_type, CAST(round(value * 1000) AS BIGINT) AS vq FROM events
+), st AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(vq) AS BIGINT) AS s,
+         CAST(sum(vq * vq) AS BIGINT) AS ss
+  FROM e GROUP BY 1
+), z AS (
+  SELECT e.event_type, e.vq,
+         abs((CAST(e.vq AS DOUBLE) - CAST(st.s AS DOUBLE) / st.n)
+             / sqrt((CAST(st.ss AS DOUBLE)
+                     - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE) / st.n)
+                    / (st.n - 1.0))) AS z
+  FROM e JOIN st ON e.event_type = st.event_type
+  WHERE st.n >= 2
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_anomalies,
+       CAST(round(max(z) * 1000000) AS BIGINT) AS z_max_q,
+       CAST(sum(vq) AS BIGINT) AS anom_vq_sum
+FROM z WHERE z > 3.0 GROUP BY event_type
 """
 
 
@@ -852,9 +951,10 @@ DRIVER_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q54_curation_pipeline": LQ.q54_curation_pipeline,
     "q25_neardup_pairs": q25_neardup_pairs,
     "q29_ann_suite": q29_ann_suite,
-    # --- streaming (new on the driver contract this round) ---
+    # --- streaming ---
     "q65_stream_hourly": q65_stream_hourly,
     "q66_stream_join": q66_stream_join,
+    "q67_stream_zscore": q67_stream_zscore,
     # --- storage / codec ---
     "q01_io_suite": q01_io_suite,
     "q04_validation_suite": q04_validation_suite,
@@ -908,6 +1008,7 @@ DRIVER_ORACLE_SQL: dict[str, str] = {
     "q29_ann_suite": ann_oracle.portable_ann_sql(),
     "q65_stream_hourly": _Q65_SQL,
     "q66_stream_join": _Q66_SQL,
+    "q67_stream_zscore": _Q67_SQL,
     "q01_io_suite": _Q01_SUITE_SQL,
     "q04_validation_suite": _Q04_SUITE_SQL,
     "q06_codec_suite": _Q06_SUITE_SQL,
