@@ -309,3 +309,22 @@ def test_zscore_anomalies_state_accumulates_across_batches(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["value"] == 100.0
     assert abs(rows[0]["z"] - z_spike) < 1e-9
+
+
+def test_session_window_merges_exact_gap_boundary(spark):
+    """Two events exactly one gap apart MERGE into one session (Spark
+    merges windows that touch — closed on the right); the q68 oracle's
+    gaps-and-islands break condition must therefore be strictly `>`."""
+    import datetime
+
+    rows = [
+        (datetime.datetime(2020, 1, 1, 0, 0, 0), 1),
+        (datetime.datetime(2020, 1, 1, 0, 30, 0), 1),
+        (datetime.datetime(2020, 1, 1, 1, 0, 1), 1),  # 30min+1s -> new session
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long")
+    out = df.groupBy("user_id", F.session_window("ts", "30 minutes")).count()
+    got = sorted((r["session_window"]["start"], r["count"]) for r in out.collect())
+    assert len(got) == 2
+    assert got[0] == (datetime.datetime(2020, 1, 1, 0, 0, 0), 2)
+    assert got[1] == (datetime.datetime(2020, 1, 1, 1, 0, 1), 1)

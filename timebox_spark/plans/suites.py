@@ -532,6 +532,166 @@ FROM z WHERE z > 3.0 GROUP BY event_type
 """
 
 
+def q68_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining streaming operators on the driver contract, one
+    labelled digest per member, all with exact batch-SQL oracles:
+
+    - ``sliding``: 1h/15m sliding-window rollup, append mode, sentinel
+      advances the watermark past every real window (q65 pattern) —
+      each event belongs to exactly 4 windows on the epoch-aligned
+      15-minute grid, which is what the oracle enumerates.
+    - ``session``: per-user session windows (30 min inactivity gap),
+      append mode. Spark merges sessions whose gap equals the
+      inactivity bound exactly (windows are CLOSED on the right for
+      merging — pinned by tests/test_streaming), so the oracle's
+      gaps-and-islands break condition is strictly ``>``.
+    - ``dedup``: ``dropDuplicatesWithinWatermark`` over a full replay
+      (two file-source instances of the same directory unioned) —
+      exactly-once output equals the batch table.
+    - ``runmax``: ``applyInPandasWithState`` running max/count per key
+      drained in ONE micro-batch, so the cumulative state equals the
+      global aggregate.
+
+    State stays bounded in every member: watermarks age out window /
+    dedup state, and runmax state is O(keys)."""
+    from timebox_spark.streaming import ingest
+
+    src = _stage_stream_input(spark, sf_dir, n_files=8, sentinel=True)
+
+    def drain(df, name, mode):
+        ckpt = Q._tmp(f"{name}_ckpt", sf_dir)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        ingest.run_to_memory(df, name, mode, ckpt)
+        return spark.table(name)
+
+    sl = ingest.sliding_rollup(
+        ingest.read_event_stream(spark, src, max_files_per_trigger=2),
+        watermark="1 hour",
+        window="1 hour",
+        slide="15 minutes",
+    )
+    sliding = (
+        drain(sl, "q68_sliding_sink", "append")
+        .filter(F.col("event_type") != "__sentinel__")
+        .groupBy(F.col("event_type").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n").alias("v1"),
+            F.sum(F.unix_timestamp("win_ts")).alias("v2"),
+        )
+        .select(F.lit("sliding").alias("member"), "k", "n", "v1", "v2")
+    )
+
+    se = ingest.session_rollup(
+        ingest.read_event_stream(spark, src, max_files_per_trigger=2),
+        watermark="1 hour",
+        gap="30 minutes",
+    )
+    session = (
+        drain(se, "q68_session_sink", "append")
+        .filter(F.col("user_id") >= 0)  # sentinel session never emits anyway
+        .groupBy((F.col("user_id") % 10).cast("string").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_events").alias("v1"),
+            F.sum(
+                F.unix_timestamp("session_start") + F.unix_timestamp("session_end")
+            ).alias("v2"),
+        )
+        .select(F.lit("session").alias("member"), "k", "n", "v1", "v2")
+    )
+
+    doubled = ingest.read_event_stream(spark, src).unionByName(
+        ingest.read_event_stream(spark, src)
+    )
+    dd = ingest.dedup_stream(doubled, watermark="1 hour")
+    dedupd = (
+        drain(dd, "q68_dedup_sink", "append")
+        .filter(F.col("event_type") != "__sentinel__")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").alias("v1"),
+            F.sum(F.round(F.col("value") * 1000).cast("long")).alias("v2"),
+        )
+        .select(
+            F.lit("dedup").alias("member"), F.lit("all").alias("k"), "n", "v1", "v2"
+        )
+    )
+
+    rm = ingest.running_max_per_key(
+        ingest.read_event_stream(spark, src), watermark="1 hour"
+    )
+    runmax = (
+        drain(rm, "q68_runmax_sink", "update")
+        .filter(F.col("event_type") != "__sentinel__")
+        .select(
+            F.lit("runmax").alias("member"),
+            F.col("event_type").alias("k"),
+            F.col("n_total").alias("n"),
+            F.round(F.col("running_max") * 1000).cast("long").alias("v1"),
+            _lit0().alias("v2"),
+        )
+    )
+
+    return sliding.unionByName(session).unionByName(dedupd).unionByName(runmax)
+
+
+_Q68_SQL = """
+WITH sw AS (
+  SELECT CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 - k.k * 900 AS ws,
+         event_type
+  FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) k
+), swg AS (
+  SELECT ws, event_type, count(*) AS n FROM sw GROUP BY 1, 2
+), sliding AS (
+  SELECT 'sliding' AS member, event_type AS k,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(n) AS BIGINT) AS v1,
+         CAST(sum(ws) AS BIGINT) AS v2
+  FROM swg GROUP BY 2
+), brk AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS b
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sid AS (
+  SELECT user_id, ts,
+         sum(b) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS UNBOUNDED PRECEDING) AS s
+  FROM brk
+), sess AS (
+  SELECT user_id, s, min(ts) AS st,
+         max(ts) + INTERVAL 30 MINUTE AS en, count(*) AS ne
+  FROM sid GROUP BY 1, 2
+), sessd AS (
+  SELECT 'session' AS member, CAST(user_id % 10 AS VARCHAR) AS k,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(ne) AS BIGINT) AS v1,
+         CAST(sum(CAST(floor(epoch(st)) AS BIGINT)
+                  + CAST(floor(epoch(en)) AS BIGINT)) AS BIGINT) AS v2
+  FROM sess GROUP BY 2
+), dedupd AS (
+  SELECT 'dedup' AS member, 'all' AS k,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(event_id) AS BIGINT) AS v1,
+         CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS v2
+  FROM events
+), runmaxd AS (
+  SELECT 'runmax' AS member, event_type AS k,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(round(max(value) * 1000) AS BIGINT) AS v1,
+         CAST(0 AS BIGINT) AS v2
+  FROM events GROUP BY 2
+)
+SELECT * FROM sliding
+UNION ALL SELECT * FROM sessd
+UNION ALL SELECT * FROM dedupd
+UNION ALL SELECT * FROM runmaxd
+"""
+
+
 # ------------------------------------------------------------------
 # Storage / codec suites
 # ------------------------------------------------------------------
@@ -955,6 +1115,7 @@ DRIVER_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q65_stream_hourly": q65_stream_hourly,
     "q66_stream_join": q66_stream_join,
     "q67_stream_zscore": q67_stream_zscore,
+    "q68_stream_suite": q68_stream_suite,
     # --- storage / codec ---
     "q01_io_suite": q01_io_suite,
     "q04_validation_suite": q04_validation_suite,
@@ -1009,6 +1170,7 @@ DRIVER_ORACLE_SQL: dict[str, str] = {
     "q65_stream_hourly": _Q65_SQL,
     "q66_stream_join": _Q66_SQL,
     "q67_stream_zscore": _Q67_SQL,
+    "q68_stream_suite": _Q68_SQL,
     "q01_io_suite": _Q01_SUITE_SQL,
     "q04_validation_suite": _Q04_SUITE_SQL,
     "q06_codec_suite": _Q06_SUITE_SQL,
