@@ -179,7 +179,12 @@ def _driver_query_names():
     # streaming tests instead
     return [
         n for n in suites.DRIVER_QUERIES
-        if n not in ("q65_stream_hourly", "q66_stream_join", "q67_stream_zscore")
+        if n not in (
+            "q65_stream_hourly",
+            "q66_stream_join",
+            "q67_stream_zscore",
+            "q68_stream_suite",
+        )
     ]
 
 

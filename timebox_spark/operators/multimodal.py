@@ -3,11 +3,13 @@
 Images/audio/video ride as ``binary`` columns with a metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
 pandas functions over ``mapInPandas`` so each task processes whole
-record batches (never per-row Python). The actual media decode is
-STUBBED (no image/audio libs in this container): ``decode_image``
-raises NotImplementedError, and ``fake_decode_features`` is the
-deterministic stand-in that keeps the Spark-side plumbing — schema,
-partitioning, UDF signature, batch shape — real and testable.
+record batches (never per-row Python). ``decode_image`` performs REAL
+raster decode for uncompressed formats (24-bit BMP and binary P6 PPM,
+pure numpy — header parse, row padding, BGR order, bottom-up rows);
+compressed codecs (PNG/JPEG) are a documented container limitation
+handled inside ``decode_image`` (no image libs here; Pillow slots in
+behind the same signature). ``fake_decode_features`` remains as a
+deterministic stand-in for formats outside the raster codecs.
 """
 
 from __future__ import annotations

@@ -587,9 +587,16 @@ def q68_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark="1 hour",
         gap="30 minutes",
     )
+    # the sentinel session (30 days past real max ts) normally stays in
+    # state unemitted; bound on session_start <= real max(ts) so it is
+    # excluded even if it ever emitted, WITHOUT assuming real rows have
+    # non-negative user_id (the oracle aggregates every real user)
+    max_real_ts = (
+        load(spark, sf_dir, "events").agg(F.max("ts").alias("mx")).collect()[0]["mx"]
+    )
     session = (
         drain(se, "q68_session_sink", "append")
-        .filter(F.col("user_id") >= 0)  # sentinel session never emits anyway
+        .filter(F.col("session_start") <= F.lit(max_real_ts))
         .groupBy((F.col("user_id") % 10).cast("string").alias("k"))
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -83,7 +83,16 @@ def sliding_rollup(
 def session_rollup(
     stream: DataFrame, watermark: str = "1 hour", gap: str = "30 minutes"
 ) -> DataFrame:
-    """Session windows keyed by user (inactivity gap closes a session)."""
+    """Session windows keyed by user (inactivity gap closes a session).
+
+    Note: do NOT try to drop watermark-advancing sentinel rows with a
+    filter between ``withWatermark`` and the agg — Catalyst pushes
+    deterministic predicates below the EventTimeWatermark node, so the
+    sentinel would never reach the watermark tracker and append-mode
+    emission under-delivers (verified empirically). Exclude sentinel
+    *sessions* on the drained output instead (they are identifiable by
+    ``session_start`` past the real data's max event time).
+    """
     return (
         stream.withWatermark("ts", watermark)
         .groupBy("user_id", F.session_window("ts", gap))
