@@ -47,6 +47,52 @@ HEADLINE = {
 }
 
 
+def _stream_stress(spark, sf_dir: str) -> dict:
+    """Drain the sliding-window rollup one source file per micro-batch
+    and report batch count, peak/final state rows, and wall time. The
+    watermark must evict closed windows as batches advance — final
+    state rows stay far below (windows × keys) for the whole stream."""
+    import shutil
+
+    from timebox_spark.plans import suites
+    from timebox_spark.streaming import ingest
+
+    src = suites._stage_stream_input(spark, sf_dir, n_files=8, sentinel=True)
+    ckpt = "/tmp/timebox_bench_stream_ckpt"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    sl = ingest.sliding_rollup(
+        ingest.read_event_stream(spark, src, max_files_per_trigger=1),
+        watermark="1 hour",
+        window="1 hour",
+        slide="15 minutes",
+    )
+    t0 = time.perf_counter()
+    q = (
+        sl.writeStream.format("memory")
+        .queryName("bench_stream_stress")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    drain_sec = round(time.perf_counter() - t0, 3)
+    progress = [p for p in q.recentProgress if p.get("numInputRows", 0) > 0]
+    state_rows = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in progress
+        if p.get("stateOperators")
+    ]
+    emitted = spark.table("bench_stream_stress").count()
+    return {
+        "batches": len(progress),
+        "state_rows_peak": max(state_rows) if state_rows else 0,
+        "state_rows_final": state_rows[-1] if state_rows else 0,
+        "rows_emitted": emitted,
+        "drain_sec": drain_sec,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -94,8 +140,24 @@ def main() -> None:
     if os.path.isdir(smallest):
         run_pass(smallest)
 
-    timings = run_pass(sf_dir)       # first data pass at target SF
-    warm_timings = run_pass(sf_dir)  # steady-state repeat
+    # N measured passes; the headline is the per-query MEDIAN so one
+    # noisy pass (GC, code-cache churn, OS scheduling, a concurrent
+    # process stealing cores) cannot masquerade as a regression —
+    # n=1 cold timing made the round-2 ">20% regression" bar
+    # undecidable. (An inter-pass System.gc() was tried and measured
+    # slightly WORSE on an idle machine; medians alone are the fix.)
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    passes: list[dict[str, float]] = []
+    for _ in range(n_passes):
+        passes.append(run_pass(sf_dir))
+
+    def median(vals: list[float]) -> float:
+        s = sorted(vals)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else round((s[mid - 1] + s[mid]) / 2, 3)
+
+    timings = {n: median([p[n] for p in passes]) for n in HEADLINE}
+    warm_timings = passes[-1]  # steady-state pass, for continuity
 
     # scale-stress: the dedup/ANN/curation path again on a 10×
     # duplicate-amplified corpus (see plans/scale_stress.py) — the
@@ -119,6 +181,13 @@ def main() -> None:
         fn(spark, amp_dir).write.mode("overwrite").format("noop").save()
         scale_timings[name] = round(time.perf_counter() - t0, 3)
 
+    # streaming stress: the q68 sliding-window rollup at the target SF
+    # driven one file per micro-batch (9 batches instead of the driver
+    # contract's availableNow few-batch drain), recording batch count
+    # and state-store rows so bounded-state eviction is demonstrated
+    # under multi-batch load, not just in toy tests
+    stream_stats = _stream_stress(spark, sf_dir)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -137,6 +206,9 @@ def main() -> None:
                     for k in scale_timings
                     if timings.get(k)
                 },
+                "stream_stress": stream_stats,
+                "n_passes": n_passes,
+                "pass_totals": [round(sum(p.values()), 3) for p in passes],
                 "sf": sf,
             }
         )

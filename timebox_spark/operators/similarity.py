@@ -207,15 +207,23 @@ def ivf_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 1337,
+    sample_max: int = 4096,
 ):
-    """Distributed spherical k-means for IVF cells. Seeds = the
-    ``nlist`` corpus vectors with smallest ``xxhash64(id, seed)``
-    (deterministic sample, TakeOrdered — no full sort). Each Lloyd
-    iteration is one corpus scan: kernel assignment, then an
-    elementwise mean via posexplode + groupBy(cluster, pos) — only
-    nlist × dim aggregated rows ever reach the driver. Centroids are
-    unit-normalized and rounded to 1e-6 so re-training is reproducible
-    across partitionings. Returns a numpy (nlist × dim) matrix."""
+    """Spherical k-means for IVF cells, trained on a bounded
+    deterministic sample — the standard IVF recipe (Faiss trains its
+    coarse quantizer on ≤ ~256·nlist points, not the corpus): at
+    100 TB, running Lloyd over every vector would cost iters+1 full
+    corpus scans for centroids that a fixed-size sample estimates just
+    as well. The sample is the ``sample_max`` vectors with smallest
+    ``xxhash64(id, seed)`` (TakeOrdered — one O(n) scan, no full
+    sort, partitioning-independent); Lloyd then runs driver-local in
+    numpy over at most sample_max × dim floats, so driver traffic is a
+    CONSTANT ~2 MB regardless of corpus size. Seeds are the ``nlist``
+    smallest-hash vectors (unchanged from the distributed variant).
+    Centroids are unit-normalized and rounded to 1e-6 so re-training
+    is reproducible across partitionings. Ties in assignment break to
+    the lowest cluster id (argmax-first), matching the distributed
+    kernel. Returns a numpy (nlist × dim) matrix."""
     import numpy as np
 
     rows = (
@@ -225,32 +233,25 @@ def ivf_train(
             F.col(id_col).alias("__i"),
         )
         .orderBy("__h", "__i")
-        .limit(nlist)
+        .limit(max(sample_max, nlist))
         .collect()
     )
-    cmat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    sample = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
 
     def _unit(m):
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         return np.round(m / norms, 6)
 
-    cmat = _unit(cmat)
+    cmat = _unit(sample[:nlist].copy())
     for _ in range(iters):
-        assigned = _assign_clusters(corpus, cmat, id_col, vec_col, nprobe=1)
-        sums = (
-            assigned.select("cluster", F.posexplode(vec_col))
-            .groupBy("cluster", "pos")
-            .agg(F.sum(F.col("col").cast("double")).alias("s"))
-            .collect()
-        )
+        sims = sample @ cmat.T  # (n_sample × nlist)
+        assign = np.argmax(sims, axis=1)  # first max = lowest cluster id
         new = cmat.copy()  # empty cells keep their centroid
-        acc = np.zeros_like(cmat)
-        touched = np.zeros(len(cmat), dtype=bool)
-        for r in sums:
-            acc[r["cluster"], r["pos"]] = r["s"]
-            touched[r["cluster"]] = True
-        new[touched] = acc[touched]
+        for j in range(len(cmat)):
+            members = sample[assign == j]
+            if len(members):
+                new[j] = members.sum(axis=0)
         cmat = _unit(new)
     return cmat
 
@@ -277,6 +278,11 @@ ANN_NPROBE = 6
 ANN_ITERS = 2
 ANN_K = 5
 ANN_NULL_SCORE = -2 * ANN_COS_SCALE  # zero-norm guard, both engines
+# driver-gated floor for the FAST (xxhash/float) paths' overlap with
+# the portable exact top-k: measured 30-37 of 50 across sf0.001/0.01/
+# 0.1; a broken bucket/centroid path collapses to <= ~10. The q29
+# suite emits a within-bounds flag row per fast method (q55 pattern).
+ANN_FAST_FLOOR_HITS = 20
 
 
 def lsh_plane_signs(
@@ -593,11 +599,12 @@ def ivf_topk(
     their single nearest-centroid cell; each query probes its
     ``nprobe`` nearest cells, so scored pairs drop from |corpus| to
     ~|corpus|·nprobe/nlist per query. At 100 TB: nlist ~ sqrt(N)
-    cells, centroid training is iters+1 corpus scans (all map-side
-    matmuls + one tiny agg), and the candidate join shuffles the
-    corpus once by cell id with the probe table broadcast. Candidate
-    pairs are unique by construction (one cell per corpus vector) —
-    no dedup step, unlike multi-table LSH."""
+    cells, centroid training is ONE bounded-sample TakeOrdered scan +
+    driver-local Lloyd (see ``ivf_train``), and the candidate join
+    shuffles the corpus once by cell id with the probe table
+    broadcast — two corpus scans total, end to end. Candidate pairs
+    are unique by construction (one cell per corpus vector) — no
+    dedup step, unlike multi-table LSH."""
     cmat = ivf_train(corpus, nlist, iters, id_col, vec_col, seed)
     cb = _assign_clusters(corpus, cmat, id_col, vec_col, nprobe=1)
     qb = _assign_clusters(

@@ -183,4 +183,14 @@ UNION ALL
 SELECT 'lsh_recall', query_id, CAST(0 AS INTEGER), CAST(-1 AS BIGINT), hits FROM lsh_rec
 UNION ALL
 SELECT 'ivf_recall', query_id, CAST(0 AS INTEGER), CAST(-1 AS BIGINT), hits FROM ivf_rec
+UNION ALL
+-- fast-path gates (q55 within-bounds pattern): the Spark side emits
+-- flag=1 iff the xxhash/float fast path's overlap with the portable
+-- exact top-k lies in [ANN_FAST_FLOOR_HITS, k*n_queries]; a fast-path
+-- recall collapse flips the flag and breaks the driver hash
+SELECT 'fast_lsh_floor', CAST(-1 AS BIGINT), CAST(0 AS INTEGER),
+       (SELECT CAST(count(*) AS BIGINT) FROM qids), CAST(1 AS BIGINT)
+UNION ALL
+SELECT 'fast_ivf_floor', CAST(-1 AS BIGINT), CAST(0 AS INTEGER),
+       (SELECT CAST(count(*) AS BIGINT) FROM qids), CAST(1 AS BIGINT)
 """

@@ -188,8 +188,15 @@ def q29_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-exact variants (operators.similarity portable_*) whose
     buckets, k-means centroids, candidates, quantized cosines, and
     per-query recall the DuckDB oracle (plans.ann_oracle) re-derives
-    independently and bit-for-bit. The xxhash/float64 fast variants
-    stay on bench q47 with recall pinned in tests/test_similarity_ops."""
+    independently and bit-for-bit.
+
+    The xxhash/float64 FAST variants (benched as q47) are gated here
+    too: two flag rows ('fast_lsh_floor'/'fast_ivf_floor', the q55
+    within-bounds pattern) assert in-engine that each fast path's
+    overlap with the portable exact top-k stays within
+    [ANN_FAST_FLOOR_HITS, k·n_queries] — the oracle emits the same
+    row with flag=1, so a silent fast-path recall collapse breaks the
+    driver hash, not just a pytest pin."""
     from timebox_spark.operators import similarity as S
     from timebox_spark.plans.ann_oracle import ANN_QUERY_MAX_ID
 
@@ -198,6 +205,32 @@ def q29_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = S.portable_cosine_topk(emb, queries)
     lsh = S.portable_lsh_topk(emb, queries)
     ivf = S.portable_ivf_topk(emb, queries)
+    fast_lsh = S.lsh_topk(
+        emb, queries, k=S.ANN_K, planes=S.ANN_PLANES, dim=S.ANN_DIM,
+        tables=S.ANN_TABLES,
+    )
+    fast_ivf = S.ivf_topk(
+        emb, queries, k=S.ANN_K, nlist=S.ANN_NLIST, nprobe=S.ANN_NPROBE,
+        iters=S.ANN_ITERS,
+    )
+
+    def floor_row(fast, m):
+        return (
+            S.recall_hits(fast, exact)
+            .agg(F.sum("hits").alias("h"), F.count(F.lit(1)).alias("nq"))
+            .select(
+                F.lit(m).alias("method"),
+                F.lit(-1).cast("long").alias("query_id"),
+                F.lit(0).cast("int").alias("rank"),
+                F.col("nq").cast("long").alias("neighbor_id"),
+                (
+                    (F.col("h") >= F.lit(S.ANN_FAST_FLOOR_HITS))
+                    & (F.col("h") <= F.col("nq") * F.lit(S.ANN_K))
+                )
+                .cast("long")
+                .alias("cosine_q"),
+            )
+        )
 
     def tagged(df, m):
         return df.select(
@@ -219,6 +252,8 @@ def q29_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(tagged(ivf, "ivf"))
         .unionByName(rec(S.recall_hits(lsh, exact), "lsh_recall"))
         .unionByName(rec(S.recall_hits(ivf, exact), "ivf_recall"))
+        .unionByName(floor_row(fast_lsh, "fast_lsh_floor"))
+        .unionByName(floor_row(fast_ivf, "fast_ivf_floor"))
     )
 
 
