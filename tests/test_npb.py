@@ -175,29 +175,108 @@ def _reference_importable():
         return False
 
 
-@pytest.mark.skipif(not _reference_importable(), reason="reference not importable")
-def test_reference_writes_we_read(tmp_path):
-    from timebox.timebox import TimeBox
+# ------------- golden foreign-byte fixtures (reference format spec)
+#
+# The reference's own *writer* cannot run on modern numpy
+# (np.fromfile/tofile usage, /root/reference/timebox/timebox.py:336),
+# so the reference-writes→we-read direction is proven against
+# checked-in golden fixtures instead: bytes assembled here with raw
+# struct/numpy packing STRAIGHT from the format spec
+# (timebox.py:241-279 file info, timebox_tag.py:63-99 + :269-306 tag
+# defs, timebox.py:305-362 data blocks) — fully independent of
+# timebox_spark.sources.npb, so a shared misreading of the spec
+# cannot cancel out. The fixture files under tests/fixtures/ are
+# byte-asserted against this generator to prevent drift.
 
-    pdf = _frame(n=32)
-    path = str(tmp_path / "ref.npb")
-    try:
-        TimeBox.save_pandas(pdf, path)
-    except TypeError as exc:
-        # the reference's write path uses numpy APIs removed in modern
-        # numpy (np.datetime64(..., dtype=...)); its READ path still
-        # works and is covered by test_we_write_reference_reads
-        pytest.skip(f"reference write path incompatible with this numpy: {exc}")
-    ours = npb.read_npb_file(path)
-    for c in pdf.columns:
-        np.testing.assert_allclose(
-            ours[c].to_numpy().astype(np.float64),
-            pdf[c].to_numpy().astype(np.float64),
-            rtol=0,
-        )
+GOLDEN_START_EPOCH_S = 1_551_398_400  # 2019-03-01T00:00:00Z
+GOLDEN_DELTAS_S = [1, 2, 3, 600, 1, 1, 7, 3600, 2, 2, 1, 59, 4, 5, 10]
+GOLDEN_REGULAR_SPACING_S = 300
+
+
+def _golden_columns(n=16):
+    # deterministic, closed-form values (no RNG: the fixture must be
+    # reproducible from this source text alone)
+    i = np.arange(n)
+    return {
+        "px": ((i * 37 % 19) - 9 + i / 8.0).astype(np.float64),  # 'f', 8B
+        "t1": ((i * 13 % 21) - 10).astype(np.int32),  # 'i', 4B
+        "t2": (i * 997 % 50_000).astype(np.uint16),  # 'u', 2B
+    }
+
+
+def _golden_tag_defs(cols, id_chars):
+    # per tag (sorted ids): UCS4-LE identifier, uint16 options=0 (no
+    # compression/hash/rounding), uint8 bytes_per_value, uint8
+    # ord(type_char), uint32 extra=0, 32 untyped zero bytes
+    out = b""
+    for name in sorted(cols):
+        arr = cols[name]
+        out += name.ljust(id_chars, "\x00").encode("utf_32_le")
+        out += np.uint16(0).tobytes()
+        out += np.uint8(arr.dtype.itemsize).tobytes()
+        out += np.uint8(ord(arr.dtype.kind)).tobytes()
+        out += np.uint32(0).tobytes()
+        out += b"\x00" * 32
+    return out
+
+
+def _golden_bytes(date_deltas: bool) -> bytes:
+    cols = _golden_columns()
+    n = len(next(iter(cols.values())))
+    id_chars = max(len(c) for c in cols)
+    # file-info options: bit0 = tag names are strings, bit1 = date
+    # differentials stored (timebox.py:175-199)
+    options = 1 | (2 if date_deltas else 0)
+    buf = np.uint8(1).tobytes()  # version (timebox.py:23)
+    buf += np.uint16(options).tobytes()
+    buf += np.uint8(len(cols)).tobytes()
+    buf += np.uint32(n).tobytes()
+    buf += np.uint8(4 * id_chars).tobytes()
+    buf += _golden_tag_defs(cols, id_chars)
+    buf += np.int64(GOLDEN_START_EPOCH_S).tobytes()  # datetime64[s]
+    if date_deltas:
+        buf += np.uint8(2).tobytes()  # bytes per date differential
+        buf += np.uint16(3).tobytes()  # units: SECONDS (constants 1-1)
+        buf += np.asarray(GOLDEN_DELTAS_S, dtype="<u2").tobytes()
+    else:
+        buf += np.uint32(GOLDEN_REGULAR_SPACING_S).tobytes()
+    for name in sorted(cols):
+        arr = cols[name]
+        buf += arr.astype(arr.dtype.newbyteorder("<")).tobytes()
+    return buf
+
+
+def _golden_index(date_deltas: bool):
+    base = np.datetime64(GOLDEN_START_EPOCH_S, "s")
+    if date_deltas:
+        offs = np.concatenate([[0], np.cumsum(GOLDEN_DELTAS_S)])
+    else:
+        offs = np.arange(16) * GOLDEN_REGULAR_SPACING_S
+    return base + offs.astype("timedelta64[s]")
+
+
+@pytest.mark.parametrize("layout", ["deltas", "regular"])
+def test_golden_reference_bytes_we_read(layout):
+    """Foreign bytes → our reader: the checked-in fixture (assembled
+    from the reference format spec, never by our writer) must decode
+    to the exact closed-form values, for BOTH date layouts."""
+    import os
+
+    date_deltas = layout == "deltas"
+    fixture = os.path.join(
+        os.path.dirname(__file__), "fixtures", f"reference_golden_{layout}.npb"
+    )
+    with open(fixture, "rb") as fh:
+        raw = fh.read()
+    assert raw == _golden_bytes(date_deltas), "fixture drifted from spec generator"
+    ours = npb.read_npb_file(fixture)
+    cols = _golden_columns()
+    assert list(ours.columns) == sorted(cols)
+    for c, expected in cols.items():
+        np.testing.assert_array_equal(ours[c].to_numpy(), expected)
+        assert ours[c].dtype == expected.dtype
     np.testing.assert_array_equal(
-        ours.index.values.astype("datetime64[s]"),
-        pd.to_datetime(pdf.index).values.astype("datetime64[s]"),
+        ours.index.values.astype("datetime64[s]"), _golden_index(date_deltas)
     )
 
 
