@@ -170,6 +170,79 @@ def _single_partition_offenders(plan: str) -> list[str]:
     return offenders
 
 
+# fact tables, identified in the ANALYZED logical plan by a column
+# only that table's unpruned Relation carries — data-sized at
+# production scale, so an explicit broadcast() hint on an unreduced,
+# unfiltered subtree of one would materialize the table on every
+# executor. Catalyst AUTO-broadcasts (size-estimation based) are NOT
+# flagged: they correctly become shuffle joins once the fact exceeds
+# the threshold at real scale; the hint overrides size checks and is
+# the local-bench-invisible scale-killer.
+_FACT_SIGNATURES = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "events": "event_type",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+
+def _broadcast_fact_offenders(plan: str) -> list[str]:
+    """``ResolvedHint (strategy=broadcast)`` nodes (the analyzed-plan
+    form of an explicit ``F.broadcast(...)``) whose subtree reaches a
+    fact-table Relation with NO reduction (Aggregate/Limit/
+    Deduplicate) and NO selective filter in between. A Filter counts
+    as selective only if it compares against a literal (e.g.
+    ``vec_id < 10``) — auto-inserted ``isnotnull`` join-key filters
+    reduce nothing. Deliberate tiny subsets (filtered probes,
+    aggregated prefixes) stay broadcastable."""
+    import re
+
+    lines = plan.splitlines()
+
+    def start_col(ln: str) -> int:
+        return re.match(r"^[\s:+\-*]*", ln).end()
+
+    def selective_filter(ln: str) -> bool:
+        if not ln.lstrip(" :+-*").startswith("Filter"):
+            return False
+        body = re.sub(r"isnotnull\([^)]*\)|isnan\([^)]*\)", "", ln)
+        return bool(
+            re.search(
+                r"[<>]|=(?!=)|\bIN\b|\bLIKE\b|StartsWith|EndsWith|Contains|RLIKE",
+                body,
+            )
+        )
+
+    offenders = []
+    for i, ln in enumerate(lines):
+        if "ResolvedHint" not in ln or "broadcast" not in ln.lower():
+            continue
+        col = start_col(ln)
+        guarded = False
+        facts = []
+        for sub in lines[i + 1 :]:
+            if sub.strip() and start_col(sub) <= col:
+                break
+            if re.search(r"Aggregate|GlobalLimit|LocalLimit|Deduplicate", sub):
+                guarded = True
+                break
+            if selective_filter(sub):
+                guarded = True
+                break
+            if sub.lstrip(" :+-*").startswith("Relation"):
+                for fact, sig in _FACT_SIGNATURES.items():
+                    if sig in sub:
+                        facts.append(fact)
+        if facts and not guarded:
+            offenders.append(f"{ln.strip()} <- unguarded broadcast of {facts}")
+    return offenders
+
+
+def _analyzed_plan(df) -> str:
+    return df._jdf.queryExecution().analyzed().toString()
+
+
 def _driver_query_names():
     from timebox_spark.plans import suites
 
@@ -204,6 +277,48 @@ def test_no_unreduced_single_partition_exchange(name, spark):
     assert not offenders, f"{name}: {offenders}"
 
 
+@pytest.mark.parametrize("name", _driver_query_names())
+def test_no_unguarded_fact_broadcast(name, spark):
+    from timebox_spark.plans import suites
+
+    df = suites.DRIVER_QUERIES[name](spark, SF_SMOKE)
+    offenders = _broadcast_fact_offenders(_analyzed_plan(df))
+    assert not offenders, f"{name}: {offenders}"
+
+
+def test_broadcast_walker_catches_bad_plan(spark):
+    # negative self-test: an explicitly hinted whole-fact broadcast
+    # MUST be flagged; a literal-filtered subset, an aggregated
+    # summary, a dimension broadcast, and an AUTO (unhinted) join of
+    # the same fact must NOT
+    from pyspark.sql import functions as F
+    from timebox_spark.plans.tables import load
+
+    ev = load(spark, SF_SMOKE, "events")
+    na = load(spark, SF_SMOKE, "nation")
+    bad = na.join(
+        F.broadcast(ev.select("user_id", "value")),
+        na.n_nationkey == F.col("user_id"),
+    )
+    assert _broadcast_fact_offenders(_analyzed_plan(bad))
+    ok = na.join(
+        F.broadcast(ev.filter(F.col("event_id") < 10).select("user_id")),
+        na.n_nationkey == F.col("user_id"),
+    )
+    assert not _broadcast_fact_offenders(_analyzed_plan(ok))
+    agg = na.join(
+        F.broadcast(ev.groupBy("user_id").count()),
+        na.n_nationkey == F.col("user_id"),
+    )
+    assert not _broadcast_fact_offenders(_analyzed_plan(agg))
+    dims = ev.join(F.broadcast(na), ev.user_id == na.n_nationkey)
+    assert not _broadcast_fact_offenders(_analyzed_plan(dims))
+    auto = na.join(
+        ev.select("user_id", "value"), na.n_nationkey == F.col("user_id")
+    )
+    assert not _broadcast_fact_offenders(_analyzed_plan(auto))
+
+
 def test_single_partition_walker_catches_bad_plan(spark):
     # sanity for the walker itself: an unkeyed global-window plan over
     # a table scan MUST be flagged
@@ -226,12 +341,17 @@ def test_unkeyed_delta_paths_are_bucketed(spark):
     from timebox_spark.plans.tables import load
 
     events = load(spark, SF_SMOKE, "events").select("ts", "event_id", "value")
-    enc = kernels.delta_encode(events, "value", order_by=["ts", "event_id"])
+    # shared-bounds composition: one auto_bucket bounds agg for the
+    # whole unkeyed pipeline instead of one per kernel call
+    bkt = kernels.auto_bucket(events, ["ts", "event_id"])
+    enc = kernels.delta_encode(
+        events, "value", order_by=["ts", "event_id"], bucket=bkt
+    )
     assert not _single_partition_offenders(_simple_plan(enc))
-    dts = kernels.ts_delta_us(events, order_by=["ts", "event_id"])
+    dts = kernels.ts_delta_us(events, order_by=["ts", "event_id"], bucket=bkt)
     assert not _single_partition_offenders(_simple_plan(dts))
     dec = kernels.delta_decode(
-        enc, "value_delta", "value", order_by=["ts", "event_id"]
+        enc, "value_delta", "value", order_by=["ts", "event_id"], bucket=bkt
     )
     assert not _single_partition_offenders(_simple_plan(dec))
 

@@ -34,17 +34,23 @@ def delta_encode(
     order_by: list[str],
     partition_by: list[str] | None = None,
     out_col: str | None = None,
+    bucket: Column | None = None,
 ) -> DataFrame:
     """value − lag(value) per series; first row of each series gets
     null (the reference stores the first value separately as the
-    reference value, numpy_utils.py:218-222)."""
+    reference value, numpy_utils.py:218-222).
+
+    ``bucket``: optional precomputed monotone bucket column for the
+    unkeyed path — pass ``auto_bucket(df, order_by)`` once when
+    composing several unkeyed kernels over the same input, so the
+    min/max bounds agg runs one scan instead of one per kernel."""
     out_col = out_col or f"{value_col}_delta"
     if not partition_by:
         # no series key: a bare Window.orderBy would serialize the data
         # through one task — run the exact bucketed-carry plan instead
-        d = bucketed_prev(
-            df, order_by, value_col, _auto_bucket(df, order_by), out_col="__prev"
-        )
+        if bucket is None:
+            bucket = auto_bucket(df, order_by)
+        d = bucketed_prev(df, order_by, value_col, bucket, out_col="__prev")
         return d.withColumn(out_col, F.col(value_col) - F.col("__prev")).drop(
             "__prev"
         )
@@ -59,18 +65,20 @@ def delta_decode(
     order_by: list[str],
     partition_by: list[str] | None = None,
     out_col: str = "reconstructed",
+    bucket: Column | None = None,
 ) -> DataFrame:
     """Prefix-sum reconstruction: first_value + running sum of deltas
     (reference cumsum+prepend, numpy_utils.py:258-260 and
-    timebox.py:349-361). Null deltas (series heads) count as 0."""
+    timebox.py:349-361). Null deltas (series heads) count as 0.
+    ``bucket``: see ``delta_encode`` (shared-bounds composition)."""
     if not partition_by:
         # exact distributed prefix sum (bucketed carry) + the global
         # first value via a one-row agg broadcast — no unkeyed window
         ord_struct = F.struct(*[F.col(c) for c in order_by])
         fv = df.agg(F.min_by(F.col(first_value_col), ord_struct).alias("__fv"))
-        d = bucketed_running_sum(
-            df, order_by, delta_col, _auto_bucket(df, order_by), out_col="__rs"
-        )
+        if bucket is None:
+            bucket = auto_bucket(df, order_by)
+        d = bucketed_running_sum(df, order_by, delta_col, bucket, out_col="__rs")
         return (
             d.crossJoin(F.broadcast(fv))
             .withColumn(out_col, F.col("__fv") + F.col("__rs"))
@@ -91,17 +99,19 @@ def ts_delta_us(
     order_by: list[str] | None = None,
     partition_by: list[str] | None = None,
     out_col: str = "delta_us",
+    bucket: Column | None = None,
 ) -> DataFrame:
     """Per-row timestamp delta in microseconds (reference
     ``np.ediff1d(self._dates)``, timebox.py:370; µs because Spark
-    timestamps are µs-precision)."""
+    timestamps are µs-precision).
+    ``bucket``: see ``delta_encode`` (shared-bounds composition)."""
     order_by = order_by or [ts_col]
     us = F.unix_micros(F.col(ts_col))
     if not partition_by:
         d = df.withColumn("__us", us)
-        d = bucketed_prev(
-            d, order_by, "__us", _auto_bucket(d, order_by), out_col="__prev_us"
-        )
+        if bucket is None:
+            bucket = auto_bucket(d, order_by)
+        d = bucketed_prev(d, order_by, "__us", bucket, out_col="__prev_us")
         return d.withColumn(out_col, F.col("__us") - F.col("__prev_us")).drop(
             "__us", "__prev_us"
         )
@@ -370,11 +380,16 @@ def bucketed_running_sum(
     )
 
 
-def _auto_bucket(df: DataFrame, order_by: list[str], n_buckets: int = 256) -> Column:
+def auto_bucket(df: DataFrame, order_by: list[str], n_buckets: int = 256) -> Column:
     """Monotone bucket over the leading order column for the unkeyed
     bucketed-carry paths: floor((x − min) / width) from a one-row
     min/max agg. Works for numeric and timestamp leading keys;
-    anything else must pass explicit series keys."""
+    anything else must pass explicit series keys.
+
+    Each call pays one min/max/count scan of ``df`` — when composing
+    several unkeyed kernels over the SAME input, call this once and
+    pass the column via the kernels' ``bucket=`` parameter so the
+    bounds agg is shared."""
     from pyspark.sql.types import NumericType, TimestampType
 
     lead = order_by[0]
