@@ -49,9 +49,89 @@ def test_resize_payload_keeps_media_layout(spark):
     assert feats.count() == media.count()
 
 
-def test_compressed_codecs_still_raise():
+def test_unsupported_codecs_still_raise():
+    # JPEG (DCT) remains the documented limitation
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG")
+        multimodal.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
+
+
+def test_png_roundtrip_exact():
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    for h, w in [(1, 1), (3, 5), (16, 7), (9, 16)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(multimodal.decode_image(multimodal.encode_png(px)), px)
+
+
+def _spec_filtered_png(px, filter_types):
+    """Build PNG bytes with the given per-row filter types, filtering
+    each scanline by the PNG spec formulas directly — independent of
+    the decoder's unfilter code, so a shared misreading can't cancel."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, ch = px.shape
+    lines, prev = [], np.zeros(w * ch, dtype=np.int64)
+    for y, ftype in enumerate(filter_types):
+        cur = px[y].reshape(-1).astype(np.int64)
+        filt = np.zeros(w * ch, dtype=np.int64)
+        for i in range(w * ch):
+            a = cur[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            filt[i] = (cur[i] - pred) % 256
+        lines.append(bytes([ftype]) + bytes(filt.astype(np.uint8)))
+        prev = cur
+    raw = b"".join(lines)
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ctype = 2 if ch == 3 else 6
+    return (
+        multimodal.PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_all_filters_decode():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    png = _spec_filtered_png(px, [0, 1, 2, 3, 4])
+    assert np.array_equal(multimodal.decode_image(png), px)
+
+
+def test_png_rgba_drops_alpha():
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rgba = rng.integers(0, 256, size=(3, 3, 4), dtype=np.uint8)
+    png = _spec_filtered_png(rgba, [0, 2, 1])
+    assert np.array_equal(multimodal.decode_image(png), rgba[:, :, :3])
 
 
 def test_bmp_ppm_roundtrip_exact():
@@ -88,5 +168,5 @@ def test_synth_decode_matches_formula(spark):
         px = multimodal.synth_pixels(doc_id)
         r = out[doc_id]
         assert (r["height"], r["width"]) == (h, w)
-        assert r["fmt"] == ("bmp" if doc_id % 2 == 0 else "ppm")
+        assert r["fmt"] == {0: "bmp", 1: "ppm", 2: "png"}[doc_id % 3]
         assert r["pixel_sum"] == int(px.astype(np.int64).sum())

@@ -4,11 +4,12 @@ Images/audio/video ride as ``binary`` columns with a metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
 pandas functions over ``mapInPandas`` so each task processes whole
 record batches (never per-row Python). ``decode_image`` performs REAL
-raster decode for uncompressed formats (24-bit BMP and binary P6 PPM,
-pure numpy — header parse, row padding, BGR order, bottom-up rows);
-compressed codecs (PNG/JPEG) are a documented container limitation
-handled inside ``decode_image`` (no image libs here; Pillow slots in
-behind the same signature). ``fake_decode_features`` remains as a
+raster decode (pure numpy + stdlib zlib) for 24-bit BMP (header
+parse, row padding, BGR order, bottom-up rows), binary P6 PPM, and
+8-bit truecolor PNG (chunk walk, inflate, all five scanline
+filters). JPEG (DCT codec absent in this container) is the one
+documented limitation handled inside ``decode_image``; Pillow slots
+in behind the same signature. ``fake_decode_features`` remains as a
 deterministic stand-in for formats outside the raster codecs.
 """
 
@@ -92,18 +93,123 @@ def encode_ppm(pixels) -> bytes:
     return f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(pixels) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a standard 8-bit
+    truecolor PNG (color type 2, filter 0 per scanline, one zlib IDAT)
+    — stdlib zlib only, readable by any viewer."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(b: bytes):
+    """8-bit truecolor PNG (color types 2 RGB / 6 RGBA, no interlace),
+    all five scanline filters (None/Sub/Up/Average/Paeth) per the PNG
+    spec §4.5-4.6. Sub is a mod-256 cumulative sum per channel (full
+    numpy); Average/Paeth have an intra-row dependency and loop per
+    byte — fine for thumbnails/frames, and any PNG a foreign encoder
+    emits decodes correctly regardless of its filter choices.
+    RGBA alpha is dropped (features are RGB-based)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    pos, idat = len(PNG_SIG), b""
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= len(b):
+        ln, tag = struct.unpack_from(">I4s", b, pos)
+        pos += 8
+        data = b[pos : pos + ln]
+        pos += ln + 4  # payload + CRC
+        if tag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+    if depth != 8 or ctype not in (2, 6) or interlace:
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth}, color={ctype}, "
+            f"interlace={interlace}); 8-bit RGB/RGBA non-interlaced only"
+        )
+    ch = 3 if ctype == 2 else 4
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    rows = raw.reshape(h, w * ch + 1)
+    out = np.zeros((h, w * ch), dtype=np.uint8)
+    prev = np.zeros(w * ch, dtype=np.int64)
+    for y in range(h):
+        f = int(rows[y, 0])
+        line = rows[y, 1:].astype(np.int64)
+        if f == 0:  # None
+            rec = line
+        elif f == 1:  # Sub: recon[i] = raw[i] + recon[i-ch]
+            rec = (line.reshape(w, ch).cumsum(axis=0) % 256).reshape(-1)
+        elif f == 2:  # Up
+            rec = (line + prev) % 256
+        elif f == 3:  # Average
+            rec = np.zeros(w * ch, dtype=np.int64)
+            for i in range(w * ch):
+                a = rec[i - ch] if i >= ch else 0
+                rec[i] = (line[i] + (a + prev[i]) // 2) % 256
+        elif f == 4:  # Paeth
+            rec = np.zeros(w * ch, dtype=np.int64)
+            for i in range(w * ch):
+                a = int(rec[i - ch]) if i >= ch else 0
+                up = int(prev[i])
+                c = int(prev[i - ch]) if i >= ch else 0
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                rec[i] = (line[i] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out.reshape(h, w, ch)[:, :, :3].copy()
+
+
 def decode_image(payload: bytes):
-    """Pure-numpy decode of uncompressed raster formats to an
-    (h, w, 3) uint8 RGB array: 24-bit BMP (BITMAPINFOHEADER, top-down
-    or bottom-up, padded rows, BGR) and binary PPM (P6, maxval ≤ 255,
-    comment-tolerant header). Compressed formats (PNG/JPEG/...) still
-    raise — their codecs are not in this container; at deploy time
-    Pillow slots into the same mapInPandas harness unchanged."""
+    """Pure-numpy decode of raster formats to an (h, w, 3) uint8 RGB
+    array: 24-bit BMP (BITMAPINFOHEADER, top-down or bottom-up, padded
+    rows, BGR), binary PPM (P6, maxval ≤ 255, comment-tolerant
+    header), and 8-bit truecolor PNG (RGB/RGBA, all five scanline
+    filters, stdlib zlib inflate). Other formats (JPEG — needs a DCT
+    codec not present in this container) raise; at deploy time Pillow
+    slots into the same mapInPandas harness unchanged."""
     import struct
 
     import numpy as np
 
     b = bytes(payload)
+    if b[: len(PNG_SIG)] == PNG_SIG:
+        return _decode_png(b)
     if b[:2] == b"BM":
         offset = struct.unpack_from("<I", b, 10)[0]
         size, w, h, planes, bpp, comp = struct.unpack_from("<IiiHHI", b, 14)
@@ -138,8 +244,8 @@ def decode_image(payload: bytes):
         raster = np.frombuffer(b, dtype=np.uint8, count=h * w * 3, offset=pos)
         return raster.reshape(h, w, 3).copy()
     raise NotImplementedError(
-        "compressed media codecs (PNG/JPEG/...) are not present in this "
-        "environment; BMP and P6 PPM decode natively"
+        "JPEG (and other DCT/wavelet codecs) are not present in this "
+        "environment; BMP, P6 PPM, and 8-bit PNG decode natively"
     )
 
 
@@ -168,10 +274,10 @@ def synth_pixels(doc_id: int):
 
 
 def synth_media_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """One synthetic raster image per document row — BMP for even ids,
-    PPM for odd — in the standard media layout. The payloads are REAL
-    encoded files (padded BMP rows, PPM headers), produced in an
-    Arrow-batched kernel."""
+    """One synthetic raster image per document row — BMP / PPM / PNG
+    cycling on doc_id mod 3 — in the standard media layout. The
+    payloads are REAL encoded files (padded BMP rows, PPM headers,
+    zlib-deflated PNG IDAT), produced in an Arrow-batched kernel."""
     from timebox_spark.session import ship_package
 
     ship_package(docs.sparkSession)
@@ -181,12 +287,15 @@ def synth_media_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             payloads, fmts = [], []
             for doc_id in pdf[id_col].astype("int64"):
                 px = synth_pixels(int(doc_id))
-                if doc_id % 2 == 0:
+                if doc_id % 3 == 0:
                     payloads.append(encode_bmp(px))
                     fmts.append("image/bmp")
-                else:
+                elif doc_id % 3 == 1:
                     payloads.append(encode_ppm(px))
                     fmts.append("image/x-portable-pixmap")
+                else:
+                    payloads.append(encode_png(px))
+                    fmts.append("image/png")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
@@ -216,9 +325,10 @@ DECODE_SCHEMA = T.StructType(
 
 def decode_features(media: DataFrame) -> DataFrame:
     """REAL decode over mapInPandas: parse each payload with
-    ``decode_image`` (BMP/PPM numpy codecs) and emit dimensions + the
-    exact pixel sum. Any mis-parse (padding, channel order, row
-    direction, header) shifts the digest and fails the oracle."""
+    ``decode_image`` (BMP/PPM/PNG numpy codecs) and emit dimensions +
+    the exact pixel sum. Any mis-parse (padding, channel order, row
+    direction, header, inflate/unfilter) shifts the digest and fails
+    the oracle."""
     from timebox_spark.session import ship_package
 
     ship_package(media.sparkSession)
@@ -227,9 +337,15 @@ def decode_features(media: DataFrame) -> DataFrame:
         for pdf in batches:
             ids, fmts, hs, ws, sums = [], [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                px = decode_image(bytes(payload))
+                raw = bytes(payload)
+                px = decode_image(raw)
                 ids.append(doc_id)
-                fmts.append("bmp" if bytes(payload)[:2] == b"BM" else "ppm")
+                if raw[:2] == b"BM":
+                    fmts.append("bmp")
+                elif raw[: len(PNG_SIG)] == PNG_SIG:
+                    fmts.append("png")
+                else:
+                    fmts.append("ppm")
                 hs.append(px.shape[0])
                 ws.append(px.shape[1])
                 sums.append(int(px.astype("int64").sum()))

@@ -259,12 +259,12 @@ def q29_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q30_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-payload features + sampled per-frame features + REAL
-    image decode: synthetic BMP/PPM payloads (pure functions of
+    image decode: synthetic BMP/PPM/PNG payloads (pure functions of
     doc_id) are encoded then decoded by the numpy raster codecs, and
     the digest (dims + exact pixel sum) must equal what the oracle
     derives arithmetically from doc_id alone — any encode/decode
-    mis-parse (row padding, BGR order, bottom-up rows, PPM header)
-    breaks the hash."""
+    mis-parse (row padding, BGR order, bottom-up rows, PPM header,
+    PNG inflate/unfilter) breaks the hash."""
     from timebox_spark.operators import multimodal
 
     whole = LQ.q30_multimodal_features(spark, sf_dir).select(
@@ -304,7 +304,8 @@ _SYNTH_W_SQL = "(8 + (doc_id * 7) % 9)"
 _Q30_DECODE_SQL = f"""
 SELECT doc_id, CAST(-2 AS INTEGER) AS frame_idx,
        CAST({_SYNTH_H_SQL} * {_SYNTH_W_SQL} * 3 AS BIGINT) AS n_bytes,
-       (CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END) || ':' ||
+       (CASE WHEN doc_id % 3 = 0 THEN 'bmp'
+             WHEN doc_id % 3 = 1 THEN 'ppm' ELSE 'png' END) || ':' ||
          CAST({_SYNTH_H_SQL} AS VARCHAR) || 'x' || CAST({_SYNTH_W_SQL} AS VARCHAR)
          AS head_hex,
        CAST(list_sum(list_transform(range(0, {_SYNTH_H_SQL} * {_SYNTH_W_SQL} * 3),
