@@ -65,3 +65,23 @@ def test_mean_word_length_empty_doc(spark):
     rows = df.select(text.mean_word_length().alias("m")).orderBy("doc_id").collect()
     assert rows[0]["m"] == pytest.approx(2.5)
     assert rows[1]["m"] == 0.0
+
+
+def test_shuffle_shards_deterministic_and_balanced(spark):
+    """The seeded shard shuffle is a pure function of (seed, key):
+    stable under repartitioning, roughly balanced, and its
+    within-shard order is the (shuffle_h, key) sort everywhere."""
+    from timebox_spark.operators.sampling import shuffle_shards
+
+    docs = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    a = shuffle_shards(docs, key="doc_id", n_shards=8).collect()
+    b = shuffle_shards(docs.repartition(7), key="doc_id", n_shards=8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    sizes = {}
+    for r in a:
+        sizes[r["shard"]] = sizes.get(r["shard"], 0) + 1
+    assert len(sizes) == 8
+    assert max(sizes.values()) < 2.0 * min(sizes.values())  # md5 uniformity
+    # a different seed is a different permutation
+    c = shuffle_shards(docs, key="doc_id", n_shards=8, seed="other").collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))

@@ -46,3 +46,50 @@ def deterministic_split(
 def hash_sample(df: DataFrame, key: str, rate_pct: int, buckets: int = 100) -> DataFrame:
     """Deterministic ~rate% sample: keep rows whose bucket < rate."""
     return df.filter(hash_bucket(key, buckets) < F.lit(rate_pct))
+
+
+# defaults shared with the q44 DuckDB oracle (llm_queries._Q44_SQL)
+SHUFFLE_SEED = "shuffle"
+SHUFFLE_SHARDS = 8
+
+
+def shuffle_hash(key: Column | str, seed: str = SHUFFLE_SEED) -> Column:
+    """Seeded md5 permutation key: first 8 hex chars of
+    md5('<seed>:<key>') as a BIGINT in [0, 2^32) — the same value on
+    any engine, so the shuffle order is a property of the DATA, not
+    of the job that produced it."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(seed), c.cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def shuffle_shards(
+    df: DataFrame,
+    key: str,
+    n_shards: int = SHUFFLE_SHARDS,
+    seed: str = SHUFFLE_SEED,
+    shard_col: str = "shard",
+    hash_col: str = "shuffle_h",
+) -> DataFrame:
+    """Deterministic corpus shuffle for training export: each row gets
+    a shard in [0, n_shards) and a permutation key; the export order
+    is (shard, shuffle_h, key). This is the standard "seeded global
+    shuffle into N shards" every LLM data pipeline runs before
+    training — expressed so the permutation is reproducible across
+    engines, partitionings, and backfills (md5, not a seeded RNG).
+
+    At 100 TB: the writer is
+    ``df.repartition(n_shards, shard).sortWithinPartitions(hash_col,
+    key).write...`` — one shuffle on the shard key, one in-partition
+    sort per shard (the sort IS the product: within-shard order is
+    what the trainer consumes). No global sort, no driver state.
+    """
+    h = shuffle_hash(key, seed)
+    return df.withColumn(hash_col, h).withColumn(
+        shard_col, F.pmod(F.col(hash_col), F.lit(n_shards)).cast("int")
+    )

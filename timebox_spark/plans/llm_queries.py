@@ -442,22 +442,67 @@ def q31_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Deterministic hash-split: engine-portable train/val/test assignment.
 
 def q44_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from timebox_spark.operators.sampling import deterministic_split
+    """Train/val/test split stats + shuffled-shard export digests.
+
+    The shard rows pin the ENTIRE within-shard permutation, not just
+    membership: pos = rank in (shuffle_h, doc_id) order within the
+    shard, and id_sum = Σ doc_id·pos changes if ANY two rows swap
+    places — so the oracle hash verifies the exact training-data
+    order a trainer would consume. The per-shard window partitions by
+    shard (the export unit), never a global sort."""
+    from pyspark.sql import Window
+
+    from timebox_spark.operators.sampling import (
+        SHUFFLE_SHARDS,
+        deterministic_split,
+        shuffle_shards,
+    )
 
     docs = load(spark, sf_dir, "documents")
     split = deterministic_split(docs, key="doc_id")
-    return split.groupBy("split").agg(
+    splits = split.groupBy("split").agg(
         F.count(F.lit(1)).alias("n"),
         F.min("doc_id").alias("min_id"),
         F.sum("doc_id").alias("id_sum"),
     )
+    sharded = shuffle_shards(docs, key="doc_id", n_shards=SHUFFLE_SHARDS)
+    w = Window.partitionBy("shard").orderBy("shuffle_h", "doc_id")
+    shards = (
+        sharded.withColumn("pos", F.row_number().over(w))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.when(F.col("pos") == 1, F.col("doc_id"))).alias("min_id"),
+            F.sum(F.col("doc_id") * F.col("pos")).alias("id_sum"),
+        )
+        .select(
+            F.concat(F.lit("shard"), F.col("shard").cast("string")).alias(
+                "split"
+            ),
+            "n",
+            "min_id",
+            "id_sum",
+        )
+    )
+    return splits.unionByName(shards)
 
 
-_Q44_SQL = """
+def _q44_sql() -> str:
+    from timebox_spark.operators.sampling import SHUFFLE_SEED, SHUFFLE_SHARDS
+
+    return f"""
 WITH b AS (
   SELECT doc_id,
          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
   FROM documents
+), s AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('{SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM documents
+), r AS (
+  SELECT doc_id, h, h % {SHUFFLE_SHARDS} AS shard,
+         row_number() OVER (PARTITION BY h % {SHUFFLE_SHARDS} ORDER BY h, doc_id) AS pos
+  FROM s
 )
 SELECT CASE WHEN bucket < 80 THEN 'train'
             WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
@@ -465,7 +510,16 @@ SELECT CASE WHEN bucket < 80 THEN 'train'
        CAST(min(doc_id) AS BIGINT) AS min_id,
        CAST(sum(doc_id) AS BIGINT) AS id_sum
 FROM b GROUP BY 1
+UNION ALL
+SELECT 'shard' || CAST(shard AS VARCHAR),
+       CAST(count(*) AS BIGINT),
+       CAST(min(CASE WHEN pos = 1 THEN doc_id END) AS BIGINT),
+       CAST(sum(doc_id * pos) AS BIGINT)
+FROM r GROUP BY 1
 """
+
+
+_Q44_SQL = _q44_sql()
 
 
 QUERIES = {
