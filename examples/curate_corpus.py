@@ -3,6 +3,7 @@ data flow, end to end, on the engine's operators.
 
     documents ──ann──▶ lang/quality/tokens ──gate──▶ kept
         ──dedup(exact fp)──▶ unique ──split──▶ train/val/test
+        ──shuffle_shards──▶ seeded-shuffled export shards
     plus: minhash near-dup clusters and IVF similarity probes on the
     embeddings table.
 
@@ -40,7 +41,15 @@ def main() -> None:
     n_clustered = clusters.groupBy("canonical_id").count().filter("count > 1")
     print(f"near-dup clusters (>1 member): {n_clustered.count()}")
 
-    # 3. similarity probe: IVF ANN over the embeddings table
+    # 3. training export: deterministic seeded shuffle into shards —
+    # writer = repartition(shard) + sortWithinPartitions(shuffle_h)
+    from timebox_spark.operators.sampling import shuffle_shards
+
+    sharded = shuffle_shards(docs, key="doc_id", n_shards=4)
+    print("export shard sizes (reproducible on any engine):")
+    sharded.groupBy("shard").count().orderBy("shard").show()
+
+    # 4. similarity probe: IVF ANN over the embeddings table
     emb = load(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 3)
     print("IVF top-3 neighbors for 3 probe vectors:")
