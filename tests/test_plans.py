@@ -286,6 +286,26 @@ def test_no_unguarded_fact_broadcast(name, spark):
     assert not offenders, f"{name}: {offenders}"
 
 
+def _bench_headline():
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    return bench.HEADLINE
+
+
+@pytest.mark.parametrize("name", sorted(_bench_headline()))
+def test_bench_queries_pass_plan_invariants(name, spark):
+    """The benched set includes fast-path variants that are not driver
+    keys (q25 minhash kernel path, q47 IVF) — hold them to the same
+    mechanical scale invariants as the driver queries."""
+    df = _bench_headline()[name](spark, SF_SMOKE)
+    assert not _single_partition_offenders(_simple_plan(df)), name
+    assert not _broadcast_fact_offenders(_analyzed_plan(df)), name
+
+
 def test_broadcast_walker_catches_bad_plan(spark):
     # negative self-test: an explicitly hinted whole-fact broadcast
     # MUST be flagged; a literal-filtered subset, an aggregated
