@@ -59,3 +59,31 @@ def test_minhash_prefilter_preserves_results(spark):
     a = sorted((r["id_a"], r["id_b"]) for r in plain.collect())
     b = sorted((r["id_a"], r["id_b"]) for r in screened.collect())
     assert a == b and len(a) > 0
+
+
+def test_ngram_contamination_semantics(spark):
+    """Docs sharing a 12-gram with the probe set are flagged with the
+    exact distinct-overlap count; clean docs are not."""
+    from timebox_spark.operators.dedup import ngram_contamination
+
+    probes = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (10, "i saw the quick brown fox yesterday morning"),  # overlap
+            (11, "completely unrelated text about spark plans"),  # clean
+            (12, "the quick brown fox jumps over the lazy dog"),  # verbatim
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r["n_overlap"]
+        for r in ngram_contamination(docs, probes, shingle_n=12).collect()
+    }
+    assert 11 not in rows
+    assert rows[10] >= 1
+    # the verbatim copy shares every probe shingle
+    norm = "the quick brown fox jumps over the lazy dog"
+    assert rows[12] == len(set(norm[i : i + 12] for i in range(len(norm) - 11)))

@@ -529,6 +529,52 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_contamination(
+    docs: DataFrame,
+    probes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 12,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing at
+    least ``min_overlap`` distinct character ``shingle_n``-grams with
+    a probe set (an eval benchmark) — the standard pre-training
+    decontamination step, so test data never leaks into the corpus.
+
+    Scale shape: probe shingles are exploded, deduped, and BROADCAST
+    (benchmarks are small by nature — thousands of docs, not
+    billions); the corpus side is one scan + explode, a broadcast
+    equi-join on the shingle, and one agg shuffle on ``id_col``.
+    Never a cross join; corpus text normalized once. Returns
+    (id, n_overlap) for flagged docs — anti-join it back to drop
+    them. The reference has no text ops (SURVEY §2.7); this extends
+    it for LLM-pipeline workloads."""
+    doc_sh = with_norm(docs, text_col).select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(char_shingles("__norm", shingle_n))
+        ).alias("sh"),
+    )
+    probe_sh = (
+        with_norm(probes, text_col)
+        .select(
+            F.explode(
+                F.array_distinct(char_shingles("__norm", shingle_n))
+            ).alias("sh")
+        )
+        .distinct()
+    )
+    return (
+        doc_sh.join(F.broadcast(probe_sh), "sh")
+        # shingles are distinct per doc pre-explode, so count() is the
+        # distinct-overlap count without a second dedup
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(F.col("n_overlap") >= F.lit(min_overlap))
+    )
+
+
 # ---------------------------------------------------------------- clustering
 
 def connected_components(

@@ -189,7 +189,17 @@ _J_BUCKET = 64
 _J_THRESHOLD = 0.35
 
 
+# decontamination member constants (shared with the SQL below)
+_DECON_N = 12  # character n-gram length for eval-overlap detection
+_DECON_PROBE_MAX = 5  # probe "benchmark" = documents with doc_id < 5
+_DECON_MIN_OVERLAP = 1
+
+
 def q24_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked n-gram Jaccard pairs + benchmark decontamination rows
+    (id_b = -1, jaccard_q = distinct-shingle overlap count): docs
+    sharing a 12-gram with the probe set (doc_id < 5 stands in for an
+    eval benchmark) are exactly the rows the oracle recomputes."""
     docs = load(spark, sf_dir, "documents").withColumn(
         "len_bucket", F.floor(F.length("text") / _J_BUCKET).cast("long")
     )
@@ -198,14 +208,34 @@ def q24_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_cols=["lang", "len_bucket"],
         shingle_n=_J_SHINGLE_N,
         threshold=_J_THRESHOLD,
-    )
-    return pairs.select(
+    ).select(
         "id_a", "id_b", F.round(F.col("jaccard") * 1e6).cast("long").alias("jaccard_q")
     )
+    base = load(spark, sf_dir, "documents")
+    contam = dedup.ngram_contamination(
+        base.filter(F.col("doc_id") >= _DECON_PROBE_MAX),
+        base.filter(F.col("doc_id") < _DECON_PROBE_MAX),
+        shingle_n=_DECON_N,
+        min_overlap=_DECON_MIN_OVERLAP,
+    ).select(
+        F.col("doc_id").alias("id_a"),
+        F.lit(-1).cast("long").alias("id_b"),
+        F.col("n_overlap").cast("long").alias("jaccard_q"),
+    )
+    return pairs.unionByName(contam)
 
 
-_Q24_SQL = f"""
-WITH s AS (
+def _decon_shingles(where: str) -> str:
+    return f"""
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN length({_NORM}) < {_DECON_N} THEN [{_NORM}]
+           ELSE list_transform(range(1, length({_NORM}) - {_DECON_N - 2}),
+                               i -> substr({_NORM}, i, {_DECON_N})) END
+         )) AS sh
+  FROM documents WHERE {where}"""
+
+
+_S_CTE = f"""s AS (
   SELECT doc_id, lang, CAST(floor(length(text) / {_J_BUCKET}) AS BIGINT) AS len_bucket,
          list_distinct(
            CASE WHEN length({_NORM}) < {_J_SHINGLE_N} THEN [{_NORM}]
@@ -213,15 +243,31 @@ WITH s AS (
                                i -> substr({_NORM}, i, {_J_SHINGLE_N})) END
          ) AS sh
   FROM documents
-)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+)"""
+
+_PAIRS_BODY = f"""SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(round(CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE)
             / (length(a.sh) + length(b.sh) - length(list_intersect(a.sh, b.sh)))
             * 1000000) AS BIGINT) AS jaccard_q
 FROM s a JOIN s b
   ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
 WHERE CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      / (length(a.sh) + length(b.sh) - length(list_intersect(a.sh, b.sh))) >= {_J_THRESHOLD}
+      / (length(a.sh) + length(b.sh) - length(list_intersect(a.sh, b.sh))) >= {_J_THRESHOLD}"""
+
+# self-contained Jaccard-pairs SQL: embedded by the q31 connected-
+# components oracle (pairs ONLY — contamination flag rows are not
+# near-dup edges and must not merge clusters)
+Q24_PAIRS_SQL = f"WITH {_S_CTE}\n{_PAIRS_BODY}"
+
+_Q24_SQL = f"""
+WITH {_S_CTE},
+dsh AS ({_decon_shingles(f"doc_id >= {_DECON_PROBE_MAX}")}),
+psh AS (SELECT DISTINCT sh FROM ({_decon_shingles(f"doc_id < {_DECON_PROBE_MAX}")}))
+{_PAIRS_BODY}
+UNION ALL
+SELECT d.doc_id, CAST(-1 AS BIGINT), CAST(count(*) AS BIGINT)
+FROM dsh d JOIN psh p ON d.sh = p.sh
+GROUP BY 1 HAVING count(*) >= {_DECON_MIN_OVERLAP}
 """
 
 

@@ -350,7 +350,7 @@ def q31_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q31_SQL = f"""
-WITH RECURSIVE pairs AS ({LQ.ORACLE_SQL['q24_ngram_jaccard']}),
+WITH RECURSIVE pairs AS ({LQ.Q24_PAIRS_SQL}),
 edges AS (
   SELECT id_a AS src, id_b AS dst FROM pairs
   UNION ALL
