@@ -202,6 +202,11 @@ def q29_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < ANN_QUERY_MAX_ID)
+    # NOTE: persisting these top-k frames was A/B-tested and does NOT
+    # help — the suite's cost is Catalyst compiling the large literal
+    # expression trees (8 LSH tables × 4 planes × 64-dim arrays),
+    # which every consumer branch pays regardless of caching; the
+    # actual execution over the tiny frames is cheap.
     exact = S.portable_cosine_topk(emb, queries)
     lsh = S.portable_lsh_topk(emb, queries)
     ivf = S.portable_ivf_topk(emb, queries)
