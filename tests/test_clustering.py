@@ -87,3 +87,63 @@ def test_ngram_contamination_semantics(spark):
     # the verbatim copy shares every probe shingle
     norm = "the quick brown fox jumps over the lazy dog"
     assert rows[12] == len(set(norm[i : i + 12] for i in range(len(norm) - 11)))
+
+
+# ---------------------------------------------------------------- embedding near-dups
+
+def _planted_embeddings(spark):
+    """Six vectors in two label blocks with known geometry: (1,2) are
+    near-identical, (3,4) are orthogonal, (10,11) near-identical in the
+    other block; 5 sits alone-ish in block 0."""
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [0.999, 0.01, 0.0, 0.0], 0),       # cos(1,2) ~ 0.99995
+        (3, [0.0, 1.0, 0.0, 0.0], 0),          # orthogonal to 1,2
+        (4, [0.0, 0.0, 1.0, 0.0], 0),
+        (5, [0.5, 0.5, 0.5, 0.5], 0),
+        (10, [0.0, 0.0, 0.0, 1.0], 1),
+        (11, [0.0, 0.0, 0.01, 0.999], 1),      # cos(10,11) ~ 0.99995
+        (12, [1.0, 1.0, 0.0, 0.0], 1),
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+
+
+def test_embedding_near_dups_planted_pairs(spark):
+    emb = _planted_embeddings(spark)
+    got = dedup.embedding_near_dups(emb, threshold=0.95)
+    pairs = sorted((r["id_a"], r["id_b"]) for r in got.collect())
+    assert pairs == [(1, 2), (10, 11)]
+    # cosine values are real cosines
+    for r in got.collect():
+        assert 0.95 <= r["cosine"] <= 1.0
+
+
+def test_embedding_near_dups_blocking_prevents_cross_label(spark):
+    # 1 and 10's twin would match without blocking; labels differ so no pair
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [1.0, 0.001], 1),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    assert dedup.embedding_near_dups(emb, threshold=0.9).count() == 0
+
+
+def test_embedding_near_dups_keep_top_n(spark):
+    emb = _planted_embeddings(spark)
+    got = dedup.embedding_near_dups(emb, threshold=0.95, keep_top_n=2)
+    by_pair = {(r["id_a"], r["id_b"]): r["cosine"] for r in got.collect()}
+    # threshold pairs still present
+    assert (1, 2) in by_pair and (10, 11) in by_pair
+    # block 0 contributes exactly 2 pairs (top-2), block 1 exactly 2
+    blk0 = [p for p in by_pair if p[0] < 10]
+    blk1 = [p for p in by_pair if p[0] >= 10]
+    assert len(blk0) == 2 and len(blk1) == 2
+    # the second-best block-0 pair is (1,5)/(2,5) family: cos = 0.5-ish,
+    # strictly the max sub-threshold cosine in the block
+    sub = {p: c for p, c in by_pair.items() if c < 0.95}
+    for c in sub.values():
+        assert c < 0.95
+    # schema unchanged by the top-n path
+    assert got.columns == ["id_a", "id_b", "cosine"]

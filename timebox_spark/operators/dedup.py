@@ -12,7 +12,7 @@ cluster sizes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from timebox_spark.operators.text import TOKEN_RE
 from timebox_spark.session import ensure_parallelism
@@ -659,21 +659,38 @@ def embedding_near_dups(
     vec_col: str = "embedding",
     block_cols: list[str] | None = None,
     threshold: float = 0.95,
+    keep_top_n: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs within blocking groups
     (default: the label column). Cosine via zip_with + aggregate —
-    JVM-side array arithmetic, no UDF."""
+    JVM-side array arithmetic, no UDF.
+
+    ``keep_top_n``: additionally keep the N highest-cosine pairs per
+    block even when below ``threshold`` — a curation report ("closest
+    candidates per group") that also keeps the output non-empty on
+    corpora with no true near-dups. The ranking window is keyed by the
+    block columns, so it distributes; the pair count per block is the
+    same O(n_block^2) the blocked self-join already pays.
+    """
     block_cols = block_cols or ["label"]
     a, b = df.alias("a"), df.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     pairs = a.join(b, cond).select(
+        *[F.col(f"a.{c}").alias(f"__blk_{c}") for c in block_cols],
         F.col(f"a.{id_col}").alias("id_a"),
         F.col(f"b.{id_col}").alias("id_b"),
         _cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cosine"),
     )
-    return pairs.filter(F.col("cosine") >= threshold)
+    keep = F.col("cosine") >= threshold
+    if keep_top_n is not None:
+        w = Window.partitionBy(*[f"__blk_{c}" for c in block_cols]).orderBy(
+            F.col("cosine").desc(), "id_a", "id_b"
+        )
+        pairs = pairs.withColumn("__rk", F.row_number().over(w))
+        keep = keep | (F.col("__rk") <= keep_top_n)
+    return pairs.filter(keep).select("id_a", "id_b", "cosine")
 
 
 def _dot(x, y):

@@ -289,25 +289,38 @@ def q26_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------------ q27
 
 _COS_THRESHOLD = 0.9
+# Top-N closest pairs per label are reported even below threshold: the
+# synthetic embeddings have no true near-dups (max within-label cosine
+# ~0.47 at sf0.01), so a pure threshold filter is vacuously empty —
+# the top-N report keeps the oracle comparison non-trivial while the
+# threshold semantics stay intact (see dedup.embedding_near_dups).
+_COS_TOP_N = 5
 
 
 def q27_embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    pairs = dedup.embedding_near_dups(emb, threshold=_COS_THRESHOLD)
+    pairs = dedup.embedding_near_dups(
+        emb, threshold=_COS_THRESHOLD, keep_top_n=_COS_TOP_N
+    )
     return pairs.select(
         "id_a", "id_b", F.round(F.col("cosine") * 1e6).cast("long").alias("cosine_q")
     )
 
 
 _Q27_SQL = f"""
-WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       CAST(round(list_dot_product(a.e, b.e)
-            / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
-            * 1000000) AS BIGINT) AS cosine_q
-FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE list_dot_product(a.e, b.e)
-      / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= {_COS_THRESHOLD}
+WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+p AS (
+  SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.e, b.e)
+           / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cosine
+  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY label ORDER BY cosine DESC, id_a, id_b) AS rk
+  FROM p
+)
+SELECT id_a, id_b, CAST(round(cosine * 1000000) AS BIGINT) AS cosine_q
+FROM r WHERE cosine >= {_COS_THRESHOLD} OR rk <= {_COS_TOP_N}
 """
 
 
