@@ -176,6 +176,34 @@ def test_from_pandas_widening_and_sort(spark):
     assert list(back.index) == sorted(idx)
 
 
+def test_from_pandas_unsigned_stays_on_arrow_path(spark):
+    """Unsigned/half-float ingest must not fall off Spark's Arrow fast
+    path (no UNSUPPORTED_DATA_TYPE_FOR_ARROW_CONVERSION fallback), and
+    full-range uint64 must survive via Decimal(20,0)."""
+    import warnings
+
+    idx = pd.date_range("2024-01-01", periods=4, freq="s")
+    pdf = pd.DataFrame(
+        {
+            "u1": np.array([0, 1, 2, 255], dtype=np.uint8),
+            "u2": np.array([0, 1, 2, 65535], dtype=np.uint16),
+            "u4": np.array([0, 1, 2, 2**32 - 1], dtype=np.uint32),
+            "u8": np.array([0, 1, 2, 2**64 - 1], dtype=np.uint64),
+            "f2": np.array([0.5, 1.5, 2.5, -3.0], dtype=np.float16),
+        },
+        index=idx,
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        t = TimeBoxTable.from_pandas(spark, pdf)
+        rows = t.df.orderBy("ts").collect()
+    assert not [w for w in caught if "rrow" in str(w.message)], caught
+    assert rows[-1]["u1"] == 255 and rows[-1]["u2"] == 65535
+    assert rows[-1]["u4"] == 2**32 - 1
+    assert int(rows[-1]["u8"]) == 2**64 - 1
+    assert rows[-1]["f2"] == -3.0
+
+
 def test_from_pandas_rejects_bad_index(spark):
     pdf = pd.DataFrame({"a": [1, 2]}, index=["x", "y"])
     with pytest.raises(DateDataError):

@@ -35,6 +35,36 @@ _TYPE_MAP: dict[tuple[str, int], T.DataType] = {
 
 _WIDENED = {("u", 1), ("u", 2), ("u", 4), ("u", 8), ("f", 2)}
 
+# numpy-side widening applied BEFORE Spark sees a pandas frame: Spark's
+# Arrow conversion rejects unsigned/half-float dtypes outright
+# (UNSUPPORTED_DATA_TYPE_FOR_ARROW_CONVERSION) and falls back to
+# row-by-row Python — exactly the dtype family this engine widens. The
+# signed/float targets below are the numpy twins of _TYPE_MAP's Spark
+# targets, so the Arrow fast path always applies. uint64 has no signed
+# 64-bit container; it goes through object-of-Decimal for the
+# Decimal(20,0) field (driver-local pandas only — never in a kernel).
+_NUMPY_WIDEN: dict[str, str] = {
+    "uint8": "int16",
+    "uint16": "int32",
+    "uint32": "int64",
+    "float16": "float32",
+}
+
+
+def widen_pandas_for_arrow(pdf):
+    """Return a copy of ``pdf`` with unsigned/half-float columns widened
+    to Arrow-convertible numpy dtypes (values unchanged)."""
+    import decimal
+
+    out = pdf.copy(deep=False)
+    for col in out.columns:
+        name = out[col].dtype.name
+        if name in _NUMPY_WIDEN:
+            out[col] = out[col].astype(_NUMPY_WIDEN[name])
+        elif name == "uint64":
+            out[col] = [decimal.Decimal(int(v)) for v in out[col].to_numpy()]
+    return out
+
 # Inverse map for narrowing back when the Spark type was not widened.
 _SPARK_TO_TYPE: dict[str, tuple[str, int]] = {
     "byte": ("i", 1),

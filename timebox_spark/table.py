@@ -66,6 +66,7 @@ class TimeBoxTable:
         out.insert(0, cls.TS_COL, idx.tz_localize(None) if idx.tz is not None else idx)
         out = out.sort_values(cls.TS_COL).reset_index(drop=True)
         out.columns = [f.name for f in sp_schema.fields]
+        out = tb_schema.widen_pandas_for_arrow(out)
         return cls(spark.createDataFrame(out, schema=sp_schema))
 
     @classmethod
