@@ -50,8 +50,10 @@ def test_resize_payload_keeps_media_layout(spark):
 
 
 def test_unsupported_codecs_still_raise():
-    # JPEG (DCT) remains the documented limitation
-    with pytest.raises(NotImplementedError):
+    # unknown containers raise; truncated JPEG raises cleanly too
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"GIF87a" + b"\x00" * 16)
+    with pytest.raises(ValueError):
         multimodal.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
 
 
@@ -164,9 +166,15 @@ def test_synth_decode_matches_formula(spark):
     out = {r["doc_id"]: r for r in multimodal.decode_features(media).collect()}
     assert len(out) == 40
     for doc_id in range(40):
-        h, w = multimodal.synth_dims(doc_id)
-        px = multimodal.synth_pixels(doc_id)
         r = out[doc_id]
+        assert r["fmt"] == {0: "bmp", 1: "ppm", 2: "png", 3: "jpeg"}[doc_id % 4]
+        if doc_id % 4 == 3:
+            h, w = multimodal.synth_jpeg_dims(doc_id)
+            px = multimodal.synth_jpeg_pixels(doc_id)
+            expected_sum = 3 * int(px.astype(np.int64).sum())  # gray → RGB
+        else:
+            h, w = multimodal.synth_dims(doc_id)
+            px = multimodal.synth_pixels(doc_id)
+            expected_sum = int(px.astype(np.int64).sum())
         assert (r["height"], r["width"]) == (h, w)
-        assert r["fmt"] == {0: "bmp", 1: "ppm", 2: "png"}[doc_id % 3]
-        assert r["pixel_sum"] == int(px.astype(np.int64).sum())
+        assert r["pixel_sum"] == expected_sum

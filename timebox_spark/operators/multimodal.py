@@ -5,12 +5,13 @@ decode / feature-extract / resize / frame-sample run as Arrow-batched
 pandas functions over ``mapInPandas`` so each task processes whole
 record batches (never per-row Python). ``decode_image`` performs REAL
 raster decode (pure numpy + stdlib zlib) for 24-bit BMP (header
-parse, row padding, BGR order, bottom-up rows), binary P6 PPM, and
+parse, row padding, BGR order, bottom-up rows), binary P6 PPM,
 8-bit truecolor PNG (chunk walk, inflate, all five scanline
-filters). JPEG (DCT codec absent in this container) is the one
-documented limitation handled inside ``decode_image``; Pillow slots
-in behind the same signature. ``fake_decode_features`` remains as a
-deterministic stand-in for formats outside the raster codecs.
+filters), and baseline-sequential JPEG (Huffman entropy decode,
+dequant, IDCT, chroma upsample — operators/jpeg.py). Pillow slots in
+behind the same signature for anything else (GIF/TIFF/progressive
+JPEG). ``fake_decode_features`` remains as a deterministic stand-in
+for formats outside the native codecs.
 """
 
 from __future__ import annotations
@@ -130,14 +131,28 @@ def _decode_png(b: bytes):
     """8-bit truecolor PNG (color types 2 RGB / 6 RGBA, no interlace),
     all five scanline filters (None/Sub/Up/Average/Paeth) per the PNG
     spec §4.5-4.6. Sub is a mod-256 cumulative sum per channel (full
-    numpy); Average/Paeth have an intra-row dependency and loop per
-    byte — fine for thumbnails/frames, and any PNG a foreign encoder
-    emits decodes correctly regardless of its filter choices.
+    numpy); Average/Paeth carry a left-neighbor dependency that is
+    inherently sequential, so the pure-numpy path loops per byte —
+    fine for the thumbnail/frame sizes this kernel targets, but a
+    corpus of large foreign Paeth-filtered PNGs should go through the
+    Pillow fast path, which is used automatically when importable
+    (identical output: both implement the same spec recon). Our own
+    encoder emits filter 0 only, which never hits the slow path.
     RGBA alpha is dropped (features are RGB-based)."""
     import struct
     import zlib
 
     import numpy as np
+
+    try:  # C-speed unfiltering for any filter mix when available
+        import PIL.Image  # noqa: F401
+
+        import io
+
+        img = PIL.Image.open(io.BytesIO(b))
+        return np.asarray(img.convert("RGB"), dtype=np.uint8).copy()
+    except ImportError:
+        pass
 
     pos, idat = len(PNG_SIG), b""
     w = h = depth = ctype = interlace = None
@@ -199,10 +214,11 @@ def decode_image(payload: bytes):
     """Pure-numpy decode of raster formats to an (h, w, 3) uint8 RGB
     array: 24-bit BMP (BITMAPINFOHEADER, top-down or bottom-up, padded
     rows, BGR), binary PPM (P6, maxval ≤ 255, comment-tolerant
-    header), and 8-bit truecolor PNG (RGB/RGBA, all five scanline
-    filters, stdlib zlib inflate). Other formats (JPEG — needs a DCT
-    codec not present in this container) raise; at deploy time Pillow
-    slots into the same mapInPandas harness unchanged."""
+    header), 8-bit truecolor PNG (RGB/RGBA, all five scanline
+    filters, stdlib zlib inflate), and baseline-sequential JPEG
+    (Huffman + IDCT, grayscale/4:4:4/4:2:2/4:2:0 — operators/jpeg.py).
+    Other formats raise; at deploy time Pillow slots into the same
+    mapInPandas harness unchanged."""
     import struct
 
     import numpy as np
@@ -210,6 +226,10 @@ def decode_image(payload: bytes):
     b = bytes(payload)
     if b[: len(PNG_SIG)] == PNG_SIG:
         return _decode_png(b)
+    if b[:2] == b"\xff\xd8":
+        from timebox_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(b)
     if b[:2] == b"BM":
         offset = struct.unpack_from("<I", b, 10)[0]
         size, w, h, planes, bpp, comp = struct.unpack_from("<IiiHHI", b, 14)
@@ -243,9 +263,10 @@ def decode_image(payload: bytes):
             raise ValueError("16-bit PPM not supported")
         raster = np.frombuffer(b, dtype=np.uint8, count=h * w * 3, offset=pos)
         return raster.reshape(h, w, 3).copy()
-    raise NotImplementedError(
-        "JPEG (and other DCT/wavelet codecs) are not present in this "
-        "environment; BMP, P6 PPM, and 8-bit PNG decode natively"
+    raise ValueError(
+        "unrecognized image container; BMP, P6 PPM, 8-bit PNG, and "
+        "baseline JPEG decode natively (Pillow extends coverage when "
+        "installed)"
     )
 
 
@@ -262,6 +283,27 @@ def synth_dims(doc_id: int) -> tuple[int, int]:
     return 8 + doc_id % 9, 8 + (doc_id * 7) % 9
 
 
+def synth_jpeg_dims(doc_id: int) -> tuple[int, int]:
+    """JPEG synth dims are whole 8x8 blocks (1..3 per axis): with the
+    flat-quant encoder, block-CONSTANT images round-trip bit-exactly
+    through the lossy format, so the oracle predicts the decoded pixel
+    sum arithmetically — the same digest-without-decoding trick the
+    raster formats use (plans/suites.py q30)."""
+    return 8 * (1 + doc_id % 3), 8 * (1 + (doc_id // 3) % 3)
+
+
+def synth_jpeg_pixels(doc_id: int):
+    """(h, w) uint8 grayscale, constant within each 8x8 block:
+    block(by,bx) = (31·doc_id + 17·by + 5·bx) mod 256."""
+    import numpy as np
+
+    h, w = synth_jpeg_dims(doc_id)
+    bh, bw = h // 8, w // 8
+    by, bx = np.ogrid[0:bh, 0:bw]
+    vals = ((31 * doc_id + 17 * by + 5 * bx) % SYNTH_PIX_MOD).astype(np.uint8)
+    return vals.repeat(8, axis=0).repeat(8, axis=1)
+
+
 def synth_pixels(doc_id: int):
     """(h, w, 3) uint8: pixel(y,x,c) = (31·doc_id + 17y + 5x + 11c) mod 256."""
     import numpy as np
@@ -274,10 +316,12 @@ def synth_pixels(doc_id: int):
 
 
 def synth_media_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """One synthetic raster image per document row — BMP / PPM / PNG
-    cycling on doc_id mod 3 — in the standard media layout. The
+    """One synthetic image per document row — BMP / PPM / PNG / JPEG
+    cycling on doc_id mod 4 — in the standard media layout. The
     payloads are REAL encoded files (padded BMP rows, PPM headers,
-    zlib-deflated PNG IDAT), produced in an Arrow-batched kernel."""
+    zlib-deflated PNG IDAT, Huffman-coded JPEG scans), produced in an
+    Arrow-batched kernel."""
+    from timebox_spark.operators.jpeg import encode_jpeg_gray
     from timebox_spark.session import ship_package
 
     ship_package(docs.sparkSession)
@@ -286,11 +330,17 @@ def synth_media_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for pdf in batches:
             payloads, fmts = [], []
             for doc_id in pdf[id_col].astype("int64"):
+                if doc_id % 4 == 3:
+                    payloads.append(
+                        encode_jpeg_gray(synth_jpeg_pixels(int(doc_id)))
+                    )
+                    fmts.append("image/jpeg")
+                    continue
                 px = synth_pixels(int(doc_id))
-                if doc_id % 3 == 0:
+                if doc_id % 4 == 0:
                     payloads.append(encode_bmp(px))
                     fmts.append("image/bmp")
-                elif doc_id % 3 == 1:
+                elif doc_id % 4 == 1:
                     payloads.append(encode_ppm(px))
                     fmts.append("image/x-portable-pixmap")
                 else:
@@ -344,6 +394,8 @@ def decode_features(media: DataFrame) -> DataFrame:
                     fmts.append("bmp")
                 elif raw[: len(PNG_SIG)] == PNG_SIG:
                     fmts.append("png")
+                elif raw[:2] == b"\xff\xd8":
+                    fmts.append("jpeg")
                 else:
                     fmts.append("ppm")
                 hs.append(px.shape[0])

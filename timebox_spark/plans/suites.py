@@ -305,19 +305,35 @@ def q30_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SYNTH_H_SQL = "(8 + doc_id % 9)"
 _SYNTH_W_SQL = "(8 + (doc_id * 7) % 9)"
+# JPEG synth dims: whole 8x8 blocks, 1..3 per axis (multimodal.synth_jpeg_dims)
+_JPEG_BH_SQL = "(1 + doc_id % 3)"
+_JPEG_BW_SQL = "(1 + (doc_id // 3) % 3)"
 
 _Q30_DECODE_SQL = f"""
 SELECT doc_id, CAST(-2 AS INTEGER) AS frame_idx,
        CAST({_SYNTH_H_SQL} * {_SYNTH_W_SQL} * 3 AS BIGINT) AS n_bytes,
-       (CASE WHEN doc_id % 3 = 0 THEN 'bmp'
-             WHEN doc_id % 3 = 1 THEN 'ppm' ELSE 'png' END) || ':' ||
+       (CASE WHEN doc_id % 4 = 0 THEN 'bmp'
+             WHEN doc_id % 4 = 1 THEN 'ppm' ELSE 'png' END) || ':' ||
          CAST({_SYNTH_H_SQL} AS VARCHAR) || 'x' || CAST({_SYNTH_W_SQL} AS VARCHAR)
          AS head_hex,
        CAST(list_sum(list_transform(range(0, {_SYNTH_H_SQL} * {_SYNTH_W_SQL} * 3),
             i -> (31 * doc_id + 17 * (i // ({_SYNTH_W_SQL} * 3))
                   + 5 * ((i // 3) % {_SYNTH_W_SQL}) + 11 * (i % 3)) % 256))
             AS BIGINT) AS byte_sum_mod
-FROM documents
+FROM documents WHERE doc_id % 4 <> 3
+UNION ALL
+-- JPEG rows: block-constant grayscale round-trips BIT-EXACTLY through
+-- the flat-quant baseline codec, so the decoded pixel sum is
+-- 3 channels * 64 px/block * sum of block values — no decode needed
+SELECT doc_id, CAST(-2 AS INTEGER) AS frame_idx,
+       CAST({_JPEG_BH_SQL} * {_JPEG_BW_SQL} * 192 AS BIGINT) AS n_bytes,
+       'jpeg:' || CAST(8 * {_JPEG_BH_SQL} AS VARCHAR) || 'x'
+               || CAST(8 * {_JPEG_BW_SQL} AS VARCHAR) AS head_hex,
+       CAST(192 * list_sum(list_transform(range(0, {_JPEG_BH_SQL} * {_JPEG_BW_SQL}),
+            i -> (31 * doc_id + 17 * (i // {_JPEG_BW_SQL})
+                  + 5 * (i % {_JPEG_BW_SQL})) % 256))
+            AS BIGINT) AS byte_sum_mod
+FROM documents WHERE doc_id % 4 = 3
 """
 
 _Q30_SUITE_SQL = f"""
