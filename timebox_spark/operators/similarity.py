@@ -404,39 +404,53 @@ def portable_lsh_topk(
 ) -> DataFrame:
     """LSH top-k with literal ±1 hyperplanes and exact integer
     projections: bucket membership is a pure BIGINT computation, so
-    the DuckDB oracle reproduces the candidate set exactly."""
-    signs = lsh_plane_signs(tables, planes, dim)
+    the DuckDB oracle reproduces the candidate set exactly.
 
-    def bucket_expr(vq, t):
-        b = F.lit(0).cast("long")
-        for p in range(planes):
-            plane = F.array(*[F.lit(s).cast("long") for s in signs[t][p]])
-            proj = F.aggregate(
-                F.zip_with(vq, plane, lambda v, s: v * s),
+    The sign tensor rides as ONE nested-array Literal
+    (array<array<array<long>>>) and ALL tables×planes projections are
+    a single nested higher-order expression (transform over tables →
+    zip_with planes/bit-weights → inner integer dot) — NOT
+    tables×planes separate aggregate() trees over inlined 64-element
+    literal arrays. Same values, same oracle; the Catalyst tree
+    shrinks from ~2k literal leaves + ~100 HOF nodes per side to ~20
+    nodes, which is what dominated the q29 suite's wall time (every
+    DataFrame step re-analyzes the whole tree; plan compile, not
+    execution — suites.py note)."""
+    signs = lsh_plane_signs(tables, planes, dim)
+    planes_lit = F.lit(
+        [[[int(s) for s in pl] for pl in tbl] for tbl in signs]
+    ).cast("array<array<array<long>>>")
+    weights_lit = F.lit([1 << p for p in range(planes)]).cast("array<long>")
+
+    def bucket_array(vq):
+        """array of per-table buckets: Σ_p weight_p · [dot(vq, plane_p) > 0]."""
+        return F.transform(
+            planes_lit,
+            lambda tbl: F.aggregate(
+                F.zip_with(
+                    tbl,
+                    weights_lit,
+                    lambda plane, wt: F.when(
+                        F.aggregate(
+                            F.zip_with(vq, plane, lambda v, s: v * s),
+                            F.lit(0).cast("long"),
+                            lambda acc, x: acc + x,
+                        )
+                        > 0,
+                        wt,
+                    ).otherwise(F.lit(0).cast("long")),
+                ),
                 F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            )
-            b = b + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-        return b
+                lambda acc, x: acc + x,
+            ),
+        )
 
     def with_buckets(df, idc, vecc):
         return df.select(
             idc,
             vecc,
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("tbl"),
-                            bucket_expr(F.col(vecc), t).alias("bkt"),
-                        )
-                        for t in range(tables)
-                    ]
-                )
-            ).alias("__b"),
-        ).select(idc, vecc, "__b.tbl", "__b.bkt")
+            F.posexplode(bucket_array(F.col(vecc))).alias("tbl", "bkt"),
+        )
 
     cq, qq = _quantize_sides(corpus, queries, id_col, vec_col, query_id_col)
     cb = with_buckets(cq, "vec_id", "__vq")

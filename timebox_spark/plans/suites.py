@@ -202,22 +202,29 @@ def q29_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < ANN_QUERY_MAX_ID)
-    # NOTE: persisting these top-k frames was A/B-tested and does NOT
-    # help — the suite's cost is Catalyst compiling the large literal
-    # expression trees (8 LSH tables × 4 planes × 64-dim arrays),
-    # which every consumer branch pays regardless of caching; the
-    # actual execution over the tiny frames is cheap.
-    exact = S.portable_cosine_topk(emb, queries)
-    lsh = S.portable_lsh_topk(emb, queries)
-    ivf = S.portable_ivf_topk(emb, queries)
-    fast_lsh = S.lsh_topk(
+    # Each top-k frame is ≤ n_queries·k rows but its plan is a deep
+    # HOF/join tree, and the union/recall composition below references
+    # `exact` three times — every DataFrame step re-ANALYZES the whole
+    # subtree, which (not execution) dominated this suite's wall time.
+    # localCheckpoint(eager) truncates the lineage so composition
+    # happens over trivial scans. (plain persist() was A/B-tested and
+    # does NOT help: it keeps the analyzed plan; checkpointing is the
+    # lever. The sign-tensor literal collapse in portable_lsh_topk is
+    # the other half of the fix.)
+    def _pin(df):
+        return df.localCheckpoint(eager=True)
+
+    exact = _pin(S.portable_cosine_topk(emb, queries))
+    lsh = _pin(S.portable_lsh_topk(emb, queries))
+    ivf = _pin(S.portable_ivf_topk(emb, queries))
+    fast_lsh = _pin(S.lsh_topk(
         emb, queries, k=S.ANN_K, planes=S.ANN_PLANES, dim=S.ANN_DIM,
         tables=S.ANN_TABLES,
-    )
-    fast_ivf = S.ivf_topk(
+    ))
+    fast_ivf = _pin(S.ivf_topk(
         emb, queries, k=S.ANN_K, nlist=S.ANN_NLIST, nprobe=S.ANN_NPROBE,
         iters=S.ANN_ITERS,
-    )
+    ))
 
     def floor_row(fast, m):
         return (
