@@ -53,13 +53,18 @@ def _stream_stress(spark, sf_dir: str) -> dict:
     watermark must evict closed windows as batches advance — final
     state rows stay far below (windows × keys) for the whole stream."""
     import shutil
+    import tempfile
 
     from timebox_spark.plans import suites
     from timebox_spark.streaming import ingest
 
     src = suites._stage_stream_input(spark, sf_dir, n_files=8, sentinel=True)
-    ckpt = "/tmp/timebox_bench_stream_ckpt"
-    shutil.rmtree(ckpt, ignore_errors=True)
+    # per-run checkpoint dir: a fixed path would let two concurrent
+    # bench runs corrupt each other's streaming state. Note: the
+    # state-row stats below read recentProgress, which retains the last
+    # 100 entries by default — fine at <=9 batches, raise
+    # spark.sql.streaming.numRecentProgressUpdates if n_files grows.
+    ckpt = tempfile.mkdtemp(prefix="timebox_bench_stream_ckpt_")
     sl = ingest.sliding_rollup(
         ingest.read_event_stream(spark, src, max_files_per_trigger=1),
         watermark="1 hour",
@@ -84,10 +89,22 @@ def _stream_stress(spark, sf_dir: str) -> dict:
         if p.get("stateOperators")
     ]
     emitted = spark.table("bench_stream_stress").count()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    peak = max(state_rows) if state_rows else 0
+    final = state_rows[-1] if state_rows else 0
+    # HARD eviction gate, not just a recording: if the watermark stops
+    # evicting closed windows, final approaches peak and the bench run
+    # fails loudly (tests/test_streaming.py asserts the same invariant
+    # at sf0.001). Threshold: final must be under half of peak — in
+    # practice it is ~2% (44 vs 1995 at sf0.1).
+    if state_rows and not final < peak / 2:
+        raise AssertionError(
+            f"streaming state not evicted: final={final} peak={peak}"
+        )
     return {
         "batches": len(progress),
-        "state_rows_peak": max(state_rows) if state_rows else 0,
-        "state_rows_final": state_rows[-1] if state_rows else 0,
+        "state_rows_peak": peak,
+        "state_rows_final": final,
         "rows_emitted": emitted,
         "drain_sec": drain_sec,
     }

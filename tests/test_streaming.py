@@ -328,3 +328,41 @@ def test_session_window_merges_exact_gap_boundary(spark):
     assert len(got) == 2
     assert got[0] == (datetime.datetime(2020, 1, 1, 0, 0, 0), 2)
     assert got[1] == (datetime.datetime(2020, 1, 1, 1, 0, 1), 1)
+
+
+def test_watermark_evicts_sliding_window_state(spark, tmp_path):
+    """Bounded-state gate: as time-ordered micro-batches advance the
+    watermark, closed sliding windows must LEAVE the state store —
+    final state rows stay far below the peak. Red if eviction breaks
+    (e.g. watermark not applied or output mode silently changed).
+    bench.py's stream_stress asserts the same invariant at sf0.1."""
+    from timebox_spark.plans import suites
+    from timebox_spark.streaming import ingest
+
+    src = suites._stage_stream_input(spark, SF_SMOKE, n_files=6, sentinel=True)
+    sliding = ingest.sliding_rollup(
+        ingest.read_event_stream(spark, src, max_files_per_trigger=1),
+        watermark="1 hour",
+        window="1 hour",
+        slide="15 minutes",
+    )
+    q = (
+        sliding.writeStream.format("memory")
+        .queryName("evict_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_evict"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = [p for p in q.recentProgress if p.get("numInputRows", 0) > 0]
+    state_rows = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in progress
+        if p.get("stateOperators")
+    ]
+    assert len(state_rows) >= 3, "expected multiple micro-batches"
+    peak, final = max(state_rows), state_rows[-1]
+    assert peak > 0
+    assert final < peak / 2, f"state not evicted: final={final} peak={peak}"
+    assert spark.table("evict_t").count() > 0
