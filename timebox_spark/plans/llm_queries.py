@@ -500,15 +500,24 @@ def q31_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------------ q44
 # Deterministic hash-split: engine-portable train/val/test assignment.
 
+# permutation-digest moduli: terms < Q so a per-shard sum of even 1e10
+# rows stays far below BIGINT max; identical literals in the DuckDB SQL
+_DIGEST_P = 1_000_003
+_DIGEST_Q = 1_000_000_007
+
 def q44_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/val/test split stats + shuffled-shard export digests.
 
     The shard rows pin the ENTIRE within-shard permutation, not just
     membership: pos = rank in (shuffle_h, doc_id) order within the
-    shard, and id_sum = Σ doc_id·pos changes if ANY two rows swap
-    places — so the oracle hash verifies the exact training-data
-    order a trainer would consume. The per-shard window partitions by
-    shard (the export unit), never a global sort."""
+    shard, and id_sum = Σ ((doc_id%P)·(pos%P) mod Q) changes if ANY
+    two rows swap places — so the oracle hash verifies the exact
+    training-data order a trainer would consume. The digest is
+    quantized PER TERM (P=1000003, Q=1000000007) so the sum stays in
+    BIGINT under ANSI mode at any corpus size (an unreduced
+    Σ doc_id·pos grows ~N³/shards² and overflows around 1e9 docs).
+    The per-shard window partitions by shard (the export unit), never
+    a global sort."""
     from pyspark.sql import Window
 
     from timebox_spark.operators.sampling import (
@@ -522,7 +531,7 @@ def q44_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     splits = split.groupBy("split").agg(
         F.count(F.lit(1)).alias("n"),
         F.min("doc_id").alias("min_id"),
-        F.sum("doc_id").alias("id_sum"),
+        F.sum(F.col("doc_id") % _DIGEST_Q).alias("id_sum"),
     )
     sharded = shuffle_shards(docs, key="doc_id", n_shards=SHUFFLE_SHARDS)
     w = Window.partitionBy("shard").orderBy("shuffle_h", "doc_id")
@@ -532,7 +541,10 @@ def q44_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.min(F.when(F.col("pos") == 1, F.col("doc_id"))).alias("min_id"),
-            F.sum(F.col("doc_id") * F.col("pos")).alias("id_sum"),
+            F.sum(
+                (F.col("doc_id") % _DIGEST_P) * (F.col("pos") % _DIGEST_P)
+                % _DIGEST_Q
+            ).alias("id_sum"),
         )
         .select(
             F.concat(F.lit("shard"), F.col("shard").cast("string")).alias(
@@ -567,13 +579,13 @@ SELECT CASE WHEN bucket < 80 THEN 'train'
             WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
        CAST(count(*) AS BIGINT) AS n,
        CAST(min(doc_id) AS BIGINT) AS min_id,
-       CAST(sum(doc_id) AS BIGINT) AS id_sum
+       CAST(sum(doc_id % {_DIGEST_Q}) AS BIGINT) AS id_sum
 FROM b GROUP BY 1
 UNION ALL
 SELECT 'shard' || CAST(shard AS VARCHAR),
        CAST(count(*) AS BIGINT),
        CAST(min(CASE WHEN pos = 1 THEN doc_id END) AS BIGINT),
-       CAST(sum(doc_id * pos) AS BIGINT)
+       CAST(sum((doc_id % {_DIGEST_P}) * (pos % {_DIGEST_P}) % {_DIGEST_Q}) AS BIGINT)
 FROM r GROUP BY 1
 """
 

@@ -200,7 +200,11 @@ def _lossless_float_downcast_np(arr: np.ndarray) -> np.ndarray:
     (numpy_utils.py:103-184): narrow only when every value (NaN
     included) round-trips bit-exactly."""
     def exact(a: np.ndarray, dt) -> bool:
-        back = a.astype(dt).astype(a.dtype)
+        # values beyond the narrow type's range legitimately overflow
+        # to inf during the probe — that's the "not exact" signal, not
+        # an error, so silence numpy's RuntimeWarning for the cast
+        with np.errstate(over="ignore"):
+            back = a.astype(dt).astype(a.dtype)
         ok = (back == a) | (np.isnan(a) & np.isnan(back))
         return bool(ok.all())
 
