@@ -24,6 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from timebox_spark.plans import llm_queries as LQ
 from timebox_spark.plans import queries as Q
+from timebox_spark.plans.tables import load as tables_load
 from timebox_spark.session import get_spark
 
 HEADLINE = {
@@ -187,13 +188,37 @@ def main() -> None:
     t0 = time.perf_counter()
     scale_stress.amplify_sf_dir(spark, sf_dir, amp_dir, factor=amp_factor)
     amp_build = round(time.perf_counter() - t0, 3)
+    # LLM path (duplicate-amplified docs/embeddings) + shuffle-heavy
+    # relational path (skewed 10× events / orders / lineitem): q16 asof,
+    # q59 fact-fact top-k, and connected-components clustering are the
+    # queries whose 100× behavior was previously argued but not measured.
+    # Clustering runs over MINHASH pairs (the scale path) rather than
+    # the q31 driver key's n-gram-Jaccard pairs: length-bucket blocking
+    # is inherently quadratic in block size, which is exactly why the
+    # LSH variant exists — here we measure the CC iteration's scaling,
+    # not the exact-verify pair generator's known O(block²).
+    from timebox_spark.operators import dedup as D
+
+    def cluster_minhash(spark, d):
+        docs = tables_load(spark, d, "documents")
+        pairs = D.minhash_dedup(docs, threshold=0.35)
+        return D.dedup_clusters(docs, pairs, id_col="doc_id")
+
     scale_queries = {
         "q25_minhash_dedup": LQ.q25_minhash_dedup,
         "q47_ivf_ann": LQ.q47_ivf_ann,
         "q54_curation_pipeline": LQ.q54_curation_pipeline,
+        "q16_asof": Q.q16_asof,
+        "q59_tpch_q3_shape": Q.q59_tpch_q3_shape,
+        "q31_cluster_minhash": cluster_minhash,
     }
     scale_timings: dict[str, float] = {}
+    scale_base: dict[str, float] = {}
     for name, fn in scale_queries.items():
+        if name not in timings:  # not a headline query: measure 1× here
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            scale_base[name] = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
         fn(spark, amp_dir).write.mode("overwrite").format("noop").save()
         scale_timings[name] = round(time.perf_counter() - t0, 3)
@@ -219,9 +244,11 @@ def main() -> None:
                 "scale10_factor": amp_factor,
                 "scale10_build_sec": amp_build,
                 "scale10_ratio": {
-                    k: round(scale_timings[k] / timings[k], 2)
+                    k: round(
+                        scale_timings[k] / (timings.get(k) or scale_base[k]), 2
+                    )
                     for k in scale_timings
-                    if timings.get(k)
+                    if timings.get(k) or scale_base.get(k)
                 },
                 "stream_stress": stream_stats,
                 "n_passes": n_passes,

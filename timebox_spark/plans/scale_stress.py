@@ -84,6 +84,72 @@ def amplified_embeddings(emb: DataFrame, factor: int = 10, dim: int = 64) -> Dat
     return out
 
 
+# the amplified-relational skew knobs: in every non-base copy, ~30% of
+# event rows collapse onto one hot user and ~2% of lineitem rows keep
+# their BASE orderkey — so those keys grow linearly with the factor and
+# the q59 fact-fact join sees genuinely skewed build sides (the case
+# AQE skew splitting / operators/skew.py exist for)
+HOT_USER = 7
+EVENT_SKEW_MOD, EVENT_SKEW_HITS = 10, 3
+LINEITEM_HOT_EVERY = 50
+
+
+def amplified_events(events: DataFrame, factor: int = 10) -> DataFrame:
+    """factor× events: fresh event_ids, same timestamp distribution
+    (duplicate timestamps stress the as-of dedup path), skewed users."""
+    copies = [events]
+    for k in range(1, factor):
+        copies.append(
+            events.withColumn(
+                "event_id", F.col("event_id") + F.lit(k * ID_STRIDE)
+            ).withColumn(
+                "user_id",
+                F.when(
+                    F.pmod(F.col("user_id"), F.lit(EVENT_SKEW_MOD))
+                    < EVENT_SKEW_HITS,
+                    F.lit(HOT_USER).cast("long"),
+                ).otherwise(F.col("user_id") + F.lit(k * 1000)),
+            )
+        )
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def amplified_orders_lineitem(
+    orders: DataFrame, lineitem: DataFrame, factor: int = 10
+) -> tuple[DataFrame, DataFrame]:
+    """factor× fact-fact pair with consistent join keys: copy k's
+    orders get fresh orderkeys; its lineitem rows follow, EXCEPT every
+    ``LINEITEM_HOT_EVERY``-th orderkey, which keeps the base key — the
+    base orders' rows accumulate factor× lineitem fan-out (hot keys).
+    o_custkey is left alone so the broadcast customer dim still
+    matches every copy."""
+    ocopies, lcopies = [orders], [lineitem]
+    for k in range(1, factor):
+        ocopies.append(
+            orders.withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(k * ID_STRIDE)
+            )
+        )
+        lcopies.append(
+            lineitem.withColumn(
+                "l_orderkey",
+                F.when(
+                    F.pmod(F.col("l_orderkey"), F.lit(LINEITEM_HOT_EVERY)) == 0,
+                    F.col("l_orderkey"),
+                ).otherwise(F.col("l_orderkey") + F.lit(k * ID_STRIDE)),
+            )
+        )
+    o, li = ocopies[0], lcopies[0]
+    for c in ocopies[1:]:
+        o = o.unionByName(c)
+    for c in lcopies[1:]:
+        li = li.unionByName(c)
+    return o, li
+
+
 def amplify_sf_dir(
     spark: SparkSession,
     sf_dir: str,
@@ -91,19 +157,45 @@ def amplify_sf_dir(
     factor: int = 10,
     exact_copy_every: int = 20,
 ) -> str:
-    """Write documents.parquet and embeddings.parquet at ``factor``×
-    into ``out_dir`` (idempotent: skipped if already present)."""
+    """Write factor× documents/embeddings (LLM path) and factor×
+    events/orders/lineitem (relational path, skewed keys) into
+    ``out_dir``, symlinking every other base table so ANY driver query
+    runs unmodified against the amplified dir (idempotent per file)."""
     from timebox_spark.plans.tables import load
 
     os.makedirs(out_dir, exist_ok=True)
-    docs_path = os.path.join(out_dir, "documents.parquet")
-    emb_path = os.path.join(out_dir, "embeddings.parquet")
-    if not os.path.exists(docs_path):
-        amplified_documents(
+
+    def write(name: str, df_fn) -> None:
+        path = os.path.join(out_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            df_fn().write.mode("overwrite").parquet(path)
+
+    write(
+        "documents",
+        lambda: amplified_documents(
             load(spark, sf_dir, "documents"), factor, exact_copy_every
-        ).write.mode("overwrite").parquet(docs_path)
-    if not os.path.exists(emb_path):
-        amplified_embeddings(
-            load(spark, sf_dir, "embeddings"), factor
-        ).write.mode("overwrite").parquet(emb_path)
+        ),
+    )
+    write(
+        "embeddings",
+        lambda: amplified_embeddings(load(spark, sf_dir, "embeddings"), factor),
+    )
+    write(
+        "events",
+        lambda: amplified_events(load(spark, sf_dir, "events"), factor),
+    )
+    if not os.path.exists(
+        os.path.join(out_dir, "orders.parquet")
+    ) or not os.path.exists(os.path.join(out_dir, "lineitem.parquet")):
+        o, li = amplified_orders_lineitem(
+            load(spark, sf_dir, "orders"),
+            load(spark, sf_dir, "lineitem"),
+            factor,
+        )
+        write("orders", lambda: o)
+        write("lineitem", lambda: li)
+    for name in ("region", "nation", "customer", "supplier", "part"):
+        dst = os.path.join(out_dir, f"{name}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(sf_dir, f"{name}.parquet"), dst)
     return out_dir

@@ -47,8 +47,15 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_runtime_confs(spark)
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
+    dtypes = dict(df.dtypes)
     for c in _nanos_ts_cols(path):
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        # pyarrow reports INT96 timestamps (Spark's own default output
+        # type) as timestamp[ns] too — only convert when Spark actually
+        # surfaced the column as a raw long (true TIMESTAMP(NANOS))
+        if dtypes.get(c) == "bigint":
+            df = df.withColumn(
+                c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+            )
     return df
 
 
