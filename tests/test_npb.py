@@ -156,7 +156,16 @@ def test_spark_read_write_npb(spark, tmp_path):
 
 def test_spark_write_npb_bucketed(spark, tmp_path):
     pdf = _frame(n=50)
-    sdf = spark.createDataFrame(pdf.reset_index().rename(columns={"index": "ts"}))
+    # widen unsigned dtypes the way TimeBoxTable ingest does, so the
+    # frame stays on Spark's Arrow conversion path (no row-by-row
+    # fallback warning)
+    from timebox_spark import schema as tb_schema
+
+    sdf = spark.createDataFrame(
+        tb_schema.widen_pandas_for_arrow(
+            pdf.reset_index().rename(columns={"index": "ts"})
+        )
+    )
     out = str(tmp_path / "out_npb")
     npb.write_npb(sdf, out, bucket="1 day")
     back = npb.read_npb(spark, out)

@@ -159,7 +159,13 @@ def test_python_datasource_write_npb(spark, tmp_path):
 
     register_npb(spark)
     pdf = _frame(n=40, seed=6)
-    sdf = spark.createDataFrame(pdf.reset_index().rename(columns={"index": "ts"}))
+    from timebox_spark import schema as tb_schema
+
+    sdf = spark.createDataFrame(
+        tb_schema.widen_pandas_for_arrow(
+            pdf.reset_index().rename(columns={"index": "ts"})
+        )
+    )
     out = str(tmp_path / "dsw")
     sdf.repartition(2).write.format("npb").mode("overwrite").save(out)
     back = spark.read.format("npb").load(out)

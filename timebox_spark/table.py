@@ -57,8 +57,14 @@ class TimeBoxTable:
         index conversion + Arrow createDataFrame with the explicit
         widened schema (SURVEY §1.4).
         """
+        import warnings
+
         try:
-            idx = pd.to_datetime(pdf.index)
+            with warnings.catch_warnings():
+                # mixed-format string indexes parse element-wise; the
+                # "could not infer format" UserWarning is expected there
+                warnings.simplefilter("ignore", UserWarning)
+                idx = pd.to_datetime(pdf.index)
         except (ValueError, TypeError) as exc:
             raise DateDataError(f"index not datetime-coercible: {exc}") from exc
         sp_schema = tb_schema.timebox_schema_from_pandas(pdf)
