@@ -147,3 +147,45 @@ def test_embedding_near_dups_keep_top_n(spark):
         assert c < 0.95
     # schema unchanged by the top-n path
     assert got.columns == ["id_a", "id_b", "cosine"]
+
+
+def test_embedding_near_dups_lsh_finds_planted_pairs(spark):
+    """The LSH scale path must surface near-identical pairs (collision
+    probability ≈ 1 per table at angle ≈ 0) and agree with the exact
+    operator on everything it returns."""
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),     # cos(1,2) ~ 0.99995
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+        (10, [0.0, 0.0, 0.0, 1.0]),
+        (11, [0.0, 0.0, 0.01, 0.999]),    # cos(10,11) ~ 0.99995
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = dedup.embedding_near_dups_lsh(emb, threshold=0.95, dim=4)
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"] for r in got.collect()}
+    assert (1, 2) in pairs and (10, 11) in pairs
+    # every returned pair really is above threshold (exact cosine on
+    # candidates — LSH only gates candidate generation)
+    assert all(c >= 0.95 for c in pairs.values())
+    # no self-pairs, ids ordered
+    assert all(a < b for a, b in pairs)
+
+
+def test_embedding_near_dups_lsh_subset_of_exact(spark):
+    """On the driver embeddings table, LSH results (a candidate subset)
+    must be exactly the exact-operator pairs that collided — same
+    cosines, never an extra pair."""
+    from pyspark.sql import functions as F2
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    # unblocked exact baseline at a low threshold (sf0.001 is tiny)
+    exact = dedup.embedding_near_dups(
+        emb.withColumn("all", F2.lit(1)), block_cols=["all"], threshold=0.3
+    )
+    lsh = dedup.embedding_near_dups_lsh(emb, threshold=0.3)
+    e = {(r["id_a"], r["id_b"]): round(r["cosine"], 9) for r in exact.collect()}
+    l = {(r["id_a"], r["id_b"]): round(r["cosine"], 9) for r in lsh.collect()}
+    assert set(l) <= set(e)
+    for k, v in l.items():
+        assert e[k] == v

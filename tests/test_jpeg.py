@@ -131,3 +131,34 @@ def test_decode_image_dispatches_jpeg():
     dec = multimodal.decode_image(enc)
     assert dec.shape == (*px.shape, 3)
     assert (dec[:, :, 0] == px).all()
+
+
+def test_foreign_420_subsampled_grayscale_chroma():
+    """16x16 4:2:0 file: one MCU = 4 Y blocks + 1 Cb + 1 Cr. Constant
+    neutral chroma (128) with per-block Y values checks MCU block
+    ordering and nearest-neighbor chroma upsampling."""
+    ys = [60, 120, 180, 240]  # Y blocks in raster order within the MCU
+    # the helper diffs consecutive inputs, which IS the Y component's
+    # DC chain (all four blocks belong to Y) — pass absolute DCs.
+    # Cb/Cr each start a fresh predictor at 0 and need absolute 0, so
+    # repeat the last Y value (diff 0 emitted for each).
+    dc = [8 * (y - 128) for y in ys]
+    entropy = _entropy_dc_only(dc + [dc[-1], dc[-1]])
+    buf = b"\xff\xd8"
+    buf += _seg(0xFFDB, b"\x00" + bytes([1] * 64))
+    buf += _seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, 16, 16, 3)
+        + bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    buf += _dht(0, 0) + _dht(1, 0)
+    buf += _seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    buf += entropy + b"\xff\xd9"
+    dec = jpeg.decode_jpeg(buf)
+    assert dec.shape == (16, 16, 3)
+    # neutral chroma → RGB == Y everywhere; blocks in 2x2 raster order
+    for bi, y in enumerate(ys):
+        by, bx = divmod(bi, 2)
+        block = dec[8 * by : 8 * (by + 1), 8 * bx : 8 * (bx + 1)]
+        for c in range(3):
+            assert (block[:, :, c] == y).all(), (bi, y, block[0, 0])

@@ -693,6 +693,71 @@ def embedding_near_dups(
     return pairs.filter(keep).select("id_a", "id_b", "cosine")
 
 
+def embedding_near_dups_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    planes: int = 8,
+    tables: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Scale path for embedding near-dup mining: random-hyperplane LSH
+    candidate generation instead of within-block all-pairs.
+
+    ``embedding_near_dups`` compares every pair inside a blocking
+    group — O(n_block²), fine when blocks are bounded (per-label, per
+    shard) but quadratic if one block dominates. Here candidates are
+    pairs that share a bucket in ANY of ``tables`` independent
+    hyperplane tables (the same OR-amplified signature family as
+    ``similarity.lsh_topk``), then the exact cosine filter runs on
+    candidates only. High-cosine pairs collide with probability
+    (1 − θ/π)^planes per table, so recall is tunable with
+    planes/tables while the join stays a bucket equi-join — never an
+    all-pairs product. Same output schema as the exact operator."""
+    from timebox_spark.operators.similarity import _lsh_bucket
+
+    base = ensure_parallelism(df.select(id_col, vec_col))
+    bucketed = base.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        _lsh_bucket(
+                            F.col(vec_col), planes, dim, seed=11 + 97 * t
+                        ).alias("bkt"),
+                    )
+                    for t in range(tables)
+                ]
+            )
+        ).alias("__b"),
+    ).select(id_col, vec_col, "__b.tbl", "__b.bkt")
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{vec_col}").alias("__va"),
+            F.col(f"b.{vec_col}").alias("__vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])  # collapse multi-table hits
+    )
+    return (
+        cand.withColumn("cosine", _cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def _dot(x, y):
     return F.aggregate(
         F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
