@@ -162,3 +162,38 @@ def test_foreign_420_subsampled_grayscale_chroma():
         block = dec[8 * by : 8 * (by + 1), 8 * bx : 8 * (bx + 1)]
         for c in range(3):
             assert (block[:, :, c] == y).all(), (bi, y, block[0, 0])
+
+
+# ---------------- property-based (hypothesis)
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    st.integers(1, 40),   # height (any, not multiple of 8)
+    st.integers(1, 40),   # width
+    st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_flat_quant_roundtrip_error_bounded(h, w, seed):
+    """For ANY grayscale image, flat-quant baseline roundtrip is within
+    ±1 (DCT/IDCT float noise + final rounding only)."""
+    rng = np.random.RandomState(seed)
+    px = rng.randint(0, 256, (h, w)).astype(np.uint8)
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg_gray(px))
+    assert dec.shape == (h, w, 3)
+    assert np.abs(dec[:, :, 0].astype(int) - px.astype(int)).max() <= 1
+    assert (dec[:, :, 0] == dec[:, :, 1]).all() and (dec[:, :, 1] == dec[:, :, 2]).all()
+
+
+@given(st.integers(1, 4), st.integers(1, 4), st.integers(0, 2**31 - 1))
+@settings(max_examples=25, deadline=None)
+def test_block_constant_roundtrip_exact_property(bh, bw, seed):
+    """Block-constant images round-trip bit-exactly at ANY block grid —
+    the invariant the q30 oracle digest relies on."""
+    rng = np.random.RandomState(seed)
+    vals = rng.randint(0, 256, (bh, bw)).astype(np.uint8)
+    px = vals.repeat(8, axis=0).repeat(8, axis=1)
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg_gray(px))
+    assert (dec[:, :, 0] == px).all()
