@@ -85,3 +85,32 @@ def test_shuffle_shards_deterministic_and_balanced(spark):
     # a different seed is a different permutation
     c = shuffle_shards(docs, key="doc_id", n_shards=8, seed="other").collect()
     assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+
+
+def test_lang_id_ngram_goldens(spark):
+    from timebox_spark.operators import text as T
+
+    rows = [
+        (1, "the cat and the dog are sitting there"),          # en
+        (2, "der schnelle braune fuchs und ein hund"),         # de
+        (3, "los gatos que viven en la casa de madera"),       # es
+        (4, "le chat et les chiens dorment dans les maisons"), # fr
+        (5, "@@@@ 12345 ####"),                                # und
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["lang3"]
+        for r in df.select("doc_id", T.lang_id_ngram().alias("lang3")).collect()
+    }
+    assert got == {1: "en", 2: "de", 3: "es", 4: "fr", 5: "und"}
+
+
+def test_lang_id_ngram_tie_breaks_to_code_order(spark):
+    from timebox_spark.operators import text as T
+
+    # ' de' (es) and 'de ' (zh list) and 'der' (de) all hit once in
+    # ' der '; whatever ties arise must resolve deterministically to
+    # the alphabetically-first language among the maxima
+    df = spark.createDataFrame([(1, " der ")], "doc_id long, text string")
+    row = df.select(T.lang_id_ngram().alias("lang3")).collect()[0]
+    assert row["lang3"] == "de"  # 'der' + 'de ' + ' de' ... max unique or tie->de

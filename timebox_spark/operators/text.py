@@ -29,6 +29,19 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 STOPWORDS = ["the", "a", "of", "and", "is", "to", "in", "that", "it", "on"]
 
+# frequent character trigrams per language (textcat-style profile,
+# tiny literal lists): the char-n-gram complement to the marker-WORD
+# heuristic above — robust to missing word boundaries and inflection.
+# Both engines count literal substring occurrences (length-difference
+# arithmetic, no regex), so the oracle mirrors it exactly.
+LANG_TRIGRAMS: dict[str, list[str]] = {
+    "en": ["the", " th", "and", "ing"],
+    "de": ["der", "ein", "sch", "und"],
+    "es": [" de", "que", "los", " la"],
+    "fr": [" le", "les", "ent", "des"],
+    "zh": ["shi", " wo", "de "],
+}
+
 
 def token_count(col: str = "text") -> Column:
     """Whitespace token count: size of all \\S+ matches."""
@@ -117,6 +130,34 @@ def lang_id(col: str = "text") -> Column:
     expr = F.lit("und")
     # build reversed so earlier languages win ties
     for lg in reversed(langs):
+        expr = F.when(counts[lg] == best, F.lit(lg)).otherwise(expr)
+    return F.when(best == 0, F.lit("und")).otherwise(expr)
+
+
+def _substr_count(col: str, pat: str) -> Column:
+    """Occurrences of literal substring ``pat`` via length difference
+    (codegen-friendly; identical arithmetic on DuckDB)."""
+    s = F.lower(F.col(col))
+    return (F.length(s) - F.length(F.replace(s, F.lit(pat), F.lit("")))) / F.lit(
+        float(len(pat))
+    )
+
+
+def lang_id_ngram(col: str = "text") -> Column:
+    """Character-trigram language id (textcat-style): per language,
+    total occurrences of its frequent trigrams; argmax wins, ties to
+    language-code order, 'und' when nothing matches. Complements the
+    marker-word ``lang_id`` for text without clean word boundaries."""
+    counts = {
+        lang: sum(
+            (_substr_count(col, p) for p in pats), F.lit(0.0)
+        )
+        for lang, pats in LANG_TRIGRAMS.items()
+    }
+    langs = sorted(LANG_TRIGRAMS)
+    best = F.greatest(*[counts[lg] for lg in langs])
+    expr = F.lit("und")
+    for lg in reversed(langs):  # earlier languages win ties
         expr = F.when(counts[lg] == best, F.lit(lg)).otherwise(expr)
     return F.when(best == 0, F.lit("und")).otherwise(expr)
 

@@ -79,7 +79,29 @@ def q20_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(text.dup_2gram_fraction_from(toks) * 1e6).cast("long").alias("dup2_q"),
         text.gopher_pass_from(toks, nt, F.col("__nsw")).alias("gopher_pass"),
         F.md5(text.redact()).alias("redacted_fp"),
+        text.lang_id_ngram().alias("lang3"),
     )
+
+
+def _lang3_sql() -> str:
+    """DuckDB mirror of text.lang_id_ngram — same trigram constants,
+    same length-difference counting, same tie-break ladder."""
+
+    def count(pats: list[str]) -> str:
+        terms = [
+            f"(length(lower(text)) - length(replace(lower(text), '{p}', '')))"
+            f" / {len(p)}.0"
+            for p in pats
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+    langs = sorted(text.LANG_TRIGRAMS)
+    counts = {lg: count(text.LANG_TRIGRAMS[lg]) for lg in langs}
+    best = "greatest(" + ", ".join(counts[lg] for lg in langs) + ")"
+    whens = " ".join(
+        f"WHEN {counts[lg]} = {best} THEN '{lg}'" for lg in langs
+    )
+    return f"CASE WHEN {best} = 0 THEN 'und' {whens} ELSE 'und' END"
 
 
 _GOPHER_SQL = f"""CASE WHEN n_tokens >= {text.GOPHER_MIN_TOKENS}
@@ -127,7 +149,8 @@ SELECT doc_id,
        md5(regexp_replace(regexp_replace(regexp_replace(text,
              '{text.URL_RE}', '<URL>', 'g'),
              '{text.EMAIL_RE}', '<EMAIL>', 'g'),
-             '{text.PHONE_RE}', '<PHONE>', 'g')) AS redacted_fp
+             '{text.PHONE_RE}', '<PHONE>', 'g')) AS redacted_fp,
+       {_lang3_sql()} AS lang3
 FROM feat
 """
 
