@@ -189,3 +189,49 @@ def test_embedding_near_dups_lsh_subset_of_exact(spark):
     assert set(l) <= set(e)
     for k, v in l.items():
         assert e[k] == v
+
+
+# ---------------------------------------------------------------- winnowing
+
+def test_winnow_guarantee_shared_substring(spark):
+    """The winnowing guarantee (Schleimer et al. 2003): two documents
+    sharing a substring of length >= k + window - 1 must share at
+    least one fingerprint."""
+    shared = "x" * 0 + "the quick brown fox jumps over the lazy dog tonight"
+    assert len(shared) >= dedup.WINNOW_K + dedup.WINNOW_WINDOW - 1
+    rows = [
+        (1, "AAA unrelated prefix text here. " + shared + " AAA suffix."),
+        (2, "BBB totally different start! " + shared + " and another end."),
+        (3, "no overlap with anything else at all, completely distinct text."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = dedup.winnow_fingerprints(df)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared substring produced no common fp"
+    assert not (by_doc[1] & by_doc[3]) or len(by_doc[1] & by_doc[3]) < len(
+        by_doc[1] & by_doc[2]
+    )
+
+
+def test_winnow_overlap_pairs_finds_planted_overlap(spark):
+    shared = "a long common passage that both documents quote verbatim, " \
+             "long enough to span many winnowing windows in a row"
+    rows = [(i, f"doc {i} filler text with nothing in common {i}") for i in range(4, 10)]
+    rows += [(1, "first doc: " + shared), (2, "second doc: " + shared)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]): r["n_shared"] for r in dedup.winnow_overlap_pairs(df).collect()}
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)] >= dedup.WINNOW_MIN_SHARED
+    # no pair among the unrelated docs
+    assert all(p == (1, 2) for p in pairs)
+
+
+def test_winnow_short_text_no_crash(spark):
+    df = spark.createDataFrame(
+        [(1, "tiny"), (2, ""), (3, "x" * (dedup.WINNOW_K - 1))],
+        "doc_id long, text string",
+    )
+    assert dedup.winnow_fingerprints(df).count() == 0
+    assert dedup.winnow_overlap_pairs(df).count() == 0

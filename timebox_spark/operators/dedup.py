@@ -693,6 +693,108 @@ def embedding_near_dups(
     return pairs.filter(keep).select("id_a", "id_b", "cosine")
 
 
+# guarantee threshold = k + window − 1 = 27 chars: any shared substring
+# that long contributes ≥1 common fingerprint. Tuned on the synthetic
+# docs so reported pairs are genuine partial overlaps (~36 at sf0.01),
+# not shared-vocabulary noise.
+WINNOW_K = 20  # character k-gram length
+WINNOW_WINDOW = 8  # hashes per winnowing window
+WINNOW_MAX_DF = 5  # drop fingerprints shared by more docs (stop-fps)
+WINNOW_MIN_SHARED = 3  # report pairs sharing at least this many fps
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    window: int = WINNOW_WINDOW,
+) -> DataFrame:
+    """MOSS-style winnowing (Schleimer et al., SIGMOD 2003): hash every
+    character k-gram of the normalized text, slide a window of
+    ``window`` hashes, keep each window's MINIMUM hash. Any substring
+    match of length ≥ k + window − 1 between two documents is
+    guaranteed to contribute at least one common fingerprint, so
+    partial-overlap detection becomes a fingerprint equi-join — never
+    a text cross-compare. All JVM array expressions (md5-u32 hash
+    family shared with the portable minhash), one row per distinct
+    (doc, fingerprint).
+
+    The reference's only document identity is whole-value equality
+    (numeric engine, SURVEY §2.7); this is LLM-pipeline extension
+    surface."""
+    # each stage is materialized as a column: referencing a prior
+    # STAGE EXPRESSION inside a higher-order lambda would re-evaluate
+    # it per element (no common-subexpression elimination inside HOF
+    # lambdas — e.g. the full md5 chain once per window, an O(n·w)
+    # blowup measured at ~1000× on real text)
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    staged = (
+        df.select(F.col(id_col), norm.alias("__norm"))
+        .withColumn(
+            "__hashes",
+            F.when(
+                F.length("__norm") - (k - 1) >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("__norm") - (k - 1)),
+                    lambda i: _md5_u32(F.col("__norm").substr(i, F.lit(k))),
+                ),
+            ).otherwise(F.array().cast("array<long>")),
+        )
+        .withColumn(
+            "__mins",
+            F.when(
+                F.size("__hashes") - (window - 1) >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__hashes") - (window - 1)),
+                    lambda j: F.array_min(F.slice(F.col("__hashes"), j, window)),
+                ),
+            ).otherwise(F.array().cast("array<long>")),
+        )
+    )
+    return staged.select(
+        F.col(id_col), F.explode(F.array_distinct(F.col("__mins"))).alias("fp")
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    window: int = WINNOW_WINDOW,
+    max_df: int = WINNOW_MAX_DF,
+    min_shared: int = WINNOW_MIN_SHARED,
+) -> DataFrame:
+    """Partial-overlap pairs from winnowing fingerprints: drop
+    stop-fingerprints appearing in more than ``max_df`` docs (caps any
+    join bucket at max_df² pairs — the standard winnowing guard), join
+    on fingerprint, keep pairs sharing ≥ ``min_shared``. One agg
+    shuffle + one bounded equi-join."""
+    fps = winnow_fingerprints(df, id_col, text_col, k, window)
+    rare = fps.join(
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= max_df)
+        .select("fp"),
+        "fp",
+    )
+    a, b = rare.alias("a"), rare.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def embedding_near_dups_lsh(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -203,6 +203,50 @@ FROM documents
 """
 
 
+# ---------------------------------------------------- winnowing (in q24)
+# Winnowing fingerprints (MOSS): partial-overlap pairs via rolling
+# k-gram hashes + window minima — guaranteed detection of any shared
+# substring of length >= k + window - 1, as a fingerprint equi-join.
+# Driver-gated as the negative-valued rows of q24 (50-key cap).
+
+def _winnow_sql() -> str:
+    k, w = dedup.WINNOW_K, dedup.WINNOW_WINDOW
+    max_df, min_shared = dedup.WINNOW_MAX_DF, dedup.WINNOW_MIN_SHARED
+    return f"""
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         CASE WHEN length(norm) - {k - 1} >= 1 THEN
+           list_transform(range(1, length(norm) - {k - 1} + 1),
+             i -> ('0x' || substr(md5(substr(norm, i, {k})), 1, 8))::BIGINT)
+         ELSE [] END AS hashes
+  FROM n
+), fp AS (
+  SELECT DISTINCT doc_id, fp FROM (
+    SELECT doc_id,
+           unnest(list_distinct(
+             CASE WHEN length(hashes) - {w - 1} >= 1 THEN
+               list_transform(range(1, length(hashes) - {w - 1} + 1),
+                 j -> list_aggregate(list_slice(hashes, j, j + {w - 1}), 'min'))
+             ELSE [] END)) AS fp
+    FROM h
+  )
+), rare AS (
+  SELECT doc_id, fp FROM fp
+  WHERE fp IN (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= {max_df})
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= {min_shared}
+"""
+
+
+_WINNOW_SQL = _winnow_sql()
+
+
 # ------------------------------------------------------------------ q24
 # n-gram Jaccard within (lang, length-bucket) blocks; both sides use
 # char 5-gram shingles of normalized text and quantized scores.
@@ -222,7 +266,11 @@ def q24_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked n-gram Jaccard pairs + benchmark decontamination rows
     (id_b = -1, jaccard_q = distinct-shingle overlap count): docs
     sharing a 12-gram with the probe set (doc_id < 5 stands in for an
-    eval benchmark) are exactly the rows the oracle recomputes."""
+    eval benchmark) are exactly the rows the oracle recomputes.
+    Winnowing overlap pairs (dedup.winnow_overlap_pairs — MOSS window
+    minima over rolling k-gram hashes) ride in the same key as rows
+    with jaccard_q = −n_shared (negative marks the row class; real
+    jaccard/decon values are always positive)."""
     docs = load(spark, sf_dir, "documents").withColumn(
         "len_bucket", F.floor(F.length("text") / _J_BUCKET).cast("long")
     )
@@ -245,7 +293,12 @@ def q24_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1).cast("long").alias("id_b"),
         F.col("n_overlap").cast("long").alias("jaccard_q"),
     )
-    return pairs.unionByName(contam)
+    winnow = dedup.winnow_overlap_pairs(base).select(
+        "id_a",
+        "id_b",
+        (-F.col("n_shared")).cast("long").alias("jaccard_q"),
+    )
+    return pairs.unionByName(contam).unionByName(winnow)
 
 
 def _decon_shingles(where: str) -> str:
@@ -291,6 +344,9 @@ UNION ALL
 SELECT d.doc_id, CAST(-1 AS BIGINT), CAST(count(*) AS BIGINT)
 FROM dsh d JOIN psh p ON d.sh = p.sh
 GROUP BY 1 HAVING count(*) >= {_DECON_MIN_OVERLAP}
+UNION ALL
+SELECT id_a, id_b, CAST(-n_shared AS BIGINT) AS jaccard_q
+FROM ({_WINNOW_SQL})
 """
 
 
