@@ -114,3 +114,42 @@ def test_lang_id_ngram_tie_breaks_to_code_order(spark):
     df = spark.createDataFrame([(1, " der ")], "doc_id long, text string")
     row = df.select(T.lang_id_ngram().alias("lang3")).collect()[0]
     assert row["lang3"] == "de"  # 'der' + 'de ' + ' de' ... max unique or tie->de
+
+
+def test_pack_sequences_concat_and_chunk(spark):
+    """Packing is floor(cumulative-tokens-before / budget) in the
+    deterministic export order: pack ids start at 0, are contiguous
+    per shard, and a document whose tokens straddle a window boundary
+    is stamped with the window its FIRST token lands in."""
+    from timebox_spark.operators.sampling import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, 7) for i in range(200)], schema="doc_id long, nt int"
+    )
+    out = pack_sequences(
+        docs, key="doc_id", token_col="nt", budget=10, n_shards=4
+    ).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: (r["shuffle_h"], r["doc_id"]))
+        before = 0
+        packs = []
+        for r in rows:
+            assert r["pack"] == before // 10, (shard, r)
+            packs.append(r["pack"])
+            before += r["nt"]
+        # contiguous from 0; 7-token docs over a 10-token budget
+        # straddle every other boundary, so consecutive docs never
+        # skip a window
+        assert packs[0] == 0
+        assert all(b - a in (0, 1) for a, b in zip(packs, packs[1:]))
+        assert packs[-1] == (len(rows) * 7 - 7) // 10
+
+    # stable under repartitioning (pure function of seed + key + nt)
+    out2 = pack_sequences(
+        docs.repartition(5), key="doc_id", token_col="nt", budget=10, n_shards=4
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))

@@ -68,6 +68,51 @@ def shuffle_hash(key: Column | str, seed: str = SHUFFLE_SEED) -> Column:
     ).cast("long")
 
 
+# tokens per packed context window (shared with the q44 DuckDB oracle)
+PACK_BUDGET = 512
+
+
+def pack_sequences(
+    df: DataFrame,
+    key: str,
+    token_col: str,
+    budget: int = PACK_BUDGET,
+    n_shards: int = SHUFFLE_SHARDS,
+    seed: str = SHUFFLE_SEED,
+    pack_col: str = "pack",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing for training export.
+
+    Within each shuffled shard, documents are concatenated in the
+    deterministic export order (shuffle_h, key) and the resulting
+    token stream is cut into fixed ``budget``-token context windows —
+    the standard GPT-style pretraining layout where a document may
+    span a window boundary. Each document is stamped with the pack id
+    of the window its FIRST token lands in:
+    ``pack = floor(tokens_before / budget)``.
+
+    This is the split-allowed packing semantic (concatenate, then
+    chunk), chosen over first-fit-no-split because it is a closed-form
+    function of the running token sum — no sequential bin state, so it
+    is a per-shard window cumsum on ANY engine and the assignment is
+    reproducible across engines and partitionings (the DuckDB oracle
+    recomputes it exactly).
+
+    At 100 TB: one shuffle on the shard key + a keyed window cumsum —
+    the SAME partitioning and in-partition sort the shard export
+    already performs, so packing adds zero extra exchanges to the
+    export plan. No global sort, no driver state.
+    """
+    from pyspark.sql import Window
+
+    sharded = shuffle_shards(df, key, n_shards, seed)
+    w = Window.partitionBy("shard").orderBy("shuffle_h", key)
+    before = F.sum(token_col).over(w) - F.col(token_col)
+    return sharded.withColumn(
+        pack_col, F.floor(before / F.lit(budget)).cast("long")
+    )
+
+
 def shuffle_shards(
     df: DataFrame,
     key: str,

@@ -585,7 +585,8 @@ _DIGEST_P = 1_000_003
 _DIGEST_Q = 1_000_000_007
 
 def q44_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train/val/test split stats + shuffled-shard export digests.
+    """Train/val/test split stats + shuffled-shard export digests
+    + concat-and-chunk sequence-packing digests.
 
     The shard rows pin the ENTIRE within-shard permutation, not just
     membership: pos = rank in (shuffle_h, doc_id) order within the
@@ -596,10 +597,20 @@ def q44_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT under ANSI mode at any corpus size (an unreduced
     Σ doc_id·pos grows ~N³/shards² and overflows around 1e9 docs).
     The per-shard window partitions by shard (the export unit), never
-    a global sort."""
+    a global sort.
+
+    The pack rows gate `sampling.pack_sequences` (concat-and-chunk
+    context windows): per shard, n = number of ``PACK_BUDGET``-token
+    windows, min_id = total token-stream length, and id_sum =
+    Σ ((doc_id%P)·((pack+1)%P) mod Q) pins EVERY document's window
+    assignment — move any document's first token across a window
+    boundary and the digest changes. Shard pos and pack both come
+    from the SAME keyed window pass, so the packing gate adds no
+    exchange to the plan (one scan, one shuffle on shard)."""
     from pyspark.sql import Window
 
     from timebox_spark.operators.sampling import (
+        PACK_BUDGET,
         SHUFFLE_SHARDS,
         deterministic_split,
         shuffle_shards,
@@ -612,11 +623,22 @@ def q44_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_id"),
         F.sum(F.col("doc_id") % _DIGEST_Q).alias("id_sum"),
     )
-    sharded = shuffle_shards(docs, key="doc_id", n_shards=SHUFFLE_SHARDS)
+    sharded = shuffle_shards(
+        docs.withColumn("__nt", text.token_count()), key="doc_id",
+        n_shards=SHUFFLE_SHARDS,
+    )
     w = Window.partitionBy("shard").orderBy("shuffle_h", "doc_id")
-    shards = (
+    staged = (
         sharded.withColumn("pos", F.row_number().over(w))
-        .groupBy("shard")
+        .withColumn(
+            "pack",
+            F.floor(
+                (F.sum("__nt").over(w) - F.col("__nt")) / F.lit(PACK_BUDGET)
+            ).cast("long"),
+        )
+    )
+    shards = (
+        staged.groupBy("shard")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.min(F.when(F.col("pos") == 1, F.col("doc_id"))).alias("min_id"),
@@ -634,11 +656,35 @@ def q44_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_sum",
         )
     )
-    return splits.unionByName(shards)
+    packs = (
+        staged.groupBy("shard")
+        .agg(
+            (F.max("pack") + 1).alias("n"),
+            F.sum("__nt").alias("min_id"),
+            F.sum(
+                (F.col("doc_id") % _DIGEST_P)
+                * ((F.col("pack") + 1) % _DIGEST_P)
+                % _DIGEST_Q
+            ).alias("id_sum"),
+        )
+        .select(
+            F.concat(F.lit("pack"), F.col("shard").cast("string")).alias(
+                "split"
+            ),
+            "n",
+            "min_id",
+            "id_sum",
+        )
+    )
+    return splits.unionByName(shards).unionByName(packs)
 
 
 def _q44_sql() -> str:
-    from timebox_spark.operators.sampling import SHUFFLE_SEED, SHUFFLE_SHARDS
+    from timebox_spark.operators.sampling import (
+        PACK_BUDGET,
+        SHUFFLE_SEED,
+        SHUFFLE_SHARDS,
+    )
 
     return f"""
 WITH b AS (
@@ -647,12 +693,16 @@ WITH b AS (
   FROM documents
 ), s AS (
   SELECT doc_id,
+         length(regexp_extract_all(text, '{text.TOKEN_RE}')) AS nt,
          ('0x' || substr(md5('{SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
   FROM documents
 ), r AS (
-  SELECT doc_id, h, h % {SHUFFLE_SHARDS} AS shard,
-         row_number() OVER (PARTITION BY h % {SHUFFLE_SHARDS} ORDER BY h, doc_id) AS pos
+  SELECT doc_id, h, nt, h % {SHUFFLE_SHARDS} AS shard,
+         row_number() OVER w AS pos,
+         COALESCE(SUM(nt) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           // {PACK_BUDGET} AS pack
   FROM s
+  WINDOW w AS (PARTITION BY h % {SHUFFLE_SHARDS} ORDER BY h, doc_id)
 )
 SELECT CASE WHEN bucket < 80 THEN 'train'
             WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
@@ -665,6 +715,12 @@ SELECT 'shard' || CAST(shard AS VARCHAR),
        CAST(count(*) AS BIGINT),
        CAST(min(CASE WHEN pos = 1 THEN doc_id END) AS BIGINT),
        CAST(sum((doc_id % {_DIGEST_P}) * (pos % {_DIGEST_P}) % {_DIGEST_Q}) AS BIGINT)
+FROM r GROUP BY 1
+UNION ALL
+SELECT 'pack' || CAST(shard AS VARCHAR),
+       CAST(max(pack) + 1 AS BIGINT),
+       CAST(sum(nt) AS BIGINT),
+       CAST(sum((doc_id % {_DIGEST_P}) * ((pack + 1) % {_DIGEST_P}) % {_DIGEST_Q}) AS BIGINT)
 FROM r GROUP BY 1
 """
 
