@@ -116,3 +116,56 @@ def test_portable_ann_recall_floors(spark):
     ivf = sum(by_m["ivf_recall"]) / (k * len(by_m["ivf_recall"]))
     assert lsh >= 0.4, f"portable LSH recall collapsed: {lsh}"
     assert ivf >= 0.5, f"portable IVF recall collapsed: {ivf}"
+
+
+def test_semdedup_planted_duplicates(spark):
+    """SemDeDup over a corpus with planted near-identical embedding
+    groups: within each semantic-duplicate group exactly the lowest
+    id survives, unrelated vectors are untouched, and pruning only
+    happens inside a cluster."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(6, 8))
+    rows = []
+    vid = 0
+    # 6 well-separated anchors; for each, one original + two
+    # eps-duplicates (tiny perturbation -> cosine ~ 1)
+    for g in range(6):
+        for j in range(3):
+            v = base[g] + (0.001 * j) * rng.normal(size=8)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, schema="vec_id long, embedding array<double>")
+    cq = df.select(
+        "vec_id", similarity.quantized_vec(F.col("embedding")).alias("__vq")
+    )
+    cmat = similarity.portable_ivf_train(cq, nlist=4, iters=2)
+    out = similarity.semdedup_clusters(cq, cmat, eps_q=950_000_000).collect()
+    assert sum(r["n"] for r in out) == 18
+    # ~2 of every 3 pruned; a group k-means splits across clusters
+    # keeps one extra survivor, so allow a small shortfall
+    assert 9 <= sum(r["n_pruned"] for r in out) <= 12
+
+    # recompute expected pruned set independently: for each vector,
+    # pruned iff a lower-id vector in the SAME cluster has cos >= .95
+    assigned = {
+        r["vec_id"]: r["cluster"]
+        for r in similarity._portable_ivf_assign(cq, cmat, "vec_id", "__vq").collect()
+    }
+    vecs = {r["vec_id"]: np.array(r["__vq"], dtype=float) for r in cq.collect()}
+    pruned = set()
+    for b, vb in vecs.items():
+        for a, va in vecs.items():
+            if a >= b or assigned[a] != assigned[b]:
+                continue
+            cos = va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
+            if np.floor(cos * 1e9 + 0.5) >= 950_000_000:
+                pruned.add(b)
+                break
+    p, q = 1_000_003, 1_000_000_007
+    for r in out:
+        members = [v for v, c in assigned.items() if c == r["cluster"]]
+        want = sum((v % p) * (2 if v in pruned else 1) % q for v in members)
+        assert r["digest"] == want, (r, sorted(members))
+        assert r["n_pruned"] == sum(1 for v in members if v in pruned)

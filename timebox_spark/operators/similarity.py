@@ -561,12 +561,16 @@ def portable_ivf_topk(
     nlist: int = ANN_NLIST,
     nprobe: int = ANN_NPROBE,
     iters: int = ANN_ITERS,
+    cmat=None,
 ) -> DataFrame:
     """IVF top-k over the integer k-means index. Same plan shape as
     ``ivf_topk`` (corpus shuffles once by cell, probes broadcast);
-    candidate pairs unique by construction."""
+    candidate pairs unique by construction. Pass a pre-trained
+    ``cmat`` (``portable_ivf_train``) to share one index across
+    consumers (e.g. the q29 suite reuses it for SemDeDup)."""
     cq, qq = _quantize_sides(corpus, queries, id_col, vec_col, query_id_col)
-    cmat = portable_ivf_train(cq, nlist, iters, id_col="vec_id", vec_col="__vq")
+    if cmat is None:
+        cmat = portable_ivf_train(cq, nlist, iters, id_col="vec_id", vec_col="__vq")
     cb = _portable_ivf_assign(cq, cmat, "vec_id", "__vq", nprobe=1)
     qb = _portable_ivf_assign(qq, cmat, query_id_col, "__qq", nprobe=nprobe)
     cand = (
@@ -575,6 +579,76 @@ def portable_ivf_topk(
         .select("vec_id", "__vq", query_id_col, "__qq")
     )
     return _score_topk_portable(cand, k, query_id_col)
+
+
+# SemDeDup gate threshold, in ANN_COS_SCALE (1e-9) units. The driver
+# testdata's embeddings are near-uniform (max within-cluster cosine
+# ~0.51 at sf0.01), so a production eps (~0.95) would make the prune
+# path vacuously green — the q27 lesson. 0.40 keeps a real, small
+# pruned set flowing through the gate at every SF; production callers
+# pass their own eps_q.
+SEM_EPS_Q = 400_000_000
+
+
+def semdedup_clusters(
+    corpus_q: DataFrame,
+    cmat,
+    eps_q: int = SEM_EPS_Q,
+    id_col: str = "vec_id",
+    vec_col: str = "__vq",
+) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540): k-means-cluster the
+    embedding space, then prune, within each cluster, every document
+    whose cosine to a LOWER-id cluster-mate reaches ``eps_q`` — one
+    representative (the smallest id) survives per semantic-duplicate
+    group, and only intra-cluster pairs are ever scored.
+
+    Takes 1e6-quantized integer vectors (``quantized_vec``) and a
+    trained integer centroid matrix (``portable_ivf_train``) so the
+    DuckDB oracle re-derives every row bit-for-bit. Returns one row
+    per non-empty cluster: ``n`` members, ``n_pruned``, and ``digest``
+    = Σ ((id%P)·(2 if pruned else 1) mod Q) — which pins every
+    document's cluster assignment AND pruned status, so a single
+    misassigned or mispruned doc breaks the driver hash.
+
+    At 100 TB this is the whole point of SemDeDup: nlist grows with N
+    so cluster size stays bounded (~N/nlist), the pair join is
+    equi-blocked on the cluster id (never all-pairs), and the reduce
+    is one groupBy on the same key. The reference has no embedding
+    ops at all (SURVEY §2.7) — this is extension surface.
+    """
+    assigned = _portable_ivf_assign(corpus_q, cmat, id_col, vec_col, nprobe=1)
+    a = assigned.select(
+        "cluster", F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    )
+    b = assigned.select(
+        "cluster", F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+    )
+    pruned_ids = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(_cosine_q_portable(F.col("__va"), F.col("__vb")) >= F.lit(eps_q))
+        .select("cluster", F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    p, q = 1_000_003, 1_000_000_007
+    flagged = assigned.join(
+        pruned_ids.withColumn("__pruned", F.lit(1)),
+        ["cluster", id_col],
+        "left",
+    )
+    return (
+        flagged.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce(F.col("__pruned"), F.lit(0))).alias("n_pruned"),
+            F.sum(
+                (F.col(id_col) % p)
+                * F.when(F.col("__pruned").isNotNull(), 2).otherwise(1)
+                % q
+            ).alias("digest"),
+        )
+    )
 
 
 def recall_hits(

@@ -32,6 +32,7 @@ from timebox_spark.operators.similarity import (
     ANN_PLANES,
     ANN_QSCALE,
     ANN_TABLES,
+    SEM_EPS_Q,
     lsh_plane_signs,
 )
 
@@ -173,6 +174,26 @@ ivf_rec AS (
     SELECT l.query_id, l.neighbor_id
     FROM ivf_k l JOIN ex_k e ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
   ) x ON x.query_id = q.query_id GROUP BY q.query_id
+),
+-- SemDeDup (arXiv:2303.09540) over the SAME trained index: within
+-- each k-means cell, a doc is pruned iff some lower-id cell-mate's
+-- cosine reaches SEM_EPS_Q; the digest pins every doc's (cell,
+-- pruned) pair
+sem_pr AS (
+  SELECT a.j, b.vec_id
+  FROM af a JOIN af b ON a.j = b.j AND a.vec_id < b.vec_id
+  WHERE {_cos_q('a.v', 'b.v')} >= {SEM_EPS_Q}
+  GROUP BY 1, 2
+),
+sem AS (
+  SELECT af.j,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(count(p.vec_id) AS BIGINT) AS n_pruned,
+         CAST(sum((af.vec_id % 1000003)
+                  * (CASE WHEN p.vec_id IS NOT NULL THEN 2 ELSE 1 END)
+                  % 1000000007) AS BIGINT) AS digest
+  FROM af LEFT JOIN sem_pr p ON p.j = af.j AND p.vec_id = af.vec_id
+  GROUP BY af.j
 )
 SELECT 'exact' AS method, query_id, rank, neighbor_id, cosine_q FROM ex_k
 UNION ALL
@@ -193,4 +214,6 @@ SELECT 'fast_lsh_floor', CAST(-1 AS BIGINT), CAST(0 AS INTEGER),
 UNION ALL
 SELECT 'fast_ivf_floor', CAST(-1 AS BIGINT), CAST(0 AS INTEGER),
        (SELECT CAST(count(*) AS BIGINT) FROM qids), CAST(1 AS BIGINT)
+UNION ALL
+SELECT 'semdedup', j, CAST(n_pruned AS INTEGER), n, digest FROM sem
 """

@@ -196,7 +196,12 @@ def q29_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap with the portable exact top-k stays within
     [ANN_FAST_FLOOR_HITS, k·n_queries] — the oracle emits the same
     row with flag=1, so a silent fast-path recall collapse breaks the
-    driver hash, not just a pytest pin."""
+    driver hash, not just a pytest pin.
+
+    The 'semdedup' rows gate ``similarity.semdedup_clusters`` on the
+    SAME trained k-means index as the 'ivf' rows (trained once,
+    shared): per cluster, member count, pruned count, and a digest
+    pinning every doc's (cluster, pruned) assignment."""
     from timebox_spark.operators import similarity as S
     from timebox_spark.plans.ann_oracle import ANN_QUERY_MAX_ID
 
@@ -216,7 +221,11 @@ def q29_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     exact = _pin(S.portable_cosine_topk(emb, queries))
     lsh = _pin(S.portable_lsh_topk(emb, queries))
-    ivf = _pin(S.portable_ivf_topk(emb, queries))
+    # train the integer k-means once; IVF top-k and SemDeDup share it
+    cq, _ = S._quantize_sides(emb, queries, "vec_id", "embedding", "query_id")
+    cmat = S.portable_ivf_train(cq)
+    ivf = _pin(S.portable_ivf_topk(emb, queries, cmat=cmat))
+    sem = _pin(S.semdedup_clusters(cq, cmat))
     fast_lsh = _pin(S.lsh_topk(
         emb, queries, k=S.ANN_K, planes=S.ANN_PLANES, dim=S.ANN_DIM,
         tables=S.ANN_TABLES,
@@ -266,6 +275,15 @@ def q29_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(rec(S.recall_hits(ivf, exact), "ivf_recall"))
         .unionByName(floor_row(fast_lsh, "fast_lsh_floor"))
         .unionByName(floor_row(fast_ivf, "fast_ivf_floor"))
+        .unionByName(
+            sem.select(
+                F.lit("semdedup").alias("method"),
+                F.col("cluster").cast("long").alias("query_id"),
+                F.col("n_pruned").cast("int").alias("rank"),
+                F.col("n").cast("long").alias("neighbor_id"),
+                F.col("digest").cast("long").alias("cosine_q"),
+            )
+        )
     )
 
 
