@@ -153,3 +153,44 @@ def test_pack_sequences_concat_and_chunk(spark):
         docs.repartition(5), key="doc_id", token_col="nt", budget=10, n_shards=4
     ).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_bm25_topk_golden(spark):
+    """BM25 against a hand-checkable corpus: scores match an
+    independent python recomputation exactly (quantized), ranking is
+    (score DESC, doc_id), and a doc without any query term scores 0."""
+    import math
+
+    docs = [
+        (0, "join join join filter scan"),
+        (1, "vector hash join"),
+        (2, "the quick brown fox"),
+        (3, "hash hash vector vector vector join hash"),
+        (4, "join"),
+    ]
+    df = _docs(spark, [t for _, t in docs])
+    out = {
+        r["doc_id"]: r["score_q"]
+        for r in text.bm25_topk(df, k=4).collect()
+    }
+    # independent recompute
+    terms = text.BM25_QUERY_TERMS
+    toks = [t.split() for _, t in docs]
+    N = len(docs)
+    avgdl = sum(len(x) for x in toks) / N
+    dfreq = {t: sum(1 for x in toks if t in x) for t in terms}
+    scores = {}
+    for i, x in enumerate(toks):
+        s = 0.0
+        for t in terms:
+            tf = x.count(t)
+            idf = math.log(1 + (N - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * tf * (text.BM25_K1 + 1.0) / (
+                tf + text.BM25_K1 * (1 - text.BM25_B + text.BM25_B * len(x) / avgdl)
+            )
+        scores[i] = math.floor(s * text.BM25_SCALE + 0.5)
+    top4 = sorted(scores, key=lambda i: (-scores[i], i))[:4]
+    assert set(out) == set(top4)
+    for i in top4:
+        assert out[i] == scores[i], (i, out[i], scores[i])
+    assert 2 not in out and scores[2] == 0

@@ -329,6 +329,81 @@ def gopher_pass_from(toks: Column, nt: Column, nsw: Column) -> Column:
     ).cast("long")
 
 
+# BM25 constants, shared with the q21 DuckDB oracle (suites._bm25_sql)
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_SCALE = 1_000_000
+BM25_QUERY_TERMS = ["vector", "hash", "join"]
+BM25_TOP_K = 15
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: list[str] | None = None,
+    k: int = BM25_TOP_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Lucene-shaped BM25 retrieval: score every document against a
+    fixed term set and return the top-k — the ranking primitive a
+    curation pipeline uses for retrieval-based decontamination and
+    targeted corpus audits (the reference has no text ops at all,
+    SURVEY §2.7; this is extension surface).
+
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5));
+    score(d) = Σ_t idf·tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl)),
+    summed in fixed term order and quantized to ``BM25_SCALE``.
+    Everything is integer counts (word-boundary regex hits, token
+    counts) until the final per-document scalar arithmetic, so the
+    DuckDB oracle reproduces scores exactly.
+
+    Plan: one scan reduced to an O(|terms|) stats row (N, Σ|d|,
+    per-term doc-frequency) that broadcasts back over a second
+    scoring scan, then TakeOrderedAndProject for the top-k — no full
+    sort, no shuffle of document rows at any corpus size.
+    """
+    terms = BM25_QUERY_TERMS if terms is None else terms
+    base = df.select(
+        id_col,
+        token_count(text_col).alias("__nt"),
+        *[
+            _word_hits(text_col, t).alias(f"__tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__nt").alias("__tot"),
+        *[
+            F.sum((F.col(f"__tf{i}") > 0).cast("long")).alias(f"__df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    n = F.col("__n").cast("double")
+    avgdl = F.col("__tot").cast("double") / n
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        tf = F.col(f"__tf{i}").cast("double")
+        dfi = F.col(f"__df{i}").cast("double")
+        idf = F.log(F.lit(1.0) + (n - dfi + F.lit(0.5)) / (dfi + F.lit(0.5)))
+        denom = tf + F.lit(BM25_K1) * (
+            F.lit(1.0 - BM25_B)
+            + F.lit(BM25_B) * F.col("__nt").cast("double") / avgdl
+        )
+        score = score + idf * tf * F.lit(BM25_K1 + 1.0) / denom
+    return (
+        scored.select(
+            id_col,
+            F.floor(score * F.lit(float(BM25_SCALE)) + F.lit(0.5))
+            .cast("long")
+            .alias("score_q"),
+        )
+        .orderBy(F.desc("score_q"), id_col)
+        .limit(k)
+    )
+
+
 def redact(col: str = "text") -> Column:
     """PII scrubbing: emails, URLs, and phone-shaped digit runs
     replaced with typed placeholders. Order matters (URLs may contain

@@ -37,20 +37,75 @@ def _lit0():
 # ------------------------------------------------------------------
 
 def q21_text_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID distribution + top-20 words in one uniform shape."""
+    """Language-ID distribution + top-20 words + BM25 retrieval top-k
+    (text.bm25_topk — the 'bm25' rows pin each retrieved doc's exact
+    quantized score and the ranking boundary) in one uniform shape."""
+    from timebox_spark.operators import text as T
+
     lang = LQ.q21_lang_id(spark, sf_dir).select(
         F.lit("lang").alias("chk"), F.col("lang_pred").alias("k"), "n"
     )
     words = LQ.q22_top_words(spark, sf_dir).select(
         F.lit("word").alias("chk"), F.col("word").alias("k"), "n"
     )
-    return lang.unionByName(words)
+    bm25 = T.bm25_topk(load(spark, sf_dir, "documents")).select(
+        F.lit("bm25").alias("chk"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("score_q").alias("n"),
+    )
+    return lang.unionByName(words).unionByName(bm25)
+
+
+def _bm25_sql() -> str:
+    """DuckDB mirror of text.bm25_topk: same term constants, same
+    fixed-order float summation over integer counts, same (score,
+    doc_id) ranking."""
+    from timebox_spark.operators import text as T
+
+    terms = T.BM25_QUERY_TERMS
+    tf_cols = ", ".join(
+        f"length(regexp_extract_all(text, '\\b{t}\\b')) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"CAST(sum((tf{i} > 0)::INT) AS DOUBLE) AS df{i}"
+        for i in range(len(terms))
+    )
+    score = " + ".join(
+        f"ln(1.0 + (n - df{i} + 0.5) / (df{i} + 0.5)) * CAST(tf{i} AS DOUBLE)"
+        f" * {T.BM25_K1 + 1.0} / (CAST(tf{i} AS DOUBLE)"
+        f" + {T.BM25_K1} * ({1.0 - T.BM25_B}"
+        f" + {T.BM25_B} * CAST(nt AS DOUBLE) / avgdl))"
+        for i in range(len(terms))
+    )
+    return f"""
+WITH tf AS (
+  SELECT doc_id,
+         length(regexp_extract_all(text, '{T.TOKEN_RE}')) AS nt,
+         {tf_cols}
+  FROM documents
+), st AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(nt) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+         {df_cols}
+  FROM tf
+), sc AS (
+  SELECT doc_id,
+         CAST(floor(((0.0 + {score})) * {T.BM25_SCALE} + 0.5) AS BIGINT) AS score_q
+  FROM tf CROSS JOIN st
+)
+SELECT doc_id, score_q FROM (
+  SELECT *, row_number() OVER (ORDER BY score_q DESC, doc_id) AS rn FROM sc
+) WHERE rn <= {T.BM25_TOP_K}
+"""
 
 
 _Q21_SUITE_SQL = f"""
 SELECT 'lang' AS chk, lang_pred AS k, n FROM ({LQ.ORACLE_SQL['q21_lang_id']})
 UNION ALL
 SELECT 'word' AS chk, word AS k, n FROM ({LQ.ORACLE_SQL['q22_top_words']})
+UNION ALL
+SELECT 'bm25', CAST(doc_id AS VARCHAR), score_q FROM ({_bm25_sql()})
 """
 
 
