@@ -194,3 +194,41 @@ def test_bm25_topk_golden(spark):
     for i in top4:
         assert out[i] == scores[i], (i, out[i], scores[i])
     assert 2 not in out and scores[2] == 0
+
+
+def test_mixture_sample_rebalances_skewed_groups(spark):
+    """Temperature rebalancing: rate_g = floor(1e6*sqrt(n_min/n_g));
+    the min group keeps everything, a 4x group keeps ~half, and
+    membership is a pure function of the key (stable under
+    repartitioning)."""
+    import math
+
+    from timebox_spark.operators.sampling import (
+        MIX_SCALE,
+        mixture_rates,
+        mixture_sample,
+    )
+
+    rows = [(i, "big" if i < 800 else "small") for i in range(1000)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    rates = {
+        r["lang"]: r["rate_ppm"]
+        for r in mixture_rates(docs, "lang").collect()
+    }
+    assert rates["small"] == MIX_SCALE  # min group: keep all
+    assert rates["big"] == math.floor(
+        MIX_SCALE * math.sqrt(200.0) / math.sqrt(800.0)
+    )  # = 500000: a 4x-over-represented group samples at 1/2
+
+    kept = mixture_sample(docs, "lang", key="doc_id").collect()
+    by_lang = {}
+    for r in kept:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert by_lang["small"] == set(range(800, 1000))  # all kept
+    # md5 at ppm 500000 keeps about half of the big group
+    assert 800 * 0.4 < len(by_lang["big"]) < 800 * 0.6
+    # membership is data-determined: identical under repartitioning
+    kept2 = mixture_sample(
+        docs.repartition(13), "lang", key="doc_id"
+    ).collect()
+    assert sorted(map(tuple, kept)) == sorted(map(tuple, kept2))

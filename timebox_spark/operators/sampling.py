@@ -138,3 +138,65 @@ def shuffle_shards(
     return df.withColumn(hash_col, h).withColumn(
         shard_col, F.pmod(F.col(hash_col), F.lit(n_shards)).cast("int")
     )
+
+# temperature-mixing constants shared with the q44 DuckDB oracle
+MIX_SCALE = 1_000_000
+MIX_SEED = "mix"
+
+
+def mixture_rates(
+    df: DataFrame, group_col: str = "lang", alpha_sqrt: bool = True
+) -> DataFrame:
+    """Per-group keep-rate (ppm) for temperature-based domain/language
+    rebalancing: rate_g ∝ n_g^(α−1) with α = 0.5, normalized so the
+    SMALLEST group keeps everything. Sampling each group at rate_g
+    yields an expected mixture ∝ n_g^α — the exponential-smoothing
+    rebalance multilingual pipelines apply so head languages/domains
+    don't drown the tail (the reference has no sampling surface at
+    all, SURVEY §2.7; this is extension surface).
+
+    rate_ppm_g = floor(MIX_SCALE · sqrt(n_min) / sqrt(n_g)).
+    IEEE sqrt and division are exactly rounded, so the rate table is
+    bit-identical on any engine — the DuckDB oracle recomputes it.
+
+    Plan shape: one count aggregation (map-side combine) reduced to
+    O(n_groups) rows; the unpartitioned min-window runs on that tiny
+    summary table only (the repo's bucketed-carry rule allows unkeyed
+    windows over reduced bucket summaries).
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_total"))
+    n_min = F.min("n_total").over(Window.partitionBy())
+    return counts.withColumn(
+        "rate_ppm",
+        F.floor(
+            F.sqrt(n_min.cast("double"))
+            / F.sqrt(F.col("n_total").cast("double"))
+            * F.lit(float(MIX_SCALE))
+        ).cast("long"),
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str = "lang",
+    key: str = "doc_id",
+    seed: str = MIX_SEED,
+) -> DataFrame:
+    """Deterministic temperature-rebalanced corpus sample: keep a row
+    iff md5('<seed>:<key>') % MIX_SCALE < rate_ppm(group). Membership
+    is a pure function of (key, group counts) — stable across engines,
+    partitionings, and backfills, like every sampler in this module.
+
+    At 100 TB: the rate table is O(n_groups) rows and broadcast; the
+    filter is map-only. One count-aggregation pass + one map-only
+    filtered scan — no data-sized shuffle anywhere.
+    """
+    rates = mixture_rates(df, group_col)
+    h = shuffle_hash(key, seed) % F.lit(MIX_SCALE)
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(h < F.col("rate_ppm"))
+        .drop("n_total", "rate_ppm")
+    )

@@ -606,13 +606,22 @@ def q44_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment — move any document's first token across a window
     boundary and the digest changes. Shard pos and pack both come
     from the SAME keyed window pass, so the packing gate adds no
-    exchange to the plan (one scan, one shuffle on shard)."""
+    exchange to the plan (one scan, one shuffle on shard).
+
+    The mix rows gate ``sampling.mixture_sample`` (temperature
+    language rebalancing, rate_g ∝ sqrt(n_min/n_g)): per language,
+    n = docs kept, min_id = smallest kept doc_id, and id_sum pins the
+    exact kept-set membership — a drifted rate table or hash
+    threshold on either engine breaks the digest. ``lang`` is the
+    skewed group (en ≈ 3× the tail), so every non-min language
+    samples at a non-trivial rate in (0, 1)."""
     from pyspark.sql import Window
 
     from timebox_spark.operators.sampling import (
         PACK_BUDGET,
         SHUFFLE_SHARDS,
         deterministic_split,
+        mixture_sample,
         shuffle_shards,
     )
 
@@ -676,11 +685,30 @@ def q44_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_sum",
         )
     )
-    return splits.unionByName(shards).unionByName(packs)
+    mixes = (
+        mixture_sample(docs, group_col="lang", key="doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("min_id"),
+            F.sum(F.col("doc_id") % _DIGEST_Q).alias("id_sum"),
+        )
+        .select(
+            F.concat(F.lit("mix_"), F.col("lang")).alias("split"),
+            "n",
+            "min_id",
+            "id_sum",
+        )
+    )
+    return (
+        splits.unionByName(shards).unionByName(packs).unionByName(mixes)
+    )
 
 
 def _q44_sql() -> str:
     from timebox_spark.operators.sampling import (
+        MIX_SCALE,
+        MIX_SEED,
         PACK_BUDGET,
         SHUFFLE_SEED,
         SHUFFLE_SHARDS,
@@ -722,6 +750,26 @@ SELECT 'pack' || CAST(shard AS VARCHAR),
        CAST(sum(nt) AS BIGINT),
        CAST(sum((doc_id % {_DIGEST_P}) * ((pack + 1) % {_DIGEST_P}) % {_DIGEST_Q}) AS BIGINT)
 FROM r GROUP BY 1
+UNION ALL
+SELECT 'mix_' || lang,
+       CAST(count(*) AS BIGINT),
+       CAST(min(doc_id) AS BIGINT),
+       CAST(sum(doc_id % {_DIGEST_Q}) AS BIGINT)
+FROM (
+  SELECT d.doc_id, d.lang
+  FROM documents d
+  JOIN (
+    SELECT lang,
+           CAST(floor(sqrt((SELECT CAST(min(n_total) AS DOUBLE)
+                            FROM (SELECT count(*) AS n_total
+                                  FROM documents GROUP BY lang)))
+                      / sqrt(CAST(n_total AS DOUBLE)) * {MIX_SCALE}) AS BIGINT)
+             AS rate_ppm
+    FROM (SELECT lang, count(*) AS n_total FROM documents GROUP BY lang)
+  ) r USING (lang)
+  WHERE ('0x' || substr(md5('{MIX_SEED}:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+        % {MIX_SCALE} < r.rate_ppm
+) GROUP BY 1
 """
 
 
