@@ -232,3 +232,48 @@ def test_mixture_sample_rebalances_skewed_groups(spark):
         docs.repartition(13), "lang", key="doc_id"
     ).collect()
     assert sorted(map(tuple, kept)) == sorted(map(tuple, kept2))
+
+
+def test_hashed_linear_score_matches_python_model(spark):
+    """The Spark score equals an independently-computed Python
+    reference of the same fastText-shaped model: md5 feature-hash into
+    CLF_BUCKETS, md5-derived integer weight per bucket, sum."""
+    import hashlib
+
+    from timebox_spark.operators import text as T
+
+    def py_score(doc: str) -> int:
+        s = 0
+        for t in doc.split():
+            b = (
+                int(hashlib.md5(f"{T.CLF_SALT}:{t}".encode()).hexdigest()[:8], 16)
+                % T.CLF_BUCKETS
+            )
+            w = (
+                int(hashlib.md5(f"w:{b}".encode()).hexdigest()[:8], 16)
+                % T.CLF_WRANGE
+                - (T.CLF_WRANGE - 1) // 2
+            )
+            s += w
+        return s
+
+    docs = [
+        (1, "spark makes scans fast"),
+        (2, "fast scans makes spark"),  # permutation: same score
+        (3, ""),  # empty: score 0
+        (4, "the the the"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id", T.hashed_linear_score().alias("s")
+        ).collect()
+    }
+    assert got == {i: py_score(t) for i, t in docs}
+    assert got[1] == got[2]
+    assert got[3] == 0
+
+    top = T.classifier_topk(df, k=2).collect()
+    ranked = sorted(got.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+    assert [(r["doc_id"], r["clf_score"]) for r in top] == ranked

@@ -412,3 +412,69 @@ def redact(col: str = "text") -> Column:
     out = F.regexp_replace(out, EMAIL_RE, "<EMAIL>")
     out = F.regexp_replace(out, PHONE_RE, "<PHONE>")
     return out
+
+
+# hashed-linear classifier constants (shared with the q21 DuckDB oracle)
+CLF_BUCKETS = 1024
+CLF_SALT = "clf1"
+CLF_WRANGE = 2001  # weights in [-1000, 1000]
+CLF_TOP_K = 20
+
+
+def _md5_u32_str(c: Column) -> Column:
+    """First 8 hex chars of md5 as a BIGINT in [0, 2^32) — the same
+    engine-portable hash the sampling/dedup operators use."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def hashed_linear_score(col: str = "text") -> Column:
+    """fastText-style linear text classifier serving path: every token
+    is feature-hashed into ``CLF_BUCKETS`` buckets and the document
+    score is the sum of the bucket weights — the shape of the quality
+    classifiers LLM pipelines run over every document (CCNet/fastText
+    filtering; the reference has no text ops, SURVEY §2.7).
+
+    Weights here are derived from md5 of the bucket id (integers in
+    [-1000, 1000]) instead of a trained array, so the DuckDB oracle
+    recomputes the score bit-for-bit; a production model would swap
+    the weight expression for ``F.element_at(F.lit(weights), bucket)``
+    over a broadcast literal array — identical plan shape. Everything
+    is JVM higher-order functions over the token array: map-only,
+    zero Python, exact integer arithmetic (no float parity risk).
+    """
+    def weight(t: Column) -> Column:
+        b = (
+            _md5_u32_str(F.concat_ws(":", F.lit(CLF_SALT), t))
+            % F.lit(CLF_BUCKETS)
+        )
+        return (
+            _md5_u32_str(F.concat_ws(":", F.lit("w"), b.cast("string")))
+            % F.lit(CLF_WRANGE)
+            - F.lit((CLF_WRANGE - 1) // 2)
+        )
+
+    return F.aggregate(
+        F.transform(_tokens(col), weight),
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + w,
+    )
+
+
+def classifier_topk(
+    df: DataFrame,
+    k: int = CLF_TOP_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents by hashed-linear classifier score (score desc,
+    id asc) — the 'keep the best-scoring documents' selection step of
+    a quality-filtered curation pipeline. TakeOrderedAndProject: no
+    global sort, no shuffle of document rows at any corpus size."""
+    return (
+        df.select(
+            id_col,
+            hashed_linear_score(text_col).alias("clf_score"),
+        )
+        .orderBy(F.desc("clf_score"), id_col)
+        .limit(k)
+    )
