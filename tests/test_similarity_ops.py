@@ -169,3 +169,59 @@ def test_semdedup_planted_duplicates(spark):
         want = sum((v % p) * (2 if v in pruned else 1) % q for v in members)
         assert r["digest"] == want, (r, sorted(members))
         assert r["n_pruned"] == sum(1 for v in members if v in pruned)
+
+
+def test_int8_quantization_codes_and_topk(spark):
+    """int8 codes match the closed form (floor(v*127/vmax + 0.5), zero
+    vector -> zeros) and the compressed-domain top-k equals a numpy
+    reference of the same model."""
+    import numpy as np
+
+    from timebox_spark.operators import similarity as S
+
+    vecs = {
+        0: [1.0, 0.0, 0.0, 0.0],
+        1: [0.9, 0.1, 0.0, 0.0],
+        2: [-0.5, 0.5, 0.25, 0.0],
+        3: [0.0, 0.0, 0.0, 0.0],  # zero vector
+        4: [0.0, 1.0, 0.0, 0.0],
+        5: [0.6, 0.4, 0.0, 0.0],
+    }
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    codes = {
+        r["vec_id"]: r["v8"]
+        for r in df.select(
+            "vec_id", S.int8_vec(S.quantized_vec(F.col("embedding"))).alias("v8")
+        ).collect()
+    }
+
+    def py_codes(v):
+        q = np.floor(np.asarray(v, dtype=np.float64) * 1e6 + 0.5)
+        vmax = np.abs(q).max()
+        if vmax == 0:
+            return [0] * len(v)
+        return [int(np.floor(x * 127.0 / vmax + 0.5)) for x in q]
+
+    assert codes == {i: py_codes(v) for i, v in vecs.items()}
+    assert codes[3] == [0, 0, 0, 0]
+    assert max(abs(c) for c in codes[2]) == 127  # scale hits +-127
+
+    queries = df.filter(F.col("vec_id") < 2)
+    top = S.portable_int8_topk(df, queries, k=2).collect()
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine_q"])
+        for r in top
+    }
+    for qid in (0, 1):
+        scores = sorted(
+            (
+                (-int(np.dot(py_codes(vecs[i]), py_codes(vecs[qid]))), i)
+                for i in vecs
+                if i != qid
+            ),
+        )[:2]
+        for rank, (neg, i) in enumerate(scores, start=1):
+            assert got[(qid, rank)] == (i, -neg)

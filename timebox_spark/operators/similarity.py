@@ -710,3 +710,74 @@ def ivf_topk(
         .select(id_col, vec_col, query_id_col, "__qvec")
     )
     return _score_topk(cand, k, id_col, vec_col, query_id_col)
+
+
+# int8 symmetric quantization (shared with the q29 DuckDB oracle):
+# per-vector scale so the largest-magnitude component maps to ±127 —
+# the standard ANN storage/re-rank compression (4x smaller than f32).
+INT8_MAX = 127
+
+
+def int8_vec(vq):
+    """1e6-long-quantized vector → per-vector symmetric int8 codes:
+    code_d = floor(v_d · 127 / max|v| + 0.5), zero vector → zeros.
+
+    Derived from the already-integer ``quantized_vec`` form, so the
+    only float step is one exactly-rounded IEEE division per component
+    (integers ≤ 1.27e8 are exact in double) — bit-identical on any
+    engine. At 100 TB this is the column you persist: 64 bytes/vector
+    instead of 256, scanned with exact integer dot products.
+    """
+    vmax = F.array_max(F.transform(vq, F.abs))
+    return F.when(
+        vmax == 0, F.transform(vq, lambda e: F.lit(0).cast("long"))
+    ).otherwise(
+        F.transform(
+            vq,
+            lambda e: F.floor(
+                e.cast("double")
+                * F.lit(float(INT8_MAX))
+                / vmax.cast("double")
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+    )
+
+
+def portable_int8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = ANN_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Brute-force top-k by exact integer dot product over int8-coded
+    vectors — the quantized-retrieval primitive (score in the
+    compressed domain, rank desc, id tiebreak). Composes with the IVF
+    probe join for the 100 TB path: score int8 codes over the probed
+    cells' candidates instead of all pairs; the scoring expression is
+    identical. Ranking uses the raw int8 dot product (monotone in
+    cosine for unit-normalized corpora); the 'int8_recall' rows in the
+    q29 suite measure its agreement with the exact float-free top-k.
+    """
+    cq, qq = _quantize_sides(corpus, queries, id_col, vec_col, query_id_col)
+    c8 = cq.select("vec_id", int8_vec(F.col("__vq")).alias("__v8"))
+    q8 = qq.select(query_id_col, int8_vec(F.col("__qq")).alias("__q8"))
+    scored = (
+        c8.crossJoin(F.broadcast(q8))
+        .filter(F.col("vec_id") != F.col(query_id_col))
+        .select(
+            F.col(query_id_col),
+            F.col("vec_id").alias("neighbor_id"),
+            _dot_long(F.col("__v8"), F.col("__q8")).alias("cosine_q"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine_q"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", "neighbor_id", "cosine_q")
+    )

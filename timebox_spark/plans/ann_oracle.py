@@ -160,7 +160,31 @@ ivf_s AS (
   FROM af JOIN qp ON af.j = qp.j WHERE af.vec_id <> qp.query_id
 ),
 ivf_k AS ({_topk('ivf_s')}),
+-- int8 symmetric quantization re-rank (similarity.portable_int8_topk):
+-- per-vector scale to ±127 from the SAME 1e6-long form, exact integer
+-- dot products in the compressed domain
+i8 AS (
+  SELECT vec_id,
+         CASE WHEN vmax = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(v, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0
+                     / CAST(vmax AS DOUBLE) + 0.5) AS BIGINT)) END AS v8
+  FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS vmax FROM eq)
+),
+qi8 AS (SELECT vec_id AS query_id, v8 AS q8 FROM i8 WHERE vec_id < {ANN_QUERY_MAX_ID}),
+i8_s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         CAST({_dot('e.v8', 'q.q8')} AS BIGINT) AS cosine_q
+  FROM i8 e CROSS JOIN qi8 q WHERE e.vec_id <> q.query_id
+),
+i8_k AS ({_topk('i8_s')}),
 qids AS (SELECT DISTINCT query_id FROM qe),
+i8_rec AS (
+  SELECT q.query_id, CAST(count(x.neighbor_id) AS BIGINT) AS hits
+  FROM qids q LEFT JOIN (
+    SELECT l.query_id, l.neighbor_id
+    FROM i8_k l JOIN ex_k e ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+  ) x ON x.query_id = q.query_id GROUP BY q.query_id
+),
 lsh_rec AS (
   SELECT q.query_id, CAST(count(x.neighbor_id) AS BIGINT) AS hits
   FROM qids q LEFT JOIN (
@@ -214,6 +238,10 @@ SELECT 'fast_lsh_floor', CAST(-1 AS BIGINT), CAST(0 AS INTEGER),
 UNION ALL
 SELECT 'fast_ivf_floor', CAST(-1 AS BIGINT), CAST(0 AS INTEGER),
        (SELECT CAST(count(*) AS BIGINT) FROM qids), CAST(1 AS BIGINT)
+UNION ALL
+SELECT 'int8', query_id, rank, neighbor_id, cosine_q FROM i8_k
+UNION ALL
+SELECT 'int8_recall', query_id, CAST(0 AS INTEGER), CAST(-1 AS BIGINT), hits FROM i8_rec
 UNION ALL
 SELECT 'semdedup', j, CAST(n_pruned AS INTEGER), n, digest FROM sem
 """

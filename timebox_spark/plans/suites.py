@@ -39,7 +39,9 @@ def _lit0():
 def q21_text_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID distribution + top-20 words + BM25 retrieval top-k
     (text.bm25_topk — the 'bm25' rows pin each retrieved doc's exact
-    quantized score and the ranking boundary) in one uniform shape."""
+    quantized score and the ranking boundary) + hashed-linear
+    classifier top-k (text.classifier_topk — the 'clf' rows pin each
+    selected doc's exact integer score) in one uniform shape."""
     from timebox_spark.operators import text as T
 
     lang = LQ.q21_lang_id(spark, sf_dir).select(
@@ -48,12 +50,18 @@ def q21_text_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = LQ.q22_top_words(spark, sf_dir).select(
         F.lit("word").alias("chk"), F.col("word").alias("k"), "n"
     )
-    bm25 = T.bm25_topk(load(spark, sf_dir, "documents")).select(
+    docs = load(spark, sf_dir, "documents")
+    bm25 = T.bm25_topk(docs).select(
         F.lit("bm25").alias("chk"),
         F.col("doc_id").cast("string").alias("k"),
         F.col("score_q").alias("n"),
     )
-    return lang.unionByName(words).unionByName(bm25)
+    clf = T.classifier_topk(docs).select(
+        F.lit("clf").alias("chk"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("clf_score").alias("n"),
+    )
+    return lang.unionByName(words).unionByName(bm25).unionByName(clf)
 
 
 def _bm25_sql() -> str:
@@ -100,12 +108,38 @@ SELECT doc_id, score_q FROM (
 """
 
 
+def _clf_sql() -> str:
+    """DuckDB mirror of text.classifier_topk: same md5 feature hash,
+    same md5-derived bucket weights, same (score, doc_id) ranking."""
+    from timebox_spark.operators import text as T
+
+    half = (T.CLF_WRANGE - 1) // 2
+    w = (
+        f"('0x' || substr(md5('w:' || CAST(('0x' || substr(md5('{T.CLF_SALT}:' || t), 1, 8))::BIGINT"
+        f" % {T.CLF_BUCKETS} AS VARCHAR)), 1, 8))::BIGINT % {T.CLF_WRANGE} - {half}"
+    )
+    return f"""
+SELECT doc_id, clf_score FROM (
+  SELECT doc_id, clf_score,
+         row_number() OVER (ORDER BY clf_score DESC, doc_id) AS rn
+  FROM (
+    SELECT doc_id,
+           CAST(COALESCE(list_sum(list_transform(
+             regexp_extract_all(text, '{T.TOKEN_RE}'), t -> {w})), 0) AS BIGINT)
+             AS clf_score
+    FROM documents)
+) WHERE rn <= {T.CLF_TOP_K}
+"""
+
+
 _Q21_SUITE_SQL = f"""
 SELECT 'lang' AS chk, lang_pred AS k, n FROM ({LQ.ORACLE_SQL['q21_lang_id']})
 UNION ALL
 SELECT 'word' AS chk, word AS k, n FROM ({LQ.ORACLE_SQL['q22_top_words']})
 UNION ALL
 SELECT 'bm25', CAST(doc_id AS VARCHAR), score_q FROM ({_bm25_sql()})
+UNION ALL
+SELECT 'clf', CAST(doc_id AS VARCHAR), clf_score FROM ({_clf_sql()})
 """
 
 
@@ -256,7 +290,12 @@ def q29_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     The 'semdedup' rows gate ``similarity.semdedup_clusters`` on the
     SAME trained k-means index as the 'ivf' rows (trained once,
     shared): per cluster, member count, pruned count, and a digest
-    pinning every doc's (cluster, pruned) assignment."""
+    pinning every doc's (cluster, pruned) assignment.
+
+    The 'int8' rows gate ``similarity.portable_int8_topk`` (symmetric
+    int8 compression + exact integer dot-product ranking in the
+    compressed domain — the ANN storage/re-rank format); 'int8_recall'
+    pins its per-query agreement with the exact top-k."""
     from timebox_spark.operators import similarity as S
     from timebox_spark.plans.ann_oracle import ANN_QUERY_MAX_ID
 
@@ -276,6 +315,7 @@ def q29_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     exact = _pin(S.portable_cosine_topk(emb, queries))
     lsh = _pin(S.portable_lsh_topk(emb, queries))
+    int8 = _pin(S.portable_int8_topk(emb, queries))
     # train the integer k-means once; IVF top-k and SemDeDup share it
     cq, _ = S._quantize_sides(emb, queries, "vec_id", "embedding", "query_id")
     cmat = S.portable_ivf_train(cq)
@@ -326,8 +366,10 @@ def q29_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         tagged(exact, "exact")
         .unionByName(tagged(lsh, "lsh"))
         .unionByName(tagged(ivf, "ivf"))
+        .unionByName(tagged(int8, "int8"))
         .unionByName(rec(S.recall_hits(lsh, exact), "lsh_recall"))
         .unionByName(rec(S.recall_hits(ivf, exact), "ivf_recall"))
+        .unionByName(rec(S.recall_hits(int8, exact), "int8_recall"))
         .unionByName(floor_row(fast_lsh, "fast_lsh_floor"))
         .unionByName(floor_row(fast_ivf, "fast_ivf_floor"))
         .unionByName(
