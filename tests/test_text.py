@@ -277,3 +277,60 @@ def test_hashed_linear_score_matches_python_model(spark):
     top = T.classifier_topk(df, k=2).collect()
     ranked = sorted(got.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
     assert [(r["doc_id"], r["clf_score"]) for r in top] == ranked
+
+
+def test_bigram_lm_scores_match_python_model(spark):
+    """Per-doc scores equal an independent Python implementation of
+    the same add-one-smoothed bigram LM (context counts from the
+    bigram table, vocab over all tokens); degenerate docs score 0."""
+    import math
+    from collections import Counter
+
+    from timebox_spark.operators import text as T
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat"),
+        (3, "dog"),  # 1 token: no bigrams
+        (4, ""),  # empty
+        (5, "the cat the cat"),
+    ]
+    toks = {i: t.split() for i, t in docs}
+    bigrams = {
+        i: [f"{l[j - 1]} {l[j]}" for j in range(1, len(l))]
+        for i, l in toks.items()
+    }
+    c12 = Counter(b for bs in bigrams.values() for b in bs)
+    c1 = Counter()
+    for bg, c in c12.items():
+        c1[bg.split(" ")[0]] += c
+    v = len({t for l in toks.values() for t in l})
+    lp_q = {
+        bg: math.floor(
+            math.log((c + 1) / (c1[bg.split(" ")[0]] + v)) * T.PPL_SCALE + 0.5
+        )
+        for bg, c in c12.items()
+    }
+
+    def expected(i):
+        bs = bigrams[i]
+        if not bs:
+            return (0, 0, 0)
+        s = sum(lp_q[b] for b in bs)
+        return (len(bs), s, math.floor(s / len(bs) + 0.5))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["lp_sum_q"], r["avg_lp_q"])
+        for r in T.bigram_lm_scores(df).collect()
+    }
+    assert got == {i: expected(i) for i, _ in docs}
+
+    top = T.perplexity_topk(df, k=10).collect()
+    ids = [r["doc_id"] for r in top]
+    assert 3 not in ids and 4 not in ids  # no-bigram docs excluded
+    ranked = sorted(
+        (i for i in toks if bigrams[i]),
+        key=lambda i: (-expected(i)[2], i),
+    )
+    assert ids == ranked

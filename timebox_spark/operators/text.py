@@ -478,3 +478,128 @@ def classifier_topk(
         .orderBy(F.desc("clf_score"), id_col)
         .limit(k)
     )
+
+
+# bigram-LM perplexity constants (shared with the q21 DuckDB oracle)
+PPL_SCALE = 1_000_000
+PPL_TOP_K = 20
+
+
+def _bigram_strings(col: str = "text") -> Column:
+    """'w1 w2' strings for each adjacent token pair — tokens are \\S+
+    so the single space splits back unambiguously. Spark's
+    sequence(2, n) DESCENDS for n < 2 (it never yields an empty
+    range), so short docs need the explicit empty-array guard."""
+    toks = _tokens(col)
+    return F.when(
+        F.size(toks) < 2, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(2), F.size(toks)),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i - 1), F.element_at(toks, i)
+            ),
+        )
+    )
+
+
+def bigram_lm_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style perplexity scoring with a corpus-trained bigram LM
+    (add-one smoothing): p(w2|w1) = (c(w1w2)+1)/(c(w1·)+V), per-doc
+    avg_lp_q = floor(mean bigram ln-prob · 1e6) — higher = more
+    typical text; CCNet keeps the low-perplexity head of this ranking
+    (the reference has no text ops at all, SURVEY §2.7).
+
+    Engine parity: each DISTINCT bigram's log-prob is quantized to an
+    integer ONCE (ln of the same exactly-rounded rational on both
+    engines), then per-doc scores are exact integer sums — the same
+    per-term-quantization rule every float aggregate in this repo
+    follows (CLAUDE.md).
+
+    100 TB shape: the classic distributed LM-training plan — one
+    explode scan → bigram-count shuffle (map-side combine), context
+    counts reduced FROM the bigram table (no second corpus scan), a
+    vocab-sized probability table joined back on the bigram key, and
+    a final per-doc aggregation. No driver state, no unkeyed windows;
+    skewed head bigrams are handled by AQE skew splitting like any
+    hot groupBy key.
+
+    Returns (id_col, n_bigrams, lp_sum_q, avg_lp_q); docs with < 2
+    tokens score 0 over 0 bigrams.
+    """
+    pairs = df.select(
+        F.col(id_col), F.explode(_bigram_strings(text_col)).alias("bg")
+    )
+    c12 = pairs.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    heads = c12.withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+    c1 = heads.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = (
+        df.select(F.explode(_tokens(text_col)).alias("t"))
+        .agg(F.countDistinct("t").alias("v"))
+    )
+    lp = (
+        heads.join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bg",
+            F.floor(
+                F.log(
+                    (F.col("c12") + 1).cast("double")
+                    / (F.col("c1") + F.col("v")).cast("double")
+                )
+                * F.lit(float(PPL_SCALE))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("lp_q"),
+        )
+    )
+    scored = (
+        pairs.join(lp, "bg")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lp_q").alias("lp_sum_q"),
+        )
+    )
+    base = df.select(id_col)
+    return (
+        base.join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("lp_sum_q", F.lit(0)).cast("long").alias("lp_sum_q"),
+            F.when(F.coalesce("n_bigrams", F.lit(0)) == 0, F.lit(0))
+            .otherwise(
+                F.floor(
+                    F.col("lp_sum_q").cast("double")
+                    / F.col("n_bigrams").cast("double")
+                    + F.lit(0.5)
+                )
+            )
+            .cast("long")
+            .alias("avg_lp_q"),
+        )
+    )
+
+
+def perplexity_topk(
+    df: DataFrame,
+    k: int = PPL_TOP_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The k most LM-typical documents (highest avg bigram log-prob =
+    lowest perplexity, id tiebreak) — CCNet's keep-the-head selection.
+    TakeOrderedAndProject over the scored table: no global sort.
+    Docs with no bigrams are excluded (their score-0 default would
+    otherwise outrank every real all-negative log-prob average)."""
+    return (
+        bigram_lm_scores(df, id_col, text_col)
+        .filter(F.col("n_bigrams") > 0)
+        .orderBy(F.desc("avg_lp_q"), id_col)
+        .limit(k)
+        .select(id_col, "avg_lp_q")
+    )

@@ -61,7 +61,17 @@ def q21_text_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string").alias("k"),
         F.col("clf_score").alias("n"),
     )
-    return lang.unionByName(words).unionByName(bm25).unionByName(clf)
+    ppl = T.perplexity_topk(docs).select(
+        F.lit("ppl").alias("chk"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("avg_lp_q").alias("n"),
+    )
+    return (
+        lang.unionByName(words)
+        .unionByName(bm25)
+        .unionByName(clf)
+        .unionByName(ppl)
+    )
 
 
 def _bm25_sql() -> str:
@@ -132,6 +142,48 @@ SELECT doc_id, clf_score FROM (
 """
 
 
+def _ppl_sql() -> str:
+    """DuckDB mirror of text.perplexity_topk: same bigram construction
+    (1-based list HOFs), same add-one-smoothed probabilities, same
+    per-distinct-bigram ln quantization, same ranking."""
+    from timebox_spark.operators import text as T
+
+    return f"""
+WITH tk AS (
+  SELECT doc_id, regexp_extract_all(text, '{T.TOKEN_RE}') AS l FROM documents
+),
+pr AS (
+  SELECT doc_id,
+         unnest(list_transform(range(2, length(l) + 1),
+                               i -> l[i - 1] || ' ' || l[i])) AS bg
+  FROM tk
+),
+cb AS (SELECT bg, count(*) AS c12 FROM pr GROUP BY 1),
+hd AS (SELECT bg, c12, split_part(bg, ' ', 1) AS w1 FROM cb),
+ch AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM hd GROUP BY 1),
+vo AS (SELECT count(DISTINCT t) AS v
+       FROM (SELECT unnest(l) AS t FROM tk)),
+lp AS (
+  SELECT bg, CAST(floor(ln(CAST(c12 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE))
+                        * {T.PPL_SCALE} + 0.5) AS BIGINT) AS lp_q
+  FROM hd JOIN ch USING (w1) CROSS JOIN vo
+),
+sc AS (
+  SELECT doc_id, count(*) AS nb, CAST(sum(lp_q) AS BIGINT) AS s
+  FROM pr JOIN lp USING (bg) GROUP BY 1
+),
+rk AS (
+  SELECT doc_id,
+         CAST(floor(CAST(s AS DOUBLE) / CAST(nb AS DOUBLE) + 0.5) AS BIGINT)
+           AS avg_lp_q
+  FROM sc
+)
+SELECT doc_id, avg_lp_q FROM (
+  SELECT *, row_number() OVER (ORDER BY avg_lp_q DESC, doc_id) AS rn FROM rk
+) WHERE rn <= {T.PPL_TOP_K}
+"""
+
+
 _Q21_SUITE_SQL = f"""
 SELECT 'lang' AS chk, lang_pred AS k, n FROM ({LQ.ORACLE_SQL['q21_lang_id']})
 UNION ALL
@@ -140,6 +192,8 @@ UNION ALL
 SELECT 'bm25', CAST(doc_id AS VARCHAR), score_q FROM ({_bm25_sql()})
 UNION ALL
 SELECT 'clf', CAST(doc_id AS VARCHAR), clf_score FROM ({_clf_sql()})
+UNION ALL
+SELECT 'ppl', CAST(doc_id AS VARCHAR), avg_lp_q FROM ({_ppl_sql()})
 """
 
 
