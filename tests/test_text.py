@@ -334,3 +334,27 @@ def test_bigram_lm_scores_match_python_model(spark):
         key=lambda i: (-expected(i)[2], i),
     )
     assert ids == ranked
+
+
+def test_bpe_pair_counts_match_python(spark):
+    """Corpus pair counts equal a hand BPE counting pass over the
+    word-frequency table; 1-char words contribute nothing."""
+    from collections import Counter
+
+    from timebox_spark.operators import text as T
+
+    docs = [(1, "low lower low a"), (2, "newest low n")]
+    words = Counter(w for _, t in docs for w in t.split())
+    expected = Counter()
+    for w, freq in words.items():
+        for i in range(len(w) - 1):
+            expected[w[i : i + 2]] += freq
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["pair"]: r["n"] for r in T.bpe_pair_counts(df).collect()}
+    top = dict(
+        sorted(expected.items(), key=lambda kv: (-kv[1], kv[0]))[
+            : T.BPE_TOP_PAIRS
+        ]
+    )
+    assert got == top
+    assert got["lo"] == 4  # 'low' freq 3 + 'lower' freq 1

@@ -603,3 +603,43 @@ def perplexity_topk(
         .limit(k)
         .select(id_col, "avg_lp_q")
     )
+
+
+# BPE merge-counting constants (shared with the q21 DuckDB oracle)
+BPE_TOP_PAIRS = 20
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The counting step of BPE tokenizer training: corpus-wide
+    frequency of each adjacent character pair, the statistic whose
+    argmax becomes the next merge rule (Sennrich et al. 2016). Like
+    every BPE trainer, pairs are counted over the WORD-FREQUENCY
+    table, not the raw token stream: one explode scan reduces the
+    corpus to its vocabulary (word, freq), and pair extraction runs
+    per DISTINCT word weighted by freq — at 100 TB the pair-counting
+    stage touches a vocab-sized table, not the corpus.
+
+    Returns (pair, n) for the ``BPE_TOP_PAIRS`` most frequent pairs
+    (count desc, pair asc) via TakeOrderedAndProject — no global sort.
+    """
+    vocab = (
+        df.select(F.explode(_tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # sequence(2, n) descends for n < 2 — guard 1-char words
+    pairs_in_word = F.when(
+        F.length("w") < 2, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(2), F.length("w")),
+            lambda i: F.substring(F.col("w"), i - 1, F.lit(2)),
+        )
+    )
+    return (
+        vocab.select("freq", F.explode(pairs_in_word).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(BPE_TOP_PAIRS)
+    )
