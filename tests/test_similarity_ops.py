@@ -225,3 +225,30 @@ def test_int8_quantization_codes_and_topk(spark):
         )[:2]
         for rank, (neg, i) in enumerate(scores, start=1):
             assert got[(qid, rank)] == (i, -neg)
+
+
+def test_hard_negatives_exclude_same_label(spark):
+    """Hard negatives are the closest DIFFERENT-label vectors: the
+    same-label nearest neighbor never appears, and ranking matches the
+    exact quantized-cosine order over the opposite-label set."""
+    from timebox_spark.operators import similarity as S
+
+    vecs = [
+        # label 0 cluster near e1; label 1 cluster near e2
+        (0, [1.0, 0.0], 0),
+        (1, [0.99, 0.14], 0),   # closest overall to query 0 (same label)
+        (2, [0.9, 0.43], 1),    # closest different-label
+        (3, [0.7, 0.71], 1),
+        (4, [0.0, 1.0], 1),
+    ]
+    df = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    )
+    queries = df.filter(F.col("vec_id") == 0)
+    got = S.portable_hard_negatives(df, queries, k=3).collect()
+    assert [r["neighbor_id"] for r in got] == [2, 3, 4]
+    assert all(r["query_id"] == 0 for r in got)
+    assert [r["rank"] for r in got] == [1, 2, 3]
+    # cosines strictly decrease along the ranking
+    cs = [r["cosine_q"] for r in got]
+    assert cs == sorted(cs, reverse=True)

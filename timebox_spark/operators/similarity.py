@@ -781,3 +781,44 @@ def portable_int8_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "rank", "neighbor_id", "cosine_q")
     )
+
+
+def portable_hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = ANN_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: for
+    each query, the k most-similar corpus vectors with a DIFFERENT
+    label (quantized cosine, id tiebreak) — the negatives that sit
+    closest to the decision boundary (SimCSE/DPR-style in-corpus
+    mining; the reference has no similarity ops, SURVEY §2.7).
+
+    Same integer-exact scoring as ``portable_cosine_topk``; at 100 TB
+    the all-pairs scan composes with the ANN index exactly like exact
+    search does — probe the IVF cells, then apply the label-mismatch
+    filter before scoring, so candidate generation stays sublinear.
+    """
+    cq = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        quantized_vec(F.col(vec_col)).alias("__vq"),
+        F.col(label_col).alias("__cl"),
+    )
+    qq = queries.select(
+        F.col(id_col).alias(query_id_col),
+        quantized_vec(F.col(vec_col)).alias("__qq"),
+        F.col(label_col).alias("__ql"),
+    )
+    cand = (
+        cq.crossJoin(F.broadcast(qq))
+        .filter(
+            (F.col("vec_id") != F.col(query_id_col))
+            & (F.col("__cl") != F.col("__ql"))
+        )
+        .drop("__cl", "__ql")
+    )
+    return _score_topk_portable(cand, k, query_id_col)

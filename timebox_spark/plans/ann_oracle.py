@@ -177,6 +177,17 @@ i8_s AS (
   FROM i8 e CROSS JOIN qi8 q WHERE e.vec_id <> q.query_id
 ),
 i8_k AS ({_topk('i8_s')}),
+-- hard-negative mining (similarity.portable_hard_negatives): closest
+-- corpus vectors with a DIFFERENT label, same quantized-cosine rank
+el AS (SELECT eq.vec_id, eq.v, e.label FROM eq JOIN embeddings e USING (vec_id)),
+qlb AS (SELECT vec_id AS query_id, v AS qv, label AS qlabel
+        FROM el WHERE vec_id < {ANN_QUERY_MAX_ID}),
+hn_s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, {_cos_q('e.v', 'q.qv')} AS cosine_q
+  FROM el e CROSS JOIN qlb q
+  WHERE e.vec_id <> q.query_id AND e.label <> q.qlabel
+),
+hn_k AS ({_topk('hn_s')}),
 qids AS (SELECT DISTINCT query_id FROM qe),
 i8_rec AS (
   SELECT q.query_id, CAST(count(x.neighbor_id) AS BIGINT) AS hits
@@ -238,6 +249,8 @@ SELECT 'fast_lsh_floor', CAST(-1 AS BIGINT), CAST(0 AS INTEGER),
 UNION ALL
 SELECT 'fast_ivf_floor', CAST(-1 AS BIGINT), CAST(0 AS INTEGER),
        (SELECT CAST(count(*) AS BIGINT) FROM qids), CAST(1 AS BIGINT)
+UNION ALL
+SELECT 'hardneg', query_id, rank, neighbor_id, cosine_q FROM hn_k
 UNION ALL
 SELECT 'int8', query_id, rank, neighbor_id, cosine_q FROM i8_k
 UNION ALL

@@ -66,11 +66,15 @@ def q21_text_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string").alias("k"),
         F.col("avg_lp_q").alias("n"),
     )
+    bpe = T.bpe_pair_counts(docs).select(
+        F.lit("bpe").alias("chk"), F.col("pair").alias("k"), "n"
+    )
     return (
         lang.unionByName(words)
         .unionByName(bm25)
         .unionByName(clf)
         .unionByName(ppl)
+        .unionByName(bpe)
     )
 
 
@@ -184,6 +188,31 @@ SELECT doc_id, avg_lp_q FROM (
 """
 
 
+def _bpe_sql() -> str:
+    """DuckDB mirror of text.bpe_pair_counts: same vocab reduction,
+    same 1-based substr pair extraction, same (n desc, pair) rank."""
+    from timebox_spark.operators import text as T
+
+    return f"""
+WITH vw AS (
+  SELECT w, count(*) AS freq
+  FROM (SELECT unnest(regexp_extract_all(text, '{T.TOKEN_RE}')) AS w
+        FROM documents)
+  GROUP BY 1
+),
+pp AS (
+  SELECT freq,
+         unnest(list_transform(range(2, length(w) + 1),
+                               i -> substr(w, i - 1, 2))) AS pair
+  FROM vw
+),
+bc AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM pp GROUP BY 1)
+SELECT pair, n FROM (
+  SELECT *, row_number() OVER (ORDER BY n DESC, pair) AS rn FROM bc
+) WHERE rn <= {T.BPE_TOP_PAIRS}
+"""
+
+
 _Q21_SUITE_SQL = f"""
 SELECT 'lang' AS chk, lang_pred AS k, n FROM ({LQ.ORACLE_SQL['q21_lang_id']})
 UNION ALL
@@ -194,6 +223,8 @@ UNION ALL
 SELECT 'clf', CAST(doc_id AS VARCHAR), clf_score FROM ({_clf_sql()})
 UNION ALL
 SELECT 'ppl', CAST(doc_id AS VARCHAR), avg_lp_q FROM ({_ppl_sql()})
+UNION ALL
+SELECT 'bpe', pair, n FROM ({_bpe_sql()})
 """
 
 
@@ -349,7 +380,9 @@ def q29_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     The 'int8' rows gate ``similarity.portable_int8_topk`` (symmetric
     int8 compression + exact integer dot-product ranking in the
     compressed domain — the ANN storage/re-rank format); 'int8_recall'
-    pins its per-query agreement with the exact top-k."""
+    pins its per-query agreement with the exact top-k. The 'hardneg'
+    rows gate ``similarity.portable_hard_negatives`` (closest
+    different-label vectors — contrastive-training negative mining)."""
     from timebox_spark.operators import similarity as S
     from timebox_spark.plans.ann_oracle import ANN_QUERY_MAX_ID
 
@@ -370,6 +403,7 @@ def q29_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = _pin(S.portable_cosine_topk(emb, queries))
     lsh = _pin(S.portable_lsh_topk(emb, queries))
     int8 = _pin(S.portable_int8_topk(emb, queries))
+    hardneg = _pin(S.portable_hard_negatives(emb, queries))
     # train the integer k-means once; IVF top-k and SemDeDup share it
     cq, _ = S._quantize_sides(emb, queries, "vec_id", "embedding", "query_id")
     cmat = S.portable_ivf_train(cq)
@@ -420,6 +454,7 @@ def q29_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         tagged(exact, "exact")
         .unionByName(tagged(lsh, "lsh"))
         .unionByName(tagged(ivf, "ivf"))
+        .unionByName(tagged(hardneg, "hardneg"))
         .unionByName(tagged(int8, "int8"))
         .unionByName(rec(S.recall_hits(lsh, exact), "lsh_recall"))
         .unionByName(rec(S.recall_hits(ivf, exact), "ivf_recall"))
