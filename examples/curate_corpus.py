@@ -57,6 +57,36 @@ def main() -> None:
         "query_id", "rank"
     ).show()
 
+    # 5. mixture rebalancing: sample head languages down to ~sqrt mix
+    from timebox_spark.operators.sampling import mixture_sample
+
+    print("language mix before/after temperature rebalancing:")
+    docs.groupBy("lang").count().orderBy("lang").show()
+    mixture_sample(docs, group_col="lang").groupBy("lang").count().orderBy(
+        "lang"
+    ).show()
+
+    # 6. model-style quality signals: classifier score, perplexity,
+    # and the first BPE merge candidates
+    from timebox_spark.operators import text
+
+    print("classifier top-5 and most-LM-typical top-5 docs:")
+    text.classifier_topk(docs, k=5).show()
+    text.perplexity_topk(docs, k=5).show()
+    print("top BPE merge-pair candidates:")
+    text.bpe_pair_counts(docs).show(5)
+
+    # 7. contrastive training: hardest different-label negatives, and
+    # the int8-compressed retrieval that would serve them at scale
+    print("hard negatives for 3 probes (closest different-label):")
+    similarity.portable_hard_negatives(emb, probes, k=3).orderBy(
+        "query_id", "rank"
+    ).show()
+    print("same probes in the int8 compressed domain:")
+    similarity.portable_int8_topk(emb, probes, k=3).orderBy(
+        "query_id", "rank"
+    ).show()
+
     spark.stop()
 
 
