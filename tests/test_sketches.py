@@ -58,3 +58,52 @@ def test_percentile_approx_within_bounds(spark):
         F.percentile_approx("value", 0.5, 10000).alias("approx"),
     ).collect()[0]
     assert abs(row["approx"] - row["exact"]) <= 0.01 * max(abs(row["exact"]), 1.0)
+
+
+def test_log2_histogram_quantiles_bound_and_merge(spark):
+    """The histogram is exact integer counts (mergeable by SUM), and
+    each quantile estimate's bucket [2^(b-1), 2^b - 1] contains the
+    true discrete quantile — the sketch's guaranteed error bound."""
+    import datetime
+    import math
+
+    from pyspark.sql import functions as F
+
+    from timebox_spark.operators import sketches as SK
+
+    rows = []
+    vals = [0.01, 0.02, 0.5, 1.27, 1.28, 3.0, 40.0, 40.95, 40.96, 400.0]
+    for m in (1, 2):
+        for i, v in enumerate(vals):
+            rows.append((datetime.datetime(2024, m, 1 + i), v * m))
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    hist = SK.log2_histogram(df)
+    got = {
+        (r["period"].month, r["bucket"]): r["n"] for r in hist.collect()
+    }
+    for m in (1, 2):
+        expect = {}
+        for v in vals:
+            vi = math.floor(v * m * 100 + 0.5)
+            b = vi.bit_length() if vi > 0 else 0
+            expect[b] = expect.get(b, 0) + 1
+        assert {b: n for (mm, b), n in got.items() if mm == m} == expect
+    # mergeable: summing the two monthly sketches = sketch of the union
+    merged = {
+        r["bucket"]: r["n"]
+        for r in hist.groupBy("bucket").agg(F.sum("n").alias("n")).collect()
+    }
+    union_expect = {}
+    for _, v in rows:
+        vi = math.floor(v * 100 + 0.5)
+        b = vi.bit_length() if vi > 0 else 0
+        union_expect[b] = union_expect.get(b, 0) + 1
+    assert merged == union_expect
+
+    q = SK.histogram_quantiles(hist).collect()
+    assert len(q) == 2 * len(SK.QSKETCH_PS)
+    for r in q:
+        m = r["period"].month
+        cents = sorted(math.floor(v * m * 100 + 0.5) for v in vals)
+        exact = cents[r["rank"] - 1]  # rank-th smallest
+        assert exact <= r["est_hi"] < 2 * exact + 2  # within bucket span

@@ -54,3 +54,86 @@ def rollup_distinct(
             F.sum("n_rows").alias("n_rows"),
         )
     )
+
+
+# histogram-quantile sketch constants (shared with the q57 oracle)
+QSKETCH_SCALE = 100  # fixed-point cents before bucketing
+QSKETCH_PS = (50, 90, 99)
+
+
+def log2_histogram(
+    df: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    period: str = "month",
+) -> DataFrame:
+    """Per-period power-of-two histogram of a positive metric — the
+    deterministic mergeable quantile sketch: bucket = bit-length of
+    the fixed-point value, so counts are exact integers, the sketch is
+    O(64) rows per period, and rollup to any coarser period is a
+    plain SUM (same persist-fine/merge-coarse pattern as the HLL
+    distinct sketches above). Unlike t-digest/KLL there is no
+    randomness or order dependence — the same data yields the same
+    sketch on any engine, so the DuckDB oracle hash-checks it.
+
+    bucket b holds values with bit_length(round(v·100)) = b, i.e.
+    [2^(b-1), 2^b - 1] in cents; non-positive values land in bucket 0.
+    """
+    vi = F.floor(
+        F.col(value_col).cast("double") * F.lit(float(QSKETCH_SCALE))
+        + F.lit(0.5)
+    ).cast("long")
+    bucket = F.when(vi <= 0, F.lit(0)).otherwise(
+        F.length(F.conv(vi.cast("string"), 10, 2))
+    )
+    return df.groupBy(
+        F.date_trunc(period, F.col(ts_col)).alias("period"),
+        bucket.cast("int").alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def histogram_quantiles(
+    hist: DataFrame, ps: tuple[int, ...] = QSKETCH_PS
+) -> DataFrame:
+    """Quantile estimates from the histogram alone (no base-data
+    rescan): for percentile p, the first bucket whose cumulative
+    count reaches rank = ceil(p·N/100); the estimate is the bucket's
+    inclusive upper bound 2^b − 1 (cents), which over-states the true
+    quantile by at most the bucket width — the classic
+    guaranteed-error histogram bound.
+
+    All arithmetic is integer (ceil-division via (x+99)//100), and the
+    cumulative window is keyed by period over O(64) bucket-summary
+    rows — never over data-sized input. Returns
+    (period, p, rank, est_hi, cum) per requested percentile.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("period").orderBy("bucket")
+    wt = Window.partitionBy("period")
+    cum = (
+        hist.withColumn("cum", F.sum("n").over(w))
+        .withColumn("total", F.sum("n").over(wt))
+    )
+    pdf = cum.sparkSession.createDataFrame(
+        [(int(p),) for p in ps], "p int"
+    )
+    ranked = cum.crossJoin(F.broadcast(pdf)).withColumn(
+        "rank",
+        F.floor((F.col("total") * F.col("p") + 99) / 100).cast("long"),
+    )
+    wp = Window.partitionBy("period", "p").orderBy("bucket")
+    return (
+        ranked.filter(F.col("cum") >= F.col("rank"))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select(
+            "period",
+            "p",
+            "rank",
+            (F.expr("shiftleft(CAST(1 AS BIGINT), bucket)") - 1).alias(
+                "est_hi"
+            ),
+            "cum",
+        )
+    )

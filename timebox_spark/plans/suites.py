@@ -1303,7 +1303,13 @@ FROM ({Q.ORACLE_SQL['q53_conditional_suite']})
 
 
 def q57_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlation matrix + per-series linear trend from exact moments."""
+    """Correlation matrix + per-series linear trend from exact moments
+    + the deterministic log2-histogram quantile sketch
+    (sketches.log2_histogram / histogram_quantiles): 'qhist' rows pin
+    the exact per-month sketch itself, 'qest' rows pin the rank
+    arithmetic, bucket selection, and guaranteed-bound estimate."""
+    from timebox_spark.operators import sketches as SK
+
     corr = Q.q57_corr_matrix(spark, sf_dir).select(
         F.lit("corr").alias("chk"),
         F.col("ta").alias("ka"),
@@ -1320,7 +1326,74 @@ def q57_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("slope_q").alias("m1_q"),
         F.col("intercept_q").alias("m2_q"),
     )
-    return corr.unionByName(trend)
+    hist = SK.log2_histogram(load(spark, sf_dir, "events"))
+    qhist = hist.select(
+        F.lit("qhist").alias("chk"),
+        F.col("period").cast("date").cast("string").alias("ka"),
+        F.col("bucket").cast("string").alias("kb"),
+        "n",
+        (F.expr("shiftleft(CAST(1 AS BIGINT), bucket)") - 1).alias("m1_q"),
+        _lit0().alias("m2_q"),
+    )
+    qest = SK.histogram_quantiles(hist).select(
+        F.lit("qest").alias("chk"),
+        F.col("period").cast("date").cast("string").alias("ka"),
+        F.concat(F.lit("p"), F.col("p").cast("string")).alias("kb"),
+        F.col("rank").alias("n"),
+        F.col("est_hi").alias("m1_q"),
+        F.col("cum").alias("m2_q"),
+    )
+    return corr.unionByName(trend).unionByName(qhist).unionByName(qest)
+
+
+def _qsketch_sql() -> str:
+    """DuckDB mirror of the log2-histogram quantile sketch: same
+    fixed-point bucketing (bit length via bin()), same keyed cumsum,
+    same integer ceil-division rank, same 2^b−1 estimate."""
+    from timebox_spark.operators import sketches as SK
+
+    ps = ", ".join(f"({p})" for p in SK.QSKETCH_PS)
+    return f"""
+WITH hv AS (
+  SELECT date_trunc('month', ts) AS period,
+         CAST(floor(CAST(value AS DOUBLE) * {SK.QSKETCH_SCALE} + 0.5) AS BIGINT) AS vi
+  FROM events
+),
+hg AS (
+  SELECT period,
+         CAST(CASE WHEN vi <= 0 THEN 0 ELSE length(bin(vi)) END AS INTEGER) AS bucket,
+         CAST(count(*) AS BIGINT) AS n
+  FROM hv GROUP BY 1, 2
+),
+cm AS (
+  SELECT period, bucket, n,
+         CAST(sum(n) OVER (PARTITION BY period ORDER BY bucket) AS BIGINT) AS cum,
+         CAST(sum(n) OVER (PARTITION BY period) AS BIGINT) AS total
+  FROM hg
+),
+pv(p) AS (VALUES {ps}),
+rk AS (
+  SELECT cm.*, p, CAST((total * p + 99) // 100 AS BIGINT) AS rank
+  FROM cm CROSS JOIN pv
+),
+qe AS (
+  SELECT period, p, rank,
+         CAST((CAST(1 AS BIGINT) << bucket) - 1 AS BIGINT) AS est_hi, cum
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY period, p ORDER BY bucket) AS rn
+    FROM rk WHERE cum >= rank
+  ) WHERE rn = 1
+)
+SELECT 'qhist' AS chk, CAST(CAST(period AS DATE) AS VARCHAR) AS ka,
+       CAST(bucket AS VARCHAR) AS kb, n,
+       CAST((CAST(1 AS BIGINT) << bucket) - 1 AS BIGINT) AS m1_q,
+       CAST(0 AS BIGINT) AS m2_q
+FROM hg
+UNION ALL
+SELECT 'qest', CAST(CAST(period AS DATE) AS VARCHAR), 'p' || CAST(p AS VARCHAR),
+       rank, est_hi, cum
+FROM qe
+"""
 
 
 _Q57_SUITE_SQL = f"""
@@ -1329,6 +1402,10 @@ FROM ({Q.ORACLE_SQL['q57_corr_matrix']})
 UNION ALL
 SELECT 'trend', event_type, '', n, slope_q, intercept_q
 FROM ({Q.ORACLE_SQL['q62_linear_trend']})
+UNION ALL
+SELECT chk, ka, kb, n, m1_q, m2_q FROM (
+{_qsketch_sql()}
+)
 """
 
 
