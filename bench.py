@@ -204,6 +204,14 @@ def main() -> None:
         pairs = D.minhash_dedup(docs, threshold=0.35)
         return D.dedup_clusters(docs, pairs, id_col="doc_id")
 
+    # bigram-LM perplexity is the most shuffle-heavy round-5 text op
+    # (bigram counts + context counts + prob-table join): measure its
+    # 10× ratio instead of arguing it
+    from timebox_spark.operators import text as TX
+
+    def ppl_lm(spark, d):
+        return TX.perplexity_topk(tables_load(spark, d, "documents"))
+
     scale_queries = {
         "q25_minhash_dedup": LQ.q25_minhash_dedup,
         "q47_ivf_ann": LQ.q47_ivf_ann,
@@ -211,6 +219,7 @@ def main() -> None:
         "q16_asof": Q.q16_asof,
         "q59_tpch_q3_shape": Q.q59_tpch_q3_shape,
         "q31_cluster_minhash": cluster_minhash,
+        "q21_ppl_lm": ppl_lm,
     }
     scale_timings: dict[str, float] = {}
     scale_base: dict[str, float] = {}
