@@ -382,3 +382,53 @@ def test_unkeyed_delta_paths_are_bucketed(spark):
         F.abs(F.col("reconstructed") - F.col("value")) > 1e-9
     ).count()
     assert bad == 0
+
+
+def test_classifier_topk_map_only_take(spark):
+    """Hashed-linear classifier scoring is map-only JVM expressions +
+    TakeOrderedAndProject — zero shuffles at any corpus size."""
+    from timebox_spark.operators import text as T
+    from timebox_spark.plans.tables import load
+
+    docs = load(spark, SF_SMOKE, "documents")
+    plan = _plan(T.classifier_topk(docs))
+    assert "TakeOrderedAndProject" in plan
+    assert _shuffles(plan) == 0, plan
+    assert "Sort " not in plan  # top-k must not be a global sort
+
+
+def test_bpe_pair_counts_two_reduced_shuffles(spark):
+    """BPE merge counting: corpus → vocab agg → pair agg → take.
+    Exactly the two reduction exchanges, no global sort."""
+    from timebox_spark.operators import text as T
+    from timebox_spark.plans.tables import load
+
+    docs = load(spark, SF_SMOKE, "documents")
+    plan = _plan(T.bpe_pair_counts(docs))
+    assert "TakeOrderedAndProject" in plan
+    assert _shuffles(plan) == 2, plan
+
+
+def test_mixture_sample_broadcasts_rate_table(spark):
+    """The O(n_groups) rate table joins back by broadcast — the
+    corpus side is never shuffled for the join."""
+    from timebox_spark.operators.sampling import mixture_sample
+    from timebox_spark.plans.tables import load
+
+    docs = load(spark, SF_SMOKE, "documents")
+    plan = _plan(mixture_sample(docs, group_col="lang"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_perplexity_pipeline_no_cartesian_no_global_sort(spark):
+    """The bigram-LM pipeline joins on bigram/context keys only; the
+    one-row vocab count is the only nested-loop (broadcast) join and
+    selection is TakeOrderedAndProject."""
+    from timebox_spark.operators import text as T
+    from timebox_spark.plans.tables import load
+
+    docs = load(spark, SF_SMOKE, "documents")
+    plan = _plan(T.perplexity_topk(docs))
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan
