@@ -252,3 +252,45 @@ def test_hard_negatives_exclude_same_label(spark):
     # cosines strictly decrease along the ranking
     cs = [r["cosine_q"] for r in got]
     assert cs == sorted(cs, reverse=True)
+
+
+def test_int8_codes_property_random_vectors(spark):
+    """Property: for randomly generated float vectors (mixed signs,
+    magnitudes across 6 orders, zero vectors, ±max ties), the Spark
+    int8 codes equal the numpy closed form and always lie in
+    [-127, 127] with max|code| = 127 for nonzero vectors."""
+    import numpy as np
+
+    from timebox_spark.operators import similarity as S
+
+    rng = np.random.default_rng(42)
+    rows = []
+    for i in range(200):
+        if i % 17 == 0:
+            v = np.zeros(8)
+        else:
+            scale = 10.0 ** rng.integers(-3, 3)
+            v = rng.normal(0, scale, 8)
+            if i % 5 == 0:
+                v[rng.integers(0, 8)] = -np.abs(v).max() * 1.5
+        rows.append((i, [float(np.float32(x)) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: r["v8"]
+        for r in df.select(
+            "vec_id",
+            S.int8_vec(S.quantized_vec(F.col("embedding"))).alias("v8"),
+        ).collect()
+    }
+
+    for i, v in rows:
+        q = np.floor(np.asarray(v, dtype=np.float64) * 1e6 + 0.5)
+        vmax = np.abs(q).max()
+        if vmax == 0:
+            exp = [0] * len(v)
+        else:
+            exp = [int(np.floor(x * 127.0 / vmax + 0.5)) for x in q]
+        assert got[i] == exp, i
+        assert all(-127 <= c <= 127 for c in got[i])
+        if vmax > 0:
+            assert max(abs(c) for c in got[i]) == 127

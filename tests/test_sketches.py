@@ -107,3 +107,30 @@ def test_log2_histogram_quantiles_bound_and_merge(spark):
         cents = sorted(math.floor(v * m * 100 + 0.5) for v in vals)
         exact = cents[r["rank"] - 1]  # rank-th smallest
         assert exact <= r["est_hi"] < 2 * exact + 2  # within bucket span
+
+
+def test_log2_bucket_property_random_values(spark):
+    """Property: the conv-based bit-length bucket equals Python
+    int.bit_length over values spanning the double range the metric
+    can take (sub-cent to millions, incl. exact powers of two in
+    cents and the v<=0 guard)."""
+    import datetime
+    import math
+
+    from timebox_spark.operators import sketches as SK
+
+    vals = [0.0, -1.0, 0.004, 0.005, 0.01, 0.64, 1.27, 1.28, 2.56,
+            5.11, 5.12, 163.84, 655.36, 10485.76, 9999999.99]
+    ts = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(ts, v) for v in vals], "ts timestamp, value double"
+    )
+    got = {}
+    for r in SK.log2_histogram(df).collect():
+        got[r["bucket"]] = got.get(r["bucket"], 0) + r["n"]
+    expect = {}
+    for v in vals:
+        vi = math.floor(v * SK.QSKETCH_SCALE + 0.5)
+        b = vi.bit_length() if vi > 0 else 0
+        expect[b] = expect.get(b, 0) + 1
+    assert got == expect
