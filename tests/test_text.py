@@ -358,3 +358,57 @@ def test_bpe_pair_counts_match_python(spark):
     )
     assert got == top
     assert got["lo"] == 4  # 'low' freq 3 + 'lower' freq 1
+
+
+def test_curate_classifier_gate_and_mixture_balance(spark):
+    """The optional classifier gate drops exactly the docs under the
+    threshold, and mixture_balance downsamples the dominant predicted
+    language — both without changing the default-path results."""
+    from timebox_spark.operators import pipeline, text as T
+
+    rows = []
+    for i in range(40):  # en-heavy corpus, all above base gates
+        rows.append((i, "the cat and the dog is of the a that it on sat " * 3))
+    for i in range(40, 50):
+        rows.append((i, "el la que de es el la que de es la el que es de " * 3))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    base = pipeline.curate(df, langs=("en", "es"), min_quality_q=0, min_tokens=3)
+    base_ids = {r["doc_id"] for r in base.collect()}
+    # duplicates collapse: identical texts keep the smallest id
+    assert base_ids == {0, 40}
+
+    # classifier gate: with a threshold above every score, nothing survives
+    scores = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id", T.hashed_linear_score().alias("s")
+        ).collect()
+    }
+    hi = max(scores.values()) + 1
+    gated = pipeline.curate(
+        df, langs=("en", "es"), min_quality_q=0, min_tokens=3,
+        classifier_min_score=hi,
+    )
+    assert gated.count() == 0
+    lo = min(scores.values())
+    ungated = pipeline.curate(
+        df, langs=("en", "es"), min_quality_q=0, min_tokens=3,
+        classifier_min_score=lo,
+    )
+    assert {r["doc_id"] for r in ungated.collect()} == base_ids
+
+    # mixture balance needs distinct texts; make an en-skewed corpus
+    uniq = [(i, f"the cat and dog number {i} is of the a that it on") for i in range(80)]
+    uniq += [(100 + i, f"el la que de es numero {i} el la que es de") for i in range(20)]
+    dfu = spark.createDataFrame(uniq, "doc_id long, text string")
+    bal = pipeline.curate(
+        dfu, langs=("en", "es"), min_quality_q=0, min_tokens=3,
+        mixture_balance=True,
+    )
+    by_lang = {
+        r["lang_pred"]: r["n"]
+        for r in bal.groupBy("lang_pred").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_lang["es"] == 20  # min group keeps everything
+    assert by_lang["en"] < 80  # head language is downsampled

@@ -36,13 +36,22 @@ def curate(
     min_tokens: int = 10,
     split_weights: dict[str, int] | None = None,
     gopher_gates: bool = False,
+    classifier_min_score: int | None = None,
+    mixture_balance: bool = False,
 ) -> DataFrame:
     """Return the curated corpus: one row per kept document with
     ``(id, lang_pred, quality_q, n_tokens, split)``. Duplicate texts
     (after whitespace/case normalization) keep the smallest id.
     ``gopher_gates`` additionally requires ``text.gopher_pass`` (word
     count, mean word length, stopword presence, 2-gram repetition) —
-    still map-side column expressions, no extra scan or shuffle."""
+    still map-side column expressions, no extra scan or shuffle.
+    ``classifier_min_score`` adds the fastText-shaped hashed-linear
+    quality gate (``text.hashed_linear_score_from`` over the already
+    tokenized array — no second regex pass, still map-side).
+    ``mixture_balance`` temperature-rebalances the deduped corpus
+    across predicted languages (``sampling.mixture_sample`` on
+    ``lang_pred``) before splitting — an O(langs) broadcast rate
+    table plus a map-only filter."""
     feats = text.token_features(
         ensure_parallelism(docs).select(id_col, text_col), text_col
     )
@@ -70,6 +79,15 @@ def curate(
             if gopher_gates
             else []
         ),
+        *(
+            [
+                text.hashed_linear_score_from(F.col("__toks")).alias(
+                    "__clf"
+                )
+            ]
+            if classifier_min_score is not None
+            else []
+        ),
         F.monotonically_increasing_id().alias("__bar"),
     )
     # the (__bar >= 0) conjunct is always true; it exists to REFERENCE
@@ -83,11 +101,24 @@ def curate(
         & (F.col("n_tokens") >= min_tokens)
         & (F.col("__bar") >= 0)
         & (F.col("__gopher") == 1 if gopher_gates else F.lit(True))
-    ).drop("__bar", *(["__gopher"] if gopher_gates else []))
+        & (
+            F.col("__clf") >= classifier_min_score
+            if classifier_min_score is not None
+            else F.lit(True)
+        )
+    ).drop(
+        "__bar",
+        *(["__gopher"] if gopher_gates else []),
+        *(["__clf"] if classifier_min_score is not None else []),
+    )
     w = Window.partitionBy("__fp").orderBy(id_col)
     deduped = (
         kept.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__fp")
     )
+    if mixture_balance:
+        from timebox_spark.operators.sampling import mixture_sample
+
+        deduped = mixture_sample(deduped, group_col="lang_pred", key=id_col)
     return deterministic_split(deduped, key=id_col, weights=split_weights)

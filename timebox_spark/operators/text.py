@@ -442,6 +442,14 @@ def hashed_linear_score(col: str = "text") -> Column:
     is JVM higher-order functions over the token array: map-only,
     zero Python, exact integer arithmetic (no float parity risk).
     """
+    return hashed_linear_score_from(_tokens(col))
+
+
+def hashed_linear_score_from(toks: Column) -> Column:
+    """``hashed_linear_score`` over a pre-computed token array (lets
+    pipeline stages that already tokenized reuse the array — no
+    second regex pass)."""
+
     def weight(t: Column) -> Column:
         b = (
             _md5_u32_str(F.concat_ws(":", F.lit(CLF_SALT), t))
@@ -454,7 +462,7 @@ def hashed_linear_score(col: str = "text") -> Column:
         )
 
     return F.aggregate(
-        F.transform(_tokens(col), weight),
+        F.transform(toks, weight),
         F.lit(0).cast("long"),
         lambda acc, w: acc + w,
     )
