@@ -366,3 +366,35 @@ def test_watermark_evicts_sliding_window_state(spark, tmp_path):
     assert peak > 0
     assert final < peak / 2, f"state not evicted: final={final} peak={peak}"
     assert spark.table("evict_t").count() > 0
+
+
+def test_curate_stream_matches_batch(spark, tmp_path):
+    """The stateless curation stages (lang-id, quality, tokens,
+    classifier gate, redaction) give row-identical results streamed
+    file-by-file vs computed in one batch — the map-side operators
+    are engine-mode-agnostic."""
+    from timebox_spark.plans.tables import load
+
+    docs = load(spark, SF_SMOKE, "documents")
+    src = str(tmp_path / "docsrc")
+    # three files -> three potential micro-batches
+    docs.repartition(3).write.parquet(src)
+
+    stream = ingest.read_document_stream(spark, src, max_files_per_trigger=1)
+    assert stream.isStreaming
+    curated = ingest.curate_stream(
+        stream, langs=("en", "es"), min_quality_q=0, min_tokens=3,
+        classifier_min_score=-10_000_000,
+    )
+    ingest.run_to_memory(
+        curated, "curate_stream_t", "append", str(tmp_path / "ck_cur")
+    )
+    got = sorted(map(tuple, spark.table("curate_stream_t").collect()))
+
+    batch = ingest.curate_stream(
+        docs, langs=("en", "es"), min_quality_q=0, min_tokens=3,
+        classifier_min_score=-10_000_000,
+    )
+    expected = sorted(map(tuple, batch.collect()))
+    assert got == expected
+    assert len(got) > 0

@@ -315,3 +315,79 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str, checkpoint: str) -
         .start()
     )
     q.awaitTermination()
+
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def read_document_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = DOCUMENTS_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source document stream: each new parquet file of crawled
+    documents is a micro-batch — the streaming front door of the
+    curation pipeline."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def curate_stream(
+    stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    langs: tuple[str, ...] = ("en",),
+    min_quality_q: int = 500_000,
+    min_tokens: int = 10,
+    classifier_min_score: int | None = None,
+) -> DataFrame:
+    """Streaming curation annotate+gate: the STATELESS stages of
+    ``pipeline.curate`` (lang-id, quality score, token count, the
+    optional hashed-linear classifier gate, PII redaction) applied
+    per micro-batch — identical column expressions, so stream and
+    batch results match row-for-row (pinned by
+    test_streaming::test_curate_stream_matches_batch).
+
+    Corpus-level stages (exact dedup, mixture rebalancing, splits)
+    are deliberately NOT here: they need corpus state and run in the
+    downstream batch compactor (or `foreachBatch` against the
+    accumulated store) — the standard lambda split for ingest
+    pipelines. A purely in-stream dedup alternative is
+    ``dedup_stream``-style dropDuplicatesWithinWatermark keyed on the
+    text fingerprint when an ingest-time column exists."""
+    from timebox_spark.operators import text as TX
+
+    annotated = stream.select(
+        F.col(id_col),
+        F.col(text_col),
+        TX.lang_id(text_col).alias("lang_pred"),
+        TX.quality_score_q(text_col).alias("quality_q"),
+        TX.token_count(text_col).alias("n_tokens"),
+        *(
+            [TX.hashed_linear_score(text_col).alias("clf_score")]
+            if classifier_min_score is not None
+            else []
+        ),
+    )
+    kept = annotated.filter(
+        F.col("lang_pred").isin(list(langs))
+        & (F.col("quality_q") >= min_quality_q)
+        & (F.col("n_tokens") >= min_tokens)
+        & (
+            F.col("clf_score") >= classifier_min_score
+            if classifier_min_score is not None
+            else F.lit(True)
+        )
+    )
+    return kept.withColumn("text", TX.redact(text_col))
