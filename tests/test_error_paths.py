@@ -69,3 +69,52 @@ def test_word_shingles_semantics(spark):
     short = spark.createDataFrame([("just two",)], "text string")
     out2 = short.select(dedup.word_shingles("text", 3).alias("sh")).collect()[0]["sh"]
     assert out2 == ["just two"]
+
+
+def test_round5_operator_edge_cases(spark):
+    """Degenerate inputs the round-5 operators must survive: empty
+    corpora, single groups, all-identical values, missing columns."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    from timebox_spark.operators import similarity as S
+    from timebox_spark.operators import text as T
+    from timebox_spark.operators.sampling import mixture_sample
+
+    empty = spark.createDataFrame([], "doc_id long, text string, lang string")
+    # empty corpus: every top-k/score op yields zero rows, no errors
+    assert T.classifier_topk(empty).count() == 0
+    assert T.perplexity_topk(empty).count() == 0
+    assert T.bpe_pair_counts(empty).count() == 0
+    assert mixture_sample(empty, group_col="lang").count() == 0
+
+    # single group: mixture keeps everything (rate exactly 1.0)
+    one = spark.createDataFrame(
+        [(i, "x y", "en") for i in range(10)],
+        "doc_id long, text string, lang string",
+    )
+    assert mixture_sample(one, group_col="lang").count() == 10
+
+    # missing group column fails analysis, not silently
+    with pytest.raises(AnalysisException):
+        mixture_sample(one, group_col="nope").count()
+
+    # all-identical embeddings: int8 ranking is total and deterministic
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.filter(F.col("vec_id") == 0)
+    got = S.portable_int8_topk(emb, q, k=3).collect()
+    assert [r["neighbor_id"] for r in got] == [1, 2, 3]  # id tiebreak
+
+    # hard negatives with no opposite-label vectors: zero rows
+    lab = spark.createDataFrame(
+        [(i, [1.0, 0.0], 7) for i in range(4)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    assert (
+        S.portable_hard_negatives(lab, lab.filter(F.col("vec_id") == 0)).count()
+        == 0
+    )
