@@ -16,13 +16,16 @@ from timebox_spark.operators.kernels import (
     quantize,
 )
 from timebox_spark.operators.resample import interval_us, time_bucket
-from timebox_spark.operators.similarity import cosine
+from timebox_spark.operators.similarity import cosine, int8_vec, quantized_vec
 from timebox_spark.operators.text import (
     bpe_ish_token_count,
     fingerprint,
+    hashed_linear_score,
     lang_id,
+    lang_id_ngram,
     punct_count,
     quality_score_q,
+    redact,
     stopword_count,
     token_count,
 )
@@ -40,5 +43,10 @@ __all__ = [
     "stopword_count",
     "quality_score_q",
     "lang_id",
+    "lang_id_ngram",
     "fingerprint",
+    "hashed_linear_score",
+    "redact",
+    "int8_vec",
+    "quantized_vec",
 ]
