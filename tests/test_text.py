@@ -412,3 +412,43 @@ def test_curate_classifier_gate_and_mixture_balance(spark):
     }
     assert by_lang["es"] == 20  # min group keeps everything
     assert by_lang["en"] < 80  # head language is downsampled
+
+
+def test_top_bigram_char_mass_golden(spark):
+    """Repetition char-mass matches hand computation: a doc of one
+    repeated bigram scores near 1e6, distinct text scores low, and
+    degenerate docs score 0."""
+    from collections import Counter
+
+    from timebox_spark.operators import text as T
+
+    docs = [
+        (1, "spam ham spam ham spam ham"),
+        (2, "all tokens here are different words"),
+        (3, "x"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["rep_frac_q"]
+        for r in T.top_bigram_char_mass(df).collect()
+    }
+
+    import math
+
+    def py(textv):
+        toks = textv.split()
+        if len(toks) < 2:
+            return 0
+        grams = Counter(
+            f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)
+        )
+        mass = max(c * len(g) for g, c in grams.items())
+        return math.floor(mass * 1_000_000.0 / len(textv) + 0.5)
+
+    assert got == {i: py(t) for i, t in docs}
+    assert got[1] > 900_000  # 'spam ham' x3 covers most chars
+    assert got[3] == 0 and got[4] == 0
+
+    top = T.repetition_topk(df, k=2).collect()
+    assert [r["doc_id"] for r in top] == [1, 2]

@@ -651,3 +651,71 @@ def bpe_pair_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
         .orderBy(F.desc("n"), "pair")
         .limit(BPE_TOP_PAIRS)
     )
+
+
+# repetition-gate constants (shared with the q21 DuckDB oracle)
+REP_TOP_K = 20
+
+
+def top_bigram_char_mass(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher's n-gram repetition signal (Rae et al. 2021 A1.1):
+    per document, the largest character mass any repeated word bigram
+    carries — frac_q = floor(1e6 · max_g(count(g)·len(g)) / len(doc)
+    + 0.5). Taking the max of count·len directly (rather than
+    argmax-by-count then length) keeps the metric total-order
+    deterministic with no tie-break rule to mirror.
+
+    Plan: explode bigrams → count per (doc, gram) → max per doc —
+    two keyed aggregations that combine map-side; linear in corpus
+    size at any scale (the within-doc HOF alternative is O(tokens²)
+    per doc and dies on long documents). Docs with no bigrams score 0.
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.length(text_col).alias("__nc"),
+        F.explode(_bigram_strings(text_col)).alias("g"),
+    )
+    mass = (
+        grams.groupBy(id_col, "__nc", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col, "__nc")
+        .agg(F.max(F.col("c") * F.length("g")).alias("mass"))
+        .select(
+            id_col,
+            F.floor(
+                F.col("mass").cast("double")
+                * F.lit(1_000_000.0)
+                / F.col("__nc").cast("double")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("rep_frac_q"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(mass, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("rep_frac_q", F.lit(0)).cast("long").alias(
+                "rep_frac_q"
+            ),
+        )
+    )
+
+
+def repetition_topk(
+    df: DataFrame,
+    k: int = REP_TOP_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The k most bigram-repetitive documents (the ones a Gopher-style
+    repetition gate removes first). TakeOrderedAndProject."""
+    return (
+        top_bigram_char_mass(df, id_col, text_col)
+        .orderBy(F.desc("rep_frac_q"), id_col)
+        .limit(k)
+    )

@@ -69,12 +69,18 @@ def q21_text_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     bpe = T.bpe_pair_counts(docs).select(
         F.lit("bpe").alias("chk"), F.col("pair").alias("k"), "n"
     )
+    rep = T.repetition_topk(docs).select(
+        F.lit("rep").alias("chk"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("rep_frac_q").alias("n"),
+    )
     return (
         lang.unionByName(words)
         .unionByName(bm25)
         .unionByName(clf)
         .unionByName(ppl)
         .unionByName(bpe)
+        .unionByName(rep)
     )
 
 
@@ -213,6 +219,41 @@ SELECT pair, n FROM (
 """
 
 
+def _rep_sql() -> str:
+    """DuckDB mirror of text.repetition_topk: same bigram strings,
+    same max(count·len) char-mass, same half-up 1e6 quantization."""
+    from timebox_spark.operators import text as T
+
+    return f"""
+WITH tkr AS (
+  SELECT doc_id, length(text) AS nc,
+         regexp_extract_all(text, '{T.TOKEN_RE}') AS l
+  FROM documents
+),
+gr AS (
+  SELECT doc_id, nc,
+         unnest(list_transform(range(2, length(l) + 1),
+                               i -> l[i - 1] || ' ' || l[i])) AS g
+  FROM tkr
+),
+ms AS (
+  SELECT doc_id, nc, CAST(max(c * length(g)) AS BIGINT) AS mass
+  FROM (SELECT doc_id, nc, g, count(*) AS c FROM gr GROUP BY 1, 2, 3)
+  GROUP BY 1, 2
+),
+fr AS (
+  SELECT t.doc_id,
+         CAST(COALESCE(floor(CAST(ms.mass AS DOUBLE) * 1000000.0
+                             / CAST(ms.nc AS DOUBLE) + 0.5), 0) AS BIGINT)
+           AS rep_frac_q
+  FROM tkr t LEFT JOIN ms ON ms.doc_id = t.doc_id
+)
+SELECT doc_id, rep_frac_q FROM (
+  SELECT *, row_number() OVER (ORDER BY rep_frac_q DESC, doc_id) AS rn FROM fr
+) WHERE rn <= {T.REP_TOP_K}
+"""
+
+
 _Q21_SUITE_SQL = f"""
 SELECT 'lang' AS chk, lang_pred AS k, n FROM ({LQ.ORACLE_SQL['q21_lang_id']})
 UNION ALL
@@ -225,6 +266,8 @@ UNION ALL
 SELECT 'ppl', CAST(doc_id AS VARCHAR), avg_lp_q FROM ({_ppl_sql()})
 UNION ALL
 SELECT 'bpe', pair, n FROM ({_bpe_sql()})
+UNION ALL
+SELECT 'rep', CAST(doc_id AS VARCHAR), rep_frac_q FROM ({_rep_sql()})
 """
 
 
