@@ -235,3 +235,34 @@ def test_winnow_short_text_no_crash(spark):
     )
     assert dedup.winnow_fingerprints(df).count() == 0
     assert dedup.winnow_overlap_pairs(df).count() == 0
+
+
+def test_cluster_representatives_keep_best(spark):
+    """Per cluster the representative is the highest-score member
+    (smallest id on ties); singletons represent themselves."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, 10),
+            (2, 30),   # cluster {1,2,3}: rep = 2 (longest)
+            (3, 30),   # ties with 2 -> smaller id wins
+            (7, 5),    # cluster {7,8}
+            (8, 9),
+            (9, 99),   # singleton
+        ],
+        "doc_id long, n_chars long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+    )
+    clusters = dedup.dedup_clusters(docs, pairs)
+    reps = {
+        r["canonical_id"]: (r["rep_id"], r["rep_score"])
+        for r in dedup.cluster_representatives(
+            docs, clusters, score_col="n_chars"
+        ).collect()
+    }
+    assert reps[1] == (2, 30)
+    assert reps[7] == (8, 9)
+    assert reps[9] == (9, 99)

@@ -651,6 +651,40 @@ def dedup_clusters(
     )
 
 
+def cluster_representatives(
+    df: DataFrame,
+    clusters: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware keep-one: per near-dup cluster, the member with
+    the HIGHEST ``score_col`` (ties → smallest id) — RefinedWeb-style
+    best-of-cluster retention (keep the longest / highest-quality
+    duplicate) instead of keep-smallest-id. ``clusters`` is
+    ``dedup_clusters`` output; any deterministic score works
+    (``n_chars``, ``text.quality_score_q``, a classifier score).
+
+    One keyed window over (cluster, member) rows — clusters are
+    near-dup groups and therefore small, so the partition key is
+    well-distributed at any corpus size. Returns
+    (canonical_id, rep_id, rep_score)."""
+    scored = df.select(F.col(id_col), F.col(score_col)).join(
+        clusters, id_col
+    )
+    w = Window.partitionBy("canonical_id").orderBy(
+        F.desc(score_col), F.col(id_col)
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "canonical_id",
+            F.col(id_col).alias("rep_id"),
+            F.col(score_col).cast("long").alias("rep_score"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- embeddings
 
 def embedding_near_dups(

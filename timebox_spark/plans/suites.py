@@ -617,10 +617,16 @@ def q31_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=LQ._J_THRESHOLD,
     )
     clusters = dedup.dedup_clusters(docs, pairs)
-    return (
+    sized = (
         clusters.groupBy("canonical_id")
         .agg(F.count(F.lit(1)).alias("cluster_size"))
         .filter(F.col("cluster_size") > 1)
+    )
+    # quality-aware keep-one: pin each cluster's best member (longest
+    # text, id tiebreak) — dedup.cluster_representatives
+    reps = dedup.cluster_representatives(docs, clusters, score_col="n_chars")
+    return sized.join(reps, "canonical_id").select(
+        "canonical_id", "cluster_size", "rep_id", "rep_score"
     )
 
 
@@ -636,9 +642,22 @@ reach AS (
   UNION
   SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON e.src = r.node
 ),
-comp AS (SELECT node, min(lbl) AS canonical_id FROM reach GROUP BY node)
-SELECT canonical_id, CAST(count(*) AS BIGINT) AS cluster_size
-FROM comp GROUP BY canonical_id HAVING count(*) > 1
+comp AS (SELECT node, min(lbl) AS canonical_id FROM reach GROUP BY node),
+sized AS (
+  SELECT canonical_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM comp GROUP BY canonical_id HAVING count(*) > 1
+),
+rep AS (
+  SELECT canonical_id, doc_id AS rep_id, CAST(n_chars AS BIGINT) AS rep_score
+  FROM (
+    SELECT c.canonical_id, d.doc_id, d.n_chars,
+           row_number() OVER (PARTITION BY c.canonical_id
+                              ORDER BY d.n_chars DESC, d.doc_id) AS rn
+    FROM comp c JOIN documents d ON d.doc_id = c.node
+  ) WHERE rn = 1
+)
+SELECT s.canonical_id, s.cluster_size, r.rep_id, r.rep_score
+FROM sized s JOIN rep r USING (canonical_id)
 """
 
 
