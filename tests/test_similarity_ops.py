@@ -294,3 +294,26 @@ def test_int8_codes_property_random_vectors(spark):
         assert all(-127 <= c <= 127 for c in got[i])
         if vmax > 0:
             assert max(abs(c) for c in got[i]) == 127
+
+
+def test_ivf_int8_composition_recall(spark):
+    """IVF candidate generation + int8 compressed-domain scoring: on
+    the driver embeddings the composed index agrees with the exact
+    top-k at least as often as the recall floor the fast paths are
+    held to, and never returns more than k rows per query."""
+    from timebox_spark.operators import similarity as S
+    from timebox_spark.plans.ann_oracle import ANN_QUERY_MAX_ID
+    from timebox_spark.plans.tables import load
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_QUERY_MAX_ID)
+    composed = S.ivf_int8_topk(emb, queries)
+    exact = S.portable_cosine_topk(emb, queries)
+    per_q = {
+        r["query_id"]: r["hits"]
+        for r in S.recall_hits(composed, exact).collect()
+    }
+    assert len(per_q) == ANN_QUERY_MAX_ID
+    assert sum(per_q.values()) >= S.ANN_FAST_FLOOR_HITS
+    sizes = composed.groupBy("query_id").count().collect()
+    assert all(r["count"] <= S.ANN_K for r in sizes)

@@ -822,3 +822,49 @@ def portable_hard_negatives(
         .drop("__cl", "__ql")
     )
     return _score_topk_portable(cand, k, query_id_col)
+
+
+def ivf_int8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = ANN_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    nlist: int = ANN_NLIST,
+    nprobe: int = ANN_NPROBE,
+    iters: int = ANN_ITERS,
+    cmat=None,
+) -> DataFrame:
+    """The composed 100 TB retrieval plan the int8 docstrings promise:
+    IVF candidate generation (corpus shuffled once by cell, probes
+    broadcast — sublinear candidates) + scoring in the int8 compressed
+    domain (exact integer dot products over 4×-smaller codes) — the
+    IVFx,SQ8-style layout of a production vector index. Candidate
+    generation is identical to ``portable_ivf_topk``; only the scoring
+    expression changes, so the plan shape (and its scale posture) is
+    unchanged."""
+    cq, qq = _quantize_sides(corpus, queries, id_col, vec_col, query_id_col)
+    if cmat is None:
+        cmat = portable_ivf_train(cq, nlist, iters, id_col="vec_id", vec_col="__vq")
+    cb = _portable_ivf_assign(cq, cmat, "vec_id", "__vq", nprobe=1)
+    qb = _portable_ivf_assign(qq, cmat, query_id_col, "__qq", nprobe=nprobe)
+    cand = (
+        cb.join(F.broadcast(qb), "cluster")
+        .filter(F.col("vec_id") != F.col(query_id_col))
+        .select(
+            F.col(query_id_col),
+            F.col("vec_id").alias("neighbor_id"),
+            _dot_long(
+                int8_vec(F.col("__vq")), int8_vec(F.col("__qq"))
+            ).alias("cosine_q"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine_q"), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", "neighbor_id", "cosine_q")
+    )
