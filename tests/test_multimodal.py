@@ -178,3 +178,62 @@ def test_synth_decode_matches_formula(spark):
             expected_sum = int(px.astype(np.int64).sum())
         assert (r["height"], r["width"]) == (h, w)
         assert r["pixel_sum"] == expected_sum
+
+
+def test_wav_roundtrip_and_foreign_chunk_walk():
+    """encode→decode is exact; a foreign WAV with a LIST chunk before
+    data and an odd-length (word-padded) chunk parses per spec; wrong
+    variants are rejected with clear errors."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from timebox_spark.operators import audio as AU
+
+    s = AU.synth_samples(123)
+    rate, back = AU.decode_wav(AU.encode_wav(s, 44100))
+    assert rate == 44100
+    assert np.array_equal(back, s)
+
+    # hand-assembled foreign file: fmt, LIST (odd length -> pad byte),
+    # then data with trailing junk after the declared length
+    data = np.array([1, -2, 3], dtype="<i2").tobytes()
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+    lst = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # padded
+    dat = b"data" + struct.pack("<I", len(data)) + data
+    body = b"WAVE" + fmt + lst + dat
+    foreign = b"RIFF" + struct.pack("<I", len(body)) + body + b"JUNK"
+    rate2, back2 = AU.decode_wav(foreign)
+    assert rate2 == 8000
+    assert back2.tolist() == [1, -2, 3]
+
+    with pytest.raises(ValueError, match="RIFF"):
+        AU.decode_wav(b"NOPE" + bytes(40))
+    stereo = b"RIFF" + struct.pack("<I", 36) + b"WAVE" + b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16
+    ) + b"data" + struct.pack("<I", 0)
+    with pytest.raises(ValueError, match="mono"):
+        AU.decode_wav(stereo)
+
+
+def test_audio_features_kernel(spark):
+    """The Arrow kernel decodes real WAV payloads and emits exact
+    integer digests matching a local numpy recompute."""
+    import numpy as np
+
+    from timebox_spark.operators import audio as AU
+
+    docs = spark.range(0, 20).withColumnRenamed("id", "doc_id")
+    feats = {
+        r["doc_id"]: (r["sample_rate"], r["n_samples"], r["sample_sum"], r["peak"])
+        for r in AU.audio_features(AU.synth_audio_table(docs)).collect()
+    }
+    for d in range(20):
+        s = AU.synth_samples(d).astype(np.int64)
+        assert feats[d] == (
+            AU.WAV_RATE,
+            s.size,
+            int(s.sum()),
+            int(np.abs(s).max()),
+        )

@@ -1,0 +1,176 @@
+"""Audio modality: real RIFF/WAVE PCM codec + feature extraction.
+
+The reference has no media surface at all (numeric time series only,
+SURVEY §2.7); this extends the multimodal column family
+(operators/multimodal.py) to audio. Payloads are REAL WAV files —
+RIFF container, fmt chunk, 16-bit mono PCM — encoded and decoded by
+pure-numpy code (the container rules this repo can ship without
+audio libraries), with the same Arrow-batched mapInPandas plumbing
+and digest-without-decoding oracle trick the image codecs use: the
+synthetic sample stream is a closed-form function of doc_id, so the
+DuckDB oracle predicts the decoded sample sum arithmetically and any
+header/chunk/endianness mis-parse breaks the driver hash.
+
+Compressed codecs (MP3/AAC/Opus) need DSP libraries that are not in
+this container; their decode slots into ``decode_wav``'s seam the
+same way Pillow slots into the PNG path (multimodal._decode_png).
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from timebox_spark.session import ensure_parallelism, ship_package
+
+WAV_RATE = 8000
+SYNTH_SAMPLE_MOD = 4096
+SYNTH_SAMPLE_OFF = 2048
+
+
+def encode_wav(samples, sample_rate: int = WAV_RATE) -> bytes:
+    """int16 mono PCM → canonical 44-byte-header WAV bytes."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype="<i2")
+    data = s.tobytes()
+    byte_rate = sample_rate * 2
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, 1, sample_rate, byte_rate, 2, 16
+    )
+    return hdr + fmt + b"data" + struct.pack("<I", len(data)) + data
+
+
+def decode_wav(b: bytes):
+    """WAV bytes → (sample_rate, int16 numpy samples). Walks the RIFF
+    chunk list (unknown chunks like LIST/INFO are skipped, per spec),
+    validates PCM/mono/16-bit, and honors the data chunk's declared
+    length — the three places naive parsers go wrong on foreign
+    files."""
+    import numpy as np
+
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(b):
+        tag, ln = struct.unpack_from("<4sI", b, pos)
+        pos += 8
+        body = b[pos : pos + ln]
+        pos += ln + (ln & 1)  # chunks are word-aligned
+        if tag == b"fmt ":
+            fmt_code, channels, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if fmt_code != 1 or channels != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV variant (fmt={fmt_code}, "
+                    f"ch={channels}, bits={bits}); 16-bit mono PCM only"
+                )
+        elif tag == b"data":
+            data = body
+    if rate is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    return rate, np.frombuffer(data, dtype="<i2")
+
+
+def synth_n_samples(doc_id: int) -> int:
+    return 64 + doc_id % 65
+
+
+def synth_samples(doc_id: int):
+    """Deterministic int16 stream the oracle re-derives:
+    s[i] = (37·doc_id + 13·i) mod 4096 − 2048."""
+    import numpy as np
+
+    n = synth_n_samples(doc_id)
+    i = np.arange(n, dtype=np.int64)
+    return ((37 * doc_id + 13 * i) % SYNTH_SAMPLE_MOD - SYNTH_SAMPLE_OFF).astype(
+        np.int16
+    )
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("format", T.StringType()),
+                    T.StructField("n_bytes", T.LongType()),
+                    T.StructField("source", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sample_sum", T.LongType()),
+        T.StructField("peak", T.LongType()),
+    ]
+)
+
+
+def synth_audio_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One real WAV payload per document row, Arrow-batched."""
+    ship_package(docs.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_wav(synth_samples(int(d)))
+                for d in pdf[id_col].astype("int64")
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload": payloads,
+                    "meta": [
+                        {
+                            "format": "audio/wav",
+                            "n_bytes": len(p),
+                            "source": "synth",
+                        }
+                        for p in payloads
+                    ],
+                }
+            )
+
+    return ensure_parallelism(docs.select(id_col)).mapInPandas(
+        gen, schema=AUDIO_SCHEMA
+    )
+
+
+def audio_features(audio: DataFrame) -> DataFrame:
+    """REAL decode over mapInPandas: parse each WAV and emit rate,
+    length, exact sample sum, and peak amplitude — integer digests
+    the oracle can hash-check. A container mis-parse (chunk walk,
+    endianness, data length) shifts the digest."""
+    ship_package(audio.sparkSession)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "sample_rate", "n_samples", "sample_sum", "peak")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, s = decode_wav(bytes(payload))
+                out["doc_id"].append(int(doc_id))
+                out["sample_rate"].append(int(rate))
+                out["n_samples"].append(int(s.size))
+                out["sample_sum"].append(int(s.astype(np.int64).sum()))
+                out["peak"].append(int(np.abs(s.astype(np.int64)).max()) if s.size else 0)
+            yield pd.DataFrame(out)
+
+    return audio.mapInPandas(extract, schema=AUDIO_FEATURES_SCHEMA)

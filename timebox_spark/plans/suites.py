@@ -554,7 +554,25 @@ def q30_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("head_hex"),
         F.col("pixel_sum").alias("byte_sum_mod"),
     )
-    return whole.unionByName(frames).unionByName(decoded)
+    # audio rows (frame_idx -3): real WAV encode→decode round trip,
+    # digest re-derived arithmetically by the oracle (operators/audio.py)
+    from timebox_spark.operators import audio as AU
+
+    wav = AU.audio_features(AU.synth_audio_table(docs)).select(
+        "doc_id",
+        F.lit(-3).cast("int").alias("frame_idx"),
+        F.col("n_samples").alias("n_bytes"),
+        F.concat_ws(
+            ":",
+            F.lit("wav"),
+            F.col("sample_rate").cast("string"),
+            F.col("peak").cast("string"),
+        ).alias("head_hex"),
+        F.col("sample_sum").alias("byte_sum_mod"),
+    )
+    return (
+        whole.unionByName(frames).unionByName(decoded).unionByName(wav)
+    )
 
 
 _SYNTH_H_SQL = "(8 + doc_id % 9)"
@@ -590,6 +608,27 @@ SELECT doc_id, CAST(-2 AS INTEGER) AS frame_idx,
 FROM documents WHERE doc_id % 4 = 3
 """
 
+def _wav_sql() -> str:
+    """DuckDB mirror of the WAV member: the synthetic sample stream
+    s[i] = (37·doc_id + 13·i) mod 4096 − 2048 is re-derived
+    arithmetically, so the real encode→chunk-walk→decode path on the
+    Spark side must reproduce rate, length, peak, and exact sum."""
+    from timebox_spark.operators import audio as AU
+
+    n = "(64 + doc_id % 65)"
+    s = f"((37 * doc_id + 13 * i) % {AU.SYNTH_SAMPLE_MOD} - {AU.SYNTH_SAMPLE_OFF})"
+    return f"""
+SELECT doc_id, CAST(-3 AS INTEGER) AS frame_idx,
+       CAST({n} AS BIGINT) AS n_bytes,
+       'wav:{AU.WAV_RATE}:' ||
+         CAST(list_max(list_transform(range(0, {n}), i -> abs({s}))) AS VARCHAR)
+         AS head_hex,
+       CAST(list_sum(list_transform(range(0, {n}), i -> {s})) AS BIGINT)
+         AS byte_sum_mod
+FROM documents
+"""
+
+
 _Q30_SUITE_SQL = f"""
 SELECT doc_id, CAST(-1 AS INTEGER) AS frame_idx, n_bytes, head_hex, byte_sum_mod
 FROM ({LQ.ORACLE_SQL['q30_multimodal_features']})
@@ -598,6 +637,8 @@ SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx, n_bytes, '' AS head_hex,
 FROM ({LQ.ORACLE_SQL['q51_frame_sample']})
 UNION ALL
 SELECT doc_id, frame_idx, n_bytes, head_hex, byte_sum_mod FROM ({_Q30_DECODE_SQL})
+UNION ALL
+SELECT doc_id, frame_idx, n_bytes, head_hex, byte_sum_mod FROM ({_wav_sql()})
 """
 
 
