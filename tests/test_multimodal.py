@@ -237,3 +237,54 @@ def test_audio_features_kernel(spark):
             int(s.sum()),
             int(np.abs(s).max()),
         )
+
+
+def test_y4m_roundtrip_and_foreign_header():
+    """Y4M encode→decode is exact; a foreign stream with extra header
+    tags and frame parameter lines parses per spec; non-mono
+    colorspace is rejected."""
+    import numpy as np
+    import pytest
+
+    from timebox_spark.operators import audio as AU
+
+    frames = [AU.synth_frame(5, f) for f in range(3)]
+    w, h, back = AU.decode_y4m(AU.encode_y4m(frames))
+    assert (w, h) == (AU.VIDEO_W, AU.VIDEO_H)
+    assert all(np.array_equal(a, b) for a, b in zip(back, frames))
+
+    # foreign: unknown X tag, frame params after FRAME, 2x2 mono
+    f0 = np.arange(4, dtype=np.uint8).reshape(2, 2)
+    raw = (
+        b"YUV4MPEG2 W2 H2 F30000:1001 Ip A1:1 Cmono XYSCSS=MONO\n"
+        b"FRAME Ix\n" + f0.tobytes()
+    )
+    w2, h2, fr2 = AU.decode_y4m(raw)
+    assert (w2, h2) == (2, 2)
+    assert np.array_equal(fr2[0], f0)
+
+    with pytest.raises(ValueError, match="Cmono"):
+        AU.decode_y4m(b"YUV4MPEG2 W2 H2 C420jpeg\nFRAME\n" + bytes(6))
+    with pytest.raises(ValueError, match="YUV4MPEG2"):
+        AU.decode_y4m(b"AVI nope\n")
+
+
+def test_video_features_kernel(spark):
+    """The Arrow kernel parses real Y4M payloads; frame counts and
+    every-2nd-frame pixel sums match a local numpy recompute."""
+    import numpy as np
+
+    from timebox_spark.operators import audio as AU
+
+    docs = spark.range(0, 15).withColumnRenamed("id", "doc_id")
+    feats = {
+        r["doc_id"]: (r["n_frames"], r["dims"], r["sampled_sum"])
+        for r in AU.video_features(AU.synth_video_table(docs)).collect()
+    }
+    for d in range(15):
+        n = AU.synth_n_frames(d)
+        ssum = sum(
+            int(AU.synth_frame(d, f).astype(np.int64).sum())
+            for f in range(0, n, 2)
+        )
+        assert feats[d] == (n, f"{AU.VIDEO_W}x{AU.VIDEO_H}", ssum)

@@ -174,3 +174,148 @@ def audio_features(audio: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return audio.mapInPandas(extract, schema=AUDIO_FEATURES_SCHEMA)
+
+
+# ------------------------------------------------------------------
+# Video modality: YUV4MPEG2 (Y4M) — the uncompressed video container
+# (mplayer/ffmpeg interchange format): one ASCII header line, then
+# per-frame "FRAME\n" + raw planar pixel data. Plain enough to
+# encode/decode with numpy alone, which makes the VIDEO path real the
+# same way WAV made audio real: a genuine container parse, not opaque
+# bytes. Compressed codecs (H.264 etc.) slot into decode_y4m's seam.
+
+VIDEO_W = 8
+VIDEO_H = 8
+
+
+def synth_n_frames(doc_id: int) -> int:
+    return 4 + doc_id % 5
+
+
+def synth_frame(doc_id: int, f: int):
+    """(h, w) uint8 luma plane, closed form the oracle re-derives:
+    p(y, x) = (23·doc_id + 19·f + 7·y + 3·x) mod 256."""
+    import numpy as np
+
+    y, x = np.ogrid[0:VIDEO_H, 0:VIDEO_W]
+    return ((23 * doc_id + 19 * f + 7 * y + 3 * x) % 256).astype(np.uint8)
+
+
+def encode_y4m(frames, w: int = VIDEO_W, h: int = VIDEO_H) -> bytes:
+    """Mono (Cmono) Y4M: header + FRAME-delimited raw luma planes."""
+    hdr = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 Cmono\n".encode()
+    body = b"".join(b"FRAME\n" + bytes(fr.tobytes()) for fr in frames)
+    return hdr + body
+
+
+def decode_y4m(b: bytes):
+    """Y4M bytes → (w, h, [frames]) — parses the parameter header
+    (tag letters + values, unknown tags skipped per spec), then walks
+    FRAME markers; frame parameter lines (e.g. 'FRAME Ix\\n') are
+    tolerated. Mono (Cmono) only — C420 upsampling needs chroma
+    interpolation policy, rejected explicitly."""
+    import numpy as np
+
+    nl = b.index(b"\n")
+    head = b[:nl].decode("ascii", "strict").split(" ")
+    if head[0] != "YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    colorspace = "C420"  # spec default
+    for tag in head[1:]:
+        if not tag:
+            continue
+        if tag[0] == "W":
+            w = int(tag[1:])
+        elif tag[0] == "H":
+            h = int(tag[1:])
+        elif tag[0] == "C":
+            colorspace = tag
+    if w is None or h is None:
+        raise ValueError("Y4M header missing W/H")
+    if colorspace != "Cmono":
+        raise ValueError(
+            f"unsupported Y4M colorspace {colorspace}; Cmono only"
+        )
+    frames, pos, fsize = [], nl + 1, w * h
+    while pos < len(b):
+        if b[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"bad FRAME marker at byte {pos}")
+        pos = b.index(b"\n", pos) + 1  # skip optional frame params
+        frames.append(
+            np.frombuffer(b[pos : pos + fsize], dtype=np.uint8).reshape(h, w)
+        )
+        pos += fsize
+    return w, h, frames
+
+
+VIDEO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("dims", T.StringType()),
+        T.StructField("sampled_sum", T.LongType()),
+    ]
+)
+
+
+def synth_video_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One real Y4M payload per document row, Arrow-batched."""
+    ship_package(docs.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_y4m(
+                    [
+                        synth_frame(int(d), f)
+                        for f in range(synth_n_frames(int(d)))
+                    ]
+                )
+                for d in pdf[id_col].astype("int64")
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload": payloads,
+                    "meta": [
+                        {
+                            "format": "video/x-yuv4mpeg",
+                            "n_bytes": len(p),
+                            "source": "synth",
+                        }
+                        for p in payloads
+                    ],
+                }
+            )
+
+    return ensure_parallelism(docs.select(id_col)).mapInPandas(
+        gen, schema=AUDIO_SCHEMA
+    )
+
+
+def video_features(video: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL container parse + frame sampling: decode the Y4M stream,
+    keep every ``every_n``-th frame (the standard keyframe-sampling
+    step of a video training pipeline), and emit frame count, dims,
+    and the exact pixel sum over the SAMPLED frames — integers the
+    oracle re-derives arithmetically."""
+    ship_package(video.sparkSession)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "n_frames", "dims", "sampled_sum")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, frames = decode_y4m(bytes(payload))
+                sampled = frames[::every_n]
+                out["doc_id"].append(int(doc_id))
+                out["n_frames"].append(len(frames))
+                out["dims"].append(f"{w}x{h}")
+                out["sampled_sum"].append(
+                    int(sum(fr.astype(np.int64).sum() for fr in sampled))
+                )
+            yield pd.DataFrame(out)
+
+    return video.mapInPandas(extract, schema=VIDEO_FEATURES_SCHEMA)

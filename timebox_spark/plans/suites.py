@@ -570,8 +570,20 @@ def q30_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("head_hex"),
         F.col("sample_sum").alias("byte_sum_mod"),
     )
+    # video rows (frame_idx -4): real Y4M container parse + every-2nd
+    # frame sampling, digest re-derived arithmetically by the oracle
+    y4m = AU.video_features(AU.synth_video_table(docs)).select(
+        "doc_id",
+        F.lit(-4).cast("int").alias("frame_idx"),
+        F.col("n_frames").alias("n_bytes"),
+        F.concat_ws(":", F.lit("y4m"), F.col("dims")).alias("head_hex"),
+        F.col("sampled_sum").alias("byte_sum_mod"),
+    )
     return (
-        whole.unionByName(frames).unionByName(decoded).unionByName(wav)
+        whole.unionByName(frames)
+        .unionByName(decoded)
+        .unionByName(wav)
+        .unionByName(y4m)
     )
 
 
@@ -629,6 +641,29 @@ FROM documents
 """
 
 
+def _y4m_sql() -> str:
+    """DuckDB mirror of the Y4M member: per-doc frame count and the
+    pixel sum over every-2nd-frame sampling, from the closed form
+    p(f,y,x) = (23·doc_id + 19·f + 7·y + 3·x) mod 256."""
+    from timebox_spark.operators import audio as AU
+
+    n = "(4 + doc_id % 5)"
+    w, h = AU.VIDEO_W, AU.VIDEO_H
+    frame_sum = (
+        f"list_sum(list_transform(range(0, {w * h}),"
+        f" i -> (23 * doc_id + 19 * (2 * fi) + 7 * (i // {w})"
+        f" + 3 * (i % {w})) % 256))"
+    )
+    return f"""
+SELECT doc_id, CAST(-4 AS INTEGER) AS frame_idx,
+       CAST({n} AS BIGINT) AS n_bytes,
+       'y4m:{w}x{h}' AS head_hex,
+       CAST(list_sum(list_transform(range(0, ({n} + 1) // 2),
+            fi -> {frame_sum})) AS BIGINT) AS byte_sum_mod
+FROM documents
+"""
+
+
 _Q30_SUITE_SQL = f"""
 SELECT doc_id, CAST(-1 AS INTEGER) AS frame_idx, n_bytes, head_hex, byte_sum_mod
 FROM ({LQ.ORACLE_SQL['q30_multimodal_features']})
@@ -639,6 +674,8 @@ UNION ALL
 SELECT doc_id, frame_idx, n_bytes, head_hex, byte_sum_mod FROM ({_Q30_DECODE_SQL})
 UNION ALL
 SELECT doc_id, frame_idx, n_bytes, head_hex, byte_sum_mod FROM ({_wav_sql()})
+UNION ALL
+SELECT doc_id, frame_idx, n_bytes, head_hex, byte_sum_mod FROM ({_y4m_sql()})
 """
 
 
