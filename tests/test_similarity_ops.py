@@ -317,3 +317,37 @@ def test_ivf_int8_composition_recall(spark):
     assert sum(per_q.values()) >= S.ANN_FAST_FLOOR_HITS
     sizes = composed.groupBy("query_id").count().collect()
     assert all(r["count"] <= S.ANN_K for r in sizes)
+
+
+def test_hashed_embedding_matches_python_model(spark):
+    """The inferred sentence vector equals an independent Python
+    recompute of the same md5 projection; permutation-invariant
+    (bag of words); empty text -> zero vector."""
+    import hashlib
+
+    from timebox_spark.operators import text as T
+
+    def py_vec(doc):
+        half = (T.EMB_WRANGE - 1) // 2
+        out = []
+        for d in range(T.EMB_DIM):
+            s = 0
+            for t in doc.split():
+                h = int(
+                    hashlib.md5(f"{t}:{d}".encode()).hexdigest()[:8], 16
+                )
+                s += h % T.EMB_WRANGE - half
+            out.append(s)
+        return out
+
+    docs = [(1, "spark scans parquet"), (2, "parquet scans spark"), (3, "")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["v"]
+        for r in df.select(
+            "doc_id", T.hashed_embedding().alias("v")
+        ).collect()
+    }
+    assert got == {i: py_vec(t) for i, t in docs}
+    assert got[1] == got[2]  # bag-of-words: order-invariant
+    assert got[3] == [0] * T.EMB_DIM

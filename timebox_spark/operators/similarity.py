@@ -868,3 +868,33 @@ def ivf_int8_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "rank", "neighbor_id", "cosine_q")
     )
+
+
+def text_embedding_topk(
+    docs: DataFrame,
+    k: int = ANN_K,
+    max_query_id: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """End-to-end text retrieval: infer hashed sentence embeddings
+    (text.hashed_embedding — the text→vector step the embeddings
+    table otherwise pre-supposes), then quantized-cosine top-k of
+    every document against the first ``max_query_id`` docs as
+    queries. Same integer-exact scoring as ``portable_cosine_topk``
+    (vectors are already integer arrays here, no 1e6 quantization
+    step needed)."""
+    from timebox_spark.operators.text import hashed_embedding
+
+    emb = docs.select(
+        F.col(id_col), hashed_embedding(text_col).alias("__vq")
+    )
+    queries = emb.filter(F.col(id_col) < max_query_id).select(
+        F.col(id_col).alias("query_id"), F.col("__vq").alias("__qq")
+    )
+    cand = emb.crossJoin(F.broadcast(queries)).filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    return _score_topk_portable(
+        cand.withColumnRenamed(id_col, "vec_id"), k, "query_id"
+    )

@@ -719,3 +719,32 @@ def repetition_topk(
         .orderBy(F.desc("rep_frac_q"), id_col)
         .limit(k)
     )
+
+
+# hashed sentence-embedding constants (shared with the q28 oracle)
+EMB_DIM = 16
+EMB_WRANGE = 2001
+
+
+def hashed_embedding(col: str = "text", dim: int = EMB_DIM) -> Column:
+    """fastText-style sentence embedding INFERENCE as a column
+    expression: v[d] = Σ_token w(token, d), with projection weights
+    w = (md5(token ':' d) mod 2001) − 1000 — a deterministic
+    bag-of-words random projection standing in for a learned
+    embedding model (a production model swaps the weight expression
+    for a broadcast matrix lookup; plan shape identical). Bridges the
+    documents table to the vector operators: text → array<long> →
+    knn/ANN/dedup, all engine-exact integers, zero Python."""
+    toks = _tokens(col)
+
+    def comp(d: Column) -> Column:
+        return F.aggregate(
+            toks,
+            F.lit(0).cast("long"),
+            lambda acc, t: acc
+            + _md5_u32_str(F.concat_ws(":", t, d.cast("string")))
+            % F.lit(EMB_WRANGE)
+            - F.lit((EMB_WRANGE - 1) // 2),
+        )
+
+    return F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), comp)

@@ -400,6 +400,86 @@ SELECT 'simhash' AS method, id_a, id_b, score_q FROM ({_portable_simhash_sql()})
 """
 
 
+def q28_knn_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force float knn over the embeddings table ('float' rows)
+    + END-TO-END text retrieval ('text' rows): hashed sentence-
+    embedding inference (text.hashed_embedding — the text→vector step
+    the embeddings table otherwise pre-supposes) followed by
+    integer-exact cosine top-k (similarity.text_embedding_topk). The
+    oracle re-derives the inferred vectors AND the ranking from the
+    raw text."""
+    from timebox_spark.operators import similarity as S
+
+    knn = LQ.q28_knn_bruteforce(spark, sf_dir).select(
+        F.lit("float").alias("method"),
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        "neighbor_id",
+        "cosine_q",
+    )
+    tknn = S.text_embedding_topk(load(spark, sf_dir, "documents")).select(
+        F.lit("text").alias("method"),
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        "neighbor_id",
+        "cosine_q",
+    )
+    return knn.unionByName(tknn)
+
+
+def _text_knn_sql() -> str:
+    """DuckDB mirror of text_embedding_topk: same md5 projection
+    weights, same integer dot/norm arithmetic, same quantized-cosine
+    ranking (the q29 cos_q formula at EMB_DIM)."""
+    from timebox_spark.operators import similarity as S
+    from timebox_spark.operators import text as T
+
+    half = (T.EMB_WRANGE - 1) // 2
+    w = (
+        f"('0x' || substr(md5(t || ':' || CAST(d AS VARCHAR)), 1, 8))::BIGINT"
+        f" % {T.EMB_WRANGE} - {half}"
+    )
+    dot = (
+        f"list_sum(list_transform(range(1, {T.EMB_DIM} + 1),"
+        f" i -> e.v[i] * q.qv[i]))"
+    )
+    n2v = f"list_sum(list_transform(e.v, x -> x * x))"
+    n2q = f"list_sum(list_transform(q.qv, x -> x * x))"
+    return f"""
+WITH te AS (
+  SELECT doc_id,
+         list_transform(range(0, {T.EMB_DIM}), d ->
+           CAST(COALESCE(list_sum(list_transform(
+             regexp_extract_all(text, '{T.TOKEN_RE}'), t -> {w})), 0)
+             AS BIGINT)) AS v
+  FROM documents
+),
+tq AS (SELECT doc_id AS query_id, v AS qv FROM te WHERE doc_id < 3),
+ts AS (
+  SELECT q.query_id, e.doc_id AS neighbor_id,
+         CASE WHEN {n2v} = 0 OR {n2q} = 0
+              THEN CAST({S.ANN_NULL_SCORE} AS BIGINT)
+              ELSE CAST(floor(CAST({dot} AS DOUBLE)
+                   / (sqrt(CAST({n2v} AS DOUBLE)) * sqrt(CAST({n2q} AS DOUBLE)))
+                   * {S.ANN_COS_SCALE} + 0.5) AS BIGINT) END AS cosine_q
+  FROM te e CROSS JOIN tq q WHERE e.doc_id <> q.query_id
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine_q FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine_q DESC, neighbor_id) AS rank FROM ts
+) WHERE rank <= {S.ANN_K}
+"""
+
+
+_Q28_SUITE_SQL = f"""
+SELECT 'float' AS method, query_id, rank, neighbor_id, cosine_q
+FROM ({LQ.ORACLE_SQL['q28_knn_bruteforce']})
+UNION ALL
+SELECT 'text', query_id, rank, neighbor_id, cosine_q
+FROM ({_text_knn_sql()})
+"""
+
+
 def q29_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH + IVF ANN on the hard oracle signal: the engine-portable
     integer-exact variants (operators.similarity portable_*) whose
@@ -1596,7 +1676,7 @@ DRIVER_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23_exact_dedup": LQ.q23_exact_dedup,
     "q24_ngram_jaccard": LQ.q24_ngram_jaccard,
     "q27_embedding_neardups": LQ.q27_embedding_neardups,
-    "q28_knn_bruteforce": LQ.q28_knn_bruteforce,
+    "q28_knn_bruteforce": q28_knn_suite,
     "q30_multimodal_suite": q30_multimodal_suite,
     "q31_dedup_clusters": q31_dedup_clusters,
     "q44_train_split": LQ.q44_train_split,
@@ -1652,7 +1732,7 @@ DRIVER_ORACLE_SQL: dict[str, str] = {
     "q23_exact_dedup": LQ.ORACLE_SQL["q23_exact_dedup"],
     "q24_ngram_jaccard": LQ.ORACLE_SQL["q24_ngram_jaccard"],
     "q27_embedding_neardups": LQ.ORACLE_SQL["q27_embedding_neardups"],
-    "q28_knn_bruteforce": LQ.ORACLE_SQL["q28_knn_bruteforce"],
+    "q28_knn_bruteforce": _Q28_SUITE_SQL,
     "q30_multimodal_suite": _Q30_SUITE_SQL,
     "q31_dedup_clusters": _Q31_SQL,
     "q44_train_split": LQ.ORACLE_SQL["q44_train_split"],
