@@ -266,3 +266,27 @@ def test_cluster_representatives_keep_best(spark):
     assert reps[1] == (2, 30)
     assert reps[7] == (8, 9)
     assert reps[9] == (9, 99)
+
+
+def test_incremental_exact_dedup(spark):
+    """New-batch rows are dropped when their normalized text already
+    exists in the corpus or earlier in the batch; everything else
+    passes through unchanged."""
+    corpus = spark.createDataFrame(
+        [(1, "Existing   doc one"), (2, "another doc")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "existing doc ONE"),   # dup of corpus 1 (normalized)
+            (11, "brand new doc"),
+            (12, "brand NEW   doc"),    # dup of 11 within batch
+            (13, "another fresh one"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in dedup.incremental_exact_dedup(batch, corpus).collect()
+    )
+    assert got == [11, 13]

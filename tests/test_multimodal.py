@@ -288,3 +288,49 @@ def test_video_features_kernel(spark):
             for f in range(0, n, 2)
         )
         assert feats[d] == (n, f"{AU.VIDEO_W}x{AU.VIDEO_H}", ssum)
+
+
+def test_wav_y4m_property_roundtrip():
+    """Property: arbitrary int16 sample arrays and arbitrary uint8
+    frame stacks round-trip bit-exactly through the containers."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from timebox_spark.operators import audio as AU
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=-32768, max_value=32767),
+            min_size=0,
+            max_size=300,
+        ),
+        st.integers(min_value=1, max_value=192000),
+    )
+    def wav_case(vals, rate):
+        s = np.asarray(vals, dtype=np.int16)
+        r, back = AU.decode_wav(AU.encode_wav(s, rate))
+        assert r == rate
+        assert np.array_equal(back, s)
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=6),
+        st.integers(min_value=1, max_value=12),
+        st.integers(min_value=1, max_value=12),
+        st.integers(min_value=0, max_value=2**32 - 1),
+    )
+    def y4m_case(n_frames, w, h, seed):
+        rng = np.random.default_rng(seed)
+        frames = [
+            rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+            for _ in range(n_frames)
+        ]
+        w2, h2, back = AU.decode_y4m(AU.encode_y4m(frames, w=w, h=h))
+        assert (w2, h2) == (w, h)
+        assert len(back) == n_frames
+        assert all(np.array_equal(a, b) for a, b in zip(back, frames))
+
+    wav_case()
+    y4m_case()

@@ -1071,3 +1071,31 @@ def portable_simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def incremental_exact_dedup(
+    new_batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental ingest dedup: rows of ``new_batch`` whose
+    normalized-text fingerprint appears nowhere in the existing
+    ``corpus`` AND is unique within the batch (smallest id wins) —
+    the every-ingest-cycle operation of a growing training corpus,
+    asymmetric so the historical corpus is never self-paired again.
+
+    Plan: the corpus side reduces to DISTINCT fingerprints before the
+    anti-join (one agg + one join, both on the md5 key — uniform by
+    construction); in production the fingerprint column is persisted
+    with the corpus, making the left side a narrow column scan."""
+    fp = F.md5(F.encode(normalize_text(text_col), "UTF-8"))
+    batch_fp = new_batch.withColumn("__fp", fp)
+    corpus_fp = corpus.select(fp.alias("__fp")).distinct()
+    fresh = batch_fp.join(corpus_fp, "__fp", "left_anti")
+    w = Window.partitionBy("__fp").orderBy(id_col)
+    return (
+        fresh.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__fp")
+    )
