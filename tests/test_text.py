@@ -452,3 +452,48 @@ def test_top_bigram_char_mass_golden(spark):
 
     top = T.repetition_topk(df, k=2).collect()
     assert [r["doc_id"] for r in top] == [1, 2]
+
+
+def test_source_kl_divergence_matches_python(spark):
+    """Per-group KL divergence equals an independent Python recompute
+    of the same smoothed top-K model; an on-distribution group scores
+    (near) zero and a shifted group scores higher."""
+    import math
+    from collections import Counter
+
+    from timebox_spark.operators import text as T
+
+    rows = []
+    for i in range(30):  # two balanced sources, one skewed
+        rows.append((i, "alpha beta gamma delta", "a"))
+        rows.append((100 + i, "alpha beta gamma delta", "b"))
+    for i in range(10):
+        rows.append((200 + i, "omega omega omega alpha", "c"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r["source"]: r["kl_q"]
+        for r in T.source_kl_divergence(df).collect()
+    }
+
+    per_g = {}
+    for _, t, g in rows:
+        per_g.setdefault(g, Counter()).update(t.split())
+    corpus = Counter()
+    for c in per_g.values():
+        corpus.update(c)
+    vocab = sorted(corpus, key=lambda w: (-corpus[w], w))[: T.KL_VOCAB_K]
+    ct = sum(corpus.values())
+    K = float(T.KL_VOCAB_K)
+
+    def py_kl(g):
+        gt = sum(per_g[g].values())
+        s = 0
+        for w in vocab:
+            pg = (per_g[g].get(w, 0) + 1) / (gt + K)
+            pc = (corpus[w] + 1) / (ct + K)
+            s += math.floor(pg * math.log(pg / pc) * T.KL_TERM_SCALE + 0.5)
+        return s
+
+    assert got == {g: py_kl(g) for g in per_g}
+    assert got["a"] == got["b"]  # identical distributions
+    assert got["c"] > got["a"]  # shifted domain diverges more

@@ -748,3 +748,69 @@ def hashed_embedding(col: str = "text", dim: int = EMB_DIM) -> Column:
         )
 
     return F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), comp)
+
+
+# domain-shift divergence constants (shared with the q21 oracle)
+KL_VOCAB_K = 50
+KL_TERM_SCALE = 1_000_000_000
+
+
+def source_kl_divergence(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    vocab_k: int = KL_VOCAB_K,
+) -> DataFrame:
+    """Domain-shift diagnostic: per group (source/domain/language),
+    the KL divergence of its word distribution from the corpus
+    distribution over the corpus's top-``vocab_k`` vocabulary, with
+    add-one smoothing — the statistic data-mixing work uses to see
+    which domains look unlike the blend (and to pick mixture weights).
+
+    D_KL(P_g ‖ P_c) = Σ_w p_g(w)·ln(p_g(w)/p_c(w)), p(w) =
+    (count+1)/(total+K). Each term is quantized to an integer at 1e9
+    BEFORE the sum (the repo's per-term quantization rule), so the
+    aggregation is an order-free exact integer sum — no float
+    accumulation-order hazard on either engine. kl_q is in 1e-9
+    units.
+
+    Plan: one explode → (group, word) count shuffle, reduced to the
+    K-word vocab by a broadcast semi-join; the divergence itself
+    aggregates O(groups × K) rows. Corpus totals come FROM the group
+    table (no second scan).
+    """
+    words = df.select(
+        F.col(group_col).alias("g"),
+        F.explode(_tokens(text_col)).alias("w"),
+    )
+    gw = words.groupBy("g", "w").agg(F.count(F.lit(1)).alias("c"))
+    cw = gw.groupBy("w").agg(F.sum("c").alias("cc"))
+    vocab = cw.orderBy(F.desc("cc"), "w").limit(vocab_k)
+    gtot = gw.groupBy("g").agg(F.sum("c").alias("gt"))
+    ctot = cw.agg(F.sum("cc").alias("ct"))
+    # dense (group × vocab) grid so zero-count words still contribute
+    # their smoothed mass; vocab and totals are tiny broadcasts
+    grid = (
+        gtot.crossJoin(F.broadcast(vocab))
+        .join(gw, ["g", "w"], "left")
+        .crossJoin(F.broadcast(ctot))
+        .select(
+            "g",
+            "w",
+            "cc",
+            "gt",
+            "ct",
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    k = F.lit(float(vocab_k))
+    pg = (F.col("c") + 1).cast("double") / (F.col("gt").cast("double") + k)
+    pc = (F.col("cc") + 1).cast("double") / (F.col("ct").cast("double") + k)
+    term_q = F.floor(
+        pg * F.log(pg / pc) * F.lit(float(KL_TERM_SCALE)) + F.lit(0.5)
+    ).cast("long")
+    return (
+        grid.groupBy("g")
+        .agg(F.sum(term_q).alias("kl_q"))
+        .withColumnRenamed("g", group_col)
+    )

@@ -74,6 +74,11 @@ def q21_text_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string").alias("k"),
         F.col("rep_frac_q").alias("n"),
     )
+    kl = T.source_kl_divergence(docs).select(
+        F.lit("kl").alias("chk"),
+        F.col("source").alias("k"),
+        F.col("kl_q").alias("n"),
+    )
     return (
         lang.unionByName(words)
         .unionByName(bm25)
@@ -81,6 +86,7 @@ def q21_text_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ppl)
         .unionByName(bpe)
         .unionByName(rep)
+        .unionByName(kl)
     )
 
 
@@ -254,6 +260,42 @@ SELECT doc_id, rep_frac_q FROM (
 """
 
 
+def _kl_sql() -> str:
+    """DuckDB mirror of text.source_kl_divergence: same top-K vocab
+    (count desc, word tiebreak), same add-one smoothing, same
+    left-associative double expression, per-term 1e9 quantization
+    before an exact integer sum."""
+    from timebox_spark.operators import text as T
+
+    k = T.KL_VOCAB_K
+    pg = f"(CAST(c + 1 AS DOUBLE) / (CAST(gt AS DOUBLE) + {float(k)}))"
+    pc = f"(CAST(cc + 1 AS DOUBLE) / (CAST(ct AS DOUBLE) + {float(k)}))"
+    return f"""
+WITH wd AS (
+  SELECT source AS g, unnest(regexp_extract_all(text, '{T.TOKEN_RE}')) AS w
+  FROM documents
+),
+gw AS (SELECT g, w, CAST(count(*) AS BIGINT) AS c FROM wd GROUP BY 1, 2),
+cw AS (SELECT w, CAST(sum(c) AS BIGINT) AS cc FROM gw GROUP BY 1),
+vb AS (SELECT w, cc FROM (
+        SELECT *, row_number() OVER (ORDER BY cc DESC, w) AS rn FROM cw
+       ) WHERE rn <= {k}),
+gt AS (SELECT g, CAST(sum(c) AS BIGINT) AS gt FROM gw GROUP BY 1),
+ct AS (SELECT CAST(sum(cc) AS BIGINT) AS ct FROM cw),
+grid AS (
+  SELECT gt.g, vb.w, vb.cc, gt.gt, ct.ct, COALESCE(gw.c, 0) AS c
+  FROM gt CROSS JOIN vb
+  LEFT JOIN gw ON gw.g = gt.g AND gw.w = vb.w
+  CROSS JOIN ct
+)
+SELECT g AS source,
+       CAST(sum(CAST(floor({pg} * ln({pg} / {pc})
+                 * {float(T.KL_TERM_SCALE)} + 0.5) AS BIGINT)) AS BIGINT)
+         AS kl_q
+FROM grid GROUP BY 1
+"""
+
+
 _Q21_SUITE_SQL = f"""
 SELECT 'lang' AS chk, lang_pred AS k, n FROM ({LQ.ORACLE_SQL['q21_lang_id']})
 UNION ALL
@@ -268,6 +310,8 @@ UNION ALL
 SELECT 'bpe', pair, n FROM ({_bpe_sql()})
 UNION ALL
 SELECT 'rep', CAST(doc_id AS VARCHAR), rep_frac_q FROM ({_rep_sql()})
+UNION ALL
+SELECT 'kl', source, kl_q FROM ({_kl_sql()})
 """
 
 
