@@ -432,3 +432,41 @@ def test_perplexity_pipeline_no_cartesian_no_global_sort(spark):
     plan = _plan(T.perplexity_topk(docs))
     assert "CartesianProduct" not in plan, plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_repetition_mass_two_reduced_shuffles(spark):
+    """Gopher char-mass: explode → (doc,gram) count → per-doc max —
+    keyed aggregations only, plus the doc-id join back; top-k is
+    TakeOrderedAndProject, never a global sort."""
+    from timebox_spark.operators import text as T
+    from timebox_spark.plans.tables import load
+
+    docs = load(spark, SF_SMOKE, "documents")
+    plan = _plan(T.repetition_topk(docs))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kl_divergence_grid_is_broadcast(spark):
+    """The (group × vocab) grid comes from broadcasting the K-word
+    vocab and one-row totals — the corpus-sized table is never on
+    the build side of a nested-loop join."""
+    from timebox_spark.operators import text as T
+    from timebox_spark.plans.tables import load
+
+    docs = load(spark, SF_SMOKE, "documents")
+    plan = _plan(T.source_kl_divergence(docs))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_text_embedding_topk_broadcasts_queries(spark):
+    """Text retrieval: inference is map-only; the query side is
+    broadcast; ranking is a keyed window."""
+    from timebox_spark.operators import similarity as S
+    from timebox_spark.plans.tables import load
+
+    docs = load(spark, SF_SMOKE, "documents")
+    plan = _plan(S.text_embedding_topk(docs))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan
