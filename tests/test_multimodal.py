@@ -334,3 +334,49 @@ def test_wav_y4m_property_roundtrip():
 
     wav_case()
     y4m_case()
+
+
+def test_bilinear_resize_properties_and_goldens():
+    """Identity at same dims; constant stays constant; a hand-checked
+    2x2→4x4 golden matches the half-pixel-center bilinear formula."""
+    import numpy as np
+
+    from timebox_spark.operators.multimodal import bilinear_resize
+
+    px = np.arange(8 * 6 * 3, dtype=np.uint8).reshape(8, 6, 3)
+    assert np.array_equal(bilinear_resize(px, 8, 6), px)  # identity
+
+    const = np.full((5, 7, 3), 123, dtype=np.uint8)
+    assert (bilinear_resize(const, 11, 3) == 123).all()
+
+    # 2x2 -> 4x4: src coords (d+0.5)/2 - 0.5 = [-0.25, 0.25, 0.75, 1.25]
+    # clamp to [0,1]; weights 0, .25, .75, 1 against neighbors
+    g = np.zeros((2, 2, 3), dtype=np.uint8)
+    g[0, 0] = 0
+    g[0, 1] = 100
+    g[1, 0] = 200
+    g[1, 1] = 40
+    out = bilinear_resize(g, 4, 4).astype(int)
+    assert out[0, 0, 0] == 0 and out[0, 3, 0] == 100
+    assert out[3, 0, 0] == 200 and out[3, 3, 0] == 40
+    # interior: y=1 -> wy=.25, x=1 -> wx=.25
+    exp = (1 - 0.25) * ((1 - 0.25) * 0 + 0.25 * 100) + 0.25 * (
+        (1 - 0.25) * 200 + 0.25 * 40
+    )
+    assert out[1, 1, 0] == int(np.floor(exp + 0.5))
+
+
+def test_resize_images_kernel_roundtrip(spark):
+    """The Arrow resize kernel decodes real payloads (all four image
+    formats), resamples, and re-encodes BMPs that decode back to the
+    target dims."""
+    from timebox_spark.operators import multimodal as M
+
+    docs = spark.range(0, 12).withColumnRenamed("id", "doc_id")
+    media = M.synth_media_table(docs)
+    out = M.resize_images(media, out_h=5, out_w=6).collect()
+    assert len(out) == 12
+    for r in out:
+        px = M.decode_image(bytes(r["payload"]))
+        assert px.shape == (5, 6, 3)
+        assert r["meta"]["source"] == "resize"

@@ -534,3 +534,69 @@ def resize_payload(media: DataFrame, target_bytes: int = 128) -> DataFrame:
             )
 
     return ensure_parallelism(media).mapInPandas(resize, schema=MEDIA_SCHEMA)
+
+
+def bilinear_resize(px, out_h: int, out_w: int):
+    """REAL bilinear resample of an (h, w, 3) uint8 array — fully
+    vectorized numpy (gather 4 neighbors + lerp, half-pixel-center
+    mapping, the OpenCV/Pillow convention). Same-dims input is the
+    identity; constant images stay constant at any scale."""
+    import numpy as np
+
+    h, w, _ = px.shape
+    ys = (np.arange(out_h, dtype=np.float64) + 0.5) * (h / out_h) - 0.5
+    xs = (np.arange(out_w, dtype=np.float64) + 0.5) * (w / out_w) - 0.5
+    ys = np.clip(ys, 0, h - 1)
+    xs = np.clip(xs, 0, w - 1)
+    y0 = np.floor(ys).astype(np.int64)
+    x0 = np.floor(xs).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = (ys - y0)[:, None, None]
+    wx = (xs - x0)[None, :, None]
+    p = px.astype(np.float64)
+    top = p[y0][:, x0] * (1 - wx) + p[y0][:, x1] * wx
+    bot = p[y1][:, x0] * (1 - wx) + p[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+
+
+def resize_images(
+    media: DataFrame, out_h: int = 8, out_w: int = 8
+) -> DataFrame:
+    """REAL image resize over the media table: decode each payload
+    with the raster codecs, bilinear-resample to (out_h, out_w), and
+    re-encode as BMP — the thumbnail/normalize step of an image
+    training pipeline, Arrow-batched and map-only (contrast with
+    ``resize_payload``, the byte-domain stand-in for formats without
+    a shipped decoder)."""
+    from timebox_spark.session import ship_package
+
+    ship_package(media.sparkSession)
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for payload in pdf["payload"]:
+                px = decode_image(bytes(payload))
+                if px.ndim == 2:  # grayscale (JPEG) → stack to RGB
+                    import numpy as np
+
+                    px = np.stack([px] * 3, axis=-1)
+                payloads.append(encode_bmp(bilinear_resize(px, out_h, out_w)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": payloads,
+                    "meta": [
+                        {
+                            "format": "image/bmp",
+                            "n_bytes": len(p),
+                            "source": "resize",
+                        }
+                        for p in payloads
+                    ],
+                }
+            )
+
+    return media.mapInPandas(resize, schema=MEDIA_SCHEMA)
