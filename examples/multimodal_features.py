@@ -37,8 +37,13 @@ def main() -> None:
     vid = audio.synth_video_table(docs)
     audio.video_features(vid).orderBy("doc_id").show(8)
 
-    print("payload resize plumbing (byte-domain, format-agnostic):")
-    multimodal.resize_payload(media, target_bytes=64).orderBy(
+    print("REAL bilinear image resize (decode → resample → BMP):")
+    multimodal.decode_features(
+        multimodal.resize_images(media, out_h=5, out_w=6)
+    ).orderBy("doc_id").show(4)
+
+    print("REAL audio resampling (8 kHz → 16 kHz linear):")
+    audio.audio_features(audio.resample_audio(wav, 16000)).orderBy(
         "doc_id"
     ).show(4)
 

@@ -380,3 +380,30 @@ def test_resize_images_kernel_roundtrip(spark):
         px = M.decode_image(bytes(r["payload"]))
         assert px.shape == (5, 6, 3)
         assert r["meta"]["source"] == "resize"
+
+
+def test_audio_resample_properties_and_kernel(spark):
+    """Same-rate is identity; constant stays constant; 2x upsample of
+    a ramp matches the half-center linear formula; the Arrow kernel
+    re-encodes at the target rate with ~rate-scaled length."""
+    import numpy as np
+
+    from timebox_spark.operators import audio as AU
+
+    s = np.array([0, 100, -200, 300], dtype=np.int16)
+    assert np.array_equal(AU.resample_linear(s, 8000, 8000), s)
+    const = np.full(50, 777, dtype=np.int16)
+    assert (AU.resample_linear(const, 8000, 16000) == 777).all()
+
+    ramp = np.array([0, 100], dtype=np.int16)
+    up = AU.resample_linear(ramp, 8000, 16000)
+    # positions: (d+0.5)/2 - 0.5 = [-0.25, 0.25, 0.75, 1.25] -> clamp
+    assert up.tolist() == [0, 25, 75, 100]
+
+    docs = spark.range(0, 8).withColumnRenamed("id", "doc_id")
+    out = AU.resample_audio(AU.synth_audio_table(docs), 16000).collect()
+    for r in out:
+        rate, back = AU.decode_wav(bytes(r["payload"]))
+        assert rate == 16000
+        n_src = AU.synth_n_samples(r["doc_id"])
+        assert back.size == round(n_src * 2)

@@ -319,3 +319,58 @@ def video_features(video: DataFrame, every_n: int = 2) -> DataFrame:
             yield pd.DataFrame(out)
 
     return video.mapInPandas(extract, schema=VIDEO_FEATURES_SCHEMA)
+
+
+def resample_linear(samples, src_rate: int, dst_rate: int):
+    """Linear-interpolation sample-rate conversion of an int16 mono
+    stream (vectorized numpy; half-sample-center mapping like the
+    image path's bilinear_resize). The normalize-to-one-rate step an
+    audio training pipeline runs before featurization."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.float64)
+    if s.size == 0 or src_rate == dst_rate:
+        return np.asarray(samples, dtype=np.int16).copy()
+    n_out = max(1, int(round(s.size * dst_rate / src_rate)))
+    pos = (np.arange(n_out, dtype=np.float64) + 0.5) * (s.size / n_out) - 0.5
+    pos = np.clip(pos, 0, s.size - 1)
+    i0 = np.floor(pos).astype(np.int64)
+    i1 = np.minimum(i0 + 1, s.size - 1)
+    frac = pos - i0
+    out = s[i0] * (1 - frac) + s[i1] * frac
+    return np.clip(np.floor(out + 0.5), -32768, 32767).astype(np.int16)
+
+
+def resample_audio(
+    audio: DataFrame, dst_rate: int = 16000
+) -> DataFrame:
+    """REAL rate conversion over the audio table: decode each WAV,
+    linearly resample to ``dst_rate``, re-encode — Arrow-batched,
+    map-only, mirrors ``multimodal.resize_images`` for the audio
+    modality."""
+    ship_package(audio.sparkSession)
+
+    def conv(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for payload in pdf["payload"]:
+                rate, s = decode_wav(bytes(payload))
+                payloads.append(
+                    encode_wav(resample_linear(s, rate, dst_rate), dst_rate)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": payloads,
+                    "meta": [
+                        {
+                            "format": "audio/wav",
+                            "n_bytes": len(p),
+                            "source": "resample",
+                        }
+                        for p in payloads
+                    ],
+                }
+            )
+
+    return audio.mapInPandas(conv, schema=AUDIO_SCHEMA)
