@@ -398,3 +398,30 @@ def test_curate_stream_matches_batch(spark, tmp_path):
     expected = sorted(map(tuple, batch.collect()))
     assert got == expected
     assert len(got) > 0
+
+
+def test_hourly_histogram_stream_matches_batch(spark, tmp_path, staged_events):
+    """The streaming log2-histogram emits, for every closed window,
+    exactly the batch sketch rows — an exact mergeable quantile
+    sketch with a streaming front door."""
+    from timebox_spark.operators import sketches as SK
+
+    src, events = staged_events
+    hh = ingest.hourly_histogram(
+        ingest.read_event_stream(spark, src), watermark="1 hour"
+    )
+    ingest.run_to_memory(hh, "hh_t", "append", str(tmp_path / "ck_hh"))
+    got = {
+        (r["win_ts"], r["bucket"]): r["n"]
+        for r in spark.table("hh_t").collect()
+    }
+    batch = SK.log2_histogram(events, ts_col="ts", period="hour")
+    expected_all = {
+        (r["period"], r["bucket"]): r["n"] for r in batch.collect()
+    }
+    # append mode emits only watermark-closed windows: every emitted
+    # row must match batch exactly, and most windows must have closed
+    assert got
+    for k, n in got.items():
+        assert expected_all[k] == n
+    assert len(got) >= len(expected_all) - 2  # at most the tail stays open

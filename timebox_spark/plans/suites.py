@@ -1172,7 +1172,33 @@ def q68_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    return sliding.unionByName(session).unionByName(dedupd).unionByName(runmax)
+    # streaming quantile-sketch build (ingest.hourly_histogram): per
+    # hourly window the exact log2-histogram rows stream out as the
+    # window closes; the sentinel's own window never emits, and real
+    # windows are additionally bounded by max real ts (q68 session
+    # pattern)
+    hh = ingest.hourly_histogram(
+        ingest.read_event_stream(spark, src, max_files_per_trigger=2),
+        watermark="1 hour",
+    )
+    qsketch = (
+        drain(hh, "q68_qsketch_sink", "append")
+        .filter(F.col("win_ts") <= F.lit(max_real_ts))
+        .groupBy(F.col("bucket").cast("string").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n").alias("v1"),
+            F.sum(F.unix_timestamp("win_ts")).alias("v2"),
+        )
+        .select(F.lit("qsketch").alias("member"), "k", "n", "v1", "v2")
+    )
+
+    return (
+        sliding.unionByName(session)
+        .unionByName(dedupd)
+        .unionByName(runmax)
+        .unionByName(qsketch)
+    )
 
 
 _Q68_SQL = """
@@ -1228,6 +1254,23 @@ SELECT * FROM sliding
 UNION ALL SELECT * FROM sessd
 UNION ALL SELECT * FROM dedupd
 UNION ALL SELECT * FROM runmaxd
+UNION ALL SELECT * FROM (
+  WITH hv AS (
+    SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS ws,
+           CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS vi
+    FROM events
+  ), hg AS (
+    SELECT ws,
+           CASE WHEN vi <= 0 THEN 0 ELSE length(bin(vi)) END AS bucket,
+           CAST(count(*) AS BIGINT) AS n
+    FROM hv GROUP BY 1, 2
+  )
+  SELECT 'qsketch' AS member, CAST(bucket AS VARCHAR) AS k,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(n) AS BIGINT) AS v1,
+         CAST(sum(ws) AS BIGINT) AS v2
+  FROM hg GROUP BY 2
+)
 """
 
 

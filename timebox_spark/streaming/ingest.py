@@ -391,3 +391,34 @@ def curate_stream(
         )
     )
     return kept.withColumn("text", TX.redact(text_col))
+
+
+def hourly_histogram(
+    stream: DataFrame,
+    watermark: str = "1 hour",
+    value_col: str = "value",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Streaming quantile-sketch build: per event-time window, the
+    log2-histogram bucket counts of ``value_col`` (the same
+    bit-length bucketing as ``sketches.log2_histogram``) — O(64)
+    state rows per open window regardless of event volume, so
+    per-window latency/value quantiles stream with bounded state.
+    Closed windows emit exact mergeable sketch rows that the batch
+    ``histogram_quantiles`` reads directly (persist-fine/merge-coarse,
+    now with a streaming front door)."""
+    vi = F.floor(
+        F.col(value_col).cast("double") * F.lit(100.0) + F.lit(0.5)
+    ).cast("long")
+    bucket = F.when(vi <= 0, F.lit(0)).otherwise(
+        F.length(F.conv(vi.cast("string"), 10, 2))
+    )
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window).alias("win"),
+            bucket.cast("int").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("win_ts"), "bucket", "n")
+    )
