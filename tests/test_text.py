@@ -497,3 +497,39 @@ def test_source_kl_divergence_matches_python(spark):
     assert got == {g: py_kl(g) for g in per_g}
     assert got["a"] == got["b"]  # identical distributions
     assert got["c"] > got["a"]  # shifted domain diverges more
+
+
+def test_write_training_shards_materializes_export_order(spark, tmp_path):
+    """Each shard=N dir holds exactly one parquet file whose physical
+    row order is the (shuffle_h, key) permutation, membership matches
+    shuffle_shards, and the manifest digest matches a recompute."""
+    import glob
+
+    from timebox_spark.operators.sampling import (
+        shuffle_shards,
+        write_training_shards,
+    )
+
+    docs = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    out = str(tmp_path / "export")
+    manifest = {
+        r["shard"]: (r["n_rows"], r["order_digest"])
+        for r in write_training_shards(docs, out, n_shards=4).collect()
+    }
+    expected = {}
+    for r in shuffle_shards(docs, key="doc_id", n_shards=4).collect():
+        expected.setdefault(r["shard"], []).append(
+            (r["shuffle_h"], r["doc_id"])
+        )
+    assert set(manifest) == set(expected)
+    for shard, rows in expected.items():
+        rows.sort()
+        files = glob.glob(f"{out}/shard={shard}/*.parquet")
+        assert len(files) == 1  # whole shard in one sorted file
+        got = spark.read.parquet(files[0]).collect()
+        assert [r["doc_id"] for r in got] == [d for _, d in rows]
+        digest = sum(
+            (d % 1_000_003) * ((i + 1) % 1_000_003) % 1_000_000_007
+            for i, (_, d) in enumerate(rows)
+        )
+        assert manifest[shard] == (len(rows), digest)

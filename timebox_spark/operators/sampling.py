@@ -200,3 +200,54 @@ def mixture_sample(
         .filter(h < F.col("rate_ppm"))
         .drop("n_total", "rate_ppm")
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    key: str = "doc_id",
+    n_shards: int = SHUFFLE_SHARDS,
+    seed: str = SHUFFLE_SEED,
+) -> DataFrame:
+    """Materialize the training export: hive layout ``shard=N/`` with
+    ONE parquet file per shard whose ROW ORDER is the deterministic
+    (shuffle_h, key) permutation the trainer consumes — the artifact
+    every upstream operator in this module exists to produce.
+
+    ``repartition(n_shards, shard)`` hash-places each whole shard in
+    one task, so every ``shard=N`` directory receives exactly one
+    sorted file and Parquet's row order IS the export order (pinned
+    by the read-back test). Returns the manifest: per shard, row
+    count and the same overflow-safe permutation digest the q44
+    driver oracle checks, computed FROM THE WRITTEN FILES so the
+    manifest certifies what is actually on disk.
+    """
+    from pyspark.sql import Window
+
+    sharded = shuffle_shards(df, key, n_shards, seed)
+    # the partitioned writer inserts its own (non-stable) sort on the
+    # partition columns unless the data already arrives sorted by
+    # them — lead the in-partition sort with `shard` so the writer's
+    # requirement is satisfied and OUR (shuffle_h, key) order survives
+    (
+        sharded.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "shuffle_h", key)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    spark = df.sparkSession
+    written = spark.read.parquet(path)
+    w = Window.partitionBy("shard").orderBy("shuffle_h", key)
+    return (
+        written.withColumn("pos", F.row_number().over(w))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                (F.col(key) % 1_000_003) * (F.col("pos") % 1_000_003)
+                % 1_000_000_007
+            ).alias("order_digest"),
+        )
+        .orderBy("shard")
+    )
