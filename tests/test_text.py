@@ -533,3 +533,31 @@ def test_write_training_shards_materializes_export_order(spark, tmp_path):
             for i, (_, d) in enumerate(rows)
         )
         assert manifest[shard] == (len(rows), digest)
+
+
+def test_curate_to_shards_end_to_end(spark, tmp_path):
+    """One call from raw docs to written train shards: the manifest
+    counts equal the curated train split, and a second run over the
+    same corpus reproduces identical digests (deterministic export)."""
+    from tests.conftest import SF_SMOKE
+    from timebox_spark.operators import pipeline
+    from timebox_spark.plans.tables import load
+
+    docs = load(spark, SF_SMOKE, "documents")
+    out = str(tmp_path / "train_export")
+    m1 = pipeline.curate_to_shards(
+        docs, out, n_shards=4, langs=("en", "es"), min_quality_q=0,
+        min_tokens=3,
+    ).collect()
+    n_written = sum(r["n_rows"] for r in m1)
+    expected = (
+        pipeline.curate(docs, langs=("en", "es"), min_quality_q=0, min_tokens=3)
+        .filter("split = 'train'")
+        .count()
+    )
+    assert n_written == expected > 0
+    m2 = pipeline.curate_to_shards(
+        docs, str(tmp_path / "train_export2"), n_shards=4,
+        langs=("en", "es"), min_quality_q=0, min_tokens=3,
+    ).collect()
+    assert sorted(map(tuple, m1)) == sorted(map(tuple, m2))

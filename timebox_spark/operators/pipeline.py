@@ -122,3 +122,29 @@ def curate(
 
         deduped = mixture_sample(deduped, group_col="lang_pred", key=id_col)
     return deterministic_split(deduped, key=id_col, weights=split_weights)
+
+
+def curate_to_shards(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 8,
+    **curate_kwargs,
+) -> DataFrame:
+    """One-call corpus → training shards: ``curate`` (annotate → gate
+    → dedup → split), keep the train split, and materialize it with
+    ``sampling.write_training_shards`` — the LLM-pipeline analog of
+    the reference's one-call ``save`` (S10,
+    /root/reference/timebox/timebox.py:123). Returns the written-file
+    manifest (per shard: rows + order digest). The kept id set is a
+    pure function of the data, so a re-run over the same corpus
+    writes byte-identical shards."""
+    from timebox_spark.operators.sampling import write_training_shards
+
+    curated = curate(
+        docs, id_col=id_col, text_col=text_col, **curate_kwargs
+    )
+    train = curated.filter(F.col("split") == "train").select(id_col)
+    kept = docs.join(train, id_col, "left_semi")
+    return write_training_shards(kept, path, key=id_col, n_shards=n_shards)
