@@ -87,6 +87,17 @@ def main() -> None:
         "query_id", "rank"
     ).show()
 
+    # 8. the capstone: one call from raw corpus to written training
+    # shards (curate -> train split -> sorted shard files + manifest)
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="timebox_train_export_")
+    print(f"one-call corpus -> training shards at {out}:")
+    pipeline.curate_to_shards(
+        docs, out, n_shards=4, langs=("en", "es"), min_quality_q=0,
+        min_tokens=3,
+    ).show()
+
     spark.stop()
 
 
