@@ -20,6 +20,7 @@ class TimeBoxEngine:
 
     def __init__(self, spark: SparkSession, sf_dir: str | None = None):
         self.spark = ensure_runtime_confs(spark)
+        self.llm = CurationAPI(self.spark)
         if sf_dir:
             self.register_testdata(sf_dir)
 
@@ -39,3 +40,68 @@ class TimeBoxEngine:
 
     def load_timebox(self, path: str) -> TimeBoxTable:
         return TimeBoxTable.load(self.spark, path)
+
+
+class CurationAPI:
+    """One import point for the LLM training-data surface, so an
+    engine user drives the whole pipeline off the facade:
+
+        eng = TimeBoxEngine(spark, sf_dir)
+        eng.llm.curate(docs)                       # gate + dedup + split
+        eng.llm.near_dups(docs)                    # MinHash+LSH pairs
+        eng.llm.search(emb, queries)               # ANN top-k
+        eng.llm.export(docs, path)                 # one-call shards
+
+    Thin delegation only — every method is the documented operator
+    from ``timebox_spark.operators``; the facade adds no behavior.
+    """
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def curate(self, docs: DataFrame, **kwargs) -> DataFrame:
+        from timebox_spark.operators.pipeline import curate
+
+        return curate(docs, **kwargs)
+
+    def export(self, docs: DataFrame, path: str, **kwargs) -> DataFrame:
+        from timebox_spark.operators.pipeline import curate_to_shards
+
+        return curate_to_shards(docs, path, **kwargs)
+
+    def exact_dups(self, docs: DataFrame, **kwargs) -> DataFrame:
+        from timebox_spark.operators.dedup import exact_dedup
+
+        return exact_dedup(docs, **kwargs)
+
+    def near_dups(self, docs: DataFrame, **kwargs) -> DataFrame:
+        from timebox_spark.operators.dedup import minhash_dedup
+
+        return minhash_dedup(docs, **kwargs)
+
+    def clusters(self, docs: DataFrame, pairs: DataFrame, **kw) -> DataFrame:
+        from timebox_spark.operators.dedup import dedup_clusters
+
+        return dedup_clusters(docs, pairs, **kw)
+
+    def search(self, corpus: DataFrame, queries: DataFrame, **kw) -> DataFrame:
+        from timebox_spark.operators.similarity import ivf_topk
+
+        return ivf_topk(corpus, queries, **kw)
+
+    def embed(self, docs: DataFrame, text_col: str = "text") -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from timebox_spark.operators.text import hashed_embedding
+
+        return docs.withColumn("embedding", hashed_embedding(text_col))
+
+    def quality(self, docs: DataFrame, text_col: str = "text") -> DataFrame:
+        from timebox_spark.operators.text import token_features
+
+        return token_features(docs, text_col)
+
+    def mix(self, docs: DataFrame, group_col: str = "lang", **kw) -> DataFrame:
+        from timebox_spark.operators.sampling import mixture_sample
+
+        return mixture_sample(docs, group_col=group_col, **kw)
