@@ -134,3 +134,39 @@ def test_log2_bucket_property_random_values(spark):
         b = vi.bit_length() if vi > 0 else 0
         expect[b] = expect.get(b, 0) + 1
     assert got == expect
+
+
+def test_histogram_quantiles_random_histograms(spark):
+    """Property: on random bucket-count tables the quantile picker
+    matches a Python recompute of rank = ceil(p·N/100) and
+    first-bucket-with-cum>=rank, with est_hi = 2^b - 1."""
+    import datetime
+    import math
+    import random
+
+    from timebox_spark.operators import sketches as SK
+
+    rng = random.Random(13)
+    rows = []
+    hists = {}
+    for m in range(1, 5):
+        period = datetime.datetime(2024, m, 1)
+        buckets = sorted(rng.sample(range(0, 20), rng.randint(2, 8)))
+        hists[period] = {b: rng.randint(1, 500) for b in buckets}
+        for b, n in hists[period].items():
+            rows.append((period, b, n))
+    hist = spark.createDataFrame(rows, "period timestamp, bucket int, n long")
+    got = {
+        (r["period"], r["p"]): (r["rank"], r["est_hi"], r["cum"])
+        for r in SK.histogram_quantiles(hist).collect()
+    }
+    for period, h in hists.items():
+        total = sum(h.values())
+        for p in SK.QSKETCH_PS:
+            rank = math.floor((total * p + 99) / 100)
+            cum = 0
+            for b in sorted(h):
+                cum += h[b]
+                if cum >= rank:
+                    assert got[(period, p)] == (rank, 2**b - 1, cum)
+                    break

@@ -561,3 +561,33 @@ def test_curate_to_shards_end_to_end(spark, tmp_path):
         langs=("en", "es"), min_quality_q=0, min_tokens=3,
     ).collect()
     assert sorted(map(tuple, m1)) == sorted(map(tuple, m2))
+
+
+def test_mixture_rates_property_random_sizes(spark):
+    """Property: for random group sizes, every rate equals
+    floor(1e6·sqrt(n_min/n_g)), the min group's rate is exactly 1e6,
+    and rates are monotone decreasing in group size."""
+    import math
+    import random
+
+    from timebox_spark.operators.sampling import MIX_SCALE, mixture_rates
+
+    rng = random.Random(7)
+    sizes = {f"g{i}": rng.randint(1, 5000) for i in range(12)}
+    rows = [
+        (j, g) for g, n in sizes.items() for j in range(n)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = {
+        r["lang"]: r["rate_ppm"]
+        for r in mixture_rates(df, "lang").collect()
+    }
+    n_min = min(sizes.values())
+    for g, n in sizes.items():
+        assert got[g] == math.floor(
+            MIX_SCALE * math.sqrt(float(n_min)) / math.sqrt(float(n))
+        )
+    assert got[min(sizes, key=sizes.get)] == MIX_SCALE
+    ordered = sorted(sizes.items(), key=lambda kv: kv[1])
+    rates = [got[g] for g, _ in ordered]
+    assert rates == sorted(rates, reverse=True)
