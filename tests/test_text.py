@@ -591,3 +591,49 @@ def test_mixture_rates_property_random_sizes(spark):
     ordered = sorted(sizes.items(), key=lambda kv: kv[1])
     rates = [got[g] for g, _ in ordered]
     assert rates == sorted(rates, reverse=True)
+
+
+def test_hashed_scorers_unicode_tokens(spark):
+    """md5-based feature hashing agrees with the Python model on
+    accented/CJK/emoji tokens — the UTF-8-encoding assumption all
+    md5-portable operators share (Spark string→binary md5, DuckDB
+    md5(varchar), Python .encode())."""
+    import hashlib
+
+    from timebox_spark.operators import text as T
+
+    doc = "café 北京 straße ложка 🚀 naïve ℓ∞"
+
+    def py_score(d):
+        s = 0
+        for t in d.split():
+            b = (
+                int(hashlib.md5(f"{T.CLF_SALT}:{t}".encode()).hexdigest()[:8], 16)
+                % T.CLF_BUCKETS
+            )
+            s += (
+                int(hashlib.md5(f"w:{b}".encode()).hexdigest()[:8], 16)
+                % T.CLF_WRANGE
+                - (T.CLF_WRANGE - 1) // 2
+            )
+        return s
+
+    def py_vec(d):
+        half = (T.EMB_WRANGE - 1) // 2
+        return [
+            sum(
+                int(hashlib.md5(f"{t}:{i}".encode()).hexdigest()[:8], 16)
+                % T.EMB_WRANGE
+                - half
+                for t in d.split()
+            )
+            for i in range(T.EMB_DIM)
+        ]
+
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    row = df.select(
+        T.hashed_linear_score().alias("s"),
+        T.hashed_embedding().alias("v"),
+    ).collect()[0]
+    assert row["s"] == py_score(doc)
+    assert row["v"] == py_vec(doc)
