@@ -637,3 +637,32 @@ def test_hashed_scorers_unicode_tokens(spark):
     ).collect()[0]
     assert row["s"] == py_score(doc)
     assert row["v"] == py_vec(doc)
+
+
+def test_data_card_summarizes_corpus(spark):
+    """The datasheet's exact integers match independent recomputes:
+    doc/lang/source counts, token totals, and the exact-dup row
+    count."""
+    from tests.conftest import SF_SMOKE
+    from timebox_spark.operators import pipeline
+    from timebox_spark.plans.tables import load
+
+    docs = load(spark, SF_SMOKE, "documents")
+    card = {
+        (r["section"], r["key"]): r["value"]
+        for r in pipeline.data_card(docs).collect()
+    }
+    n = docs.count()
+    assert card[("size", "docs")] == n
+    langs = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for lg, cnt in langs.items():
+        assert card[("lang", lg)] == cnt
+    assert sum(v for (s, _), v in card.items() if s == "source") == n
+    from timebox_spark.operators.dedup import exact_dedup_stats
+
+    dup = exact_dedup_stats(docs).collect()[0]["n_dup_rows"]
+    assert card[("dedup", "exact_dup_rows")] == dup
+    assert card[("size", "tokens")] > 0

@@ -148,3 +148,68 @@ def curate_to_shards(
     train = curated.filter(F.col("split") == "train").select(id_col)
     kept = docs.join(train, id_col, "left_semi")
     return write_training_shards(kept, path, key=id_col, n_shards=n_shards)
+
+
+def data_card(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Dataset datasheet (Gebru et al., "Datasheets for Datasets"):
+    one labelled-metric table summarizing a corpus — sizes, token
+    totals, language mix, per-source counts, exact-duplication rate,
+    and quality-gate pass rate. The artifact a curation run publishes
+    next to its shards. Pure composition of the gated operators: two
+    corpus scans (one annotate pass + one fingerprint pass), both
+    map-side combining aggregations.
+
+    Returns rows (section, key, value): all values exact integers.
+    """
+    feats = text.token_features(
+        ensure_parallelism(docs).select(id_col, text_col, "lang", "source"),
+        text_col,
+    )
+    annotated = feats.select(
+        id_col,
+        "lang",
+        "source",
+        F.col("__nt").alias("nt"),
+        F.length(text_col).alias("nc"),
+        text.quality_score_q_from(
+            F.col("__nt"), F.col("__nsw"), F.col("__npunct")
+        ).alias("q"),
+        text.gopher_pass_from(
+            F.col("__toks"), F.col("__nt"), F.col("__nsw")
+        ).alias("gopher"),
+    )
+
+    def rows(section: str, key_col, value_col, src) -> DataFrame:
+        return src.select(
+            F.lit(section).alias("section"),
+            key_col.cast("string").alias("key"),
+            value_col.cast("long").alias("value"),
+        )
+
+    totals = annotated.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("nt").alias("tokens"),
+        F.sum("nc").alias("chars"),
+        F.sum("gopher").alias("gopher_pass"),
+        F.sum((F.col("q") >= 500_000).cast("long")).alias("quality_pass"),
+    )
+    size = totals.selectExpr(
+        "stack(5, 'docs', docs, 'tokens', tokens, 'chars', chars, "
+        "'gopher_pass', gopher_pass, 'quality_pass', quality_pass) "
+        "AS (key, value)"
+    ).select(F.lit("size").alias("section"), "key", F.col("value").cast("long"))
+    langs = rows(
+        "lang", F.col("lang"), F.col("n"),
+        annotated.groupBy("lang").agg(F.count(F.lit(1)).alias("n")),
+    )
+    sources = rows(
+        "source", F.col("source"), F.col("n"),
+        annotated.groupBy("source").agg(F.count(F.lit(1)).alias("n")),
+    )
+    dup = rows(
+        "dedup", F.lit("exact_dup_rows"), F.col("n_dup_rows"),
+        dedup.exact_dedup_stats(docs, text_col),
+    )
+    return size.unionByName(langs).unionByName(sources).unionByName(dup)
