@@ -87,7 +87,11 @@ def main() -> None:
         "query_id", "rank"
     ).show()
 
-    # 8. the capstone: one call from raw corpus to written training
+    # 8. the dataset datasheet a curation run publishes with its output
+    print("data card (exact corpus summary):")
+    pipeline.data_card(docs).orderBy("section", "key").show(12)
+
+    # 9. the capstone: one call from raw corpus to written training
     # shards (curate -> train split -> sorted shard files + manifest)
     import tempfile
 
