@@ -22,6 +22,70 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+def _descendants_of(root_pid: int) -> set[int]:
+    """All pids whose parent chain reaches root_pid (via /proc ppids)."""
+    ppid: dict[int, int] = {}
+    for p in os.listdir("/proc"):
+        if not p.isdigit():
+            continue
+        try:
+            with open(f"/proc/{p}/stat") as f:
+                # field 4 of /proc/pid/stat is ppid; comm (field 2) may
+                # contain spaces but is parenthesized — split after ')'
+                ppid[int(p)] = int(f.read().rsplit(")", 1)[1].split()[1])
+        except (OSError, ValueError, IndexError):
+            continue
+    out = {root_pid}
+    changed = True
+    while changed:
+        changed = False
+        for pid, par in ppid.items():
+            if par in out and pid not in out:
+                out.add(pid)
+                changed = True
+    return out
+
+
+def machine_load() -> dict:
+    """Machine-contention evidence for the bench JSON: loadavg plus
+    the number of java / spark-python processes NOT descended from
+    this bench run. A regression report without this is
+    indistinguishable from a noisy-neighbor report (the round-5
+    +38% across untouched queries)."""
+    load1, load5, load15 = os.getloadavg()
+    mine = _descendants_of(os.getpid())
+    other_java = other_pyspark = 0
+    for p in os.listdir("/proc"):
+        if not p.isdigit() or int(p) in mine:
+            continue
+        try:
+            with open(f"/proc/{p}/cmdline", "rb") as f:
+                argv = f.read().split(b"\0")
+        except OSError:
+            continue
+        if not argv or not argv[0]:
+            continue
+        # classify by the EXECUTABLE (argv[0] basename), not the full
+        # cmdline — arbitrary argv text (e.g. a prompt mentioning
+        # "java") must not count as a JVM
+        exe = os.path.basename(argv[0].decode(errors="replace")).lower()
+        rest = b" ".join(argv[1:]).decode(errors="replace").lower()
+        if exe.startswith("java"):
+            other_java += 1
+        elif exe.startswith("python") and (
+            "spark" in rest or "daemon.py" in rest
+        ):
+            other_pyspark += 1
+    return {
+        "load1": round(load1, 2),
+        "load5": round(load5, 2),
+        "load15": round(load15, 2),
+        "other_java_procs": other_java,
+        "other_pyspark_procs": other_pyspark,
+        "cpus": os.cpu_count(),
+    }
+
+
 from timebox_spark.plans import llm_queries as LQ
 from timebox_spark.plans import queries as Q
 from timebox_spark.plans.tables import load as tables_load
@@ -117,6 +181,10 @@ def main() -> None:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
         sf = -1.0
+    # sample BEFORE the JVM exists: load here is other people's load.
+    # load1 reacts within a minute of a neighbor starting; the
+    # other_*_procs counts catch long-running squatters.
+    load_start = machine_load()
     spark = get_spark(app_name="timebox-bench")
 
     # warm the JVM/codegen/committer once: a trivial action plus a tiny
@@ -166,8 +234,10 @@ def main() -> None:
     # slightly WORSE on an idle machine; medians alone are the fix.)
     n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     passes: list[dict[str, float]] = []
+    load_per_pass: list[dict] = []
     for _ in range(n_passes):
         passes.append(run_pass(sf_dir))
+        load_per_pass.append(machine_load())
 
     def median(vals: list[float]) -> float:
         s = sorted(vals)
@@ -199,10 +269,17 @@ def main() -> None:
     # not the exact-verify pair generator's known O(block²).
     from timebox_spark.operators import dedup as D
 
+    # record CC iteration count + per-round changed labels at 1× and
+    # 10× so a super-linear scale ratio can be attributed: rounds
+    # growing with corpus = diameter growth (switch to
+    # large-star/small-star); flat rounds = per-round work only.
+    cc_stats: dict[str, dict] = {}
+
     def cluster_minhash(spark, d):
         docs = tables_load(spark, d, "documents")
         pairs = D.minhash_dedup(docs, threshold=0.35)
-        return D.dedup_clusters(docs, pairs, id_col="doc_id")
+        st = cc_stats.setdefault("10x" if d == amp_dir else "1x", {})
+        return D.dedup_clusters(docs, pairs, id_col="doc_id", stats=st)
 
     # bigram-LM perplexity is the most shuffle-heavy round-5 text op
     # (bigram counts + context counts + prob-table join): measure its
@@ -239,6 +316,22 @@ def main() -> None:
     # under multi-batch load, not just in toy tests
     stream_stats = _stream_stress(spark, sf_dir)
 
+    load_end = machine_load()
+    samples = [load_start, *load_per_pass, load_end]
+    # contended when a foreign JVM / pyspark worker was alive at any
+    # sample, or the machine was already loaded before our JVM started
+    # (load1 > 25% of cores with nothing of ours running yet). Mid-run
+    # loadavg is dominated by our own 32 threads, so it can't be used
+    # as a foreign-load signal — the start sample and the process
+    # counts can.
+    contended = (
+        load_start["load1"] > 0.25 * (load_start["cpus"] or 1)
+        or any(
+            s["other_java_procs"] > 0 or s["other_pyspark_procs"] > 0
+            for s in samples
+        )
+    )
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -260,6 +353,13 @@ def main() -> None:
                     if timings.get(k) or scale_base.get(k)
                 },
                 "stream_stress": stream_stats,
+                "cc_rounds": cc_stats,
+                "machine": {
+                    "start": load_start,
+                    "per_pass": load_per_pass,
+                    "end": load_end,
+                },
+                "contended": contended,
                 "n_passes": n_passes,
                 "pass_totals": [round(sum(p.values()), 3) for p in passes],
                 "sf": sf,

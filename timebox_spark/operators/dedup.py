@@ -582,6 +582,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 20,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over near-dup pairs → duplicate clusters.
 
@@ -596,6 +597,15 @@ def connected_components(
 
     This is the cluster-resolution step a 100 TB dedup pipeline runs
     after pair generation (pick one canonical doc per component).
+
+    When ``stats`` is passed (a dict, mutated in place) the loop
+    records ``{"rounds": n, "changed_per_round": [...], "edges": m}``
+    so scale runs can show whether iteration count (graph diameter)
+    grows with corpus size — the diagnostic for switching to
+    large-star/small-star contraction. Stats mode counts ALL changed
+    labels per round instead of the limit(1) any-change probe, so it
+    costs one extra aggregate per round; leave stats=None on the
+    hot path.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -607,6 +617,10 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("node"))
     )
+    if stats is not None:
+        stats["edges"] = edges.count()
+        stats["changed_per_round"] = []
+        stats["rounds"] = 0
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -626,7 +640,12 @@ def connected_components(
             )
         )
         updated = updated.localCheckpoint(eager=True)
-        changed = updated.filter(F.col("__changed")).limit(1).count()
+        if stats is not None:
+            changed = updated.filter(F.col("__changed")).count()
+            stats["changed_per_round"].append(changed)
+            stats["rounds"] += 1
+        else:
+            changed = updated.filter(F.col("__changed")).limit(1).count()
         labels = updated.drop("__changed")
         if changed == 0:
             break
@@ -637,10 +656,12 @@ def dedup_clusters(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Canonical-doc assignment: every doc mapped to its cluster's min
-    id (docs with no near-dup map to themselves)."""
-    comp = connected_components(pairs)
+    id (docs with no near-dup map to themselves). ``stats`` is passed
+    through to :func:`connected_components`."""
+    comp = connected_components(pairs, stats=stats)
     return (
         df.select(F.col(id_col))
         .join(comp, df[id_col] == comp.node, "left")

@@ -27,12 +27,18 @@ from timebox_spark.operators.sampling import deterministic_split
 from timebox_spark.session import ensure_parallelism
 
 
+# shared gate default: curate() filters on it and data_card() reports
+# the pass rate against it — one constant so the datasheet can't
+# silently drift from the pipeline's actual threshold
+DEFAULT_MIN_QUALITY_Q = 500_000
+
+
 def curate(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     langs: tuple[str, ...] = ("en",),
-    min_quality_q: int = 500_000,
+    min_quality_q: int = DEFAULT_MIN_QUALITY_Q,
     min_tokens: int = 10,
     split_weights: dict[str, int] | None = None,
     gopher_gates: bool = False,
@@ -130,6 +136,7 @@ def curate_to_shards(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_shards: int = 8,
+    redact: bool = True,
     **curate_kwargs,
 ) -> DataFrame:
     """One-call corpus → training shards: ``curate`` (annotate → gate
@@ -139,7 +146,12 @@ def curate_to_shards(
     /root/reference/timebox/timebox.py:123). Returns the written-file
     manifest (per shard: rows + order digest). The kept id set is a
     pure function of the data, so a re-run over the same corpus
-    writes byte-identical shards."""
+    writes byte-identical shards.
+
+    ``redact=True`` (default) scrubs PII from the kept text before
+    the shard write, matching the streaming ingest's posture
+    (``streaming.ingest.curate_stream``); pass ``redact=False`` to
+    export raw text."""
     from timebox_spark.operators.sampling import write_training_shards
 
     curated = curate(
@@ -147,11 +159,18 @@ def curate_to_shards(
     )
     train = curated.filter(F.col("split") == "train").select(id_col)
     kept = docs.join(train, id_col, "left_semi")
+    if redact:
+        kept = kept.withColumn(text_col, text.redact(text_col))
     return write_training_shards(kept, path, key=id_col, n_shards=n_shards)
 
 
 def data_card(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality_q: int = DEFAULT_MIN_QUALITY_Q,
+    lang_col: str = "lang",
+    source_col: str = "source",
 ) -> DataFrame:
     """Dataset datasheet (Gebru et al., "Datasheets for Datasets"):
     one labelled-metric table summarizing a corpus — sizes, token
@@ -162,15 +181,20 @@ def data_card(
     map-side combining aggregations.
 
     Returns rows (section, key, value): all values exact integers.
+    ``min_quality_q`` / ``lang_col`` / ``source_col`` default to the
+    ``curate`` defaults — pass the same values a non-default curate
+    run used so the reported pass rate reflects the actual gate.
     """
     feats = text.token_features(
-        ensure_parallelism(docs).select(id_col, text_col, "lang", "source"),
+        ensure_parallelism(docs).select(
+            id_col, text_col, lang_col, source_col
+        ),
         text_col,
     )
     annotated = feats.select(
         id_col,
-        "lang",
-        "source",
+        F.col(lang_col).alias("lang"),
+        F.col(source_col).alias("source"),
         F.col("__nt").alias("nt"),
         F.length(text_col).alias("nc"),
         text.quality_score_q_from(
@@ -193,7 +217,9 @@ def data_card(
         F.sum("nt").alias("tokens"),
         F.sum("nc").alias("chars"),
         F.sum("gopher").alias("gopher_pass"),
-        F.sum((F.col("q") >= 500_000).cast("long")).alias("quality_pass"),
+        F.sum((F.col("q") >= min_quality_q).cast("long")).alias(
+            "quality_pass"
+        ),
     )
     size = totals.selectExpr(
         "stack(5, 'docs', docs, 'tokens', tokens, 'chars', chars, "

@@ -219,8 +219,12 @@ def write_training_shards(
     sorted file and Parquet's row order IS the export order (pinned
     by the read-back test). Returns the manifest: per shard, row
     count and the same overflow-safe permutation digest the q44
-    driver oracle checks, computed FROM THE WRITTEN FILES so the
-    manifest certifies what is actually on disk.
+    driver oracle checks, computed from a re-read of the written
+    files. The digest certifies shard MEMBERSHIP and the key→position
+    mapping under the canonical (shuffle_h, key) sort — it re-sorts
+    on read, so it is invariant to on-disk row order; the physical
+    row order itself is pinned by the read-back pytest
+    (tests/test_text.py), not by this digest.
     """
     from pyspark.sql import Window
 

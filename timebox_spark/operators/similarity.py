@@ -847,17 +847,22 @@ def ivf_int8_topk(
     cq, qq = _quantize_sides(corpus, queries, id_col, vec_col, query_id_col)
     if cmat is None:
         cmat = portable_ivf_train(cq, nlist, iters, id_col="vec_id", vec_col="__vq")
-    cb = _portable_ivf_assign(cq, cmat, "vec_id", "__vq", nprobe=1)
-    qb = _portable_ivf_assign(qq, cmat, query_id_col, "__qq", nprobe=nprobe)
+    # encode int8 codes ONCE PER VECTOR before the cluster join (the
+    # store-the-codes posture: candidates×dim work if derived inside
+    # the post-join projection), same as portable_int8_topk
+    cb = _portable_ivf_assign(cq, cmat, "vec_id", "__vq", nprobe=1).select(
+        "vec_id", "cluster", int8_vec(F.col("__vq")).alias("__v8")
+    )
+    qb = _portable_ivf_assign(
+        qq, cmat, query_id_col, "__qq", nprobe=nprobe
+    ).select(query_id_col, "cluster", int8_vec(F.col("__qq")).alias("__q8"))
     cand = (
         cb.join(F.broadcast(qb), "cluster")
         .filter(F.col("vec_id") != F.col(query_id_col))
         .select(
             F.col(query_id_col),
             F.col("vec_id").alias("neighbor_id"),
-            _dot_long(
-                int8_vec(F.col("__vq")), int8_vec(F.col("__qq"))
-            ).alias("cosine_q"),
+            _dot_long(F.col("__v8"), F.col("__q8")).alias("cosine_q"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(

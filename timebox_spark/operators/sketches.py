@@ -118,9 +118,12 @@ def histogram_quantiles(
     pdf = cum.sparkSession.createDataFrame(
         [(int(p),) for p in ps], "p int"
     )
+    # integer `div`, NOT floor(double /): the double path loses
+    # exactness once total*p exceeds 2^53, silently diverging from the
+    # DuckDB oracle's integer // at extreme scale
     ranked = cum.crossJoin(F.broadcast(pdf)).withColumn(
         "rank",
-        F.floor((F.col("total") * F.col("p") + 99) / 100).cast("long"),
+        F.expr("(total * p + 99) div 100").cast("long"),
     )
     wp = Window.partitionBy("period", "p").orderBy("bucket")
     return (

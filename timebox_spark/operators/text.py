@@ -118,6 +118,36 @@ def quality_score_q(col: str = "text", scale: int = 1_000_000) -> Column:
     return F.round(score * F.lit(float(scale))).cast("long")
 
 
+def _argmax_lang(counts: dict[str, Column], zero: Column) -> Column:
+    """Single-copy argmax over per-language count expressions.
+
+    Each count subtree appears EXACTLY ONCE: the counts go into an
+    array of (count, -index, lang) structs and ``array_max``'s
+    lexicographic struct compare picks max count with ties to the
+    earlier language code — the same ladder as a
+    greatest(...)+CASE chain, at 1/(2·|langs|) of the expression-tree
+    size (the duplicated-subtree shape made q20 the most expensive
+    text query). A trailing ('und', count 0, index sentinel +1) entry
+    wins exactly when every real count is 0, folding the old
+    ``WHEN best = 0 THEN 'und'`` guard into the same single
+    ``array_max``. Values are bit-identical to the old ladder (same
+    comparisons, same float-sum order), so the DuckDB oracle mirror
+    is unchanged."""
+    langs = sorted(counts)
+    entries = [
+        F.struct(
+            counts[lg].alias("c"),
+            F.lit(-i).alias("ni"),
+            F.lit(lg).alias("lang"),
+        )
+        for i, lg in enumerate(langs)
+    ]
+    entries.append(
+        F.struct(zero.alias("c"), F.lit(1).alias("ni"), F.lit("und").alias("lang"))
+    )
+    return F.array_max(F.array(*entries))["lang"]
+
+
 def lang_id(col: str = "text") -> Column:
     """Marker-word language id: per language, count marker-word hits;
     argmax wins, ties broken by language code order. Deterministic and
@@ -125,13 +155,7 @@ def lang_id(col: str = "text") -> Column:
     counts = {
         lang: _words_hits(col, words) for lang, words in LANG_MARKERS.items()
     }
-    langs = sorted(LANG_MARKERS)
-    best = F.greatest(*[counts[lg] for lg in langs])
-    expr = F.lit("und")
-    # build reversed so earlier languages win ties
-    for lg in reversed(langs):
-        expr = F.when(counts[lg] == best, F.lit(lg)).otherwise(expr)
-    return F.when(best == 0, F.lit("und")).otherwise(expr)
+    return _argmax_lang(counts, F.lit(0))
 
 
 def _substr_count(col: str, pat: str) -> Column:
@@ -154,12 +178,7 @@ def lang_id_ngram(col: str = "text") -> Column:
         )
         for lang, pats in LANG_TRIGRAMS.items()
     }
-    langs = sorted(LANG_TRIGRAMS)
-    best = F.greatest(*[counts[lg] for lg in langs])
-    expr = F.lit("und")
-    for lg in reversed(langs):  # earlier languages win ties
-        expr = F.when(counts[lg] == best, F.lit(lg)).otherwise(expr)
-    return F.when(best == 0, F.lit("und")).otherwise(expr)
+    return _argmax_lang(counts, F.lit(0.0))
 
 
 def fingerprint(col: str = "text") -> Column:
