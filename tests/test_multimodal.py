@@ -127,6 +127,22 @@ def test_png_all_filters_decode():
     assert np.array_equal(multimodal.decode_image(png), px)
 
 
+def test_png_foreign_all_paeth_average_decode():
+    """Golden foreign-encoder shape: every row Paeth (then every row
+    Average) on a larger image — drives the vectorized x-scan
+    unfilter path against the spec-side filter formulas."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    px = rng.integers(0, 256, size=(24, 31, 3), dtype=np.uint8)
+    for f in (3, 4):
+        png = _spec_filtered_png(px, [f] * px.shape[0])
+        assert np.array_equal(multimodal.decode_image(png), px)
+    rgba = rng.integers(0, 256, size=(9, 7, 4), dtype=np.uint8)
+    png = _spec_filtered_png(rgba, [4, 3] * 4 + [4])
+    assert np.array_equal(multimodal.decode_image(png), rgba[:, :, :3])
+
+
 def test_png_rgba_drops_alpha():
     import numpy as np
 

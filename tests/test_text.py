@@ -666,3 +666,136 @@ def test_data_card_summarizes_corpus(spark):
     dup = exact_dedup_stats(docs).collect()[0]["n_dup_rows"]
     assert card[("dedup", "exact_dup_rows")] == dup
     assert card[("size", "tokens")] > 0
+
+
+def _ref_bpe(words: list[str], n_merges: int):
+    """Independent pure-Python BPE trainer (classic dict loop) with
+    the same contract: max pair count, tie-break (a, b) asc, greedy
+    leftmost-non-overlapping merge application."""
+    vocab: dict[tuple, int] = {}
+    for w in words:
+        vocab[tuple(w)] = vocab.get(tuple(w), 0) + 1
+    merges = []
+    for _ in range(n_merges):
+        counts: dict[tuple, int] = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = (
+                    counts.get((syms[i], syms[i + 1]), 0) + f
+                )
+        if not counts:
+            break
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, n))
+        nv: dict[tuple, int] = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nv[tuple(out)] = nv.get(tuple(out), 0) + f
+        vocab = nv
+    return merges, vocab
+
+
+def test_bpe_train_matches_reference(spark):
+    """Full trainer vs the independent Python reference on a corpus
+    with engineered ties and self-overlapping runs (aaa + (a,a) must
+    merge greedily to [aa, a])."""
+    from timebox_spark.operators import text as T
+
+    words = (
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+        + ["aaa"] * 4 + ["go", "og"] * 3
+    )
+    docs = spark.createDataFrame(
+        [(i, " ".join(words[i::4])) for i in range(4)],
+        "doc_id long, text string",
+    )
+    exp_merges, exp_vocab = _ref_bpe(words, 6)
+    got_merges, got_vocab = T.bpe_train(docs, n_merges=6)
+    assert got_merges == exp_merges
+    exp_tokens = sum(len(s) * f for s, f in exp_vocab.items())
+    summary = {
+        (r["round"], r["a"], r["b"]): r["n"]
+        for r in T.bpe_train_summary(docs, n_merges=6).collect()
+    }
+    assert summary[(0, "<tokens>", "")] == exp_tokens
+
+
+def test_apply_bpe_matches_reference(spark):
+    from timebox_spark.operators import text as T
+
+    words = ["aaa", "aaaa", "banana", "low", "lowest"]
+    docs = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id long, text string"
+    )
+    merges, _ = T.bpe_train(docs, n_merges=4)
+
+    def ref_apply(w):
+        syms = list(w)
+        for a, b, _ in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    got = docs.select(T.apply_bpe("text", merges).alias("t")).collect()[0]["t"]
+    exp = [s for w in words for s in ref_apply(w)]
+    assert got == exp
+
+
+def test_line_dedup_planted(spark):
+    """Cross-document repeated lines are dropped from ALL docs;
+    unique lines survive and reassemble in original order."""
+    import hashlib
+
+    from timebox_spark.operators import dedup as D
+
+    rows = [
+        (0, "keep zero\nboilerplate footer\nunique tail"),
+        (1, "keep one\nboilerplate footer"),
+        (2, "boilerplate footer"),
+        (3, "all unique here\nand here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["kept_fp"])
+        for r in D.line_dedup(docs, F.split("text", "\n")).collect()
+    }
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert got[0] == (3, 2, md5("keep zero\nunique tail"))
+    assert got[1] == (2, 1, md5("keep one"))
+    assert got[2] == (1, 0, md5(""))
+    assert got[3] == (2, 2, md5("all unique here\nand here"))
+
+
+def test_chunk_lines_shapes(spark):
+    from timebox_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f g h i j"), (1, "x"), (2, "p q r s t u v w")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["lines"]
+        for r in docs.select(
+            "doc_id", D.chunk_lines("text", 4).alias("lines")
+        ).collect()
+    }
+    assert got[0] == ["a b c d", "e f g h", "i j"]
+    assert got[1] == ["x"]
+    assert got[2] == ["p q r s", "t u v w"]

@@ -105,3 +105,21 @@ class CurationAPI:
         from timebox_spark.operators.sampling import mixture_sample
 
         return mixture_sample(docs, group_col=group_col, **kw)
+
+    def dedup_lines(self, docs: DataFrame, lines_col=None, **kw) -> DataFrame:
+        """RefinedWeb-style cross-document line removal; defaults to
+        newline lines of the ``text`` column."""
+        from pyspark.sql import functions as F
+
+        from timebox_spark.operators.dedup import line_dedup
+
+        if lines_col is None:
+            lines_col = F.split("text", "\n")
+        return line_dedup(docs, lines_col, **kw)
+
+    def train_bpe(self, docs: DataFrame, **kw):
+        """Train a BPE merge list on the corpus; returns (merges,
+        final vocab). Tokenize with functions.apply_bpe(merges)."""
+        from timebox_spark.operators.text import bpe_train
+
+        return bpe_train(docs, **kw)

@@ -17,7 +17,9 @@ from timebox_spark.operators.kernels import (
 )
 from timebox_spark.operators.resample import interval_us, time_bucket
 from timebox_spark.operators.similarity import cosine, int8_vec, quantized_vec
+from timebox_spark.operators.dedup import chunk_lines
 from timebox_spark.operators.text import (
+    apply_bpe,
     bpe_ish_token_count,
     fingerprint,
     hashed_linear_score,
@@ -39,6 +41,8 @@ __all__ = [
     "cosine",
     "token_count",
     "bpe_ish_token_count",
+    "apply_bpe",
+    "chunk_lines",
     "punct_count",
     "stopword_count",
     "quality_score_q",

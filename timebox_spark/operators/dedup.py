@@ -915,6 +915,177 @@ def embedding_near_dups_lsh(
     )
 
 
+# portable LSH near-dup contract constants — the q27 'lsh' oracle SQL
+# is generated from these same values (plans/suites.py)
+NEARDUP_LSH_TABLES = 4
+NEARDUP_LSH_PLANES = 6  # 64 buckets/table: candidates ~ N²/16, recall ~95% @0.95
+NEARDUP_THRESHOLD_Q = 950_000_000  # 0.95 at the 1e-9 cosine quantization
+NEARDUP_TOP_N = 20
+
+
+def portable_embedding_near_dups_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold_q: int = NEARDUP_THRESHOLD_Q,
+    top_n: int = NEARDUP_TOP_N,
+    tables: int = NEARDUP_LSH_TABLES,
+    planes: int = NEARDUP_LSH_PLANES,
+    dim: int = 64,
+) -> DataFrame:
+    """Engine-portable LSH near-dup pairs: the same OR-amplified
+    hyperplane candidate generation as ``embedding_near_dups_lsh``,
+    but with the literal ±1 plane family from
+    ``similarity.lsh_plane_signs`` and the quantized integer cosine —
+    every bucket, candidate, and score is a pure BIGINT/IEEE-double
+    computation the DuckDB oracle re-derives bit-for-bit (driver key
+    q27's 'lsh' member).
+
+    Emits pairs at ``cosine_q >= threshold_q`` plus the global
+    ``top_n`` closest candidate pairs (cosine_q desc, id tie-break) so
+    the output is non-vacuous on corpora with no true near-dups —
+    same reporting contract as ``embedding_near_dups``'s keep_top_n.
+    Top-n is a TakeOrdered (distributed heads, no single-partition
+    window); candidates are bucket equi-joins, never all-pairs."""
+    from timebox_spark.operators.similarity import (
+        _cosine_q_portable,
+        portable_bucket_array,
+        quantized_vec,
+    )
+
+    base = ensure_parallelism(
+        df.select(
+            F.col(id_col).alias("vec_id"),
+            quantized_vec(F.col(vec_col)).alias("__vq"),
+        )
+    )
+    bucketed = base.select(
+        "vec_id",
+        "__vq",
+        F.posexplode(
+            portable_bucket_array(
+                F.col("__vq"), tables=tables, planes=planes, dim=dim
+            )
+        ).alias("tbl", "bkt"),
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("a.__vq").alias("__va"),
+            F.col("b.__vq").alias("__vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])  # collapse multi-table hits
+    )
+    scored = cand.select(
+        "id_a",
+        "id_b",
+        _cosine_q_portable(F.col("__va"), F.col("__vb")).alias("cosine_q"),
+    )
+    thr = scored.filter(F.col("cosine_q") >= F.lit(threshold_q))
+    top = scored.orderBy(F.desc("cosine_q"), "id_a", "id_b").limit(top_n)
+    return thr.unionByName(top).dropDuplicates(["id_a", "id_b"])
+
+
+# ------------------------------------------------------------- line dedup
+
+def chunk_lines(
+    col: str = "text", tokens_per_line: int = 8
+) -> "F.Column":
+    """Whitespace-token stream → array of pseudo-lines of
+    ``tokens_per_line`` tokens each (last line ragged). Corpora with
+    real newlines pass ``F.split(col, '\\n')`` to line_dedup directly;
+    the driver's documents table is single-line word soup, so the
+    q23 'lines' member manufactures deterministic line boundaries
+    from the token stream instead."""
+    toks = F.split(F.col(col), " ", -1)
+    n_lines = F.ceil(F.size(toks) / F.lit(tokens_per_line)).cast("long")
+    # F.sequence DESCENDS when the bound is below the start (empty
+    # text): guard to an empty array instead
+    return F.when(F.size(toks) == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), n_lines - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * tokens_per_line + 1, tokens_per_line), " "
+            ),
+        )
+    )
+
+
+def line_dedup(
+    docs: DataFrame,
+    lines_col,
+    id_col: str = "doc_id",
+    max_df: int = 1,
+) -> DataFrame:
+    """RefinedWeb-style line-level dedup (Penedo et al. 2023 §3.3,
+    arXiv:2306.01116): drop every line whose exact fingerprint occurs
+    in more than ``max_df`` distinct documents (ALL copies dropped),
+    keep the rest, and reassemble each document in original line
+    order. ``lines_col`` is a Column producing array<string> lines
+    (``F.split(text, '\\n')`` for real lines, ``chunk_lines`` for
+    token-chunk pseudo-lines).
+
+    Plan: one explode scan → line-fingerprint aggregate
+    (countDistinct doc, map-side combined) → semi-join back →
+    per-doc reassembly via array_sort over (pos, line) structs. Two
+    shuffles on the md5 key / doc id — uniform by construction; no
+    corpus-sized window, no all-pairs. The common-line table at 100 TB
+    is Zipf-shaped but the aggregate is a plain combine-reduce, so hot
+    fingerprints cost one combiner row per partition.
+
+    Returns (id, n_lines, n_kept, kept_fp) with kept_fp = md5 of the
+    newline-rejoined kept lines ('' joins to md5("") for fully-dropped
+    docs — deterministic on both engines).
+    """
+    lines = docs.select(
+        F.col(id_col), F.posexplode(lines_col).alias("pos", "line")
+    ).withColumn("__fp", F.md5(F.encode(F.col("line"), "UTF-8")))
+    df_counts = (
+        lines.groupBy("__fp")
+        .agg(F.countDistinct(id_col).alias("__df"))
+        .filter(F.col("__df") <= max_df)
+        .select("__fp")
+    )
+    kept = lines.join(df_counts, "__fp", "left_semi")
+    reassembled = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.encode(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "line"))
+                        ),
+                        lambda s: s["line"],
+                    ),
+                    "\n",
+                ),
+                "UTF-8",
+            )
+        ).alias("kept_fp"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        totals.join(reassembled, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_lines"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            F.coalesce(
+                F.col("kept_fp"), F.md5(F.encode(F.lit(""), "UTF-8"))
+            ).alias("kept_fp"),
+        )
+    )
+
+
 def _dot(x, y):
     return F.aggregate(
         F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),

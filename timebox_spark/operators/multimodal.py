@@ -132,13 +132,13 @@ def _decode_png(b: bytes):
     all five scanline filters (None/Sub/Up/Average/Paeth) per the PNG
     spec §4.5-4.6. Sub is a mod-256 cumulative sum per channel (full
     numpy); Average/Paeth carry a left-neighbor dependency that is
-    inherently sequential, so the pure-numpy path loops per byte —
-    fine for the thumbnail/frame sizes this kernel targets, but a
-    corpus of large foreign Paeth-filtered PNGs should go through the
-    Pillow fast path, which is used automatically when importable
-    (identical output: both implement the same spec recon). Our own
-    encoder emits filter 0 only, which never hits the slow path.
-    RGBA alpha is dropped (features are RGB-based)."""
+    inherently sequential in x, so the pure-numpy path scans each row
+    once with the 3-4 channels vectorized per step (w iterations per
+    row, not w·ch per-byte work). The Pillow fast path is still used
+    automatically when importable (identical output: both implement
+    the same spec recon). Our own encoder emits filter 0 only, which
+    never hits the scan. RGBA alpha is dropped (features are
+    RGB-based)."""
     import struct
     import zlib
 
@@ -188,21 +188,32 @@ def _decode_png(b: bytes):
             rec = (line.reshape(w, ch).cumsum(axis=0) % 256).reshape(-1)
         elif f == 2:  # Up
             rec = (line + prev) % 256
-        elif f == 3:  # Average
-            rec = np.zeros(w * ch, dtype=np.int64)
-            for i in range(w * ch):
-                a = rec[i - ch] if i >= ch else 0
-                rec[i] = (line[i] + (a + prev[i]) // 2) % 256
-        elif f == 4:  # Paeth
-            rec = np.zeros(w * ch, dtype=np.int64)
-            for i in range(w * ch):
-                a = int(rec[i - ch]) if i >= ch else 0
-                up = int(prev[i])
-                c = int(prev[i - ch]) if i >= ch else 0
+        elif f == 3:  # Average: x-sequential, channels vectorized
+            ln2 = line.reshape(w, ch)
+            pv2 = prev.reshape(w, ch)
+            rec2 = np.zeros((w, ch), dtype=np.int64)
+            a = np.zeros(ch, dtype=np.int64)
+            for x in range(w):
+                a = (ln2[x] + (a + pv2[x]) // 2) % 256
+                rec2[x] = a
+            rec = rec2.reshape(-1)
+        elif f == 4:  # Paeth: sequential only in x; channels vectorize
+            ln2 = line.reshape(w, ch)
+            pv2 = prev.reshape(w, ch)
+            rec2 = np.zeros((w, ch), dtype=np.int64)
+            a = np.zeros(ch, dtype=np.int64)
+            c = np.zeros(ch, dtype=np.int64)
+            for x in range(w):
+                up = pv2[x]
                 p = a + up - c
-                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
-                rec[i] = (line[i] + pred) % 256
+                pa, pb, pc = np.abs(p - a), np.abs(p - up), np.abs(p - c)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, up, c)
+                )
+                a = (ln2[x] + pred) % 256
+                rec2[x] = a
+                c = up
+            rec = rec2.reshape(-1)
         else:
             raise ValueError(f"bad PNG filter type {f}")
         out[y] = rec.astype(np.uint8)

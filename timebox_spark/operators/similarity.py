@@ -391,6 +391,49 @@ def portable_cosine_topk(
     return _score_topk_portable(cand, k, query_id_col)
 
 
+def portable_bucket_array(
+    vq,
+    tables: int = ANN_TABLES,
+    planes: int = ANN_PLANES,
+    dim: int = ANN_DIM,
+):
+    """Array of per-table LSH buckets for a quantized vector:
+    bucket_t = Σ_p weight_p · [dot(vq, plane_{t,p}) > 0], with the
+    literal ±1 hyperplanes from ``lsh_plane_signs`` — a pure BIGINT
+    computation both engines reproduce bit-for-bit.
+
+    The sign tensor rides as ONE nested-array Literal and all
+    tables×planes projections are a single nested higher-order
+    expression (transform over tables → zip_with planes/bit-weights →
+    inner integer dot), keeping the Catalyst tree small (see
+    portable_lsh_topk's plan-compile note)."""
+    signs = lsh_plane_signs(tables, planes, dim)
+    planes_lit = F.lit(
+        [[[int(s) for s in pl] for pl in tbl] for tbl in signs]
+    ).cast("array<array<array<long>>>")
+    weights_lit = F.lit([1 << p for p in range(planes)]).cast("array<long>")
+    return F.transform(
+        planes_lit,
+        lambda tbl: F.aggregate(
+            F.zip_with(
+                tbl,
+                weights_lit,
+                lambda plane, wt: F.when(
+                    F.aggregate(
+                        F.zip_with(vq, plane, lambda v, s: v * s),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    )
+                    > 0,
+                    wt,
+                ).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
 def portable_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -416,34 +459,8 @@ def portable_lsh_topk(
     nodes, which is what dominated the q29 suite's wall time (every
     DataFrame step re-analyzes the whole tree; plan compile, not
     execution — suites.py note)."""
-    signs = lsh_plane_signs(tables, planes, dim)
-    planes_lit = F.lit(
-        [[[int(s) for s in pl] for pl in tbl] for tbl in signs]
-    ).cast("array<array<array<long>>>")
-    weights_lit = F.lit([1 << p for p in range(planes)]).cast("array<long>")
-
     def bucket_array(vq):
-        """array of per-table buckets: Σ_p weight_p · [dot(vq, plane_p) > 0]."""
-        return F.transform(
-            planes_lit,
-            lambda tbl: F.aggregate(
-                F.zip_with(
-                    tbl,
-                    weights_lit,
-                    lambda plane, wt: F.when(
-                        F.aggregate(
-                            F.zip_with(vq, plane, lambda v, s: v * s),
-                            F.lit(0).cast("long"),
-                            lambda acc, x: acc + x,
-                        )
-                        > 0,
-                        wt,
-                    ).otherwise(F.lit(0).cast("long")),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ),
-        )
+        return portable_bucket_array(vq, tables=tables, planes=planes, dim=dim)
 
     def with_buckets(df, idc, vecc):
         return df.select(

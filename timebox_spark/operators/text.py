@@ -672,6 +672,149 @@ def bpe_pair_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# full BPE trainer constants (shared with the q21 DuckDB oracle)
+BPE_SEP = "\x1f"  # symbol delimiter; TOKEN_RE words must not contain it
+BPE_MERGES = 8
+
+
+def _bpe_seq0(w) -> Column:
+    """Word → delimited symbol string: every char c becomes ␟c␟, so
+    the sequence [h,e,y] is '␟h␟␟e␟␟y␟'. Symbols never contain the
+    delimiter, so a merge (a,b) is the LITERAL string replacement
+    ␟a␟␟b␟ → ␟ab␟ — and because replace() is leftmost
+    non-overlapping in every engine, one replace call IS the greedy
+    left-to-right BPE merge application (e.g. aaa + (a,a) → aa,a)."""
+    return F.regexp_replace(w, "(.)", BPE_SEP + "$1" + BPE_SEP)
+
+
+def _bpe_syms(seq) -> Column:
+    return F.split(F.btrim(seq, F.lit(BPE_SEP)), BPE_SEP + BPE_SEP)
+
+
+def _bpe_vocab(df: DataFrame, text_col: str) -> DataFrame:
+    """Corpus → (seq, freq) word-frequency table with words in
+    delimited-symbol form — the ONE corpus scan; every merge round
+    after this touches only the vocab-sized table."""
+    return (
+        df.select(F.explode(_tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(_bpe_seq0(F.col("w")).alias("seq"), "freq")
+    )
+
+
+def _bpe_pair_counts_from(vocab: DataFrame) -> DataFrame:
+    syms = _bpe_syms(F.col("seq"))
+    pairs = F.when(
+        F.size(syms) < 2, F.array().cast("array<struct<a:string,b:string>>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(2), F.size(syms)),
+            lambda i: F.struct(
+                F.element_at(syms, i - 1).alias("a"),
+                F.element_at(syms, i).alias("b"),
+            ),
+        )
+    )
+    return (
+        vocab.select("freq", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("freq").alias("n"))
+    )
+
+
+def bpe_train(
+    df: DataFrame, text_col: str = "text", n_merges: int = BPE_MERGES
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Full iterative BPE tokenizer training (Sennrich et al. 2016):
+    N merge rounds over the word-frequency table. Each round is one
+    pair-count aggregate over the vocab (NOT the corpus), a
+    TakeOrdered(1) best-pair pick (max count, tie-break (a, b) asc —
+    the deterministic contract the oracle mirrors), and a map-only
+    literal string replacement applying the merge (see _bpe_seq0 for
+    why replace() is exactly the greedy merge). localCheckpoint per
+    round keeps lineage O(1) so round r doesn't replay rounds 0..r-1.
+
+    At 100 TB: the corpus is scanned once into the vocab; each round
+    shuffles a vocab-sized pair table and collects ONE row — the
+    standard scalable BPE trainer shape. Returns (merges, final
+    vocab) where merges = [(a, b, count), ...] in training order.
+    """
+    vocab = _bpe_vocab(df, text_col).localCheckpoint(eager=True)
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        best = (
+            _bpe_pair_counts_from(vocab)
+            .orderBy(F.desc("n"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, n = best[0]["a"], best[0]["b"], int(best[0]["n"])
+        merges.append((a, b, n))
+        pat = BPE_SEP + a + BPE_SEP + BPE_SEP + b + BPE_SEP
+        rep = BPE_SEP + a + b + BPE_SEP
+        vocab = vocab.withColumn(
+            "seq", F.replace(F.col("seq"), F.lit(pat), F.lit(rep))
+        ).localCheckpoint(eager=True)
+    return merges, vocab
+
+
+def apply_bpe(col, merges: list[tuple[str, str, int]]) -> Column:
+    """Tokenize with a trained merge list: whitespace words → char
+    symbols → the merges applied in training order (each one literal
+    replace on the delimited form) → flattened sub-word token array.
+    Map-only column expression; ship the N-entry merge list as plan
+    literals (broadcast-by-value)."""
+
+    def fold(seq):
+        for a, b, _ in merges:
+            seq = F.replace(
+                seq,
+                F.lit(BPE_SEP + a + BPE_SEP + BPE_SEP + b + BPE_SEP),
+                F.lit(BPE_SEP + a + b + BPE_SEP),
+            )
+        return seq
+
+    return F.flatten(
+        F.transform(_tokens(col), lambda w: _bpe_syms(fold(_bpe_seq0(w))))
+    )
+
+
+def bpe_train_summary(
+    df: DataFrame, text_col: str = "text", n_merges: int = BPE_MERGES
+) -> DataFrame:
+    """Driver-gated digest of the full trainer: one row per learned
+    merge (round, a, b, pair count) plus a 'tokens' row with the
+    corpus token count after all merges (Σ freq·n_syms over the final
+    vocab) — the end-to-end evidence that training AND application
+    agree with the oracle's independently recomputed merge sequence."""
+    merges, vocab = bpe_train(df, text_col, n_merges)
+    spark = df.sparkSession
+    mrows = spark.createDataFrame(
+        [(i + 1, a, b, n) for i, (a, b, n) in enumerate(merges)],
+        "round int, a string, b string, n long",
+    )
+    n_syms = (
+        (
+            F.length("seq")
+            - F.length(F.replace(F.col("seq"), F.lit(BPE_SEP + BPE_SEP)))
+        )
+        / 2
+        + 1
+    ).cast("long")
+    tokens = vocab.agg(
+        F.sum(F.col("freq") * n_syms).alias("total")
+    ).select(
+        F.lit(0).alias("round"),
+        F.lit("<tokens>").alias("a"),
+        F.lit("").alias("b"),
+        F.col("total").alias("n"),
+    )
+    return mrows.unionByName(tokens)
+
+
 # repetition-gate constants (shared with the q21 DuckDB oracle)
 REP_TOP_K = 20
 

@@ -63,9 +63,9 @@ def _topk(src: str, qid: str = "query_id") -> str:
     ) WHERE rank <= {ANN_K}"""
 
 
-def _bucket(v: str, t: int, signs) -> str:
+def _bucket(v: str, t: int, signs, planes: int = ANN_PLANES) -> str:
     terms = []
-    for p in range(ANN_PLANES):
+    for p in range(planes):
         arr = "[" + ", ".join(str(s) for s in signs[t][p]) + "]"
         proj = (
             f"list_sum(list_transform(range(1, {ANN_DIM + 1}),"
@@ -177,6 +177,18 @@ i8_s AS (
   FROM i8 e CROSS JOIN qi8 q WHERE e.vec_id <> q.query_id
 ),
 i8_k AS ({_topk('i8_s')}),
+-- composed IVF+int8 (similarity.ivf_int8_topk, IVFx,SQ8-style): the
+-- SAME probe-join candidates as ivf_k, scored in the int8 compressed
+-- domain — candidate generation and scoring both re-derived
+ii_s AS (
+  SELECT qp.query_id, af.vec_id AS neighbor_id,
+         CAST({_dot('ev.v8', 'qv.q8')} AS BIGINT) AS cosine_q
+  FROM af JOIN qp ON af.j = qp.j
+  JOIN i8 ev ON ev.vec_id = af.vec_id
+  JOIN qi8 qv ON qv.query_id = qp.query_id
+  WHERE af.vec_id <> qp.query_id
+),
+ii_k AS ({_topk('ii_s')}),
 -- hard-negative mining (similarity.portable_hard_negatives): closest
 -- corpus vectors with a DIFFERENT label, same quantized-cosine rank
 el AS (SELECT eq.vec_id, eq.v, e.label FROM eq JOIN embeddings e USING (vec_id)),
@@ -208,6 +220,13 @@ ivf_rec AS (
   FROM qids q LEFT JOIN (
     SELECT l.query_id, l.neighbor_id
     FROM ivf_k l JOIN ex_k e ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+  ) x ON x.query_id = q.query_id GROUP BY q.query_id
+),
+ii_rec AS (
+  SELECT q.query_id, CAST(count(x.neighbor_id) AS BIGINT) AS hits
+  FROM qids q LEFT JOIN (
+    SELECT l.query_id, l.neighbor_id
+    FROM ii_k l JOIN ex_k e ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
   ) x ON x.query_id = q.query_id GROUP BY q.query_id
 ),
 -- SemDeDup (arXiv:2303.09540) over the SAME trained index: within
@@ -255,6 +274,10 @@ UNION ALL
 SELECT 'int8', query_id, rank, neighbor_id, cosine_q FROM i8_k
 UNION ALL
 SELECT 'int8_recall', query_id, CAST(0 AS INTEGER), CAST(-1 AS BIGINT), hits FROM i8_rec
+UNION ALL
+SELECT 'ivf_int8', query_id, rank, neighbor_id, cosine_q FROM ii_k
+UNION ALL
+SELECT 'ivf_int8_recall', query_id, CAST(0 AS INTEGER), CAST(-1 AS BIGINT), hits FROM ii_rec
 UNION ALL
 SELECT 'semdedup', j, CAST(n_pruned AS INTEGER), n, digest FROM sem
 """

@@ -69,6 +69,15 @@ def q21_text_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     bpe = T.bpe_pair_counts(docs).select(
         F.lit("bpe").alias("chk"), F.col("pair").alias("k"), "n"
     )
+    # full trainer: the N learned merges in order + post-merge corpus
+    # token total (text.bpe_train / bpe_train_summary)
+    bpem = T.bpe_train_summary(docs).select(
+        F.lit("bpe_merges").alias("chk"),
+        F.concat_ws(
+            ":", F.col("round").cast("string"), F.col("a"), F.col("b")
+        ).alias("k"),
+        F.col("n"),
+    )
     rep = T.repetition_topk(docs).select(
         F.lit("rep").alias("chk"),
         F.col("doc_id").cast("string").alias("k"),
@@ -85,6 +94,7 @@ def q21_text_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(clf)
         .unionByName(ppl)
         .unionByName(bpe)
+        .unionByName(bpem)
         .unionByName(rep)
         .unionByName(kl)
     )
@@ -225,6 +235,62 @@ SELECT pair, n FROM (
 """
 
 
+def _bpe_merges_sql() -> str:
+    """DuckDB mirror of text.bpe_train: the N merge rounds unrolled
+    as CTE layers — same delimited-symbol representation, same
+    (count desc, a, b) best-pair rule, same leftmost-non-overlapping
+    replace() as the greedy merge application — plus the final-vocab
+    token total. An engine-side drift in ANY round shifts every later
+    round and breaks the hash."""
+    from timebox_spark.operators import text as T
+
+    sep = "chr(31)"
+    sep2 = f"({sep} || {sep})"
+    parts = [
+        f"""v0 AS (
+  SELECT regexp_replace(w, '(.)', {sep} || '\\1' || {sep}, 'g') AS seq,
+         CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(regexp_extract_all(text, '{T.TOKEN_RE}')) AS w
+        FROM documents)
+  GROUP BY 1
+)"""
+    ]
+    for r in range(T.BPE_MERGES):
+        parts.append(
+            f"""p{r + 1} AS (
+  SELECT s.a AS a, s.b AS b, CAST(sum(freq) AS BIGINT) AS n FROM (
+    SELECT freq,
+           unnest(list_transform(range(2, len(syms) + 1),
+                  i -> {{'a': syms[i - 1], 'b': syms[i]}})) AS s
+    FROM (SELECT freq, string_split(trim(seq, chr(31)), {sep2}) AS syms
+          FROM v{r})
+  ) GROUP BY 1, 2
+),
+b{r + 1} AS (SELECT a, b, n FROM p{r + 1} ORDER BY n DESC, a, b LIMIT 1),
+v{r + 1} AS (
+  SELECT replace(seq, {sep} || a || {sep} || {sep} || b || {sep},
+                 {sep} || a || b || {sep}) AS seq, freq
+  FROM v{r} CROSS JOIN b{r + 1}
+)"""
+        )
+    merge_rows = "\nUNION ALL\n".join(
+        f"SELECT {r + 1} AS round, a, b, n FROM b{r + 1}"
+        for r in range(T.BPE_MERGES)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+{merge_rows}
+UNION ALL
+SELECT 0, '<tokens>', '',
+       CAST(sum(freq * ((length(seq)
+             - length(replace(seq, {sep2}, ''))) // 2 + 1)) AS BIGINT)
+FROM v{T.BPE_MERGES}
+"""
+    )
+
+
 def _rep_sql() -> str:
     """DuckDB mirror of text.repetition_topk: same bigram strings,
     same max(count·len) char-mass, same half-up 1e6 quantization."""
@@ -309,9 +375,204 @@ SELECT 'ppl', CAST(doc_id AS VARCHAR), avg_lp_q FROM ({_ppl_sql()})
 UNION ALL
 SELECT 'bpe', pair, n FROM ({_bpe_sql()})
 UNION ALL
+SELECT 'bpe_merges', CAST(round AS VARCHAR) || ':' || a || ':' || b, n
+FROM ({_bpe_merges_sql()})
+UNION ALL
 SELECT 'rep', CAST(doc_id AS VARCHAR), rep_frac_q FROM ({_rep_sql()})
 UNION ALL
 SELECT 'kl', source, kl_q FROM ({_kl_sql()})
+"""
+
+
+# q23: exact-dedup stats + incremental batch-vs-corpus dedup +
+# RefinedWeb line-level dedup, one labelled frame
+_INCR_MOD = 3  # batch = doc_id % 3 == 0, corpus = the rest
+_LINE_TOKENS = 8  # pseudo-line width for the single-line corpus
+
+
+def q23_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplication stats plus the two corpus-lifecycle dedup
+    operators: 'incr' rows gate ``dedup.incremental_exact_dedup``
+    (batch = doc_id % {mod} == 0 vs the rest as the standing corpus —
+    every kept id pinned), and 'lines' rows gate ``dedup.line_dedup``
+    (RefinedWeb-style cross-document line removal over
+    {ltok}-token pseudo-lines, per doc: line counts + md5 of the
+    reassembled kept text). Columns (member, a, b, c, h)."""
+    docs = load(spark, sf_dir, "documents")
+    stats = dedup.exact_dedup_stats(docs).select(
+        F.lit("stats").alias("member"),
+        F.col("n_docs").alias("a"),
+        F.col("n_unique").alias("b"),
+        F.col("n_dup_rows").alias("c"),
+        F.lit("").alias("h"),
+    )
+    corpus = docs.filter(F.col("doc_id") % _INCR_MOD != 0)
+    batch = docs.filter(F.col("doc_id") % _INCR_MOD == 0)
+    kept = dedup.incremental_exact_dedup(batch, corpus)
+    incr = kept.select(
+        F.lit("incr").alias("member"),
+        F.col("doc_id").alias("a"),
+        _lit0().alias("b"),
+        _lit0().alias("c"),
+        F.lit("").alias("h"),
+    )
+    counts = (
+        batch.agg(F.count(F.lit(1)).alias("nb"))
+        .crossJoin(kept.agg(F.count(F.lit(1)).alias("nk")))
+        .select(
+            F.lit("incr_counts").alias("member"),
+            F.col("nb").alias("a"),
+            F.col("nk").alias("b"),
+            (F.col("nb") - F.col("nk")).alias("c"),
+            F.lit("").alias("h"),
+        )
+    )
+    lines = dedup.line_dedup(
+        docs, dedup.chunk_lines("text", _LINE_TOKENS)
+    ).select(
+        F.lit("lines").alias("member"),
+        F.col("doc_id").alias("a"),
+        F.col("n_lines").alias("b"),
+        F.col("n_kept").alias("c"),
+        F.col("kept_fp").alias("h"),
+    )
+    return stats.unionByName(incr).unionByName(counts).unionByName(lines)
+
+
+q23_dedup_suite.__doc__ = q23_dedup_suite.__doc__.format(
+    mod=_INCR_MOD, ltok=_LINE_TOKENS
+)
+
+
+def _q23_suite_sql() -> str:
+    t = _LINE_TOKENS
+    return f"""
+WITH fpt AS (SELECT doc_id, md5({LQ._NORM}) AS fp FROM documents),
+per AS (SELECT fp, count(*) AS n FROM fpt GROUP BY fp),
+corpus AS (SELECT DISTINCT fp FROM fpt WHERE doc_id % {_INCR_MOD} <> 0),
+batch AS (SELECT doc_id, fp FROM fpt WHERE doc_id % {_INCR_MOD} = 0),
+fresh AS (SELECT doc_id, fp FROM batch
+          WHERE fp NOT IN (SELECT fp FROM corpus)),
+kept AS (SELECT doc_id FROM (
+  SELECT doc_id, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+  FROM fresh
+) WHERE rn = 1),
+lt AS (
+  SELECT doc_id,
+         list_transform(
+           range(0, CAST(ceil(len(string_split(text, ' ')) / {t}.0) AS BIGINT)),
+           i -> array_to_string(
+                  list_slice(string_split(text, ' '),
+                             i * {t} + 1, i * {t} + {t}), ' ')) AS lines
+  FROM documents
+),
+lf AS (
+  SELECT doc_id, s.pos, s.line, md5(s.line) AS fp FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(lines) + 1),
+                  i -> {{'pos': i - 1, 'line': lines[i]}})) AS s
+    FROM lt
+  )
+),
+ldf AS (SELECT fp FROM lf GROUP BY fp HAVING count(DISTINCT doc_id) <= 1),
+lk AS (SELECT lf.doc_id, lf.pos, lf.line FROM lf JOIN ldf USING (fp)),
+lre AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         md5(string_agg(line, chr(10) ORDER BY pos)) AS kept_fp
+  FROM lk GROUP BY doc_id
+),
+ltot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+         FROM lf GROUP BY doc_id),
+ld AS (
+  SELECT tt.doc_id, tt.n_lines, coalesce(r.n_kept, 0) AS n_kept,
+         coalesce(r.kept_fp, md5('')) AS kept_fp
+  FROM ltot tt LEFT JOIN lre r ON r.doc_id = tt.doc_id
+)
+SELECT 'stats' AS member, CAST(sum(n) AS BIGINT) AS a,
+       CAST(count(*) AS BIGINT) AS b, CAST(sum(n - 1) AS BIGINT) AS c,
+       '' AS h
+FROM per
+UNION ALL
+SELECT 'incr', doc_id, 0, 0, '' FROM kept
+UNION ALL
+SELECT 'incr_counts',
+       (SELECT CAST(count(*) AS BIGINT) FROM batch),
+       (SELECT CAST(count(*) AS BIGINT) FROM kept),
+       (SELECT CAST(count(*) AS BIGINT) FROM batch)
+         - (SELECT CAST(count(*) AS BIGINT) FROM kept),
+       ''
+UNION ALL
+SELECT 'lines', doc_id, n_lines, n_kept, kept_fp FROM ld
+"""
+
+
+def q27_neardup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, exact + scale path: 'exact' rows are
+    the label-blocked all-pairs report (LQ.q27_embedding_neardups);
+    'lsh' rows gate ``dedup.portable_embedding_near_dups_lsh`` — the
+    OR-amplified hyperplane candidate generation whose buckets,
+    candidates, and quantized cosines the oracle re-derives
+    bit-for-bit (the 100 TB path: bucket equi-join, never
+    all-pairs)."""
+    exact = LQ.q27_embedding_neardups(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    lsh = dedup.portable_embedding_near_dups_lsh(emb)
+    return exact.select(
+        F.lit("exact").alias("method"), "id_a", "id_b", "cosine_q"
+    ).unionByName(
+        lsh.select(F.lit("lsh").alias("method"), "id_a", "id_b", "cosine_q")
+    )
+
+
+def _q27_lsh_sql() -> str:
+    """DuckDB mirror of dedup.portable_embedding_near_dups_lsh: same
+    literal plane signs, same bucket arithmetic (ann_oracle._bucket),
+    same quantized cosine, same threshold-or-top-n report."""
+    from timebox_spark.operators.similarity import ANN_QSCALE, lsh_plane_signs
+    from timebox_spark.plans.ann_oracle import _bucket, _cos_q
+
+    t_, p_ = dedup.NEARDUP_LSH_TABLES, dedup.NEARDUP_LSH_PLANES
+    signs = lsh_plane_signs(t_, p_, 64)
+    cb = " UNION ALL ".join(
+        f"SELECT vec_id, v, {t} AS tbl, {_bucket('v', t, signs, planes=p_)} AS bkt FROM eq"
+        for t in range(t_)
+    )
+    return f"""
+WITH eq AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           e -> CAST(floor(CAST(e AS DOUBLE) * {ANN_QSCALE} + 0.5) AS BIGINT)) AS v
+  FROM embeddings
+),
+cb AS ({cb}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM cb a JOIN cb b
+    ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+),
+s AS (
+  SELECT c.id_a, c.id_b, {_cos_q('av.v', 'bv.v')} AS cosine_q
+  FROM cand c JOIN eq av ON av.vec_id = c.id_a
+  JOIN eq bv ON bv.vec_id = c.id_b
+)
+SELECT DISTINCT id_a, id_b, cosine_q FROM (
+  SELECT id_a, id_b, cosine_q FROM s
+  WHERE cosine_q >= {dedup.NEARDUP_THRESHOLD_Q}
+  UNION ALL
+  SELECT id_a, id_b, cosine_q FROM (
+    SELECT *, row_number() OVER (ORDER BY cosine_q DESC, id_a, id_b) AS rn
+    FROM s
+  ) WHERE rn <= {dedup.NEARDUP_TOP_N}
+)
+"""
+
+
+def _q27_suite_sql() -> str:
+    return f"""
+SELECT 'exact' AS method, id_a, id_b, cosine_q
+FROM ({LQ.ORACLE_SQL['q27_embedding_neardups']})
+UNION ALL
+SELECT 'lsh', id_a, id_b, cosine_q FROM ({_q27_lsh_sql()})
 """
 
 
@@ -575,6 +836,9 @@ def q29_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     cq, _ = S._quantize_sides(emb, queries, "vec_id", "embedding", "query_id")
     cmat = S.portable_ivf_train(cq)
     ivf = _pin(S.portable_ivf_topk(emb, queries, cmat=cmat))
+    # composed IVF+int8 (IVFx,SQ8-style): same trained index, probe-join
+    # candidates scored in the int8 compressed domain
+    ivf_int8 = _pin(S.ivf_int8_topk(emb, queries, cmat=cmat))
     sem = _pin(S.semdedup_clusters(cq, cmat))
     fast_lsh = _pin(S.lsh_topk(
         emb, queries, k=S.ANN_K, planes=S.ANN_PLANES, dim=S.ANN_DIM,
@@ -626,6 +890,8 @@ def q29_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(rec(S.recall_hits(lsh, exact), "lsh_recall"))
         .unionByName(rec(S.recall_hits(ivf, exact), "ivf_recall"))
         .unionByName(rec(S.recall_hits(int8, exact), "int8_recall"))
+        .unionByName(tagged(ivf_int8, "ivf_int8"))
+        .unionByName(rec(S.recall_hits(ivf_int8, exact), "ivf_int8_recall"))
         .unionByName(floor_row(fast_lsh, "fast_lsh_floor"))
         .unionByName(floor_row(fast_ivf, "fast_ivf_floor"))
         .unionByName(
@@ -638,6 +904,12 @@ def q29_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# q30 resample/resize contract constants — oracle SQL generated from
+# the same values below
+_RSMP_RATE = 16000  # 2× WAV_RATE: real interpolation (odd outputs lerp)
+_RSZ_OUT = 8  # thumbnail dims: every synth image downsamples (h,w ≥ 8)
 
 
 def q30_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -703,11 +975,54 @@ def q30_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(":", F.lit("y4m"), F.col("dims")).alias("head_hex"),
         F.col("sampled_sum").alias("byte_sum_mod"),
     )
+    # audio-resample rows (frame_idx -5): WAV decode → linear resample
+    # to 2× rate → re-encode → decode again; the oracle re-derives the
+    # interpolated stream arithmetically (same IEEE-double lerp)
+    rsmp = AU.audio_features(
+        AU.resample_audio(AU.synth_audio_table(docs), dst_rate=_RSMP_RATE)
+    ).select(
+        "doc_id",
+        F.lit(-5).cast("int").alias("frame_idx"),
+        F.col("n_samples").alias("n_bytes"),
+        F.concat_ws(
+            ":",
+            F.lit("rsmp"),
+            F.col("sample_rate").cast("string"),
+            F.col("peak").cast("string"),
+        ).alias("head_hex"),
+        F.col("sample_sum").alias("byte_sum_mod"),
+    )
+    # image-resize rows (frame_idx -6): decode (all four codecs) →
+    # bilinear 8×8 → BMP re-encode → decode; the oracle computes the
+    # same half-pixel-center bilinear arithmetic from the synthetic
+    # closed form, so a resample-kernel drift breaks the hash
+    rsz = multimodal.decode_features(
+        multimodal.resize_images(
+            multimodal.synth_media_table(docs), _RSZ_OUT, _RSZ_OUT
+        )
+    ).select(
+        "doc_id",
+        F.lit(-6).cast("int").alias("frame_idx"),
+        (F.col("height") * F.col("width") * 3).cast("long").alias("n_bytes"),
+        F.concat_ws(
+            ":",
+            F.lit("rsz"),
+            F.col("fmt"),
+            F.concat(
+                F.col("height").cast("string"),
+                F.lit("x"),
+                F.col("width").cast("string"),
+            ),
+        ).alias("head_hex"),
+        F.col("pixel_sum").alias("byte_sum_mod"),
+    )
     return (
         whole.unionByName(frames)
         .unionByName(decoded)
         .unionByName(wav)
         .unionByName(y4m)
+        .unionByName(rsmp)
+        .unionByName(rsz)
     )
 
 
@@ -788,6 +1103,117 @@ FROM documents
 """
 
 
+def _rsmp_sql() -> str:
+    """DuckDB mirror of the audio-resample member: re-derives the
+    linearly interpolated stream arithmetically — same half-sample-
+    center mapping, same IEEE-double lerp, same floor(x+0.5) and
+    int16 clip as audio.resample_linear (n_out = 2n exactly at the
+    2× rate)."""
+    from timebox_spark.operators import audio as AU
+
+    n = "(64 + doc_id % 65)"
+    ratio = f"(CAST({n} AS DOUBLE) / (2 * {n}))"
+    pos = f"least(greatest((j + 0.5) * {ratio} - 0.5, 0), {n} - 1)"
+    i0 = f"CAST(floor({pos}) AS BIGINT)"
+    i1 = f"least({i0} + 1, {n} - 1)"
+    frac = f"({pos} - floor({pos}))"
+
+    def s(i: str) -> str:
+        return (
+            f"CAST((37 * doc_id + 13 * ({i})) % {AU.SYNTH_SAMPLE_MOD}"
+            f" - {AU.SYNTH_SAMPLE_OFF} AS DOUBLE)"
+        )
+
+    out = f"({s(i0)} * (1 - {frac}) + {s(i1)} * {frac})"
+    rj = (
+        f"least(greatest(CAST(floor({out} + 0.5) AS BIGINT), -32768), 32767)"
+    )
+    return f"""
+SELECT doc_id, CAST(-5 AS INTEGER) AS frame_idx,
+       CAST(2 * {n} AS BIGINT) AS n_bytes,
+       'rsmp:{_RSMP_RATE}:' ||
+         CAST(list_max(list_transform(r, v -> abs(v))) AS VARCHAR)
+         AS head_hex,
+       CAST(list_sum(r) AS BIGINT) AS byte_sum_mod
+FROM (
+  SELECT doc_id, list_transform(range(0, 2 * {n}), j -> {rj}) AS r
+  FROM documents
+)
+"""
+
+
+def _rsz_sql() -> str:
+    """DuckDB mirror of the image-resize member: the bilinear
+    {o}×{o} thumbnail pixel sum computed from the synthetic closed
+    forms — same (k+0.5)·scale−0.5 half-pixel-center mapping, clip,
+    4-neighbor gather, lerp order, and floor(x+0.5) as
+    multimodal.bilinear_resize. Two branches: raster formats
+    (p = (31d+17y+5x+11c) mod 256) and JPEG block-constant grayscale
+    (p = (31d+17·(y div 8)+5·(x div 8)) mod 256)."""
+    o = _RSZ_OUT
+
+    def branch(where: str, h: str, w: str, p) -> str:
+        # k enumerates the o*o*3 output values: oy = k // (o*3),
+        # ox = (k % (o*3)) // 3, c = k % 3
+        oy, ox, c = f"(k // {o * 3})", f"((k % {o * 3}) // 3)", "(k % 3)"
+        ys = (
+            f"least(greatest(({oy} + 0.5) * (CAST({h} AS DOUBLE) / {o})"
+            f" - 0.5, 0), {h} - 1)"
+        )
+        xs = (
+            f"least(greatest(({ox} + 0.5) * (CAST({w} AS DOUBLE) / {o})"
+            f" - 0.5, 0), {w} - 1)"
+        )
+        y0 = f"CAST(floor({ys}) AS BIGINT)"
+        x0 = f"CAST(floor({xs}) AS BIGINT)"
+        y1 = f"least({y0} + 1, {h} - 1)"
+        x1 = f"least({x0} + 1, {w} - 1)"
+        wy = f"({ys} - floor({ys}))"
+        wx = f"({xs} - floor({xs}))"
+        val = (
+            f"((({p(y0, x0, c)} * (1 - {wx}) + {p(y0, x1, c)} * {wx})"
+            f" * (1 - {wy}))"
+            f" + (({p(y1, x0, c)} * (1 - {wx}) + {p(y1, x1, c)} * {wx})"
+            f" * {wy}))"
+        )
+        rk = (
+            f"least(greatest(CAST(floor({val} + 0.5) AS BIGINT), 0), 255)"
+        )
+        return f"""
+SELECT doc_id, CAST(-6 AS INTEGER) AS frame_idx,
+       CAST({o * o * 3} AS BIGINT) AS n_bytes,
+       'rsz:bmp:{o}x{o}' AS head_hex,
+       CAST(list_sum(list_transform(range(0, {o * o * 3}), k -> {rk}))
+            AS BIGINT) AS byte_sum_mod
+FROM documents WHERE {where}"""
+
+    def p_raster(y: str, x: str, c: str) -> str:
+        return (
+            f"CAST((31 * doc_id + 17 * ({y}) + 5 * ({x}) + 11 * {c}) % 256"
+            f" AS DOUBLE)"
+        )
+
+    def p_jpeg(y: str, x: str, c: str) -> str:
+        return (
+            f"CAST((31 * doc_id + 17 * (({y}) // 8) + 5 * (({x}) // 8)) % 256"
+            f" AS DOUBLE)"
+        )
+
+    return (
+        branch("doc_id % 4 <> 3", _SYNTH_H_SQL, _SYNTH_W_SQL, p_raster)
+        + "\nUNION ALL\n"
+        + branch(
+            "doc_id % 4 = 3",
+            f"(8 * {_JPEG_BH_SQL})",
+            f"(8 * {_JPEG_BW_SQL})",
+            p_jpeg,
+        )
+    )
+
+
+_rsz_sql.__doc__ = _rsz_sql.__doc__.format(o=_RSZ_OUT)
+
+
 _Q30_SUITE_SQL = f"""
 SELECT doc_id, CAST(-1 AS INTEGER) AS frame_idx, n_bytes, head_hex, byte_sum_mod
 FROM ({LQ.ORACLE_SQL['q30_multimodal_features']})
@@ -800,6 +1226,10 @@ UNION ALL
 SELECT doc_id, frame_idx, n_bytes, head_hex, byte_sum_mod FROM ({_wav_sql()})
 UNION ALL
 SELECT doc_id, frame_idx, n_bytes, head_hex, byte_sum_mod FROM ({_y4m_sql()})
+UNION ALL
+SELECT doc_id, frame_idx, n_bytes, head_hex, byte_sum_mod FROM ({_rsmp_sql()})
+UNION ALL
+SELECT doc_id, frame_idx, n_bytes, head_hex, byte_sum_mod FROM ({_rsz_sql()})
 """
 
 
@@ -1760,9 +2190,9 @@ DRIVER_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- LLM pipeline (unchecked in round 1 — ordered first) ---
     "q20_text_stats": LQ.q20_text_stats,
     "q21_text_aggregates": q21_text_aggregates,
-    "q23_exact_dedup": LQ.q23_exact_dedup,
+    "q23_exact_dedup": q23_dedup_suite,
     "q24_ngram_jaccard": LQ.q24_ngram_jaccard,
-    "q27_embedding_neardups": LQ.q27_embedding_neardups,
+    "q27_embedding_neardups": q27_neardup_suite,
     "q28_knn_bruteforce": q28_knn_suite,
     "q30_multimodal_suite": q30_multimodal_suite,
     "q31_dedup_clusters": q31_dedup_clusters,
@@ -1816,9 +2246,9 @@ DRIVER_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 DRIVER_ORACLE_SQL: dict[str, str] = {
     "q20_text_stats": LQ.ORACLE_SQL["q20_text_stats"],
     "q21_text_aggregates": _Q21_SUITE_SQL,
-    "q23_exact_dedup": LQ.ORACLE_SQL["q23_exact_dedup"],
+    "q23_exact_dedup": _q23_suite_sql(),
     "q24_ngram_jaccard": LQ.ORACLE_SQL["q24_ngram_jaccard"],
-    "q27_embedding_neardups": LQ.ORACLE_SQL["q27_embedding_neardups"],
+    "q27_embedding_neardups": _q27_suite_sql(),
     "q28_knn_bruteforce": _Q28_SUITE_SQL,
     "q30_multimodal_suite": _Q30_SUITE_SQL,
     "q31_dedup_clusters": _Q31_SQL,
