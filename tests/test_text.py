@@ -799,3 +799,46 @@ def test_chunk_lines_shapes(spark):
     assert got[0] == ["a b c d", "e f g h", "i j"]
     assert got[1] == ["x"]
     assert got[2] == ["p q r s", "t u v w"]
+
+
+def test_bpe_train_random_corpora_match_reference(spark):
+    """Property: on random small corpora the distributed trainer
+    reproduces the reference merges exactly (including tie rounds and
+    multi-char second-order merges)."""
+    import random
+
+    from timebox_spark.operators import text as T
+
+    rng = random.Random(1234)
+    alphabet = "abcd"
+    for trial in range(3):
+        words = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+            for _ in range(60)
+        ]
+        docs = spark.createDataFrame(
+            [(i, " ".join(words[i::3])) for i in range(3)],
+            "doc_id long, text string",
+        )
+        exp_merges, exp_vocab = _ref_bpe(words, 5)
+        got_merges, got_vocab = T.bpe_train(docs, n_merges=5)
+        assert got_merges == exp_merges, f"trial {trial}"
+        exp_tokens = sum(len(s) * f for s, f in exp_vocab.items())
+        got_tokens = got_vocab.select(
+            F.sum(
+                F.col("freq")
+                * (
+                    (
+                        F.length("seq")
+                        - F.length(
+                            F.replace(
+                                F.col("seq"), F.lit(T.BPE_SEP + T.BPE_SEP)
+                            )
+                        )
+                    )
+                    / 2
+                    + 1
+                ).cast("long")
+            )
+        ).collect()[0][0]
+        assert got_tokens == exp_tokens, f"trial {trial}"
