@@ -470,3 +470,53 @@ def test_text_embedding_topk_broadcasts_queries(spark):
     plan = _plan(S.text_embedding_topk(docs))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_line_dedup_keyed_shuffles_no_cartesian(spark):
+    """Line dedup: explode → line-fingerprint agg → semi-join back →
+    per-doc reassembly. Every exchange is keyed (fingerprint or doc
+    id); no cartesian product, no unkeyed window, no global sort."""
+    from timebox_spark.operators import dedup as D
+    from timebox_spark.plans.tables import load
+
+    docs = load(spark, SF_SMOKE, "documents")
+    plan = _plan(D.line_dedup(docs, D.chunk_lines("text", 8)))
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "GlobalSort" not in plan and "Sort [" not in plan.split("\n")[0]
+
+
+def test_portable_neardup_lsh_bucket_equijoin(spark):
+    """The portable LSH near-dup path must candidate-generate via a
+    bucket equi-join (SMJ/SHJ on tbl+bkt), never an all-pairs
+    product; the top-n tail is TakeOrderedAndProject, not a global
+    sort + limit over an exchange to one partition."""
+    from timebox_spark.operators import dedup as D
+    from timebox_spark.plans.tables import load
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    plan = _plan(D.portable_embedding_near_dups_lsh(emb))
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_bpe_vocab_round_is_map_only_after_checkpoint(spark):
+    """A BPE merge round over the checkpointed vocab is pair-agg +
+    TakeOrdered: one reduction shuffle, and applying the merge is a
+    map-only replace (zero exchanges)."""
+    from pyspark.sql import functions as F2
+
+    from timebox_spark.operators import text as T
+    from timebox_spark.plans.tables import load
+
+    docs = load(spark, SF_SMOKE, "documents")
+    vocab = T._bpe_vocab(docs, "text").localCheckpoint(eager=True)
+    round_plan = _plan(
+        T._bpe_pair_counts_from(vocab).orderBy(F2.desc("n"), "a", "b").limit(1)
+    )
+    assert "TakeOrderedAndProject" in round_plan
+    assert _shuffles(round_plan) == 1, round_plan
+    apply_plan = _plan(
+        vocab.withColumn("seq", F2.replace(F2.col("seq"), F2.lit("x"), F2.lit("y")))
+    )
+    assert _shuffles(apply_plan) == 0, apply_plan

@@ -842,3 +842,39 @@ def test_bpe_train_random_corpora_match_reference(spark):
             )
         ).collect()[0][0]
         assert got_tokens == exp_tokens, f"trial {trial}"
+
+
+def test_dsir_planted_target_lookalikes_rank_first(spark):
+    """DSIR importance weights: documents drawn from the target
+    word distribution must outrank documents of off-target words,
+    and every reported score equals the Python recompute of
+    sum(lr_q[bucket(token)]) with the engine's own ratio table."""
+    import hashlib
+
+    from timebox_spark.operators import text as T
+
+    tgt_words = "alpha beta gamma delta".split()
+    off_words = "omega sigma kappa zeta".split()
+    rows = [(i, " ".join(tgt_words) * 3) for i in range(4)]
+    rows += [(10 + i, " ".join(off_words) * 3) for i in range(4)]
+    rows += [(20, " ".join(tgt_words + off_words))]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = docs.filter("doc_id < 4")
+
+    lr = T.dsir_logratio_table(target, docs)
+    assert len(lr) == T.DSIR_BUCKETS
+    got = T.dsir_topk(docs, target, k=9).collect()
+    order = [r["doc_id"] for r in got]
+    # pure-target docs first, mixed doc next, off-target docs last
+    assert set(order[:4]) == {0, 1, 2, 3}
+    assert order[4] == 20
+    assert set(order[5:]) == {10, 11, 12, 13}
+
+    def bucket(tok):
+        h = int(hashlib.md5(f"{T.DSIR_SALT}:{tok}".encode()).hexdigest()[:8], 16)
+        return h % T.DSIR_BUCKETS
+
+    texts = dict(rows)
+    for r in got:
+        expect = sum(lr[bucket(t)] for t in texts[r["doc_id"]].split())
+        assert r["dsir_q"] == expect, r["doc_id"]

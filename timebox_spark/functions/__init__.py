@@ -21,6 +21,7 @@ from timebox_spark.operators.dedup import chunk_lines
 from timebox_spark.operators.text import (
     apply_bpe,
     bpe_ish_token_count,
+    dsir_bucket,
     fingerprint,
     hashed_linear_score,
     lang_id,
@@ -43,6 +44,7 @@ __all__ = [
     "bpe_ish_token_count",
     "apply_bpe",
     "chunk_lines",
+    "dsir_bucket",
     "punct_count",
     "stopword_count",
     "quality_score_q",

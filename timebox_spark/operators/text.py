@@ -672,6 +672,118 @@ def bpe_pair_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# DSIR importance-resampling constants (shared with the q44 oracle)
+DSIR_BUCKETS = 256
+DSIR_SALT = "dsir1"
+DSIR_SCALE = 1_000_000  # per-bucket log-ratio quantization
+DSIR_TOP_K = 30
+
+
+def dsir_bucket(t: Column) -> Column:
+    """Token → hashed n-gram bucket, engine-portable md5 family."""
+    return _md5_u32_str(F.concat_ws(":", F.lit(DSIR_SALT), t)) % F.lit(
+        DSIR_BUCKETS
+    )
+
+
+def dsir_logratio_table(
+    target: DataFrame, source: DataFrame, text_col: str = "text"
+) -> list[int]:
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169):
+    per-bucket quantized log importance ratios
+    lr_q[b] = ⌊(ln p̂_target[b] − ln p̂_source[b])·SCALE + 0.5⌋ over
+    hashed-unigram buckets with add-one smoothing.
+
+    Two corpus scans reduce to O(buckets) histogram rows; the ratio
+    arithmetic runs as JVM ln on that tiny grid (the same ln-parity
+    contract BM25/perplexity/KL rely on), and the result is collected
+    as a plain list — the broadcast-by-value weight table the scorer
+    ships as a plan literal. At 100 TB the histograms are the only
+    distributed work: two map-side-combined aggregates."""
+    spark = source.sparkSession
+
+    def hist(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(F.explode(_tokens(text_col)).alias("t"))
+            .select(dsir_bucket(F.col("t")).alias("b"))
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    buckets = spark.range(DSIR_BUCKETS).select(F.col("id").alias("b"))
+    grid = (
+        buckets.join(hist(target, "nt"), "b", "left")
+        .join(hist(source, "ns"), "b", "left")
+        .select(
+            "b",
+            F.coalesce("nt", F.lit(0)).alias("nt"),
+            F.coalesce("ns", F.lit(0)).alias("ns"),
+        )
+    )
+    tot = grid.agg(F.sum("nt").alias("tt"), F.sum("ns").alias("ts"))
+    lr = grid.crossJoin(tot).select(  # one-row broadcast
+        "b",
+        F.floor(
+            (
+                F.ln(
+                    (F.col("nt") + 1).cast("double")
+                    / (F.col("tt") + DSIR_BUCKETS).cast("double")
+                )
+                - F.ln(
+                    (F.col("ns") + 1).cast("double")
+                    / (F.col("ts") + DSIR_BUCKETS).cast("double")
+                )
+            )
+            * F.lit(float(DSIR_SCALE))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("lr_q"),
+    )
+    out = [0] * DSIR_BUCKETS
+    for r in lr.collect():  # O(buckets) rows
+        out[int(r["b"])] = int(r["lr_q"])
+    return out
+
+
+def dsir_score_from(toks: Column, lr: list[int]) -> Column:
+    """Per-document importance log-weight: Σ_tokens lr_q[bucket(t)] —
+    map-only over the token array with the weight table as a literal
+    (exact integer sum, order-free)."""
+    lr_lit = F.lit(lr).cast("array<long>")
+    return F.aggregate(
+        F.transform(
+            toks,
+            lambda t: F.element_at(
+                lr_lit, (dsir_bucket(t) + 1).cast("int")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def dsir_topk(
+    docs: DataFrame,
+    target: DataFrame,
+    k: int = DSIR_TOP_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents by DSIR importance weight toward ``target`` —
+    the 'select raw data that looks like the quality corpus' step.
+    Returns (id, dsir_q), score desc, id tiebreak, via TakeOrdered
+    (no global sort). A sampling variant would threshold the same
+    score against a Gumbel draw; top-k keeps the driver oracle
+    deterministic."""
+    lr = dsir_logratio_table(target, docs, text_col)
+    scored = docs.select(
+        F.col(id_col),
+        dsir_score_from(_tokens(text_col), lr).alias("dsir_q"),
+    )
+    return scored.orderBy(F.desc("dsir_q"), id_col).limit(k)
+
+
 # full BPE trainer constants (shared with the q21 DuckDB oracle)
 BPE_SEP = "\x1f"  # symbol delimiter; TOKEN_RE words must not contain it
 BPE_MERGES = 8

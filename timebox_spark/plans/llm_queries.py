@@ -700,8 +700,24 @@ def q44_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_sum",
         )
     )
+    # DSIR importance resampling (text.dsir_topk): select the raw
+    # docs that look most like the 'en' target slice; rows pin every
+    # selected id and its exact quantized importance score
+    dsir = text.dsir_topk(docs, docs.filter(F.col("lang") == "en")).select(
+        F.lit("dsir").alias("split"),
+        F.col("dsir_q").alias("n"),
+        F.col("doc_id").alias("min_id"),
+        (
+            (F.col("doc_id") % _DIGEST_P)
+            * (F.pmod(F.col("dsir_q"), _DIGEST_P))
+            % _DIGEST_Q
+        ).alias("id_sum"),
+    )
     return (
-        splits.unionByName(shards).unionByName(packs).unionByName(mixes)
+        splits.unionByName(shards)
+        .unionByName(packs)
+        .unionByName(mixes)
+        .unionByName(dsir)
     )
 
 
@@ -770,6 +786,48 @@ FROM (
   WHERE ('0x' || substr(md5('{MIX_SEED}:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
         % {MIX_SCALE} < r.rate_ppm
 ) GROUP BY 1
+UNION ALL
+SELECT 'dsir', score, doc_id,
+       (doc_id % {_DIGEST_P}) * (((score % {_DIGEST_P}) + {_DIGEST_P}) % {_DIGEST_P})
+         % {_DIGEST_Q}
+FROM (
+  WITH bkD AS (
+    SELECT doc_id,
+           ('0x' || substr(md5('{text.DSIR_SALT}:' || t), 1, 8))::BIGINT
+             % {text.DSIR_BUCKETS} AS bb
+    FROM (SELECT doc_id, unnest(regexp_extract_all(text, '{text.TOKEN_RE}')) AS t
+          FROM documents)
+  ),
+  tH AS (SELECT bb, count(*) AS nt FROM bkD
+         JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY bb),
+  sH AS (SELECT bb, count(*) AS ns FROM bkD GROUP BY bb),
+  gr AS (
+    SELECT rr.range AS bb, coalesce(tH.nt, 0) AS nt, coalesce(sH.ns, 0) AS ns
+    FROM range(0, {text.DSIR_BUCKETS}) rr
+    LEFT JOIN tH ON tH.bb = rr.range
+    LEFT JOIN sH ON sH.bb = rr.range
+  ),
+  tt AS (SELECT CAST(sum(nt) AS BIGINT) AS t_tot,
+                CAST(sum(ns) AS BIGINT) AS s_tot FROM gr),
+  lrt AS (
+    SELECT bb,
+           CAST(floor((ln(CAST(nt + 1 AS DOUBLE)
+                          / CAST(t_tot + {text.DSIR_BUCKETS} AS DOUBLE))
+                     - ln(CAST(ns + 1 AS DOUBLE)
+                          / CAST(s_tot + {text.DSIR_BUCKETS} AS DOUBLE)))
+                     * {float(text.DSIR_SCALE)} + 0.5) AS BIGINT) AS lr_q
+    FROM gr CROSS JOIN tt
+  ),
+  scd AS (
+    SELECT d.doc_id, CAST(coalesce(x.s, 0) AS BIGINT) AS score
+    FROM documents d LEFT JOIN (
+      SELECT doc_id, sum(lr_q) AS s FROM bkD JOIN lrt USING (bb) GROUP BY doc_id
+    ) x ON x.doc_id = d.doc_id
+  )
+  SELECT doc_id, score FROM (
+    SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rn FROM scd
+  ) WHERE rn <= {text.DSIR_TOP_K}
+)
 """
 
 
