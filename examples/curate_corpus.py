@@ -87,11 +87,34 @@ def main() -> None:
         "query_id", "rank"
     ).show()
 
-    # 8. the dataset datasheet a curation run publishes with its output
+    # 8. line-level dedup (RefinedWeb): drop lines repeated across
+    # documents, keep the rest in order — pseudo-lines of 8 tokens
+    # since this corpus is single-line (real corpora: F.split('\n'))
+    ld = dedup.line_dedup(docs, dedup.chunk_lines("text", 8))
+    print("line dedup (pseudo-lines): lines kept vs total:")
+    ld.agg(
+        F.sum("n_lines").alias("total_lines"),
+        F.sum("n_kept").alias("kept_lines"),
+        F.sum((F.col("n_kept") == 0).cast("long")).alias("docs_emptied"),
+    ).show()
+
+    # 9. tokenizer training: full iterative BPE (merge list is the
+    # tokenizer artifact; apply_bpe tokenizes the corpus with it)
+    merges, _ = text.bpe_train(docs, n_merges=6)
+    print(f"learned BPE merges: {[(a, b) for a, b, _ in merges]}")
+    toks = docs.select(F.explode(text.apply_bpe("text", merges)).alias("t"))
+    print("post-merge corpus tokens:", toks.count())
+
+    # 10. DSIR data selection: raw docs that look most like the 'en'
+    # slice (hashed-n-gram importance resampling)
+    print("DSIR top-5 target-lookalike docs:")
+    text.dsir_topk(docs, docs.filter(F.col("lang") == "en"), k=5).show()
+
+    # 11. the dataset datasheet a curation run publishes with its output
     print("data card (exact corpus summary):")
     pipeline.data_card(docs).orderBy("section", "key").show(12)
 
-    # 9. the capstone: one call from raw corpus to written training
+    # 12. the capstone: one call from raw corpus to written training
     # shards (curate -> train split -> sorted shard files + manifest)
     import tempfile
 
