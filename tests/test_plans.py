@@ -520,3 +520,34 @@ def test_bpe_vocab_round_is_map_only_after_checkpoint(spark):
         vocab.withColumn("seq", F2.replace(F2.col("seq"), F2.lit("x"), F2.lit("y")))
     )
     assert _shuffles(apply_plan) == 0, apply_plan
+
+
+def test_save_bucketed_colocated_join_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key with the same bucket count
+    must plan their join with ZERO hashpartitioning exchanges, and a
+    groupBy on the bucket key must skip its exchange; the same join
+    over plain parquet (negative self-test) must shuffle."""
+    from timebox_spark.plans.tables import load
+    from timebox_spark.table import save_bucketed
+
+    ev = load(spark, SF_SMOKE, "events")
+    ta = save_bucketed(
+        ev, "tb_test_bkt_a", str(tmp_path / "a"), "user_id", 4
+    )
+    per_user = ta.groupBy("user_id").count()
+    tb = save_bucketed(
+        per_user, "tb_test_bkt_b", str(tmp_path / "b"), "user_id", 4
+    )
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    assert "Exchange hashpartitioning" not in plan(ta.join(tb, "user_id"))
+    assert "Exchange hashpartitioning" not in plan(
+        ta.groupBy("user_id").agg({"value": "sum"})
+    )
+    # negative: plain parquet on both sides shuffles
+    ev.write.mode("overwrite").parquet(str(tmp_path / "plain"))
+    plain = spark.read.parquet(str(tmp_path / "plain"))
+    pu = plain.groupBy("user_id").count()
+    assert "Exchange hashpartitioning" in plan(plain.join(pu, "user_id"))

@@ -878,3 +878,41 @@ def test_dsir_planted_target_lookalikes_rank_first(spark):
     for r in got:
         expect = sum(lr[bucket(t)] for t in texts[r["doc_id"]].split())
         assert r["dsir_q"] == expect, r["doc_id"]
+
+
+def test_line_dedup_random_corpora_match_reference(spark):
+    """Property: on random corpora with engineered shared lines, the
+    distributed line dedup agrees with a pure-Python recompute of
+    df counts, kept sets, and reassembled-text digests."""
+    import hashlib
+    import random
+
+    from timebox_spark.operators import dedup as D
+
+    rng = random.Random(99)
+    pool = [f"line {i}" for i in range(12)]
+    for trial in range(3):
+        rows = []
+        for d in range(15):
+            n = rng.randint(1, 6)
+            rows.append((d, "\n".join(rng.choice(pool) for _ in range(n))))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+        df_docs: dict[str, set] = {}
+        for d, t in rows:
+            for ln in t.split("\n"):
+                df_docs.setdefault(ln, set()).add(d)
+        exp = {}
+        for d, t in rows:
+            lines = t.split("\n")
+            kept = [ln for ln in lines if len(df_docs[ln]) <= 1]
+            exp[d] = (
+                len(lines),
+                len(kept),
+                hashlib.md5("\n".join(kept).encode()).hexdigest(),
+            )
+        got = {
+            r["doc_id"]: (r["n_lines"], r["n_kept"], r["kept_fp"])
+            for r in D.line_dedup(docs, F.split("text", "\n")).collect()
+        }
+        assert got == exp, f"trial {trial}"

@@ -1708,8 +1708,53 @@ UNION ALL SELECT * FROM (
 # Storage / codec suites
 # ------------------------------------------------------------------
 
+def _bucketed_member(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located storage gate (table.save_bucketed): events
+    and its per-user rollup are both written bucketed on user_id, and
+    the flag column (s2, q55/q29-floor pattern) is 1 ONLY IF the join
+    of the two bucketed tables plans with ZERO hashpartitioning
+    exchanges — the co-located-join property that turns recurring
+    fact-fact joins into local merges at 100 TB. A bucketing break
+    flips the flag and fails the driver hash; the value digests must
+    simultaneously equal the raw-events oracle (inner join on the
+    complete user set is row-preserving)."""
+    import hashlib as _h
+
+    from timebox_spark.table import save_bucketed
+
+    tag = _h.sha1(sf_dir.encode()).hexdigest()[:8]
+    ev = load(spark, sf_dir, "events")
+    ta = save_bucketed(
+        ev, f"tb_bkt_events_{tag}", f"/tmp/timebox_spark_bkt_ev_{tag}",
+        "user_id", 8,
+    )
+    per_user = ta.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_ev"))
+    tb = save_bucketed(
+        per_user, f"tb_bkt_users_{tag}", f"/tmp/timebox_spark_bkt_us_{tag}",
+        "user_id", 8,
+    )
+    joined = ta.join(tb, "user_id")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    flag = 0 if "Exchange hashpartitioning" in plan else 1
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("ts").alias("ts_min"),
+        F.max("ts").alias("ts_max"),
+        F.sum(Q._q(F.col("value"), 6)).alias("s1"),
+    ).select(
+        F.lit("bucketed").alias("chk"),
+        "n_rows",
+        "ts_min",
+        "ts_max",
+        "s1",
+        F.lit(flag).cast("long").alias("s2"),
+        _lit0().alias("s3"),
+    )
+
+
 def q01_io_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Parquet round-trip, pandas bridge, CSV round-trip digests."""
+    """Parquet round-trip, pandas bridge, CSV round-trip digests +
+    the bucketed co-located-join storage gate."""
     a = Q.q01_roundtrip(spark, sf_dir).select(
         F.lit("parquet").alias("chk"),
         "n_rows",
@@ -1737,7 +1782,11 @@ def q01_io_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id_sum").alias("s2"),
         F.col("n_types").alias("s3"),
     )
-    return a.unionByName(b).unionByName(c)
+    return (
+        a.unionByName(b)
+        .unionByName(c)
+        .unionByName(_bucketed_member(spark, sf_dir))
+    )
 
 
 _Q01_SUITE_SQL = f"""
@@ -1750,6 +1799,10 @@ FROM ({Q.ORACLE_SQL['q02_pandas_bridge']})
 UNION ALL
 SELECT 'csv', n_rows, ts_min, ts_max, value_q_sum, event_id_sum, n_types
 FROM ({Q.ORACLE_SQL['q03_csv_roundtrip']})
+UNION ALL
+SELECT 'bucketed', n_rows, ts_min, ts_max, value_q_sum,
+       CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+FROM ({Q.ORACLE_SQL['q01_roundtrip']})
 """
 
 

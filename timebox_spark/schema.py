@@ -53,7 +53,13 @@ _NUMPY_WIDEN: dict[str, str] = {
 
 def widen_pandas_for_arrow(pdf):
     """Return a copy of ``pdf`` with unsigned/half-float columns widened
-    to Arrow-convertible numpy dtypes (values unchanged)."""
+    to Arrow-convertible numpy dtypes (values unchanged).
+
+    The uint64 branch is a PER-ROW Decimal list build — acceptable only
+    because this runs on the driver over a user-supplied pandas frame
+    at ingest (never inside a distributed kernel), and uint64 columns
+    with the top bit in use are a corner case; a frame with millions of
+    uint64 rows should be pre-cast by the caller instead."""
     import decimal
 
     out = pdf.copy(deep=False)

@@ -282,3 +282,34 @@ class TimeBoxTable:
 
     def num_points(self) -> int:
         return self.df.count()
+
+
+def save_bucketed(
+    df,
+    table_name: str,
+    path: str,
+    key: str,
+    n_buckets: int = 32,
+):
+    """Bucketed co-located layout: ``bucketBy(key) + sortBy(key)``
+    external parquet table — the storage lever for repeated big-big
+    joins and aggregations on the same key. Two tables bucketed on the
+    join key with the same bucket count join WITHOUT a shuffle on
+    either side (the q01 'bucketed' member flags this mechanically:
+    its co-located join plan must contain zero hashpartitioning
+    exchanges), and a groupBy on the bucket key skips its exchange
+    too. At 100 TB this turns every recurring fact-fact join on the
+    bucketed key from a full-corpus shuffle into a local merge.
+
+    Uses the session (in-memory) catalog with an explicit ``path`` so
+    no warehouse/metastore state is created; ``mode=overwrite`` makes
+    reruns idempotent. Returns the re-read table."""
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .saveAsTable(table_name)
+    )
+    return df.sparkSession.table(table_name)
