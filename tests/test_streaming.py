@@ -425,3 +425,38 @@ def test_hourly_histogram_stream_matches_batch(spark, tmp_path, staged_events):
     for k, n in got.items():
         assert expected_all[k] == n
     assert len(got) >= len(expected_all) - 2  # at most the tail stays open
+
+
+def test_compact_corpus_arrival_order_dedup(spark):
+    """The ingest compactor keeps exactly one doc per normalized-text
+    fingerprint across arrival batches, with arrival order winning
+    (an earlier ingest keeps the doc even if a later duplicate has a
+    smaller id) and smallest-id winning within a batch."""
+    from pyspark.sql import functions as F
+
+    from timebox_spark.operators.dedup import normalize_text
+    from timebox_spark.streaming import ingest
+
+    rows = [
+        (5, "alpha text"),
+        (6, "beta text"),
+        (7, "ALPHA   text"),   # dup of 5 within batch 0 (normalized)
+        (1, "alpha text"),     # later arrival, smaller id: still dropped
+        (2, "gamma text"),
+        (3, "beta text"),      # dup of 6 from batch 0: dropped
+        (0, "gamma text"),     # dup of 2 from batch 1: dropped
+        (9, "delta text"),
+    ]
+    batches = [rows[0:3], rows[3:6], rows[6:8]]
+    corpus = None
+    for b in batches:
+        df = spark.createDataFrame(b, "doc_id long, text string")
+        fresh = ingest.compact_corpus(df, corpus)
+        corpus = fresh if corpus is None else corpus.unionByName(fresh)
+    kept = sorted(r["doc_id"] for r in corpus.collect())
+    assert kept == [2, 5, 6, 9]
+    # exactly one doc per fingerprint
+    n_fp = corpus.select(
+        F.md5(F.encode(normalize_text("text"), "UTF-8")).alias("fp")
+    ).distinct().count()
+    assert n_fp == corpus.count() == 4

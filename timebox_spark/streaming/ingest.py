@@ -393,6 +393,34 @@ def curate_stream(
     return kept.withColumn("text", TX.redact(text_col))
 
 
+def compact_corpus(
+    new_batch: DataFrame,
+    corpus: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The batch half of the ingest lambda split ``curate_stream``
+    documents: given the rows a streaming window accumulated
+    (``new_batch``) and the standing curated ``corpus``, return the
+    new-batch rows to APPEND — those whose normalized-text
+    fingerprint is unseen in the corpus, keep-one within the batch
+    (smallest id). Arrival order wins across compaction cycles
+    (earlier ingest keeps the doc; a later duplicate is dropped even
+    with a smaller id) — the standard semantics of a growing corpus,
+    vs batch ``pipeline.curate``'s global smallest-id.
+
+    Pure composition of ``dedup.incremental_exact_dedup``: the corpus
+    side reduces to distinct fingerprints before an anti-join, so a
+    compaction cycle never rescans corpus text — at 100 TB the
+    fingerprint column is persisted with the corpus and the left side
+    is a narrow column scan."""
+    from timebox_spark.operators.dedup import incremental_exact_dedup
+
+    if corpus is None:
+        corpus = new_batch.limit(0)
+    return incremental_exact_dedup(new_batch, corpus, id_col, text_col)
+
+
 def hourly_histogram(
     stream: DataFrame,
     watermark: str = "1 hour",
