@@ -423,3 +423,63 @@ def test_audio_resample_properties_and_kernel(spark):
         assert rate == 16000
         n_src = AU.synth_n_samples(r["doc_id"])
         assert back.size == round(n_src * 2)
+
+
+def test_image_dhash_matches_python_reference(spark):
+    """The distributed dHash equals an independent per-image Python
+    recompute (decode → r+g+b gray → bilinear 8×9 → neighbor bits)."""
+    import numpy as np
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(12)], "doc_id long"
+    )
+    media = multimodal.synth_media_table(docs)
+    got = {
+        r["doc_id"]: (r["dhash_lo"], r["dhash_hi"])
+        for r in multimodal.image_dhash(media).collect()
+    }
+    rows = media.select("doc_id", "payload").collect()
+    for r in rows:
+        px = multimodal.decode_image(bytes(r["payload"]))
+        gray = (
+            3 * px.astype(np.int64)
+            if px.ndim == 2
+            else px.astype(np.int64).sum(axis=2)
+        )
+        g2 = multimodal._bilinear_gray(
+            gray, multimodal.DHASH_H, multimodal.DHASH_W
+        )
+        val = 0
+        for k, b in enumerate((g2[:, 1:] > g2[:, :-1]).reshape(-1)):
+            if b:
+                val |= 1 << k
+        assert got[r["doc_id"]] == (val & 0xFFFFFFFF, val >> 32), r["doc_id"]
+
+
+def test_dhash_near_dups_planted_pairs(spark):
+    """Visually identical images (one-pixel perturbation) collide
+    within the Hamming threshold; structurally different images
+    don't pair. Pigeonhole blocking must not lose a ≤3-bit pair."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    near = base.copy()
+    near[3, 4, 1] = (int(near[3, 4, 1]) + 1) % 256  # tiny perturbation
+    other = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    rows = [
+        (0, bytearray(multimodal.encode_png(base))),
+        (1, bytearray(multimodal.encode_bmp(near))),
+        (2, bytearray(multimodal.encode_ppm(other))),
+    ]
+    media = spark.createDataFrame(
+        [(i, bytes(p), {"format": "x", "n_bytes": len(p), "source": "t"}) for i, p in rows],
+        multimodal.MEDIA_SCHEMA,
+    )
+    hashes = multimodal.image_dhash(media)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in multimodal.dhash_near_dups(hashes, max_hamming=3).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] <= 3
+    assert all(p == (0, 1) for p in pairs)

@@ -572,6 +572,147 @@ def bilinear_resize(px, out_h: int, out_w: int):
     return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
 
 
+def _bilinear_gray(g, out_h: int, out_w: int):
+    """Single-channel bilinear resample of an int (h, w) array —
+    identical half-pixel-center arithmetic to ``bilinear_resize``
+    (same gather, same lerp order, same floor(x+0.5)); no clip since
+    interpolation of ints in range stays in range. int64 out."""
+    import numpy as np
+
+    h, w = g.shape
+    ys = (np.arange(out_h, dtype=np.float64) + 0.5) * (h / out_h) - 0.5
+    xs = (np.arange(out_w, dtype=np.float64) + 0.5) * (w / out_w) - 0.5
+    ys = np.clip(ys, 0, h - 1)
+    xs = np.clip(xs, 0, w - 1)
+    y0 = np.floor(ys).astype(np.int64)
+    x0 = np.floor(xs).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = (ys - y0)[:, None]
+    wx = (xs - x0)[None, :]
+    p = g.astype(np.float64)
+    top = p[y0][:, x0] * (1 - wx) + p[y0][:, x1] * wx
+    bot = p[y1][:, x0] * (1 - wx) + p[y1][:, x1] * wx
+    return np.floor(top * (1 - wy) + bot * wy + 0.5).astype(np.int64)
+
+
+# dHash contract constants (shared with the q30 oracle)
+DHASH_H = 8
+DHASH_W = 9  # 9 columns → 8 horizontal comparisons per row
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("dhash_lo", T.LongType()),
+        T.StructField("dhash_hi", T.LongType()),
+    ]
+)
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """Perceptual difference-hash (dHash) per image — the standard
+    near-duplicate fingerprint of large-scale image curation
+    (LAION-style dedup): decode → exact integer grayscale
+    (r+g+b, no lossy luma weights) → bilinear 8×9 → bit k = y·8+x set
+    iff g[y, x+1] > g[y, x]. Emitted as two 32-bit halves
+    (dhash_lo = bits 0–31, dhash_hi = bits 32–63) so every value fits
+    BIGINT on any engine (bit 63 would overflow a signed shift).
+
+    Arrow map-only; visually-identical images (recompression, mild
+    noise) land within a few bits, so pairs come from
+    ``dhash_near_dups``'s pigeonhole block join — never all-pairs."""
+    from timebox_spark.session import ship_package
+
+    ship_package(media.sparkSession)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, los, his = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_image(bytes(payload))
+                gray = (
+                    3 * px.astype(np.int64)
+                    if px.ndim == 2
+                    else px.astype(np.int64).sum(axis=2)
+                )
+                g2 = _bilinear_gray(gray, DHASH_H, DHASH_W)
+                bits = (g2[:, 1:] > g2[:, :-1]).reshape(-1)
+                val = 0
+                for k, b in enumerate(bits):
+                    if b:
+                        val |= 1 << k
+                ids.append(int(doc_id))
+                los.append(val & 0xFFFFFFFF)
+                his.append(val >> 32)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "dhash_lo": pd.Series(los, dtype="int64"),
+                    "dhash_hi": pd.Series(his, dtype="int64"),
+                }
+            )
+
+    return ensure_parallelism(media.select("doc_id", "payload")).mapInPandas(
+        extract, schema=DHASH_SCHEMA
+    )
+
+
+def dhash_near_dups(
+    hashes: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate image pairs by dHash Hamming distance with
+    pigeonhole blocking: the 64 bits split into four 16-bit blocks;
+    any pair within ``max_hamming`` ≤ 3 must agree on at least one
+    block (4 blocks, ≤3 flipped bits), so candidates come from four
+    block equi-joins — the same scale shape as the SimHash text
+    path, never an all-pairs product. Returns
+    (id_a, id_b, hamming)."""
+    blocks = hashes.select(
+        F.col(id_col),
+        "dhash_lo",
+        "dhash_hi",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("blk"), (F.col("dhash_lo") % 65536).alias("key")),
+                F.struct(F.lit(1).alias("blk"), F.expr("dhash_lo div 65536").alias("key")),
+                F.struct(F.lit(2).alias("blk"), (F.col("dhash_hi") % 65536).alias("key")),
+                F.struct(F.lit(3).alias("blk"), F.expr("dhash_hi div 65536").alias("key")),
+            )
+        ).alias("e"),
+    ).select(id_col, "dhash_lo", "dhash_hi", "e.blk", "e.key")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.dhash_lo").alias("alo"),
+            F.col("a.dhash_hi").alias("ahi"),
+            F.col("b.dhash_lo").alias("blo"),
+            F.col("b.dhash_hi").alias("bhi"),
+        )
+        .distinct()
+    )
+    hamming = (
+        F.bit_count(F.col("alo").bitwiseXOR(F.col("blo")))
+        + F.bit_count(F.col("ahi").bitwiseXOR(F.col("bhi")))
+    ).cast("long")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def resize_images(
     media: DataFrame, out_h: int = 8, out_w: int = 8
 ) -> DataFrame:

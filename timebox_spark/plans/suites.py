@@ -1016,6 +1016,17 @@ def q30_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("head_hex"),
         F.col("pixel_sum").alias("byte_sum_mod"),
     )
+    # perceptual dHash rows (frame_idx -7): decode → integer grayscale
+    # → bilinear 8×9 → 64 comparison bits as two 32-bit halves
+    # (lo in n_bytes, hi in byte_sum_mod); the oracle recomputes the
+    # whole chain from the synthetic closed forms
+    dh = multimodal.image_dhash(multimodal.synth_media_table(docs)).select(
+        "doc_id",
+        F.lit(-7).cast("int").alias("frame_idx"),
+        F.col("dhash_lo").alias("n_bytes"),
+        F.lit("dhash").alias("head_hex"),
+        F.col("dhash_hi").alias("byte_sum_mod"),
+    )
     return (
         whole.unionByName(frames)
         .unionByName(decoded)
@@ -1023,6 +1034,7 @@ def q30_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(y4m)
         .unionByName(rsmp)
         .unionByName(rsz)
+        .unionByName(dh)
     )
 
 
@@ -1214,6 +1226,80 @@ FROM documents WHERE {where}"""
 _rsz_sql.__doc__ = _rsz_sql.__doc__.format(o=_RSZ_OUT)
 
 
+def _dhash_sql() -> str:
+    """DuckDB mirror of the dHash member: integer grayscale (sum of
+    the three per-channel closed forms), the same half-pixel-center
+    bilinear to 8×9, the same 64 neighbor comparisons packed into two
+    32-bit halves — bit-for-bit with multimodal.image_dhash."""
+    from timebox_spark.operators import multimodal as MM
+
+    oh, ow = MM.DHASH_H, MM.DHASH_W
+
+    def branch(where: str, h: str, w: str, gray) -> str:
+        def g2(y: str, x: str) -> str:
+            ys = (
+                f"least(greatest(({y} + 0.5) * (CAST({h} AS DOUBLE) / {oh})"
+                f" - 0.5, 0), {h} - 1)"
+            )
+            xs = (
+                f"least(greatest(({x} + 0.5) * (CAST({w} AS DOUBLE) / {ow})"
+                f" - 0.5, 0), {w} - 1)"
+            )
+            y0 = f"CAST(floor({ys}) AS BIGINT)"
+            x0 = f"CAST(floor({xs}) AS BIGINT)"
+            y1 = f"least({y0} + 1, {h} - 1)"
+            x1 = f"least({x0} + 1, {w} - 1)"
+            wy = f"({ys} - floor({ys}))"
+            wx = f"({xs} - floor({xs}))"
+            val = (
+                f"((({gray(y0, x0)} * (1 - {wx}) + {gray(y0, x1)} * {wx})"
+                f" * (1 - {wy}))"
+                f" + (({gray(y1, x0)} * (1 - {wx}) + {gray(y1, x1)} * {wx})"
+                f" * {wy}))"
+            )
+            return f"CAST(floor({val} + 0.5) AS BIGINT)"
+
+        y, xa, xb = "(k // 8)", "(k % 8)", "(k % 8 + 1)"
+        bit = (
+            f"CASE WHEN {g2(y, xb)} > {g2(y, xa)}"
+            f" THEN 1::BIGINT ELSE 0::BIGINT END"
+        )
+        lo = f"list_sum(list_transform(range(0, 32), k -> ({bit}) << k))"
+        hi = (
+            f"list_sum(list_transform(range(32, 64), k -> ({bit}) << (k - 32)))"
+        )
+        return f"""
+SELECT doc_id, CAST(-7 AS INTEGER) AS frame_idx,
+       CAST({lo} AS BIGINT) AS n_bytes,
+       'dhash' AS head_hex,
+       CAST({hi} AS BIGINT) AS byte_sum_mod
+FROM documents WHERE {where}"""
+
+    def gray_raster(y: str, x: str) -> str:
+        base = f"31 * doc_id + 17 * ({y}) + 5 * ({x})"
+        return (
+            f"CAST((({base}) % 256) + (({base} + 11) % 256)"
+            f" + (({base} + 22) % 256) AS DOUBLE)"
+        )
+
+    def gray_jpeg(y: str, x: str) -> str:
+        return (
+            f"CAST(3 * ((31 * doc_id + 17 * (({y}) // 8)"
+            f" + 5 * (({x}) // 8)) % 256) AS DOUBLE)"
+        )
+
+    return (
+        branch("doc_id % 4 <> 3", _SYNTH_H_SQL, _SYNTH_W_SQL, gray_raster)
+        + "\nUNION ALL\n"
+        + branch(
+            "doc_id % 4 = 3",
+            f"(8 * {_JPEG_BH_SQL})",
+            f"(8 * {_JPEG_BW_SQL})",
+            gray_jpeg,
+        )
+    )
+
+
 _Q30_SUITE_SQL = f"""
 SELECT doc_id, CAST(-1 AS INTEGER) AS frame_idx, n_bytes, head_hex, byte_sum_mod
 FROM ({LQ.ORACLE_SQL['q30_multimodal_features']})
@@ -1230,6 +1316,8 @@ UNION ALL
 SELECT doc_id, frame_idx, n_bytes, head_hex, byte_sum_mod FROM ({_rsmp_sql()})
 UNION ALL
 SELECT doc_id, frame_idx, n_bytes, head_hex, byte_sum_mod FROM ({_rsz_sql()})
+UNION ALL
+SELECT doc_id, frame_idx, n_bytes, head_hex, byte_sum_mod FROM ({_dhash_sql()})
 """
 
 
