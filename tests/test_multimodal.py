@@ -483,3 +483,49 @@ def test_dhash_near_dups_planted_pairs(spark):
     }
     assert (0, 1) in pairs and pairs[(0, 1)] <= 3
     assert all(p == (0, 1) for p in pairs)
+
+
+def test_audio_fingerprint_planted_near_dups(spark):
+    """Envelope fingerprints: identical audio (re-encoded) and a
+    lightly perturbed copy share the fingerprint; an inverted-envelope
+    signal doesn't. Equality-join pairing finds exactly the planted
+    pairs."""
+    import numpy as np
+
+    from timebox_spark.operators import audio as AU
+
+    rng = np.random.default_rng(17)
+    n = 170
+    # strong rising-energy staircase: tiny noise can't flip frame order
+    base = (
+        np.concatenate(
+            [
+                rng.integers(-40 * (j + 1), 40 * (j + 1) + 1, size=10)
+                for j in range(17)
+            ]
+        )
+        .astype(np.int16)
+    )
+    noisy = base.copy()
+    noisy[5] = base[5] + 1
+    falling = base[::-1].copy()
+    rows = [
+        (0, AU.encode_wav(base)),
+        (1, AU.encode_wav(noisy)),
+        (2, AU.encode_wav(falling)),
+    ]
+    audio = spark.createDataFrame(
+        [(i, bytes(p), {"format": "audio/wav", "n_bytes": len(p), "source": "t"})
+         for i, p in rows],
+        AU.AUDIO_SCHEMA,
+    )
+    fps = AU.audio_fingerprint(audio)
+    got = {r["doc_id"]: r["afp"] for r in fps.collect()}
+    assert got[0] == got[1]
+    assert got[0] != got[2]
+    assert len(got) == 3 and got[0] > 0
+    pairs = [
+        (r["id_a"], r["id_b"])
+        for r in AU.audio_near_dups(fps).collect()
+    ]
+    assert pairs == [(0, 1)]

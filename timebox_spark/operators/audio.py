@@ -23,6 +23,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from timebox_spark.session import ensure_parallelism, ship_package
@@ -374,3 +375,75 @@ def resample_audio(
             )
 
     return audio.mapInPandas(conv, schema=AUDIO_SCHEMA)
+
+
+# energy-envelope fingerprint constants (shared with the q30 oracle)
+AFP_FRAMES = 17  # 17 frames → 16 adjacent-energy comparison bits
+
+AFP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("afp", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+    ]
+)
+
+
+def audio_fingerprint(audio: DataFrame) -> DataFrame:
+    """Energy-envelope audio fingerprint — the audio analog of the
+    image dHash: decode each WAV, partition the stream into
+    ``AFP_FRAMES`` integer-bound frames (frame j = samples
+    [j·n//F, (j+1)·n//F)), compute exact integer frame energies
+    Σ s², and set bit j iff energy[j+1] > energy[j] — a 16-bit
+    loudness-shape fingerprint robust to small per-sample noise.
+    All-integer arithmetic, so the oracle re-derives it exactly from
+    the synthetic closed form. Arrow map-only; near-dup candidates
+    come from an equality join on the fingerprint
+    (``audio_near_dups``), never all-pairs."""
+    ship_package(audio.sparkSession)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, fps, ns = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _rate, s = decode_wav(bytes(payload))
+                n = int(s.size)
+                sq = s.astype(np.int64) ** 2
+                bounds = [j * n // AFP_FRAMES for j in range(AFP_FRAMES + 1)]
+                e = [int(sq[bounds[j]:bounds[j + 1]].sum()) for j in range(AFP_FRAMES)]
+                val = 0
+                for j in range(AFP_FRAMES - 1):
+                    if e[j + 1] > e[j]:
+                        val |= 1 << j
+                ids.append(int(doc_id))
+                fps.append(val)
+                ns.append(n)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "afp": pd.Series(fps, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                }
+            )
+
+    return audio.select("doc_id", "payload").mapInPandas(
+        extract, schema=AFP_SCHEMA
+    )
+
+
+def audio_near_dups(fps: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Audio near-dup candidate pairs: equality join on the envelope
+    fingerprint (a 16-bit key — bounded buckets, one shuffle), the
+    same posture as exact text dedup on the md5 fingerprint."""
+    a, b = fps.alias("a"), fps.alias("b")
+    return a.join(
+        b,
+        (F.col("a.afp") == F.col("b.afp"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.col("a.afp").alias("afp"),
+    )

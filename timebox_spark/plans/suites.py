@@ -1027,6 +1027,16 @@ def q30_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("dhash").alias("head_hex"),
         F.col("dhash_hi").alias("byte_sum_mod"),
     )
+    # audio envelope-fingerprint rows (frame_idx -8): decode → exact
+    # integer frame energies → 16 comparison bits; all-integer, so
+    # the oracle recomputes the fingerprint from the closed form
+    afp = AU.audio_fingerprint(AU.synth_audio_table(docs)).select(
+        "doc_id",
+        F.lit(-8).cast("int").alias("frame_idx"),
+        F.col("n_samples").alias("n_bytes"),
+        F.lit("afp").alias("head_hex"),
+        F.col("afp").alias("byte_sum_mod"),
+    )
     return (
         whole.unionByName(frames)
         .unionByName(decoded)
@@ -1035,6 +1045,7 @@ def q30_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(rsmp)
         .unionByName(rsz)
         .unionByName(dh)
+        .unionByName(afp)
     )
 
 
@@ -1226,6 +1237,35 @@ FROM documents WHERE {where}"""
 _rsz_sql.__doc__ = _rsz_sql.__doc__.format(o=_RSZ_OUT)
 
 
+def _afp_sql() -> str:
+    """DuckDB mirror of the audio envelope fingerprint: the same
+    integer frame bounds j·n//F, the same exact Σ s² energies, the
+    same 16 adjacent comparisons — all-integer, bit-for-bit."""
+    from timebox_spark.operators import audio as AU
+
+    fr = AU.AFP_FRAMES
+    n = "(64 + doc_id % 65)"
+    sq = (
+        f"((37 * doc_id + 13 * i) % {AU.SYNTH_SAMPLE_MOD}"
+        f" - {AU.SYNTH_SAMPLE_OFF})"
+    )
+    energy = (
+        f"list_transform(range(0, {fr}), j -> list_sum(list_transform("
+        f"range(j * {n} // {fr}, (j + 1) * {n} // {fr}),"
+        f" i -> {sq} * {sq})))"
+    )
+    return f"""
+SELECT doc_id, CAST(-8 AS INTEGER) AS frame_idx,
+       CAST({n} AS BIGINT) AS n_bytes,
+       'afp' AS head_hex,
+       CAST(list_sum(list_transform(range(0, {fr - 1}),
+            j -> CASE WHEN e[j + 2] > e[j + 1]
+                      THEN 1::BIGINT << j ELSE 0::BIGINT END))
+            AS BIGINT) AS byte_sum_mod
+FROM (SELECT doc_id, {energy} AS e FROM documents)
+"""
+
+
 def _dhash_sql() -> str:
     """DuckDB mirror of the dHash member: integer grayscale (sum of
     the three per-channel closed forms), the same half-pixel-center
@@ -1318,6 +1358,8 @@ UNION ALL
 SELECT doc_id, frame_idx, n_bytes, head_hex, byte_sum_mod FROM ({_rsz_sql()})
 UNION ALL
 SELECT doc_id, frame_idx, n_bytes, head_hex, byte_sum_mod FROM ({_dhash_sql()})
+UNION ALL
+SELECT doc_id, frame_idx, n_bytes, head_hex, byte_sum_mod FROM ({_afp_sql()})
 """
 
 
