@@ -47,6 +47,12 @@ def main() -> None:
         "doc_id"
     ).show(4)
 
+    print("perceptual image dHash (near-dup fingerprint, two 32-bit halves):")
+    multimodal.image_dhash(media).orderBy("doc_id").show(4)
+
+    print("audio energy-envelope fingerprint (16 comparison bits):")
+    audio.audio_fingerprint(wav).orderBy("doc_id").show(4)
+
     spark.stop()
 
 
