@@ -529,3 +529,33 @@ def test_audio_fingerprint_planted_near_dups(spark):
         for r in AU.audio_near_dups(fps).collect()
     ]
     assert pairs == [(0, 1)]
+
+
+def test_video_fingerprint_planted(spark):
+    """Brightness-envelope video fingerprints: a lightly perturbed
+    copy of a rising-brightness clip shares the fingerprint; the
+    reversed clip doesn't."""
+    import numpy as np
+
+    from timebox_spark.operators import audio as AU
+
+    frames = [
+        np.full((8, 8), 20 * (f + 1), dtype=np.uint8) for f in range(6)
+    ]
+    noisy = [fr.copy() for fr in frames]
+    noisy[2][3, 3] += 1
+    rows = [
+        (0, AU.encode_y4m(frames)),
+        (1, AU.encode_y4m(noisy)),
+        (2, AU.encode_y4m(frames[::-1])),
+    ]
+    video = spark.createDataFrame(
+        [(i, bytes(p), {"format": "video/y4m", "n_bytes": len(p), "source": "t"})
+         for i, p in rows],
+        AU.AUDIO_SCHEMA,
+    )
+    got = {r["doc_id"]: (r["vfp"], r["n_frames"])
+           for r in AU.video_fingerprint(video).collect()}
+    assert got[0] == (0b11111, 6)  # strictly rising: all 5 bits set
+    assert got[1] == got[0]
+    assert got[2] == (0, 6)  # strictly falling: no bits

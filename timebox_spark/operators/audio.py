@@ -447,3 +447,52 @@ def audio_near_dups(fps: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.col(f"b.{id_col}").alias("id_b"),
         F.col("a.afp").alias("afp"),
     )
+
+
+VFP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("vfp", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+    ]
+)
+
+
+def video_fingerprint(video: DataFrame) -> DataFrame:
+    """Frame-brightness-envelope video fingerprint — the video member
+    of the perceptual near-dup family (text SimHash/MinHash, image
+    dHash, audio envelope): parse the Y4M container, compute each
+    frame's exact integer pixel sum, set bit f iff
+    sum[f+1] > sum[f]. A clip's brightness trajectory survives
+    re-encoding and mild noise; exact integers mean the oracle
+    re-derives the bits from the synthetic closed form. Pair with
+    ``audio_near_dups``-style equality/blocked joins on (n_frames,
+    vfp), never all-pairs."""
+    ship_package(video.sparkSession)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, fps, nf = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _w, _h, frames = decode_y4m(bytes(payload))
+                sums = [int(fr.astype(np.int64).sum()) for fr in frames]
+                val = 0
+                for f in range(len(sums) - 1):
+                    if sums[f + 1] > sums[f]:
+                        val |= 1 << f
+                ids.append(int(doc_id))
+                fps.append(val)
+                nf.append(len(frames))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "vfp": pd.Series(fps, dtype="int64"),
+                    "n_frames": pd.Series(nf, dtype="int64"),
+                }
+            )
+
+    return video.select("doc_id", "payload").mapInPandas(
+        extract, schema=VFP_SCHEMA
+    )

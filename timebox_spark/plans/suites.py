@@ -1037,6 +1037,15 @@ def q30_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("afp").alias("head_hex"),
         F.col("afp").alias("byte_sum_mod"),
     )
+    # video brightness-envelope rows (frame_idx -9): exact per-frame
+    # pixel sums → adjacent-comparison bits, oracle-closed-form
+    vfp = AU.video_fingerprint(AU.synth_video_table(docs)).select(
+        "doc_id",
+        F.lit(-9).cast("int").alias("frame_idx"),
+        F.col("n_frames").alias("n_bytes"),
+        F.lit("vfp").alias("head_hex"),
+        F.col("vfp").alias("byte_sum_mod"),
+    )
     return (
         whole.unionByName(frames)
         .unionByName(decoded)
@@ -1046,6 +1055,7 @@ def q30_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(rsz)
         .unionByName(dh)
         .unionByName(afp)
+        .unionByName(vfp)
     )
 
 
@@ -1266,6 +1276,36 @@ FROM (SELECT doc_id, {energy} AS e FROM documents)
 """
 
 
+def _vfp_sql() -> str:
+    """DuckDB mirror of the video brightness-envelope fingerprint:
+    exact per-frame pixel sums from the closed form, same adjacent
+    comparisons — bit-for-bit."""
+    from timebox_spark.operators import audio as AU
+
+    n = "(4 + doc_id % 5)"
+    w, h = AU.VIDEO_W, AU.VIDEO_H
+
+    def fsum(f: str) -> str:
+        return (
+            f"list_sum(list_transform(range(0, {w * h}),"
+            f" i -> (23 * doc_id + 19 * ({f}) + 7 * (i // {w})"
+            f" + 3 * (i % {w})) % 256))"
+        )
+
+    bit = (
+        f"CASE WHEN {fsum('f + 1')} > {fsum('f')}"
+        f" THEN 1::BIGINT << f ELSE 0::BIGINT END"
+    )
+    return f"""
+SELECT doc_id, CAST(-9 AS INTEGER) AS frame_idx,
+       CAST({n} AS BIGINT) AS n_bytes,
+       'vfp' AS head_hex,
+       CAST(list_sum(list_transform(range(0, {n} - 1), f -> {bit}))
+            AS BIGINT) AS byte_sum_mod
+FROM documents
+"""
+
+
 def _dhash_sql() -> str:
     """DuckDB mirror of the dHash member: integer grayscale (sum of
     the three per-channel closed forms), the same half-pixel-center
@@ -1360,6 +1400,8 @@ UNION ALL
 SELECT doc_id, frame_idx, n_bytes, head_hex, byte_sum_mod FROM ({_dhash_sql()})
 UNION ALL
 SELECT doc_id, frame_idx, n_bytes, head_hex, byte_sum_mod FROM ({_afp_sql()})
+UNION ALL
+SELECT doc_id, frame_idx, n_bytes, head_hex, byte_sum_mod FROM ({_vfp_sql()})
 """
 
 
