@@ -434,13 +434,18 @@ def audio_fingerprint(audio: DataFrame) -> DataFrame:
 
 
 def audio_near_dups(fps: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Audio near-dup candidate pairs: equality join on the envelope
-    fingerprint (a 16-bit key — bounded buckets, one shuffle), the
-    same posture as exact text dedup on the md5 fingerprint."""
+    """Audio near-dup candidate pairs: equality join on
+    (n_samples, afp). The fingerprint alone is 16 bits, so at corpus
+    scale unrelated audio would birthday-collide into O(N²/2¹⁶)
+    candidate pairs; compounding the key with the exact sample count
+    keeps buckets to same-length clips, the same blocked-join
+    discipline as the text/image paths (true near-dups share length
+    after rate normalization via ``resample_audio``)."""
     a, b = fps.alias("a"), fps.alias("b")
     return a.join(
         b,
         (F.col("a.afp") == F.col("b.afp"))
+        & (F.col("a.n_samples") == F.col("b.n_samples"))
         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
     ).select(
         F.col(f"a.{id_col}").alias("id_a"),

@@ -1007,15 +1007,15 @@ def chunk_lines(
     from the token stream instead."""
     toks = F.split(F.col(col), " ", -1)
     n_lines = F.ceil(F.size(toks) / F.lit(tokens_per_line)).cast("long")
-    # F.sequence DESCENDS when the bound is below the start (empty
-    # text): guard to an empty array instead
-    return F.when(F.size(toks) == 0, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0).cast("long"), n_lines - 1),
-            lambda i: F.array_join(
-                F.slice(toks, i * tokens_per_line + 1, tokens_per_line), " "
-            ),
-        )
+    # split() never returns an empty array ("" → [""], size 1), so
+    # n_lines >= 1 always and sequence(0, n_lines-1) never takes the
+    # descending branch; an empty doc yields one empty pseudo-line on
+    # both engines (DuckDB string_split agrees)
+    return F.transform(
+        F.sequence(F.lit(0).cast("long"), n_lines - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * tokens_per_line + 1, tokens_per_line), " "
+        ),
     )
 
 
@@ -1033,37 +1033,44 @@ def line_dedup(
     (``F.split(text, '\\n')`` for real lines, ``chunk_lines`` for
     token-chunk pseudo-lines).
 
-    Plan: one explode scan → line-fingerprint aggregate
-    (countDistinct doc, map-side combined) → semi-join back →
-    per-doc reassembly via array_sort over (pos, line) structs. Two
-    shuffles on the md5 key / doc id — uniform by construction; no
-    corpus-sized window, no all-pairs. The common-line table at 100 TB
-    is Zipf-shaped but the aggregate is a plain combine-reduce, so hot
-    fingerprints cost one combiner row per partition.
+    Plan: TWO passes of the exploded lines — the unavoidable minimum
+    (the cross-document frequency table must exist before any line
+    can be judged). Pass 1 aggregates line fingerprints to the
+    OVER-THRESHOLD set (countDistinct doc, map-side combined) — the
+    boilerplate lines only, a far smaller (and at 100 TB
+    broadcast-friendly) table than the keep-set. Pass 2 left-joins
+    that drop-list and computes totals, kept counts, and the in-order
+    reassembly in ONE keyed aggregation (conditional aggregates —
+    ``collect_list(when(kept, ...))`` skips dropped lines), so there
+    is no third scan and no totals/reassembly join. No corpus-sized
+    window, no all-pairs; hot fingerprints cost one combiner row per
+    partition.
 
     Returns (id, n_lines, n_kept, kept_fp) with kept_fp = md5 of the
-    newline-rejoined kept lines ('' joins to md5("") for fully-dropped
-    docs — deterministic on both engines).
+    newline-rejoined kept lines ('' hashes to md5("") for
+    fully-dropped docs — deterministic on both engines).
     """
     lines = docs.select(
         F.col(id_col), F.posexplode(lines_col).alias("pos", "line")
     ).withColumn("__fp", F.md5(F.encode(F.col("line"), "UTF-8")))
-    df_counts = (
+    over_df = (
         lines.groupBy("__fp")
         .agg(F.countDistinct(id_col).alias("__df"))
-        .filter(F.col("__df") <= max_df)
-        .select("__fp")
+        .filter(F.col("__df") > max_df)
+        .select("__fp", F.lit(True).alias("__drop"))
     )
-    kept = lines.join(df_counts, "__fp", "left_semi")
-    reassembled = kept.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_kept"),
+    marked = lines.join(over_df, "__fp", "left")
+    kept_struct = F.when(
+        F.col("__drop").isNull(), F.struct("pos", "line")
+    )
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("__drop").isNull().cast("long")).alias("n_kept"),
         F.md5(
             F.encode(
                 F.array_join(
                     F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("pos", "line"))
-                        ),
+                        F.array_sort(F.collect_list(kept_struct)),
                         lambda s: s["line"],
                     ),
                     "\n",
@@ -1071,18 +1078,6 @@ def line_dedup(
                 "UTF-8",
             )
         ).alias("kept_fp"),
-    )
-    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
-    return (
-        totals.join(reassembled, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.col("n_lines"),
-            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
-            F.coalesce(
-                F.col("kept_fp"), F.md5(F.encode(F.lit(""), "UTF-8"))
-            ).alias("kept_fp"),
-        )
     )
 
 

@@ -670,7 +670,16 @@ def dhash_near_dups(
     block (4 blocks, ≤3 flipped bits), so candidates come from four
     block equi-joins — the same scale shape as the SimHash text
     path, never an all-pairs product. Returns
-    (id_a, id_b, hamming)."""
+    (id_a, id_b, hamming).
+
+    ``max_hamming`` > 3 would silently lose pairs (4 flipped bits can
+    hit all 4 blocks), so it is rejected — recall at larger radii
+    needs more/narrower blocks, not a bigger threshold."""
+    if max_hamming > 3:
+        raise ValueError(
+            "4x16-bit pigeonhole blocking guarantees recall only for "
+            f"max_hamming <= 3 (got {max_hamming})"
+        )
     blocks = hashes.select(
         F.col(id_col),
         "dhash_lo",

@@ -268,9 +268,13 @@ def _bpe_merges_sql() -> str:
 ),
 b{r + 1} AS (SELECT a, b, n FROM p{r + 1} ORDER BY n DESC, a, b LIMIT 1),
 v{r + 1} AS (
-  SELECT replace(seq, {sep} || a || {sep} || {sep} || b || {sep},
-                 {sep} || a || b || {sep}) AS seq, freq
-  FROM v{r} CROSS JOIN b{r + 1}
+  -- LEFT JOIN (not CROSS): an exhausted pair table (no merge this
+  -- round) must leave the vocab INTACT, mirroring the Spark
+  -- trainer's loop break — a cross join would empty it
+  SELECT CASE WHEN b{r + 1}.a IS NULL THEN seq
+              ELSE replace(seq, {sep} || a || {sep} || {sep} || b || {sep},
+                           {sep} || a || b || {sep}) END AS seq, freq
+  FROM v{r} LEFT JOIN b{r + 1} ON TRUE
 )"""
         )
     merge_rows = "\nUNION ALL\n".join(
@@ -439,9 +443,10 @@ def q23_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.unionByName(incr).unionByName(counts).unionByName(lines)
 
 
-q23_dedup_suite.__doc__ = q23_dedup_suite.__doc__.format(
-    mod=_INCR_MOD, ltok=_LINE_TOKENS
-)
+if q23_dedup_suite.__doc__:  # None under python -OO
+    q23_dedup_suite.__doc__ = q23_dedup_suite.__doc__.format(
+        mod=_INCR_MOD, ltok=_LINE_TOKENS
+    )
 
 
 def _q23_suite_sql() -> str:
@@ -1244,7 +1249,8 @@ FROM documents WHERE {where}"""
     )
 
 
-_rsz_sql.__doc__ = _rsz_sql.__doc__.format(o=_RSZ_OUT)
+if _rsz_sql.__doc__:  # None under python -OO
+    _rsz_sql.__doc__ = _rsz_sql.__doc__.format(o=_RSZ_OUT)
 
 
 def _afp_sql() -> str:
@@ -1891,10 +1897,14 @@ def _bucketed_member(spark: SparkSession, sf_dir: str) -> DataFrame:
     simultaneously equal the raw-events oracle (inner join on the
     complete user set is row-preserving)."""
     import hashlib as _h
+    import os as _os
 
     from timebox_spark.table import save_bucketed
 
-    tag = _h.sha1(sf_dir.encode()).hexdigest()[:8]
+    # per-(sf_dir, process) tag: reruns in one process overwrite
+    # (no /tmp accumulation), while concurrent processes (bench +
+    # pytest + driver) never race on the same files/table names
+    tag = f"{_h.sha1(sf_dir.encode()).hexdigest()[:8]}_{_os.getpid()}"
     ev = load(spark, sf_dir, "events")
     ta = save_bucketed(
         ev, f"tb_bkt_events_{tag}", f"/tmp/timebox_spark_bkt_ev_{tag}",
