@@ -166,7 +166,7 @@ def test_foreign_420_subsampled_grayscale_chroma():
 
 # ---------------- property-based (hypothesis)
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 
@@ -175,15 +175,21 @@ from hypothesis import strategies as st
     st.integers(1, 40),   # width
     st.integers(0, 2**31 - 1),
 )
+@example(34, 26, 749715326)  # hypothesis-found error-2 case (round 6)
 @settings(max_examples=25, deadline=None)
 def test_flat_quant_roundtrip_error_bounded(h, w, seed):
-    """For ANY grayscale image, flat-quant baseline roundtrip is within
-    ±1 (DCT/IDCT float noise + final rounding only)."""
+    """For ANY grayscale image, flat-quant baseline roundtrip error is
+    at most 3: quantization rounds 64 orthonormal-DCT coefficients by
+    <=0.5 each, bounding spatial error by 0.5*(sum|M[u,x]|)^2 = 3.49,
+    i.e. <=3 after the decoder's final integer rounding (jpeg.py
+    docstring). The once-claimed +-1 was falsified by hypothesis at
+    (34, 26, seed 749715326), pinned above: two roundings compound on
+    noise-like blocks."""
     rng = np.random.RandomState(seed)
     px = rng.randint(0, 256, (h, w)).astype(np.uint8)
     dec = jpeg.decode_jpeg(jpeg.encode_jpeg_gray(px))
     assert dec.shape == (h, w, 3)
-    assert np.abs(dec[:, :, 0].astype(int) - px.astype(int)).max() <= 1
+    assert np.abs(dec[:, :, 0].astype(int) - px.astype(int)).max() <= 3
     assert (dec[:, :, 0] == dec[:, :, 1]).all() and (dec[:, :, 1] == dec[:, :, 2]).all()
 
 

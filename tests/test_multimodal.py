@@ -559,3 +559,96 @@ def test_video_fingerprint_planted(spark):
     assert got[0] == (0b11111, 6)  # strictly rising: all 5 bits set
     assert got[1] == got[0]
     assert got[2] == (0, 6)  # strictly falling: no bits
+
+
+def test_audio_hamming_near_dups_planted_near_miss(spark):
+    """A one-envelope-bit flip (one frame's energy perturbed past its
+    neighbor) is INVISIBLE to the exact-equality join but caught by
+    the 4x4-bit pigeonhole Hamming join (round-6 verdict task 4)."""
+    import numpy as np
+
+    from timebox_spark.operators import audio as AU
+
+    # 17 constant-amplitude chunks of 10 samples → frame j energy is
+    # exactly 10*(20*(j+1))², strictly rising: afp = 0xFFFF for base
+    base = np.concatenate(
+        [np.full(10, 20 * (j + 1), dtype=np.int16) for j in range(17)]
+    )
+    # flip exactly one envelope comparison: frame 9's energy becomes
+    # huge, so bit 8 (e[9] > e[8]) stays set but bit 9 (e[10] > e[9])
+    # flips off — Hamming distance exactly 1
+    flipped = base.copy()
+    flipped[90:100] = 4000
+    falling = base[::-1].copy()
+    rows = [
+        (0, AU.encode_wav(base)),
+        (1, AU.encode_wav(flipped)),
+        (2, AU.encode_wav(falling)),
+    ]
+    audio = spark.createDataFrame(
+        [(i, bytes(p), {"format": "audio/wav", "n_bytes": len(p), "source": "t"})
+         for i, p in rows],
+        AU.AUDIO_SCHEMA,
+    )
+    fps = AU.audio_fingerprint(audio)
+    got = {r["doc_id"]: r["afp"] for r in fps.collect()}
+    d01 = bin(got[0] ^ got[1]).count("1")
+    d02 = bin(got[0] ^ got[2]).count("1")
+    assert d01 == 1 and d02 == 16, (d01, d02)
+    # exact-equality join misses the near-miss pair entirely
+    assert AU.audio_near_dups(fps).count() == 0
+    # Hamming-tolerant pigeonhole join finds exactly (0, 1)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in AU.audio_near_dups_hamming(fps).collect()
+    }
+    assert set(pairs) == {(0, 1)} and pairs[(0, 1)] == d01
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        AU.audio_near_dups_hamming(fps, max_hamming=4)
+
+
+def test_video_hamming_near_dups_and_64frame_cap(spark):
+    """(a) One flipped brightness comparison pairs under the Hamming
+    join but not under exact vfp equality; (b) a 100-frame clip does
+    NOT overflow int64 (ADVICE round 6: uncapped `1 << f` raised
+    OverflowError past 64 frames) — the envelope caps at 63 bits."""
+    import numpy as np
+
+    from timebox_spark.operators import audio as AU
+
+    frames = [
+        np.full((8, 8), 20 * (f + 1), dtype=np.uint8) for f in range(6)
+    ]
+    dipped = [fr.copy() for fr in frames]
+    dipped[3][:, :] = 10  # one valley: flips bits 2 and 3 (hamming 2)
+    rows = [
+        (0, AU.encode_y4m(frames)),
+        (1, AU.encode_y4m(dipped)),
+        (2, AU.encode_y4m(frames[::-1])),
+        # 100 frames of alternating brightness: all 63 capped bits
+        # exercise the `1 << f` path right up to the int64 edge
+        (3, AU.encode_y4m(
+            [np.full((8, 8), 200 if f % 2 else 50, dtype=np.uint8)
+             for f in range(100)]
+        )),
+    ]
+    video = spark.createDataFrame(
+        [(i, bytes(p), {"format": "video/y4m", "n_bytes": len(p), "source": "t"})
+         for i, p in rows],
+        AU.AUDIO_SCHEMA,
+    )
+    fps = AU.video_fingerprint(video)
+    got = {r["doc_id"]: (r["vfp"], r["n_frames"]) for r in fps.collect()}
+    assert got[3][1] == 100
+    # odd frames are bright: bits 0,2,4,...,62 set within the 63-bit cap
+    expect = sum(1 << f for f in range(0, AU.VFP_MAX_BITS, 2))
+    assert got[3][0] == expect
+    d01 = bin(got[0][0] ^ got[1][0]).count("1")
+    assert 1 <= d01 <= 3
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in AU.video_near_dups(fps).collect()
+    }
+    assert set(pairs) == {(0, 1)} and pairs[(0, 1)] == d01

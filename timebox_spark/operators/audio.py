@@ -454,6 +454,10 @@ def audio_near_dups(fps: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+# Envelope bits packed into one signed int64: at most 63 comparisons
+# (first 64 frames) so `1 << f` never overflows the int64 column.
+VFP_MAX_BITS = 63
+
 VFP_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -472,7 +476,13 @@ def video_fingerprint(video: DataFrame) -> DataFrame:
     re-encoding and mild noise; exact integers mean the oracle
     re-derives the bits from the synthetic closed form. Pair with
     ``audio_near_dups``-style equality/blocked joins on (n_frames,
-    vfp), never all-pairs."""
+    vfp), never all-pairs.
+
+    The envelope is capped at ``VFP_MAX_BITS`` (63) comparisons — the
+    first 64 frames — so the packed value always fits a signed int64
+    (an uncapped ``1 << f`` overflows for any clip over 64 frames,
+    >2.6 s at 25 fps). Joining on (n_frames, vfp) remains sound with
+    the truncated envelope: equal clips truncate equally."""
     ship_package(video.sparkSession)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -484,7 +494,7 @@ def video_fingerprint(video: DataFrame) -> DataFrame:
                 _w, _h, frames = decode_y4m(bytes(payload))
                 sums = [int(fr.astype(np.int64).sum()) for fr in frames]
                 val = 0
-                for f in range(len(sums) - 1):
+                for f in range(min(len(sums) - 1, VFP_MAX_BITS)):
                     if sums[f + 1] > sums[f]:
                         val |= 1 << f
                 ids.append(int(doc_id))
@@ -500,4 +510,112 @@ def video_fingerprint(video: DataFrame) -> DataFrame:
 
     return video.select("doc_id", "payload").mapInPandas(
         extract, schema=VFP_SCHEMA
+    )
+
+
+# ------------------------------------------------------------------
+# Hamming-tolerant fingerprint pairing (round-6 verdict task 4):
+# the exact-equality joins above miss a near-dup whose envelope
+# differs by a single bit flip. Reuse the 4-block pigeonhole
+# discipline of multimodal.dhash_near_dups on the envelope bits.
+# ------------------------------------------------------------------
+
+def _pigeonhole_pairs(
+    fps: DataFrame,
+    fp_col: str,
+    len_col: str,
+    block_bits: int,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup candidate pairs by fingerprint Hamming distance with
+    4-block pigeonhole blocking (multimodal.py dhash_near_dups shape):
+    the fingerprint splits into four ``block_bits``-wide blocks; any
+    pair within ``max_hamming`` <= 3 must agree on at least one block,
+    so candidates come from four block equi-joins — never an all-pairs
+    product. The exact ``len_col`` is part of every block key (equal
+    envelopes require equal lengths, and it keeps buckets to
+    same-length media at corpus scale). Returns (id_a, id_b,
+    <len_col>, hamming) with id_a < id_b.
+
+    ``max_hamming`` > 3 is rejected, not silently missed — 4 flipped
+    bits can hit all 4 blocks (CLAUDE.md pigeonhole rule)."""
+    if max_hamming > 3:
+        raise ValueError(
+            "4-block pigeonhole blocking guarantees recall only for "
+            f"max_hamming <= 3 (got {max_hamming})"
+        )
+    mask = (1 << block_bits) - 1
+    blocks = fps.select(
+        F.col(id_col),
+        F.col(fp_col),
+        F.col(len_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("blk"),
+                        (
+                            F.expr(f"shiftright({fp_col}, {k * block_bits})")
+                            % (mask + 1)
+                        ).alias("key"),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("e"),
+    ).select(id_col, fp_col, len_col, "e.blk", "e.key")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{len_col}") == F.col(f"b.{len_col}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{len_col}").alias(len_col),
+            F.col(f"a.{fp_col}").alias("__fa"),
+            F.col(f"b.{fp_col}").alias("__fb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("__fa").bitwiseXOR(F.col("__fb"))).cast("long")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", len_col, "hamming")
+    )
+
+
+def audio_near_dups_hamming(
+    fps: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """Hamming-tolerant audio near-dups: the 16-bit energy envelope
+    splits into four 4-bit pigeonhole blocks, keyed with the exact
+    sample count — a one- or two-bit envelope flip (mild re-encode
+    noise) still pairs, unlike ``audio_near_dups``'s exact-equality
+    join. Returns (id_a, id_b, n_samples, hamming <= max_hamming)."""
+    return _pigeonhole_pairs(
+        fps, "afp", "n_samples", (AFP_FRAMES - 1) // 4,
+        max_hamming=max_hamming, id_col=id_col,
+    )
+
+
+def video_near_dups(
+    fps: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """Hamming-tolerant video near-dups over the brightness envelope:
+    four 16-bit pigeonhole blocks of the (<= 63-bit) fingerprint,
+    keyed with the exact frame count. For clips shorter than ~16
+    frames the upper blocks are all-zero and the frame-count key
+    carries the blocking (same-length clips only) — correctness is
+    unaffected; the pigeonhole win kicks in for longer envelopes.
+    Returns (id_a, id_b, n_frames, hamming <= max_hamming)."""
+    return _pigeonhole_pairs(
+        fps, "vfp", "n_frames", 16,
+        max_hamming=max_hamming, id_col=id_col,
     )

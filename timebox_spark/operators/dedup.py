@@ -1059,7 +1059,11 @@ def line_dedup(
         .filter(F.col("__df") > max_df)
         .select("__fp", F.lit(True).alias("__drop"))
     )
-    marked = lines.join(over_df, "__fp", "left")
+    # over_df is bounded by the boilerplate-line count (distinct fps
+    # with df > max_df), orders of magnitude smaller than the corpus:
+    # broadcast it so pass 2 is a map-side join — no shuffle of the
+    # exploded line table and no skew on a pathologically hot fp.
+    marked = lines.join(F.broadcast(over_df), "__fp", "left")
     kept_struct = F.when(
         F.col("__drop").isNull(), F.struct("pos", "line")
     )

@@ -120,7 +120,17 @@ def encode_jpeg_gray(pixels) -> bytes:
     flat (all-ones) quantization and Annex-K luminance Huffman tables.
     Dimensions need not be multiples of 8 (edge blocks are replicated);
     on input that is constant within each 8x8 block the file decodes
-    bit-exactly (DC-only blocks, integer coefficients)."""
+    bit-exactly (DC-only blocks, integer coefficients).
+
+    Roundtrip error bound (provable): flat quantization rounds each of
+    the 64 orthonormal-DCT coefficients by at most 0.5, so the spatial
+    reconstruction error is at most 0.5 * (sum_u |M[u,x]|)^2 = 3.49 for
+    the 8-point DCT (sum_u |M[u,x]| = 2.6418 for every x), and after the
+    decoder's final integer rounding at most **3** levels per pixel.
+    Empirically the worst case found by fuzzing is 2 (e.g. 34x26 image,
+    RandomState seed 749715326) — noise-like blocks compound the encode
+    rint with the decode rint. A tighter +-1 bound is NOT true of
+    baseline JPEG at any quality."""
     px = np.asarray(pixels, dtype=np.uint8)
     h, w = px.shape
     bh, bw = -(-h // 8), -(-w // 8)

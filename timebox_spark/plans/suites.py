@@ -1035,7 +1035,8 @@ def q30_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # audio envelope-fingerprint rows (frame_idx -8): decode → exact
     # integer frame energies → 16 comparison bits; all-integer, so
     # the oracle recomputes the fingerprint from the closed form
-    afp = AU.audio_fingerprint(AU.synth_audio_table(docs)).select(
+    afp_fps = AU.audio_fingerprint(AU.synth_audio_table(docs))
+    afp = afp_fps.select(
         "doc_id",
         F.lit(-8).cast("int").alias("frame_idx"),
         F.col("n_samples").alias("n_bytes"),
@@ -1044,12 +1045,32 @@ def q30_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # video brightness-envelope rows (frame_idx -9): exact per-frame
     # pixel sums → adjacent-comparison bits, oracle-closed-form
-    vfp = AU.video_fingerprint(AU.synth_video_table(docs)).select(
+    vfp_fps = AU.video_fingerprint(AU.synth_video_table(docs))
+    vfp = vfp_fps.select(
         "doc_id",
         F.lit(-9).cast("int").alias("frame_idx"),
         F.col("n_frames").alias("n_bytes"),
         F.lit("vfp").alias("head_hex"),
         F.col("vfp").alias("byte_sum_mod"),
+    )
+    # Hamming near-dup rows (frame_idx -10/-11, round-6 verdict task
+    # 4): the 4-block pigeonhole joins, checked against brute-force
+    # all-pairs oracles — a blocking recall miss drops rows here
+    afp_ham = AU.audio_near_dups_hamming(afp_fps).select(
+        F.col("id_a").alias("doc_id"),
+        F.lit(-10).cast("int").alias("frame_idx"),
+        F.col("id_b").cast("long").alias("n_bytes"),
+        F.lit("afp_ham").alias("head_hex"),
+        F.col("hamming").cast("long").alias("byte_sum_mod"),
+    )
+    vfp_ham = AU.video_near_dups(
+        vfp_fps.filter(F.col("doc_id") % 5 == 4), max_hamming=1
+    ).select(
+        F.col("id_a").alias("doc_id"),
+        F.lit(-11).cast("int").alias("frame_idx"),
+        F.col("id_b").cast("long").alias("n_bytes"),
+        F.lit("vfp_ham").alias("head_hex"),
+        F.col("hamming").cast("long").alias("byte_sum_mod"),
     )
     return (
         whole.unionByName(frames)
@@ -1061,6 +1082,8 @@ def q30_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(dh)
         .unionByName(afp)
         .unionByName(vfp)
+        .unionByName(afp_ham)
+        .unionByName(vfp_ham)
     )
 
 
@@ -1253,10 +1276,11 @@ if _rsz_sql.__doc__:  # None under python -OO
     _rsz_sql.__doc__ = _rsz_sql.__doc__.format(o=_RSZ_OUT)
 
 
-def _afp_sql() -> str:
-    """DuckDB mirror of the audio envelope fingerprint: the same
-    integer frame bounds j·n//F, the same exact Σ s² energies, the
-    same 16 adjacent comparisons — all-integer, bit-for-bit."""
+def _afp_fp_sql() -> str:
+    """Per-doc (doc_id, n, fp) derived table for the audio envelope
+    fingerprint: the same integer frame bounds j·n//F, the same exact
+    Σ s² energies, the same 16 adjacent comparisons — all-integer,
+    bit-for-bit with operators/audio.audio_fingerprint."""
     from timebox_spark.operators import audio as AU
 
     fr = AU.AFP_FRAMES
@@ -1271,44 +1295,86 @@ def _afp_sql() -> str:
         f" i -> {sq} * {sq})))"
     )
     return f"""
-SELECT doc_id, CAST(-8 AS INTEGER) AS frame_idx,
-       CAST({n} AS BIGINT) AS n_bytes,
-       'afp' AS head_hex,
+SELECT doc_id, CAST({n} AS BIGINT) AS n,
        CAST(list_sum(list_transform(range(0, {fr - 1}),
             j -> CASE WHEN e[j + 2] > e[j + 1]
                       THEN 1::BIGINT << j ELSE 0::BIGINT END))
-            AS BIGINT) AS byte_sum_mod
-FROM (SELECT doc_id, {energy} AS e FROM documents)
+            AS BIGINT) AS fp
+FROM (SELECT doc_id, {energy} AS e FROM documents)"""
+
+
+def _afp_sql() -> str:
+    """DuckDB mirror of the audio envelope fingerprint rows."""
+    return f"""
+SELECT doc_id, CAST(-8 AS INTEGER) AS frame_idx,
+       n AS n_bytes, 'afp' AS head_hex, fp AS byte_sum_mod
+FROM ({_afp_fp_sql()})
 """
 
 
-def _vfp_sql() -> str:
-    """DuckDB mirror of the video brightness-envelope fingerprint:
-    exact per-frame pixel sums from the closed form, same adjacent
-    comparisons — bit-for-bit."""
+def _afp_ham_sql() -> str:
+    """Independent all-pairs oracle for audio_near_dups_hamming: the
+    pigeonhole-blocked Spark join must equal a brute-force same-length
+    self-join at Hamming <= 3 — recall loss in the 4-block blocking
+    would drop rows here and break the driver hash."""
+    fp = _afp_fp_sql()
+    return f"""
+SELECT a.doc_id AS doc_id, CAST(-10 AS INTEGER) AS frame_idx,
+       b.doc_id AS n_bytes, 'afp_ham' AS head_hex,
+       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS byte_sum_mod
+FROM ({fp}) a JOIN ({fp}) b
+  ON a.n = b.n AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= 3
+"""
+
+
+def _vfp_fp_sql() -> str:
+    """Per-doc (doc_id, n, fp) derived table for the video
+    brightness-envelope fingerprint: exact per-frame pixel sums from
+    the closed form, adjacent comparisons packed low-bit-first —
+    bit-for-bit with operators/audio.video_fingerprint."""
     from timebox_spark.operators import audio as AU
 
     n = "(4 + doc_id % 5)"
     w, h = AU.VIDEO_W, AU.VIDEO_H
-
-    def fsum(f: str) -> str:
-        return (
-            f"list_sum(list_transform(range(0, {w * h}),"
-            f" i -> (23 * doc_id + 19 * ({f}) + 7 * (i // {w})"
-            f" + 3 * (i % {w})) % 256))"
-        )
-
-    bit = (
-        f"CASE WHEN {fsum('f + 1')} > {fsum('f')}"
-        f" THEN 1::BIGINT << f ELSE 0::BIGINT END"
+    fsum = (
+        f"list_sum(list_transform(range(0, {w * h}),"
+        f" i -> (23 * doc_id + 19 * f + 7 * (i // {w})"
+        f" + 3 * (i % {w})) % 256))"
     )
+    sums = f"list_transform(range(0, {n}), f -> {fsum})"
+    return f"""
+SELECT doc_id, CAST({n} AS BIGINT) AS n,
+       CAST(list_sum(list_transform(range(0, {n} - 1),
+            f -> CASE WHEN s[f + 2] > s[f + 1]
+                      THEN 1::BIGINT << f ELSE 0::BIGINT END))
+            AS BIGINT) AS fp
+FROM (SELECT doc_id, {sums} AS s FROM documents)"""
+
+
+def _vfp_sql() -> str:
+    """DuckDB mirror of the video brightness-envelope rows."""
     return f"""
 SELECT doc_id, CAST(-9 AS INTEGER) AS frame_idx,
-       CAST({n} AS BIGINT) AS n_bytes,
-       'vfp' AS head_hex,
-       CAST(list_sum(list_transform(range(0, {n} - 1), f -> {bit}))
-            AS BIGINT) AS byte_sum_mod
-FROM documents
+       n AS n_bytes, 'vfp' AS head_hex, fp AS byte_sum_mod
+FROM ({_vfp_fp_sql()})
+"""
+
+
+def _vfp_ham_sql() -> str:
+    """Independent all-pairs oracle for video_near_dups at Hamming
+    <= 1, restricted to the 8-frame synth group (doc_id % 5 = 4 — the
+    only group whose 7-bit envelope makes Hamming tolerance
+    discriminative; shorter clips near-match almost everything)."""
+    fp = _vfp_fp_sql()
+    return f"""
+SELECT a.doc_id AS doc_id, CAST(-11 AS INTEGER) AS frame_idx,
+       b.doc_id AS n_bytes, 'vfp_ham' AS head_hex,
+       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS byte_sum_mod
+FROM ({fp}) a JOIN ({fp}) b
+  ON a.n = b.n AND a.doc_id < b.doc_id
+WHERE a.doc_id % 5 = 4 AND b.doc_id % 5 = 4
+  AND bit_count(xor(a.fp, b.fp)) <= 1
 """
 
 
@@ -1408,6 +1474,10 @@ UNION ALL
 SELECT doc_id, frame_idx, n_bytes, head_hex, byte_sum_mod FROM ({_afp_sql()})
 UNION ALL
 SELECT doc_id, frame_idx, n_bytes, head_hex, byte_sum_mod FROM ({_vfp_sql()})
+UNION ALL
+SELECT doc_id, frame_idx, n_bytes, head_hex, byte_sum_mod FROM ({_afp_ham_sql()})
+UNION ALL
+SELECT doc_id, frame_idx, n_bytes, head_hex, byte_sum_mod FROM ({_vfp_ham_sql()})
 """
 
 
@@ -1886,6 +1956,35 @@ UNION ALL SELECT * FROM (
 # Storage / codec suites
 # ------------------------------------------------------------------
 
+_BUCKETED_CLEANUP_DONE: set = set()
+
+
+def _register_bucketed_cleanup(spark, table_names, dirs) -> None:
+    """atexit cleanup for _bucketed_member's per-pid state: DROP the
+    catalog tables and rm the tagged /tmp dirs when the process exits,
+    so abandoned pids don't accumulate /tmp state across driver/bench/
+    pytest runs (round-6 ADVICE). Reruns within one process overwrite
+    the same tag, so registering once per tag is enough."""
+    import atexit
+    import shutil
+
+    key = tuple(dirs)
+    if key in _BUCKETED_CLEANUP_DONE:
+        return
+    _BUCKETED_CLEANUP_DONE.add(key)
+
+    def _cleanup():
+        for t in table_names:
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+            except Exception:
+                pass  # session may already be stopped at exit
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
+
+    atexit.register(_cleanup)
+
+
 def _bucketed_member(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed co-located storage gate (table.save_bucketed): events
     and its per-user rollup are both written bucketed on user_id, and
@@ -1914,6 +2013,11 @@ def _bucketed_member(spark: SparkSession, sf_dir: str) -> DataFrame:
     tb = save_bucketed(
         per_user, f"tb_bkt_users_{tag}", f"/tmp/timebox_spark_bkt_us_{tag}",
         "user_id", 8,
+    )
+    _register_bucketed_cleanup(
+        spark,
+        [f"tb_bkt_events_{tag}", f"tb_bkt_users_{tag}"],
+        [f"/tmp/timebox_spark_bkt_ev_{tag}", f"/tmp/timebox_spark_bkt_us_{tag}"],
     )
     joined = ta.join(tb, "user_id")
     plan = joined._jdf.queryExecution().executedPlan().toString()
