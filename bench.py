@@ -309,6 +309,42 @@ def main() -> None:
         fn(spark, amp_dir).write.mode("overwrite").format("noop").save()
         scale_timings[name] = round(time.perf_counter() - t0, 3)
 
+    # q25 minhash stage decomposition (round-6 verdict task 3): time
+    # the three stages separately at 1× and 10× so a drifting ratio is
+    # attributable — sig = Arrow shingle+signature kernel (map-only,
+    # expected ~linear), band = LSH bucket self-join, verify = exact
+    # Jaccard on candidates. On the duplicate-AMPLIFIED corpus the
+    # true near-dup pair count grows ~quadratically in the
+    # amplification factor by construction (k copies of a doc form
+    # k(k−1)/2 pairs), so verify-stage growth is inherent to emitting
+    # all pairs, not a blocking failure; the sig stage is the one
+    # that must stay ~linear.
+    def minhash_stages(d: str) -> dict[str, float]:
+        from timebox_spark.operators import dedup as D
+
+        docs = tables_load(spark, d, "documents")
+        out: dict[str, float] = {}
+        combined = D.minhash_signatures(docs, emit_sets=True).persist()
+        t0 = time.perf_counter()
+        combined.write.mode("overwrite").format("noop").save()
+        out["sig"] = round(time.perf_counter() - t0, 3)
+        cands = D.minhash_lsh_candidates(combined).persist()
+        t0 = time.perf_counter()
+        cands.write.mode("overwrite").format("noop").save()
+        out["band"] = round(time.perf_counter() - t0, 3)
+        verified = D.jaccard_verify(
+            docs, cands, threshold=0.35, sets_source=combined
+        )
+        t0 = time.perf_counter()
+        verified.write.mode("overwrite").format("noop").save()
+        out["verify"] = round(time.perf_counter() - t0, 3)
+        out["n_candidates"] = cands.count()
+        combined.unpersist()
+        cands.unpersist()
+        return out
+
+    minhash_split = {"1x": minhash_stages(sf_dir), "10x": minhash_stages(amp_dir)}
+
     # streaming stress: the q68 sliding-window rollup at the target SF
     # driven one file per micro-batch (9 batches instead of the driver
     # contract's availableNow few-batch drain), recording batch count
@@ -353,6 +389,7 @@ def main() -> None:
                     if timings.get(k) or scale_base.get(k)
                 },
                 "stream_stress": stream_stats,
+                "minhash_stages": minhash_split,
                 "cc_rounds": cc_stats,
                 "machine": {
                     "start": load_start,

@@ -541,3 +541,44 @@ def test_compact_retains_previous_snapshot(spark, tmp_path):
     assert os.path.isdir(v2)
     versions = glob.glob(f"{path}.__v_*")
     assert len(versions) == 2
+
+
+def test_derive_n_buckets_formula():
+    """Pin the auto_bucket bucket-count formula (round-6 verdict task
+    5): ~100k rows per bucket, clamped — a fixed 256 would push ~40M
+    rows through single window tasks at 10^10 rows."""
+    from timebox_spark.operators import kernels as K
+
+    assert K.derive_n_buckets(0) == K.AUTO_BUCKET_MIN
+    assert K.derive_n_buckets(10_000) == K.AUTO_BUCKET_MIN
+    assert K.derive_n_buckets(25_600_000) == 257
+    assert K.derive_n_buckets(10_000_000_000) == K.AUTO_BUCKET_MAX
+    # derived counts keep per-bucket rows near the target once past
+    # the clamp floor
+    n = 3_000_000_000
+    b = K.derive_n_buckets(n)
+    assert K.AUTO_BUCKET_MIN <= b <= K.AUTO_BUCKET_MAX
+    assert n / b <= 2 * K.AUTO_BUCKET_TARGET_ROWS
+
+
+def test_auto_bucket_uses_derived_count(spark):
+    """auto_bucket with no explicit n_buckets still produces a valid
+    monotone bucket column usable by bucketed_prev."""
+    import pandas as pd
+
+    from timebox_spark.operators import kernels as K
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"x": range(1000), "v": range(1000)})
+    )
+    bkt = K.auto_bucket(df, ["x"])
+    out = (
+        df.withColumn("b", bkt)
+        .groupBy("b")
+        .count()
+        .orderBy("b")
+        .collect()
+    )
+    # small input clamps to AUTO_BUCKET_MIN buckets over the x range
+    assert len(out) == K.AUTO_BUCKET_MIN
+    assert sum(r["count"] for r in out) == 1000

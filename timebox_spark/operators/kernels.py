@@ -383,11 +383,35 @@ def bucketed_running_sum(
     )
 
 
-def auto_bucket(df: DataFrame, order_by: list[str], n_buckets: int = 256) -> Column:
+AUTO_BUCKET_TARGET_ROWS = 100_000  # aim for ~100k rows per carry bucket
+AUTO_BUCKET_MIN = 64
+AUTO_BUCKET_MAX = 65_536
+
+
+def derive_n_buckets(n_rows: int) -> int:
+    """Bucket count for the unkeyed carry kernels: rows /
+    ``AUTO_BUCKET_TARGET_ROWS`` clamped to [MIN, MAX], so per-bucket
+    window tasks stay ~100k rows at any input size."""
+    return max(
+        AUTO_BUCKET_MIN,
+        min(AUTO_BUCKET_MAX, n_rows // AUTO_BUCKET_TARGET_ROWS + 1),
+    )
+
+
+def auto_bucket(
+    df: DataFrame, order_by: list[str], n_buckets: int | None = None
+) -> Column:
     """Monotone bucket over the leading order column for the unkeyed
     bucketed-carry paths: floor((x − min) / width) from a one-row
     min/max agg. Works for numeric and timestamp leading keys;
     anything else must pass explicit series keys.
+
+    ``n_buckets`` defaults to rows / ``AUTO_BUCKET_TARGET_ROWS``
+    clamped to [``AUTO_BUCKET_MIN``, ``AUTO_BUCKET_MAX``] — derived
+    from the count already collected in the same bounds agg, so the
+    per-bucket window task stays ~100k rows whether the input is 10⁶
+    or 10¹⁰ rows (a fixed 256 would push ~40M rows through single
+    window tasks at 10¹⁰). Pass an explicit value to override.
 
     Each call pays one min/max/count scan of ``df`` — when composing
     several unkeyed kernels over the SAME input, call this once and
@@ -412,6 +436,8 @@ def auto_bucket(df: DataFrame, order_by: list[str], n_buckets: int = 256) -> Col
     ).collect()[0]
     if row["n"] == 0 or row["lo"] is None or row["hi"] == row["lo"]:
         return F.lit(0)
+    if n_buckets is None:
+        n_buckets = derive_n_buckets(row["n"])
     width = (row["hi"] - row["lo"]) / float(n_buckets)
     return F.least(
         F.floor((c - F.lit(row["lo"])) / F.lit(width)), F.lit(n_buckets - 1)

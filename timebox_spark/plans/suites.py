@@ -1871,12 +1871,82 @@ def q68_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("qsketch").alias("member"), "k", "n", "v1", "v2")
     )
 
+    # streaming corpus compactor ('compact' rows, round-6 verdict
+    # task 7): two ingest cycles — odd docs arrive first, then evens
+    # plus PLANTED duplicates (the raw table has no exact dups at
+    # sf0.01): negative-id copies of odd docs (doc_id % 10 == 3) test
+    # that ARRIVAL ORDER wins across cycles (the copy's id is smaller
+    # than every corpus id, so global smallest-id dedup would keep it
+    # — compact must drop it), and negative-id copies of even docs
+    # (doc_id % 10 == 4) test within-batch keep-one (the negative
+    # copy IS the smaller id, so it displaces its original).
+    d2 = load(spark, sf_dir, "documents").select("doc_id", "text")
+    b1 = d2.filter(F.col("doc_id") % 2 == 1)
+    evens = d2.filter(F.col("doc_id") % 2 == 0)
+    cross_dups = b1.filter(F.col("doc_id") % 10 == 3).select(
+        (-F.col("doc_id")).alias("doc_id"), "text"
+    )
+    intra_dups = evens.filter(F.col("doc_id") % 10 == 4).select(
+        (-F.col("doc_id")).alias("doc_id"), "text"
+    )
+    b2 = evens.unionByName(cross_dups).unionByName(intra_dups)
+    app1 = ingest.compact_corpus(b1)
+    app2 = ingest.compact_corpus(b2, corpus=app1)
+
+    def compact_digest(df, k):
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").alias("v1"),
+            F.sum(F.length("text").cast("long")).alias("v2"),
+        ).select(
+            F.lit("compact").alias("member"),
+            F.lit(k).alias("k"),
+            "n",
+            "v1",
+            "v2",
+        )
+
+    compact = compact_digest(app1, "1").unionByName(compact_digest(app2, "2"))
+
     return (
         sliding.unionByName(session)
         .unionByName(dedupd)
         .unionByName(runmax)
         .unionByName(qsketch)
+        .unionByName(compact)
     )
+
+
+def _q68_compact_sql() -> str:
+    """First-batch-wins oracle for the corpus compactor: a fingerprint
+    keeps the smallest id WITHIN the earliest batch containing it —
+    over the same planted-duplicate batch construction as the Spark
+    side (negative-id cross-cycle and intra-batch copies)."""
+    return f"""
+SELECT 'compact' AS member, CAST(b AS VARCHAR) AS k,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(doc_id) AS BIGINT) AS v1,
+       CAST(sum(length(text)) AS BIGINT) AS v2
+FROM (
+  WITH d AS (
+    SELECT doc_id, text, md5({LQ._NORM}) AS fp, 1 AS b
+    FROM documents WHERE doc_id % 2 = 1
+    UNION ALL
+    SELECT doc_id, text, md5({LQ._NORM}), 2
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT -doc_id, text, md5({LQ._NORM}), 2
+    FROM documents WHERE doc_id % 2 = 1 AND doc_id % 10 = 3
+    UNION ALL
+    SELECT -doc_id, text, md5({LQ._NORM}), 2
+    FROM documents WHERE doc_id % 2 = 0 AND doc_id % 10 = 4
+  )
+  SELECT d.doc_id, d.b, d.text,
+         row_number() OVER (PARTITION BY d.fp ORDER BY d.doc_id) AS rn
+  FROM d JOIN (SELECT fp, min(b) AS fb FROM d GROUP BY fp) f
+    ON d.fp = f.fp AND d.b = f.fb
+) WHERE rn = 1 GROUP BY b
+"""
 
 
 _Q68_SQL = """
@@ -1950,6 +2020,8 @@ UNION ALL SELECT * FROM (
   FROM hg GROUP BY 2
 )
 """
+
+_Q68_SQL += f"\nUNION ALL SELECT * FROM ({_q68_compact_sql()})"
 
 
 # ------------------------------------------------------------------
@@ -2036,6 +2108,132 @@ def _bucketed_member(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(flag).cast("long").alias("s2"),
         _lit0().alias("s3"),
     )
+
+
+def q54_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q54 curated-corpus rows + two promoted compositions (round-6
+    verdict task 7):
+
+    - ``shards_manifest`` rows (doc_id = −(shard+1)): the one-call
+      ``pipeline.curate_to_shards`` export — curate, keep train,
+      redact, write one sorted parquet file per shard — whose
+      returned manifest (rows + overflow-safe permutation digest per
+      shard, recomputed from a RE-READ of the written files) must
+      equal the oracle's digest over the train split it derives
+      independently. A wrong shard assignment, a dropped row, or a
+      reordered export breaks the hash.
+    - ``card`` rows (doc_id = −1000): the ``pipeline.data_card``
+      datasheet — sizes, token/char totals, gate pass counts,
+      language/source mix, exact-dup rows — every value re-derived by
+      the oracle from the raw table."""
+    import hashlib as _h
+    import os as _os
+
+    from timebox_spark.operators import pipeline
+    from timebox_spark.operators.sampling import SHUFFLE_SHARDS
+
+    base = LQ.q54_curation_pipeline(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    # per-(sf_dir, pid) tag + exit cleanup: reruns overwrite,
+    # concurrent processes never race (CLAUDE.md state-tag rule)
+    tag = f"{_h.sha1(sf_dir.encode()).hexdigest()[:8]}_{_os.getpid()}"
+    shard_dir = f"/tmp/timebox_spark_q54_shards_{tag}"
+    manifest = pipeline.curate_to_shards(
+        docs,
+        shard_dir,
+        n_shards=SHUFFLE_SHARDS,
+        langs=("en",),
+        min_quality_q=LQ._CURATE_MIN_Q,
+        min_tokens=LQ._CURATE_MIN_TOKENS,
+        gopher_gates=True,
+    )
+    _register_bucketed_cleanup(spark, [], [shard_dir])
+    man_rows = manifest.select(
+        (-(F.col("shard").cast("long") + 1)).alias("doc_id"),
+        F.lit("shards_manifest").alias("lang_pred"),
+        F.col("order_digest").cast("long").alias("quality_q"),
+        F.col("n_rows").cast("long").alias("n_tokens"),
+        F.lit("manifest").alias("split"),
+    )
+    card = pipeline.data_card(docs).select(
+        F.lit(-1000).cast("long").alias("doc_id"),
+        F.concat_ws(":", "section", "key").alias("lang_pred"),
+        F.col("value").cast("long").alias("quality_q"),
+        F.lit(0).cast("long").alias("n_tokens"),
+        F.lit("card").alias("split"),
+    )
+    return base.unionByName(man_rows).unionByName(card)
+
+
+def _q54_manifest_sql() -> str:
+    """Independent oracle for the curate_to_shards manifest: re-derive
+    the curated train ids (the q54 SQL), assign shards with the same
+    seeded md5 hash, rank within shard by (h, doc_id), and compute the
+    identical per-term-quantized permutation digest."""
+    from timebox_spark.operators.sampling import SHUFFLE_SEED, SHUFFLE_SHARDS
+
+    p, q = LQ._DIGEST_P, LQ._DIGEST_Q
+    return f"""
+SELECT CAST(-(shard + 1) AS BIGINT) AS doc_id,
+       'shards_manifest' AS lang_pred,
+       CAST(sum((did % {p}) * (pos % {p}) % {q}) AS BIGINT) AS quality_q,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       'manifest' AS split
+FROM (
+  SELECT did, h % {SHUFFLE_SHARDS} AS shard,
+         row_number() OVER (PARTITION BY h % {SHUFFLE_SHARDS}
+                            ORDER BY h, did) AS pos
+  FROM (
+    SELECT doc_id AS did,
+           ('0x' || substr(md5('{SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+    FROM ({LQ.ORACLE_SQL['q54_curation_pipeline']})
+    WHERE split = 'train'
+  )
+) GROUP BY shard
+"""
+
+
+def _q54_card_sql() -> str:
+    """Independent oracle for the data_card datasheet rows."""
+    gopher = LQ._gopher_inline_sql()
+    quality = LQ._quality_sql()
+    minq = LQ._CURATE_MIN_Q
+    row = (
+        "SELECT CAST(-1000 AS BIGINT) AS doc_id, {k} AS lang_pred, "
+        "CAST({v} AS BIGINT) AS quality_q, CAST(0 AS BIGINT) AS n_tokens, "
+        "'card' AS split FROM documents{tail}"
+    )
+    return "\nUNION ALL\n".join(
+        [
+            row.format(k="'size:docs'", v="count(*)", tail=""),
+            row.format(k="'size:tokens'", v=f"sum({LQ._NTOK_SQL})", tail=""),
+            row.format(k="'size:chars'", v="sum(length(text))", tail=""),
+            row.format(k="'size:gopher_pass'", v=f"sum({gopher})", tail=""),
+            row.format(
+                k="'size:quality_pass'",
+                v=f"sum(CASE WHEN {quality} >= {minq} THEN 1 ELSE 0 END)",
+                tail="",
+            ),
+            row.format(k="'lang:' || lang", v="count(*)", tail=" GROUP BY lang"),
+            row.format(
+                k="'source:' || source", v="count(*)", tail=" GROUP BY source"
+            ),
+            row.format(
+                k="'dedup:exact_dup_rows'",
+                v=f"count(*) - count(DISTINCT md5({LQ._NORM}))",
+                tail="",
+            ),
+        ]
+    )
+
+
+_Q54_SUITE_SQL = f"""
+SELECT * FROM ({LQ.ORACLE_SQL['q54_curation_pipeline']})
+UNION ALL
+SELECT * FROM ({_q54_manifest_sql()})
+UNION ALL
+{_q54_card_sql()}
+"""
 
 
 def q01_io_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2536,7 +2734,7 @@ DRIVER_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q30_multimodal_suite": q30_multimodal_suite,
     "q31_dedup_clusters": q31_dedup_clusters,
     "q44_train_split": LQ.q44_train_split,
-    "q54_curation_pipeline": LQ.q54_curation_pipeline,
+    "q54_curation_pipeline": q54_curation_suite,
     "q25_neardup_pairs": q25_neardup_pairs,
     "q29_ann_suite": q29_ann_suite,
     # --- streaming ---
@@ -2592,7 +2790,7 @@ DRIVER_ORACLE_SQL: dict[str, str] = {
     "q30_multimodal_suite": _Q30_SUITE_SQL,
     "q31_dedup_clusters": _Q31_SQL,
     "q44_train_split": LQ.ORACLE_SQL["q44_train_split"],
-    "q54_curation_pipeline": LQ.ORACLE_SQL["q54_curation_pipeline"],
+    "q54_curation_pipeline": _Q54_SUITE_SQL,
     "q25_neardup_pairs": _Q25_SUITE_SQL,
     "q29_ann_suite": ann_oracle.portable_ann_sql(),
     "q65_stream_hourly": _Q65_SQL,

@@ -535,11 +535,15 @@ def read_npb(spark, path_glob: str, columns: list[str] | None = None,
     return bin_df.select("content").mapInPandas(decode, schema=schema)
 
 
-def write_npb(df, path: str, bucket: str | None = None, **kw) -> None:
-    """DataFrame -> .npb. With ``bucket`` (e.g. '1 day'): one file per
-    time bucket via applyInPandas — the scalable layout (each bucket
-    independently within format caps). Without: single driver-side
-    file (bounded by the format's own 2^32-row cap).
+def write_npb(df, path: str, bucket: str | None = "1 day", **kw) -> None:
+    """DataFrame -> .npb. With ``bucket`` (default ``'1 day'``): one
+    file per time bucket via applyInPandas — the scalable layout
+    (each bucket independently within format caps), and the DEFAULT:
+    a distributed engine must not silently funnel a table through the
+    driver. Pass ``bucket=None`` to explicitly opt into a single
+    driver-side file (``toPandas`` — bounded by driver memory and the
+    format's own 2^32-row cap; fine for small exports, never for
+    corpus-scale data).
 
     Timestamps must start second-aligned per bucket (the format anchors
     at an int64-seconds start; ``encode_timebox`` raises otherwise) —
