@@ -551,3 +551,27 @@ def test_save_bucketed_colocated_join_no_shuffle(spark, tmp_path):
     plain = spark.read.parquet(str(tmp_path / "plain"))
     pu = plain.groupBy("user_id").count()
     assert "Exchange hashpartitioning" in plan(plain.join(pu, "user_id"))
+
+
+def test_jsonl_roundtrip_preserves_tricky_text(spark, tmp_path):
+    """JSONL write -> read round-trips text exactly through JSON
+    escaping: newlines, tabs, quotes, backslashes, unicode."""
+    import pandas as pd
+
+    from timebox_spark.sources import jsonl
+
+    texts = [
+        'line one\nline two',
+        'tab\there and "quotes" and \\backslash\\',
+        'unicode: café — 中文 \U0001f600',
+        '',
+        '   leading/trailing   ',
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    path = str(tmp_path / "jsonl_out")
+    jsonl.write_jsonl(df, path)
+    back = jsonl.read_jsonl(spark, path, df.schema)
+    got = {r["doc_id"]: r["text"] for r in back.collect()}
+    assert got == dict(enumerate(texts))

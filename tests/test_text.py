@@ -916,3 +916,56 @@ def test_line_dedup_random_corpora_match_reference(spark):
             for r in D.line_dedup(docs, F.split("text", "\n")).collect()
         }
         assert got == exp, f"trial {trial}"
+
+
+def test_cap_per_group_keeps_top_k_deterministically(spark):
+    """cap_per_group keeps exactly max_per_group rows per group under
+    the given order, and the default order (key asc) is deterministic."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from timebox_spark.operators.sampling import cap_per_group
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(10),
+            "source": ["a"] * 6 + ["b"] * 3 + ["c"],
+            "text": ["x" * (i + 1) for i in range(10)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    kept = cap_per_group(df, "source", "doc_id", max_per_group=2)
+    got = sorted(r["doc_id"] for r in kept.collect())
+    assert got == [0, 1, 6, 7, 9]  # first 2 per source by id; c keeps its 1
+    # order_by length(text) DESC keeps the LONGEST docs instead
+    kept2 = cap_per_group(
+        df, "source", "doc_id", max_per_group=2,
+        order_by=[F.length("text").desc(), "doc_id"],
+    )
+    got2 = sorted(r["doc_id"] for r in kept2.collect())
+    assert got2 == [4, 5, 7, 8, 9]
+    assert "__cap_rn" not in kept.columns
+
+
+def test_lsh_tuning_matches_s_curve():
+    """lsh_tuning returns the divisor pair whose (1/b)^(1/r) is
+    closest to the requested threshold, and validates inputs."""
+    import pytest
+
+    from timebox_spark.operators.dedup import lsh_tuning
+
+    assert lsh_tuning(0.7, 32) == (8, 4)  # s* = 0.594 beats 0.841
+    assert lsh_tuning(0.9, 32) == (2, 16)
+    assert lsh_tuning(0.2, 32) == (16, 2)
+    b, r = lsh_tuning(0.35, 64)
+    assert b * r == 64
+    # exhaustive optimality check at num_hashes=48
+    t = 0.55
+    b, r = lsh_tuning(t, 48)
+    cands = [(bb, 48 // bb) for bb in range(1, 49) if 48 % bb == 0]
+    best = min(cands, key=lambda br: abs((1 / br[0]) ** (1 / br[1]) - t))
+    assert (b, r) == best
+    with pytest.raises(ValueError):
+        lsh_tuning(0.0)
+    with pytest.raises(ValueError):
+        lsh_tuning(1.0)

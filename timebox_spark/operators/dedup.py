@@ -1290,3 +1290,29 @@ def incremental_exact_dedup(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__fp")
     )
+
+
+def lsh_tuning(threshold: float, num_hashes: int = 32) -> tuple[int, int]:
+    """Choose the (bands, rows_per_band) factorization of
+    ``num_hashes`` whose LSH S-curve threshold (1/b)^(1/r) — the
+    Jaccard similarity at which a pair's candidate probability
+    1 − (1 − s^r)^b crosses ~0.5 (Mining of Massive Datasets §3.4.3)
+    — sits closest to the caller's ``threshold``. Pure driver-side
+    arithmetic over the O(d(num_hashes)) divisor set; feed the result
+    to ``minhash_dedup(bands=...)`` so the band join's candidate rate
+    matches the verify threshold instead of a hard-coded default:
+    too few rows per band floods the verify stage at loose
+    thresholds, too many misses true pairs at tight ones."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    best: tuple[float, int, int] | None = None
+    for bands in range(1, num_hashes + 1):
+        if num_hashes % bands:
+            continue
+        rows = num_hashes // bands
+        s_star = (1.0 / bands) ** (1.0 / rows)
+        cand = (abs(s_star - threshold), bands, rows)
+        if best is None or cand < best:
+            best = cand
+    assert best is not None
+    return best[1], best[2]

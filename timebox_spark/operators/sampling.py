@@ -255,3 +255,35 @@ def write_training_shards(
         )
         .orderBy("shard")
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str = "source",
+    key: str = "doc_id",
+    max_per_group: int = 1000,
+    order_by: list | None = None,
+) -> DataFrame:
+    """Frequency capping: keep at most ``max_per_group`` rows per
+    ``group_col``, ranked by ``order_by`` (default: ``key`` ascending
+    — deterministic; pass e.g. ``[F.length("text").desc(), "doc_id"]``
+    to keep the longest/highest-quality docs). The standard
+    CommonCrawl-pipeline guard against a single domain dominating the
+    training mix — the deterministic complement of the rate-based
+    ``mixture_sample``.
+
+    One keyed window per group (groups are the partition key, so no
+    single-task sort); the rank column is dropped. At 100 TB a
+    pathologically hot group funnels through one task — for that
+    regime pre-filter with ``hash_sample`` per group or raise
+    ``spark.sql.shuffle.partitions``; typical per-domain counts are
+    far below task size."""
+    from pyspark.sql import Window
+
+    order = order_by if order_by is not None else [key]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        df.withColumn("__cap_rn", F.row_number().over(w))
+        .filter(F.col("__cap_rn") <= max_per_group)
+        .drop("__cap_rn")
+    )

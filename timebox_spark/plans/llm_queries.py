@@ -583,6 +583,7 @@ def q31_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rows stays far below BIGINT max; identical literals in the DuckDB SQL
 _DIGEST_P = 1_000_003
 _DIGEST_Q = 1_000_000_007
+_CAP_K = 10  # per-source frequency cap for the q44 'cap' member
 
 def q44_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/val/test split stats + shuffled-shard export digests
@@ -713,11 +714,37 @@ def q44_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             % _DIGEST_Q
         ).alias("id_sum"),
     )
+    # per-source frequency capping (sampling.cap_per_group): keep the
+    # _CAP_K longest docs per source — membership digest per source
+    from timebox_spark.operators.sampling import cap_per_group
+
+    caps = (
+        cap_per_group(
+            docs,
+            group_col="source",
+            key="doc_id",
+            max_per_group=_CAP_K,
+            order_by=[F.length("text").desc(), "doc_id"],
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("min_id"),
+            F.sum(F.col("doc_id") % _DIGEST_Q).alias("id_sum"),
+        )
+        .select(
+            F.concat(F.lit("cap_"), F.col("source")).alias("split"),
+            "n",
+            "min_id",
+            "id_sum",
+        )
+    )
     return (
         splits.unionByName(shards)
         .unionByName(packs)
         .unionByName(mixes)
         .unionByName(dsir)
+        .unionByName(caps)
     )
 
 
@@ -828,6 +855,17 @@ FROM (
     SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rn FROM scd
   ) WHERE rn <= {text.DSIR_TOP_K}
 )
+UNION ALL
+SELECT 'cap_' || source,
+       CAST(count(*) AS BIGINT),
+       CAST(min(doc_id) AS BIGINT),
+       CAST(sum(doc_id % {_DIGEST_Q}) AS BIGINT)
+FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY length(text) DESC, doc_id) AS rn
+  FROM documents
+) WHERE rn <= {_CAP_K} GROUP BY 1
 """
 
 

@@ -2236,6 +2236,49 @@ UNION ALL
 """
 
 
+def _jsonl_member(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL corpus sink/source round trip (sources/jsonl.py): write
+    the documents table as line-delimited JSON, read it back with an
+    explicit schema, and digest — s3 is a per-doc md5-based digest of
+    the text column, so any JSON-escaping corruption (newlines,
+    quotes, unicode) between write and read breaks the driver hash.
+    The oracle computes the same digests from the raw parquet table:
+    round trip must be lossless."""
+    import hashlib as _h
+    import os as _os
+
+    from timebox_spark.sources import jsonl
+
+    tag = f"{_h.sha1(sf_dir.encode()).hexdigest()[:8]}_{_os.getpid()}"
+    path = f"/tmp/timebox_spark_jsonl_{tag}"
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    jsonl.write_jsonl(docs, path)
+    _register_bucketed_cleanup(spark, [], [path])
+    back = jsonl.read_jsonl(spark, path, docs.schema)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("doc_id").alias("s1"),
+        F.sum(F.length("text").cast("long")).alias("s2"),
+        F.sum(
+            F.conv(
+                F.substring(F.md5(F.encode(F.col("text"), "UTF-8")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+        ).alias("s3"),
+    ).select(
+        F.lit("jsonl").alias("chk"),
+        "n_rows",
+        F.to_timestamp(F.lit("1970-01-01 00:00:00")).alias("ts_min"),
+        F.to_timestamp(F.lit("1970-01-01 00:00:00")).alias("ts_max"),
+        "s1",
+        "s2",
+        "s3",
+    )
+
+
 def q01_io_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parquet round-trip, pandas bridge, CSV round-trip digests +
     the bucketed co-located-join storage gate."""
@@ -2270,6 +2313,7 @@ def q01_io_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.unionByName(b)
         .unionByName(c)
         .unionByName(_bucketed_member(spark, sf_dir))
+        .unionByName(_jsonl_member(spark, sf_dir))
     )
 
 
@@ -2287,6 +2331,13 @@ UNION ALL
 SELECT 'bucketed', n_rows, ts_min, ts_max, value_q_sum,
        CAST(1 AS BIGINT), CAST(0 AS BIGINT)
 FROM ({Q.ORACLE_SQL['q01_roundtrip']})
+UNION ALL
+SELECT 'jsonl', CAST(count(*) AS BIGINT),
+       TIMESTAMP '1970-01-01 00:00:00', TIMESTAMP '1970-01-01 00:00:00',
+       CAST(sum(doc_id) AS BIGINT),
+       CAST(sum(length(text)) AS BIGINT),
+       CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT)
+FROM documents
 """
 
 
