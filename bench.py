@@ -322,6 +322,10 @@ def main() -> None:
     def minhash_stages(d: str) -> dict[str, float]:
         from timebox_spark.operators import dedup as D
 
+        # the headline/scale q25 runs persist the same (canonicalized)
+        # signature plan — without this, the sig stage reads their
+        # cache and reports ~0 s instead of the kernel cost
+        spark.catalog.clearCache()
         docs = tables_load(spark, d, "documents")
         out: dict[str, float] = {}
         combined = D.minhash_signatures(docs, emit_sets=True).persist()
@@ -344,6 +348,16 @@ def main() -> None:
         return out
 
     minhash_split = {"1x": minhash_stages(sf_dir), "10x": minhash_stages(amp_dir)}
+    # the honest 10× ratio: both sides uncached (clearCache above).
+    # scale10_ratio's q25 entry compares a CACHE-ASSISTED 1× median
+    # (q25's persist makes later passes cache hits) against a fresh
+    # 10× run, which overstates the growth — this one doesn't.
+    _stage_keys = ("sig", "band", "verify")
+    minhash_split["stage_ratio"] = round(
+        sum(minhash_split["10x"][k] for k in _stage_keys)
+        / max(sum(minhash_split["1x"][k] for k in _stage_keys), 1e-9),
+        2,
+    )
 
     # streaming stress: the q68 sliding-window rollup at the target SF
     # driven one file per micro-batch (9 batches instead of the driver
