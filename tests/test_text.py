@@ -969,3 +969,34 @@ def test_lsh_tuning_matches_s_curve():
         lsh_tuning(0.0)
     with pytest.raises(ValueError):
         lsh_tuning(1.0)
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    """chunk_documents: minimal-cover boundaries, overlap stride,
+    single-chunk short docs, zero-chunk empty docs."""
+    import pandas as pd
+    import pytest
+
+    from timebox_spark.operators import text as T
+
+    toks40 = [f"t{i}" for i in range(40)]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [" ".join(toks40), "a b c", ""],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = T.chunk_documents(df, max_tokens=32, overlap=8)
+    rows = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_tokens"])
+        for r in out.collect()
+    }
+    # doc 0: nt=40 > 32 -> 1 + ceil(8/24) = 2 chunks, stride 24
+    assert rows[(0, 0)] == (" ".join(toks40[0:32]), 32)
+    assert rows[(0, 1)] == (" ".join(toks40[24:40]), 16)
+    # doc 1: one short chunk; doc 2: no chunks
+    assert rows[(1, 0)] == ("a b c", 3)
+    assert set(rows) == {(0, 0), (0, 1), (1, 0)}
+    with pytest.raises(ValueError):
+        T.chunk_documents(df, max_tokens=8, overlap=8)

@@ -123,3 +123,36 @@ class CurationAPI:
         from timebox_spark.operators.text import bpe_train
 
         return bpe_train(docs, **kw)
+
+    def cap(self, docs: DataFrame, group_col: str = "source", **kw) -> DataFrame:
+        """Per-domain/source frequency cap: at most k rows per group
+        under a deterministic order (the CommonCrawl-style guard
+        against one domain dominating the mix)."""
+        from timebox_spark.operators.sampling import cap_per_group
+
+        return cap_per_group(docs, group_col=group_col, **kw)
+
+    def data_card(self, docs: DataFrame, **kw) -> DataFrame:
+        """Dataset datasheet (sizes, token totals, language/source
+        mix, dup rate, gate pass rates) — publish next to shards."""
+        from timebox_spark.operators.pipeline import data_card
+
+        return data_card(docs, **kw)
+
+    def compact(self, new_batch: DataFrame, corpus=None, **kw) -> DataFrame:
+        """Ingest-cycle compaction: the new-batch rows to APPEND to
+        the standing corpus (fingerprint anti-join, arrival-order
+        wins across cycles)."""
+        from timebox_spark.streaming.ingest import compact_corpus
+
+        return compact_corpus(new_batch, corpus, **kw)
+
+    def read_jsonl(self, path: str, schema) -> DataFrame:
+        from timebox_spark.sources.jsonl import read_jsonl
+
+        return read_jsonl(self.spark, path, schema)
+
+    def write_jsonl(self, df: DataFrame, path: str, **kw) -> None:
+        from timebox_spark.sources.jsonl import write_jsonl
+
+        write_jsonl(df, path, **kw)

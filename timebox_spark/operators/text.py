@@ -1088,3 +1088,61 @@ def source_kl_divergence(
         .agg(F.sum(term_q).alias("kl_q"))
         .withColumnRenamed("g", group_col)
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split each document's token stream into overlapping
+    context-window chunks — the preprocessing step between curation
+    and sequence packing when single documents exceed the training
+    context (every long-context pipeline does this; HF's
+    ``return_overflowing_tokens`` shape).
+
+    Chunk k covers tokens ``[k·stride, k·stride + max_tokens)`` with
+    ``stride = max_tokens − overlap``; the chunk count is the minimal
+    cover ``1 + ceil(max(nt − max_tokens, 0) / stride)`` (zero for
+    empty docs), so every token lands in at least one chunk and no
+    chunk is empty. Pure map-side JVM HOFs over one shared token
+    array — no shuffle, no Python; the explode multiplies rows by
+    ~nt/stride, which a cluster absorbs as scan-side fan-out.
+
+    Returns (id_col, chunk_idx, chunk_text, n_tokens). The
+    ``F.sequence`` descending trap (CLAUDE.md) is guarded: empty docs
+    take the empty-array branch, never ``sequence(0, −1)``."""
+    if overlap >= max_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be < max_tokens ({max_tokens})"
+        )
+    stride = max_tokens - overlap
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), F.lit(0))
+    nt = F.size(toks)
+    n_chunks = F.when(nt <= 0, F.lit(0)).otherwise(
+        F.lit(1)
+        + F.ceil(
+            F.greatest(nt - F.lit(max_tokens), F.lit(0))
+            / F.lit(float(stride))
+        ).cast("int")
+    )
+    idx = F.when(
+        n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    d = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        nt.alias("__nt"),
+        F.explode(idx).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * stride
+    return d.select(
+        id_col,
+        "chunk_idx",
+        F.array_join(
+            F.slice(F.col("__toks"), start + 1, max_tokens), " "
+        ).alias("chunk_text"),
+        F.least(F.lit(max_tokens), F.col("__nt") - start).alias("n_tokens"),
+    )

@@ -88,6 +88,29 @@ def q21_text_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").alias("k"),
         F.col("kl_q").alias("n"),
     )
+    # 'chunk' rows: text.chunk_documents context windows — n packs an
+    # md5-based digest of the exact chunk text with its token count
+    # (digest·128 + n_tokens), so a drifted window boundary, stride,
+    # or join separator breaks the driver hash for that chunk
+    chunks = T.chunk_documents(docs).select(
+        F.lit("chunk").alias("chk"),
+        F.concat_ws(
+            ":",
+            F.col("doc_id").cast("string"),
+            F.col("chunk_idx").cast("string"),
+        ).alias("k"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.encode(F.col("chunk_text"), "UTF-8")), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            * 128
+            + F.col("n_tokens")
+        ).alias("n"),
+    )
     return (
         lang.unionByName(words)
         .unionByName(bm25)
@@ -97,6 +120,7 @@ def q21_text_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(bpem)
         .unionByName(rep)
         .unionByName(kl)
+        .unionByName(chunks)
     )
 
 
@@ -366,6 +390,37 @@ FROM grid GROUP BY 1
 """
 
 
+def _chunk_sql() -> str:
+    """DuckDB mirror of text.chunk_documents (default window/stride):
+    same minimal-cover chunk count, same token slices, same single-
+    space re-join — the digest packs md5(chunk_text)·128 + n_tokens."""
+    from timebox_spark.operators import text as T
+
+    import inspect
+
+    sig = inspect.signature(T.chunk_documents)
+    m = sig.parameters["max_tokens"].default
+    s = m - sig.parameters["overlap"].default
+    return f"""
+SELECT CAST(doc_id AS VARCHAR) || ':' || CAST(k AS VARCHAR) AS k,
+       CAST((('0x' || substr(md5(ct), 1, 8))::BIGINT) * 128 + ntc AS BIGINT) AS n
+FROM (
+  SELECT doc_id, k,
+         array_to_string(list_slice(toks, k * {s} + 1, k * {s} + {m}), ' ') AS ct,
+         least({m}, nt - k * {s}) AS ntc
+  FROM (
+    SELECT doc_id, toks, nt,
+           unnest(range(0, CASE WHEN nt <= 0 THEN 0
+                ELSE 1 + CAST(ceil(greatest(nt - {m}, 0) / {s}.0) AS BIGINT)
+                END)) AS k
+    FROM (SELECT doc_id, regexp_extract_all(text, '{T.TOKEN_RE}') AS toks,
+                 length(regexp_extract_all(text, '{T.TOKEN_RE}')) AS nt
+          FROM documents)
+  )
+)
+"""
+
+
 _Q21_SUITE_SQL = f"""
 SELECT 'lang' AS chk, lang_pred AS k, n FROM ({LQ.ORACLE_SQL['q21_lang_id']})
 UNION ALL
@@ -385,6 +440,8 @@ UNION ALL
 SELECT 'rep', CAST(doc_id AS VARCHAR), rep_frac_q FROM ({_rep_sql()})
 UNION ALL
 SELECT 'kl', source, kl_q FROM ({_kl_sql()})
+UNION ALL
+SELECT 'chunk', k, n FROM ({_chunk_sql()})
 """
 
 
