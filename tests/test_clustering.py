@@ -329,3 +329,98 @@ def test_incremental_exact_dedup(spark):
         for r in dedup.incremental_exact_dedup(batch, corpus).collect()
     )
     assert got == [11, 13]
+
+
+def _py_exact_span_dedup(texts: dict[int, str], k: int):
+    """Independent pure-Python ExactSubstr reference: dict of window
+    text -> occurrences, min-(doc,pos) keeper, token-wise coverage."""
+    toks = {d: t.split() for d, t in texts.items()}
+    occ: dict[tuple, list[tuple[int, int]]] = {}
+    for d, tt in toks.items():
+        for p in range(max(len(tt) - k + 1, 0)):
+            occ.setdefault(tuple(tt[p : p + k]), []).append((d, p))
+    marked: dict[int, set[int]] = {d: set() for d in toks}
+    for places in occ.values():
+        if len(places) < 2:
+            continue
+        keeper = min(places)
+        for d, p in places:
+            if (d, p) != keeper:
+                marked[d].update(range(p, p + k))
+    out = {}
+    for d, tt in toks.items():
+        kept = [t for i, t in enumerate(tt) if i not in marked[d]]
+        # merged span count = islands of marked positions
+        ms = sorted(marked[d])
+        n_spans = sum(
+            1 for j, p in enumerate(ms) if j == 0 or p - ms[j - 1] > 1
+        )
+        out[d] = (len(tt), len(kept), n_spans, " ".join(kept))
+    return out
+
+
+def test_exact_span_dedup_matches_python_reference(spark):
+    """Planted cross-doc span, verbatim dup doc, internal repeat, and
+    a short doc — Spark vs the independent dict-based reference."""
+    import hashlib
+
+    shared = " ".join(f"s{i}" for i in range(10))  # 10-token span
+    texts = {
+        0: "a b c " + shared + " x y z",
+        1: "p q " + shared + " r",          # later copy -> removed
+        2: "u v w unique tokens here only",
+        3: "a b c " + shared + " x y z",    # verbatim dup of doc 0
+        4: "m " + shared + " n " + shared,  # two copies, one internal
+        5: "too short",
+    }
+    k = 4
+    ref = _py_exact_span_dedup(texts, k)
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    from timebox_spark.operators import dedup
+
+    got = {
+        r["doc_id"]: r
+        for r in dedup.exact_span_dedup(df, k=k).collect()
+    }
+    assert set(got) == set(ref)
+    for d, (nt, nk, ns, kept_text) in ref.items():
+        r = got[d]
+        assert (r["n_tokens"], r["n_kept"], r["n_spans"]) == (nt, nk, ns), d
+        assert r["kept_fp"] == hashlib.md5(kept_text.encode()).hexdigest(), d
+    # the keeper doc kept everything; its verbatim dup lost the span
+    assert got[0]["n_kept"] == got[0]["n_tokens"]
+    assert got[3]["n_kept"] < got[3]["n_tokens"]
+    # doc 5 is shorter than k: untouched
+    assert got[5]["n_kept"] == 2 and got[5]["n_spans"] == 0
+
+
+def test_exact_span_dedup_random_corpus_vs_reference(spark):
+    """Seeded random small-vocab corpus (dense window collisions) —
+    full equality against the Python reference."""
+    import hashlib
+    import random
+
+    rng = random.Random(20260814)
+    vocab = [f"w{i}" for i in range(7)]
+    texts = {
+        d: " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40)))
+        for d in range(60)
+    }
+    k = 5
+    ref = _py_exact_span_dedup(texts, k)
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    from timebox_spark.operators import dedup
+
+    got = {
+        r["doc_id"]: r
+        for r in dedup.exact_span_dedup(df, k=k).collect()
+    }
+    assert set(got) == set(ref)
+    for d, (nt, nk, ns, kept_text) in ref.items():
+        r = got[d]
+        assert (r["n_tokens"], r["n_kept"], r["n_spans"]) == (nt, nk, ns), d
+        assert r["kept_fp"] == hashlib.md5(kept_text.encode()).hexdigest(), d

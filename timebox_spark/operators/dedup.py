@@ -1316,3 +1316,176 @@ def lsh_tuning(threshold: float, num_hashes: int = 32) -> tuple[int, int]:
             best = cand
     assert best is not None
     return best[1], best[2]
+
+
+# ------------------------------------------- exact substring spans
+
+SPAN_K = 50  # Lee et al. 2022 §4.1 minimum duplicate-span length
+_SPAN_P1 = 2147483647  # 2^31 - 1 (Mersenne prime)
+_SPAN_P2 = 2147483629  # largest prime below 2^31 - 1
+_SPAN_B1 = 1000003
+_SPAN_B2 = 999983
+_SPAN_POS_BITS = 20  # (doc_id, pos) packed as doc_id * 2^20 + pos
+
+
+def span_window_hashes(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = SPAN_K,
+) -> DataFrame:
+    """Every k-token window of every document as (id, pos, h): a
+    distributed Rabin-Karp pass, the suffix-array replacement in the
+    ExactSubstr dedup of Lee et al. 2022 (arXiv:2107.06499) — suffix
+    arrays need global sorted adjacency, rolling hashes need only a
+    hash groupBy, which is the operation a cluster does best.
+
+    Token hashing (md5 → 32-bit, engine-portable) runs JVM-side in
+    whole-stage codegen; the O(n·k)→O(n·k/word) arithmetic — Horner
+    folds of the token-hash array under two 31-bit prime moduli,
+    packed to one 62-bit key — runs in an Arrow-batched numpy kernel
+    as k vectorized passes over the window-start array (products stay
+    < 2^62, so int64 never overflows). Map-only: one row per window,
+    no shuffle, no per-row Python.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from timebox_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), F.lit(0))
+    base = ensure_parallelism(
+        df.select(
+            F.col(id_col), F.transform(toks, lambda t: _md5_u32(t)).alias("__th")
+        )
+    )
+    p1, p2, b1, b2 = _SPAN_P1, _SPAN_P2, _SPAN_B1, _SPAN_B2
+
+    def compute(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            arrs = [np.asarray(a, dtype=np.int64) for a in pdf["__th"]]
+            lens = np.array([len(a) for a in arrs], dtype=np.int64)
+            nw = np.maximum(lens - k + 1, 0)
+            total = int(nw.sum())
+            if total == 0:
+                continue
+            vals = np.concatenate(arrs)
+            offs = np.concatenate(([0], np.cumsum(lens)))[:-1]
+            doc_idx = np.repeat(np.arange(len(arrs)), nw)
+            local_pos = np.arange(total) - np.repeat(
+                np.concatenate(([0], np.cumsum(nw)))[:-1], nw
+            )
+            ws = offs[doc_idx] + local_pos
+            a1 = np.zeros(total, dtype=np.int64)
+            a2 = np.zeros(total, dtype=np.int64)
+            for j in range(k):
+                v = vals[ws + j]
+                a1 = (a1 * b1 + v) % p1
+                a2 = (a2 * b2 + v) % p2
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy()[doc_idx],
+                    "pos": local_pos.astype(np.int32),
+                    "h": a1 * 2147483648 + a2,
+                }
+            )
+
+    return base.mapInPandas(compute, schema=f"{id_col} long, pos int, h long")
+
+
+def exact_span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = SPAN_K,
+) -> DataFrame:
+    """ExactSubstr dedup (Lee et al. 2022, arXiv:2107.06499 §3.2):
+    any k-token window whose hash occurs more than once in the corpus
+    is a duplicate span; the globally-first occurrence — minimum
+    (id, pos) — keeps its window, every other occurrence is removed.
+    Removal is token-wise: a token goes iff it is covered by ANY
+    removed window, so overlapping duplicate windows dissolve into
+    merged spans and a verbatim-duplicated document keeps only its
+    keeper copy's text. Unlike whole-doc or line dedup this catches
+    duplicated passages EMBEDDED in otherwise-unique documents — the
+    boilerplate/quotation case that dominates web corpora.
+
+    Plan: TWO Rabin-Karp passes (map-only kernel, see
+    ``span_window_hashes``) — the line_dedup shape: the global
+    dup-window table must exist before any occurrence can be judged,
+    so pass 1 aggregates window hashes to (count, min packed
+    (id,pos)) and pass 2 re-derives the windows and equi-joins that
+    table to mark losers (re-deriving beats caching a token-count-
+    sized window table at corpus scale, and the join — not a
+    collect_list of occurrences — keeps a million-fold-repeated
+    boilerplate span from landing on one reducer) →
+    keyed gaps-and-islands window (partitioned BY DOCUMENT — never a
+    single-task global window) merges marked starts into spans with
+    no O(m²) HOF → doc-level left join + one JVM lambda filter
+    rebuilds the kept text. Token-level rows exist only in the
+    window table; every later stage is doc- or span-sized. The
+    (id, pos) pack needs pos < 2^20 and |id| < 2^42 (ANSI overflow
+    throws, not wraps, beyond that).
+
+    Returns (id, n_tokens, n_kept, n_spans, kept_fp) for every input
+    document; kept_fp = md5 of the space-rejoined kept tokens
+    (md5('') when everything was removed — identical on DuckDB).
+    """
+    wins = span_window_hashes(df, id_col, text_col, k)
+    pack = F.col(id_col) * F.lit(1 << _SPAN_POS_BITS) + F.col("pos")
+    dup = (
+        wins.groupBy("h")
+        .agg(F.min(pack).alias("__keep"), F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") > 1)
+        .select("h", "__keep")
+    )
+    marked = (
+        wins.join(dup, "h")
+        .filter(pack != F.col("__keep"))
+        .select(id_col, "pos")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    isl = marked.withColumn(
+        "__brk",
+        F.when(F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    ).withColumn(
+        "__isl",
+        F.sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    span_tab = (
+        isl.groupBy(id_col, "__isl")
+        .agg(F.min("pos").alias("lo"), (F.max("pos") + k).alias("hi"))
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("lo", "hi"))).alias("__spans"),
+            F.count(F.lit(1)).alias("__n_spans"),
+        )
+    )
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), F.lit(0))
+    d = df.select(F.col(id_col), toks.alias("__t")).join(
+        span_tab, id_col, "left"
+    )
+    sp = F.coalesce(
+        F.col("__spans"), F.array().cast("array<struct<lo:int,hi:int>>")
+    )
+    kept = F.filter(
+        F.col("__t"),
+        lambda x, i: ~F.exists(sp, lambda s: (i >= s["lo"]) & (i < s["hi"])),
+    )
+    return d.select(
+        F.col(id_col),
+        F.size("__t").cast("long").alias("n_tokens"),
+        F.coalesce(F.col("__n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+        kept.alias("__kept"),
+    ).select(
+        id_col,
+        "n_tokens",
+        F.size("__kept").cast("long").alias("n_kept"),
+        "n_spans",
+        F.md5(F.encode(F.array_join("__kept", " "), "UTF-8")).alias("kept_fp"),
+    )

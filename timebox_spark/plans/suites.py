@@ -449,6 +449,7 @@ SELECT 'chunk', k, n FROM ({_chunk_sql()})
 # RefinedWeb line-level dedup, one labelled frame
 _INCR_MOD = 3  # batch = doc_id % 3 == 0, corpus = the rest
 _LINE_TOKENS = 8  # pseudo-line width for the single-line corpus
+_SPAN_WK = 8  # ExactSubstr window: 8 tokens fires on this corpus
 
 
 def q23_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -458,7 +459,11 @@ def q23_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     every kept id pinned), and 'lines' rows gate ``dedup.line_dedup``
     (RefinedWeb-style cross-document line removal over
     {ltok}-token pseudo-lines, per doc: line counts + md5 of the
-    reassembled kept text). Columns (member, a, b, c, h)."""
+    reassembled kept text), and 'spans' rows gate
+    ``dedup.exact_span_dedup`` (ExactSubstr duplicate-passage removal,
+    Lee et al. 2022, over {sk}-token Rabin-Karp windows — kept count,
+    span count, and reassembled-text md5 per doc). Columns
+    (member, a, b, c, h)."""
     docs = load(spark, sf_dir, "documents")
     stats = dedup.exact_dedup_stats(docs).select(
         F.lit("stats").alias("member"),
@@ -497,13 +502,84 @@ def q23_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_kept").alias("c"),
         F.col("kept_fp").alias("h"),
     )
-    return stats.unionByName(incr).unionByName(counts).unionByName(lines)
+    # 'spans' rows: ExactSubstr dedup (Lee et al. 2022) — per doc the
+    # kept-token count, n_spans·2^20 + n_tokens packed in c, and the
+    # md5 of the reassembled kept text, so a wrong keeper, a missed
+    # window-hash collision, or a span-merge off-by-one all break the
+    # driver hash for that doc
+    spans = dedup.exact_span_dedup(docs, k=_SPAN_WK).select(
+        F.lit("spans").alias("member"),
+        F.col("doc_id").alias("a"),
+        F.col("n_kept").alias("b"),
+        (F.col("n_spans") * F.lit(1 << 20) + F.col("n_tokens")).alias("c"),
+        F.col("kept_fp").alias("h"),
+    )
+    return (
+        stats.unionByName(incr)
+        .unionByName(counts)
+        .unionByName(lines)
+        .unionByName(spans)
+    )
 
 
 if q23_dedup_suite.__doc__:  # None under python -OO
     q23_dedup_suite.__doc__ = q23_dedup_suite.__doc__.format(
-        mod=_INCR_MOD, ltok=_LINE_TOKENS
+        mod=_INCR_MOD, ltok=_LINE_TOKENS, sk=_SPAN_WK
     )
+
+
+def _q23_spans_sql() -> str:
+    """DuckDB mirror of dedup.exact_span_dedup at k=_SPAN_WK: same
+    md5→32-bit token hashes, same double-Horner (31-bit prime moduli,
+    packed to 62 bits) window keys, same min-(doc,pos) keeper, same
+    gaps-and-islands span count, same space-rejoined kept-text md5."""
+    from timebox_spark.operators import dedup as D
+    from timebox_spark.operators.text import TOKEN_RE
+
+    k, p1, p2, b1, b2 = (
+        _SPAN_WK,
+        D._SPAN_P1,
+        D._SPAN_P2,
+        D._SPAN_B1,
+        D._SPAN_B2,
+    )
+    return f"""
+WITH th AS (SELECT doc_id,
+        list_transform(regexp_extract_all(text, '{TOKEN_RE}'),
+                       x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS v,
+        regexp_extract_all(text, '{TOKEN_RE}') AS t,
+        len(regexp_extract_all(text, '{TOKEN_RE}')) AS nt
+      FROM documents),
+wins AS (SELECT doc_id, i AS pos,
+        list_reduce(list_prepend(0, list_slice(v, i + 1, i + {k})),
+                    (a, x) -> (a * {b1} + x) % {p1}) * 2147483648
+      + list_reduce(list_prepend(0, list_slice(v, i + 1, i + {k})),
+                    (a, x) -> (a * {b2} + x) % {p2}) AS h
+      FROM th, unnest(range(0, greatest(nt - {k} + 1, 0))) u(i)),
+dup AS (SELECT h, min(doc_id * 1048576 + pos) AS keep FROM wins
+        GROUP BY h HAVING count(*) > 1),
+marked AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup d ON w.h = d.h
+           WHERE w.doc_id * 1048576 + w.pos <> d.keep),
+isl AS (SELECT doc_id, pos,
+        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                  <= {k} THEN 0 ELSE 1 END AS brk FROM marked),
+spn AS (SELECT doc_id, CAST(sum(brk) AS BIGINT) AS n_spans
+        FROM isl GROUP BY doc_id),
+cov AS (SELECT DISTINCT doc_id, pos + j AS tp
+        FROM marked, unnest(range(0, {k})) u(j)),
+tok AS (SELECT doc_id, i AS tp, t[i + 1] AS tok
+        FROM th, unnest(range(0, nt)) u(i)),
+keptt AS (SELECT tok.doc_id, tok.tp, tok.tok
+          FROM tok ANTI JOIN cov USING (doc_id, tp)),
+re AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+              md5(string_agg(tok, ' ' ORDER BY tp)) AS fp
+       FROM keptt GROUP BY doc_id)
+SELECT th.doc_id AS a, coalesce(re.n_kept, 0) AS b,
+       coalesce(spn.n_spans, 0) * 1048576 + CAST(th.nt AS BIGINT) AS c,
+       coalesce(re.fp, md5('')) AS h
+FROM th LEFT JOIN re ON re.doc_id = th.doc_id
+        LEFT JOIN spn ON spn.doc_id = th.doc_id
+"""
 
 
 def _q23_suite_sql() -> str:
@@ -565,6 +641,8 @@ SELECT 'incr_counts',
        ''
 UNION ALL
 SELECT 'lines', doc_id, n_lines, n_kept, kept_fp FROM ld
+UNION ALL
+SELECT 'spans', a, b, c, h FROM ({_q23_spans_sql()})
 """
 
 
