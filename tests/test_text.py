@@ -1000,3 +1000,227 @@ def test_chunk_documents_windows_and_overlap(spark):
     assert set(rows) == {(0, 0), (0, 1), (1, 0)}
     with pytest.raises(ValueError):
         T.chunk_documents(df, max_tokens=8, overlap=8)
+
+
+def test_html_to_text_hand_cases(spark):
+    """Extraction rules on hand-written HTML: script/style bodies with
+    markup-shaped strings, comments, entities, whitespace."""
+    from timebox_spark.operators import text as T
+
+    cases = [
+        (
+            '<html><script a=1>var s = "<b>x</b>";\nmore</script>'
+            "<p>Hi\n there</p></html>",
+            "Hi there",
+        ),
+        ("<style>p {color: red}</style><h1>A</h1>B", "A B"),
+        ("<!-- secret\nstuff -->keep &amp; &lt;this&gt;", "keep & <this>"),
+        ("a&nbsp;b &quot;c&quot; &#39;d&#39;", 'a b "c" \'d\''),
+        ("no markup at all", "no markup at all"),
+        ("", ""),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], "i long, h string"
+    )
+    got = {
+        r["i"]: r["t"]
+        for r in df.select(
+            "i", T.html_to_text(F.col("h")).alias("t")
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i])
+
+
+def test_html_synth_and_extract_match_duckdb(spark, duck):
+    """The full synth→extract chain agrees with the SQL mirror on the
+    real documents table — same page string, same extracted text."""
+    from timebox_spark.operators import text as T
+    from timebox_spark.plans.tables import load
+    from tests.conftest import SF_SMOKE
+
+    docs = load(spark, SF_SMOKE, "documents")
+    sp = (
+        docs.select(
+            "doc_id",
+            T.synth_html().alias("page"),
+            T.html_to_text(T.synth_html()).alias("txt"),
+        )
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    du = duck.execute(
+        f"SELECT doc_id, {T.synth_html_sql()} AS page, "
+        f"{T.html_to_text_sql(T.synth_html_sql())} AS txt "
+        "FROM documents ORDER BY doc_id"
+    ).fetchdf()
+    assert sp["page"].tolist() == du["page"].tolist()
+    assert sp["txt"].tolist() == du["txt"].tolist()
+    # the original text survives extraction verbatim (it is planted
+    # inside the <p> block and contains no markup)
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for d, t in zip(sp["doc_id"], sp["txt"]):
+        assert texts[d] in t, d
+
+
+def test_luhn_known_numbers(spark):
+    """Classic Luhn vectors: 4111111111111111 valid, off-by-one
+    invalid, separators stripped, short runs rejected."""
+    from timebox_spark.operators import text as T
+
+    cases = [
+        ("4111111111111111", True),
+        ("4111111111111112", False),
+        ("4539 5787 6362 1486", True),
+        ("4539-5787-6362-1486", True),
+        ("79927398713", False),  # valid checksum but only 11 digits
+        ("1234", False),
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _) in enumerate(cases)], "i long, s string"
+    )
+    got = {
+        r["i"]: r["v"]
+        for r in df.select(
+            "i", T.luhn_valid(F.col("s")).alias("v")
+        ).collect()
+    }
+    for i, (s, want) in enumerate(cases):
+        assert got[i] == want, s
+    # check digit completes any 15-digit base to valid
+    base = df.select(
+        T.luhn_valid(
+            F.concat(
+                F.lit("453957876362148"),
+                T.luhn_check_digit(F.lit("453957876362148")),
+            )
+        ).alias("v")
+    ).first()["v"]
+    assert base is True
+
+
+def test_redact_pii_extended_behavior(spark):
+    """Valid cards redact, invalid survive (as PHONE at best), IPs
+    redact, base URL/EMAIL chain still applies."""
+    from timebox_spark.operators import text as T
+
+    rows = [
+        (0, "pay 4111 1111 1111 1111 now"),
+        (1, "code 4111 1111 1111 1112 is not a card"),
+        (2, "host 192.168.0.1 and http://x.io/a"),
+        (3, "mail a@b.co"),
+    ]
+    df = spark.createDataFrame(rows, "i long, s string")
+    got = {
+        r["i"]: r["t"]
+        for r in df.select(
+            "i", T.redact_pii_extended(F.col("s")).alias("t")
+        ).collect()
+    }
+    assert got[0] == "pay <CC> now"
+    assert "<CC>" not in got[1]
+    assert got[2] == "host <IP> and <URL>"
+    assert got[3] == "mail <EMAIL>"
+
+
+def test_pii_synth_and_redact_match_duckdb(spark, duck):
+    """synth_pii + redact_pii_extended vs the SQL mirrors on the real
+    documents table: planted strings and redacted outputs identical;
+    even ids lose their card, odd ids keep theirs."""
+    from timebox_spark.operators import text as T
+    from timebox_spark.plans.tables import load
+    from tests.conftest import SF_SMOKE
+
+    docs = load(spark, SF_SMOKE, "documents")
+    sp = (
+        docs.select(
+            "doc_id",
+            T.synth_pii().alias("planted"),
+            T.redact_pii_extended(T.synth_pii()).alias("red"),
+        )
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    du = duck.execute(
+        f"SELECT doc_id, {T.synth_pii_sql()} AS planted, "
+        f"{T.redact_pii_extended_sql(T.synth_pii_sql())} AS red "
+        "FROM documents ORDER BY doc_id"
+    ).fetchdf()
+    assert sp["planted"].tolist() == du["planted"].tolist()
+    assert sp["red"].tolist() == du["red"].tolist()
+    for d, red in zip(sp["doc_id"], sp["red"]):
+        assert ("<CC>" in red) == (d % 2 == 0), d
+        assert "<IP>" in red, d
+
+
+def test_nb_recovers_planted_classes(spark):
+    """Two classes with disjoint vocab: NB must classify every doc to
+    its own class; scores match an independent Python recompute."""
+    import math
+
+    from timebox_spark.operators import text as T
+
+    rows = [
+        (0, "alpha beta alpha gamma", "A"),
+        (1, "beta alpha alpha beta", "A"),
+        (2, "delta epsilon zeta", "B"),
+        (3, "zeta zeta epsilon delta", "B"),
+        (4, "alpha beta gamma gamma", "A"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    w, c = T.nb_train(df)
+    got = {r["doc_id"]: r for r in T.nb_classify(df, w, c).collect()}
+    truth = {i: s for i, _, s in rows}
+    assert {d: r["pred_label"] for d, r in got.items()} == truth
+
+    # independent recompute of doc 0's argmax score
+    toks = {i: t.split() for i, t, _ in rows}
+    labels = {i: s for i, _, s in rows}
+    vocab = {t for x in toks.values() for t in x}
+    V = len(vocab)
+    cnt: dict = {}
+    tot: dict = {}
+    for i, x in toks.items():
+        for t in x:
+            cnt[(labels[i], t)] = cnt.get((labels[i], t), 0) + 1
+            tot[labels[i]] = tot.get(labels[i], 0) + 1
+    nd = {"A": 3, "B": 2}
+    S = T.NB_SCALE
+
+    def q(x: float) -> int:
+        return math.floor(x * S + 0.5)
+
+    def score(i: int, lab: str) -> int:
+        s = q(math.log(nd[lab] / 5.0))
+        for t in toks[i]:
+            if (lab, t) in cnt:
+                s += q(math.log((cnt[(lab, t)] + 1) / (tot[lab] + V)))
+            else:
+                s += q(math.log(1.0 / (tot[lab] + V)))
+        return s
+
+    for i in toks:
+        want = max(
+            (score(i, lab), lab) for lab in ("A", "B")
+        )
+        # max() picks lexicographically LAST label on ties; NB breaks
+        # ties to the FIRST. No ties here by construction.
+        assert got[i]["score_q"] == want[0], i
+        assert got[i]["pred_label"] == want[1], i
+
+
+def test_nb_empty_doc_gets_prior_argmax(spark):
+    """A zero-token doc scores prior_q only — argmax is the most
+    frequent class, ties to the alphabetically-first label."""
+    from timebox_spark.operators import text as T
+
+    rows = [
+        (0, "x y", "B"),
+        (1, "p q", "A"),
+        (2, "", "A"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    w, c = T.nb_train(df)
+    got = {r["doc_id"]: r for r in T.nb_classify(df, w, c).collect()}
+    assert got[2]["n_tokens"] == 0
+    assert got[2]["pred_label"] == "A"  # prior 2/3 beats 1/3

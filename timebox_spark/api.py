@@ -156,3 +156,17 @@ class CurationAPI:
         from timebox_spark.sources.jsonl import write_jsonl
 
         write_jsonl(df, path, **kw)
+
+    def train_classifier(self, docs: DataFrame, label_col: str = "source"):
+        """Train the multinomial NB source/domain classifier in-engine
+        (counting + quantized-ln weights); returns (weights, classes)
+        tables for ``classify``."""
+        from timebox_spark.operators.text import nb_train
+
+        return nb_train(docs, label_col=label_col)
+
+    def classify(self, docs: DataFrame, weights, classes, **kw) -> DataFrame:
+        """Argmax NB class per document with exact integer scores."""
+        from timebox_spark.operators.text import nb_classify
+
+        return nb_classify(docs, weights, classes, **kw)

@@ -10,7 +10,7 @@ numpy_utils.py:60-100).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 TOKEN_RE = r"\S+"
@@ -1145,4 +1145,398 @@ def chunk_documents(
             F.slice(F.col("__toks"), start + 1, max_tokens), " "
         ).alias("chunk_text"),
         F.least(F.lit(max_tokens), F.col("__nt") - start).alias("n_tokens"),
+    )
+
+
+# ------------------------------------------------- HTML extraction
+
+# Planted-construct wrapper + extraction chain for the web-crawl
+# front of the pipeline (the CCNet/RefinedWeb step BEFORE every text
+# gate in this module). Shared constants drive BOTH the Spark
+# expressions and the DuckDB oracle, so the chain's semantics —
+# block-element removal order, entity decode order, whitespace
+# squeeze — are pinned engine-portably.
+
+HTML_BLOCK_RES = (
+    r"(?s)<script\b[^>]*>.*?</script>",  # before tag strip: JS string
+    r"(?s)<style\b[^>]*>.*?</style>",    # literals may contain tags
+    r"(?s)<!--.*?-->",
+)
+HTML_TAG_RE = r"<[^>]+>"
+# &amp; decodes LAST (standard order: never double-decode '&amp;lt;')
+HTML_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+# (literal, field) template: field None = literal, else column name
+HTML_TEMPLATE = (
+    ("<html><head><title>Doc ", None),
+    (None, "id"),
+    ("</title>\n<style>p {color: red;}</style>\n<script>var x = ", None),
+    (None, "id"),
+    ('; var s = "<b>bold</b>";</script>\n</head><body>\n<!-- hidden ', None),
+    (None, "id"),
+    (" -->\n<h1>Doc &amp; no.", None),
+    (None, "id"),
+    ('</h1>\n<p class="lead">', None),
+    (None, "text"),
+    ("</p>\n<div><span>tail &lt;", None),
+    (None, "id"),
+    ("&gt; &quot;q&quot; &#39;s&#39;</span></div>\n</body></html>", None),
+)
+
+
+def synth_html(id_col="doc_id", text_col="text") -> Column:
+    """Deterministic HTML page around a document: real <script>,
+    <style>, comment, entity, and nested-tag constructs keyed off the
+    doc id, so the extractor is exercised on every rule it claims.
+    Identical string on DuckDB via ``synth_html_sql``."""
+    parts = []
+    for lit, field in HTML_TEMPLATE:
+        if field is None:
+            parts.append(F.lit(lit))
+        else:
+            parts.append(
+                F.col(id_col).cast("string")
+                if field == "id"
+                else F.col(text_col)
+            )
+    return F.concat(*parts)
+
+
+def synth_html_sql(id_col="doc_id", text_col="text") -> str:
+    parts = []
+    for lit, field in HTML_TEMPLATE:
+        if field is None:
+            parts.append("'" + lit.replace("'", "''").replace("\n", "' || chr(10) || '") + "'")
+        else:
+            parts.append(
+                f"CAST({id_col} AS VARCHAR)" if field == "id" else text_col
+            )
+    return "(" + " || ".join(parts) + ")"
+
+
+def html_to_text(col: Column) -> Column:
+    """Regex HTML → text extraction (map-only, whole-stage codegen —
+    zero Python): script/style/comment blocks drop first (their
+    bodies may contain markup-shaped string literals), then tags
+    strip to spaces, then the five named entities + &#39; decode
+    (&amp; last, the no-double-decode order), then whitespace
+    squeezes to single spaces and trims.
+
+    A regex chain, not an HTML parser: quoted '>' inside an attribute
+    value ends the tag early (``<a title="a>b">``) — the standard
+    fast-path tradeoff for crawl-scale extraction; a DOM pass would
+    be a Pandas-UDF slow path for a rare construct."""
+    out = col
+    for pat in HTML_BLOCK_RES:
+        out = F.regexp_replace(out, pat, " ")
+    out = F.regexp_replace(out, HTML_TAG_RE, " ")
+    for ent, ch in HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def _sql_str(s: str) -> str:
+    """SQL string literal with '' escaping."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def html_to_text_sql(expr: str) -> str:
+    """The identical chain as DuckDB SQL over ``expr``."""
+    out = expr
+    for pat in HTML_BLOCK_RES:
+        out = f"regexp_replace({out}, {_sql_str(pat)}, ' ', 'g')"
+    out = f"regexp_replace({out}, {_sql_str(HTML_TAG_RE)}, ' ', 'g')"
+    for ent, ch in HTML_ENTITIES:
+        out = f"replace({out}, {_sql_str(ent)}, {_sql_str(ch)})"
+    return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"
+
+
+# --------------------------------------------- PII: cards + IPs
+
+# BigCode-style PII hardening (Allal et al. 2023, StarCoder pipeline):
+# credit-card candidates are only redacted when they pass the Luhn
+# checksum (ISO/IEC 7812) — pure integer digit folds, identical on
+# both engines — and IPv4 literals redact by shape. Order matters:
+# cards first (PHONE_RE would swallow a 16-digit run), then IPs, then
+# the base URL/EMAIL/PHONE chain.
+
+CC_RE = r"\b\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{4}\b"
+IP_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+
+
+def _luhn_sum(col: Column, shift: int = 0) -> Column:
+    """Luhn digit fold over a pure-digit string: double the digits at
+    even position-from-right (+``shift``), subtract 9 past 9, sum.
+    ``shift=1`` is the fold used to DERIVE a check digit (every
+    position moves one right once the digit is appended)."""
+    n = F.length(col)
+    contrib = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.when(
+            ((n - i + F.lit(1 + shift)) % 2) == 0,
+            F.when(
+                F.substring(col, i, F.lit(1)).cast("int") * 2 > 9,
+                F.substring(col, i, F.lit(1)).cast("int") * 2 - 9,
+            ).otherwise(F.substring(col, i, F.lit(1)).cast("int") * 2),
+        ).otherwise(F.substring(col, i, F.lit(1)).cast("int")),
+    )
+    total = F.aggregate(contrib, F.lit(0), lambda a, x: a + x)
+    return F.when(n >= 1, total).otherwise(F.lit(0))
+
+
+def _luhn_sum_sql(expr: str, shift: int = 0) -> str:
+    d = f"CAST(substr({expr}, i, 1) AS INTEGER)"
+    return f"""list_reduce(list_prepend(0, list_transform(
+      range(1, length({expr}) + 1),
+      i -> CASE WHEN (length({expr}) - i + {1 + shift}) % 2 = 0
+                THEN CASE WHEN {d} * 2 > 9 THEN {d} * 2 - 9
+                          ELSE {d} * 2 END
+                ELSE {d} END)), (a, x) -> a + x)"""
+
+
+def luhn_valid(col: Column) -> Column:
+    """True iff the digit content of ``col`` (separators stripped) is
+    a 13-19 digit string passing the Luhn checksum."""
+    digits = F.regexp_replace(col, r"[ -]", "")
+    n = F.length(digits)
+    return (n >= 13) & (n <= 19) & ((_luhn_sum(digits) % 10) == 0)
+
+
+def luhn_valid_sql(expr: str) -> str:
+    digits = f"regexp_replace({expr}, '[ -]', '', 'g')"
+    return (
+        f"(length({digits}) BETWEEN 13 AND 19"
+        f" AND ({_luhn_sum_sql(digits)}) % 10 = 0)"
+    )
+
+
+def luhn_check_digit(col: Column) -> Column:
+    """The digit that completes a pure-digit string to Luhn-valid."""
+    return ((10 - _luhn_sum(col, shift=1) % 10) % 10).cast("string")
+
+
+def luhn_check_digit_sql(expr: str) -> str:
+    return f"CAST((10 - ({_luhn_sum_sql(expr, shift=1)}) % 10) % 10 AS VARCHAR)"
+
+
+def synth_pii(id_col: str = "doc_id", text_col: str = "text") -> Column:
+    """Doc text with a planted card number (Luhn-VALID on even ids,
+    off-by-one-check-digit INVALID on odd — so both redaction branches
+    are exercised per corpus) and a planted IPv4, all derived from the
+    id in-engine (the check digit is COMPUTED, not a constant)."""
+    sid = F.col(id_col)
+    base15 = F.concat(
+        F.lit("4"),
+        F.lpad((sid % 10_000_000).cast("string"), 7, "0"),
+        F.lpad(((sid * 7919) % 10_000_000).cast("string"), 7, "0"),
+    )
+    check = luhn_check_digit(base15)
+    bad = ((check.cast("int") + 1) % 10).cast("string")
+    card = F.concat(
+        base15, F.when((sid % 2) == 0, check).otherwise(bad)
+    )
+    ip = F.concat(
+        F.lit("10."),
+        (sid % 256).cast("string"),
+        F.lit("."),
+        ((sid * 31) % 256).cast("string"),
+        F.lit("."),
+        ((sid * 101) % 256).cast("string"),
+    )
+    return F.concat(
+        F.col(text_col), F.lit(" card "), card, F.lit(" from "), ip
+    )
+
+
+def synth_pii_sql(id_col: str = "doc_id", text_col: str = "text") -> str:
+    base15 = (
+        f"('4' || lpad(CAST({id_col} % 10000000 AS VARCHAR), 7, '0')"
+        f" || lpad(CAST(({id_col} * 7919) % 10000000 AS VARCHAR), 7, '0'))"
+    )
+    check = luhn_check_digit_sql(base15)
+    bad = f"CAST((CAST({check} AS INTEGER) + 1) % 10 AS VARCHAR)"
+    card = (
+        f"({base15} || CASE WHEN {id_col} % 2 = 0 THEN {check}"
+        f" ELSE {bad} END)"
+    )
+    ip = (
+        f"('10.' || CAST({id_col} % 256 AS VARCHAR) || '.'"
+        f" || CAST(({id_col} * 31) % 256 AS VARCHAR) || '.'"
+        f" || CAST(({id_col} * 101) % 256 AS VARCHAR))"
+    )
+    return f"({text_col} || ' card ' || {card} || ' from ' || {ip})"
+
+
+def redact_pii_extended(col: Column) -> Column:
+    """URL/EMAIL/PHONE redaction plus Luhn-checked card numbers and
+    IPv4 literals. Card candidates come from one regexp_extract_all;
+    only checksum-valid ones are replaced (a fold of literal
+    ``replace`` over the per-row valid list — no per-row Python), so
+    a random 16-digit run survives as it should. All map-side JVM."""
+    cands = F.regexp_extract_all(col, F.lit(CC_RE), F.lit(0))
+    valid = F.filter(cands, luhn_valid)
+    out = F.aggregate(
+        valid, col, lambda acc, c: F.replace(acc, c, F.lit("<CC>"))
+    )
+    out = F.regexp_replace(out, IP_RE, "<IP>")
+    out = F.regexp_replace(out, URL_RE, "<URL>")
+    out = F.regexp_replace(out, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, PHONE_RE, "<PHONE>")
+
+
+def redact_pii_extended_sql(expr: str) -> str:
+    cands = f"regexp_extract_all({expr}, {_sql_str(CC_RE)})"
+    valid = f"list_filter({cands}, c -> {luhn_valid_sql('c')})"
+    out = (
+        f"list_reduce(list_prepend({expr}, {valid}),"
+        " (acc, c) -> replace(acc, c, '<CC>'))"
+    )
+    out = f"regexp_replace({out}, {_sql_str(IP_RE)}, '<IP>', 'g')"
+    out = f"regexp_replace({out}, {_sql_str(URL_RE)}, '<URL>', 'g')"
+    out = f"regexp_replace({out}, {_sql_str(EMAIL_RE)}, '<EMAIL>', 'g')"
+    return f"regexp_replace({out}, {_sql_str(PHONE_RE)}, '<PHONE>', 'g')"
+
+
+# --------------------------------- classifier TRAINING (Naive Bayes)
+
+# The missing half of quality classification: hashed_linear_score
+# SCORES with fixed weights; this TRAINS a multinomial Naive Bayes
+# source/domain classifier from the corpus itself (the CCNet-style
+# "which reference domain does this doc resemble" filter). Training
+# is pure counting — one explode scan, vocab-sized shuffles — and
+# every log-probability is quantized per DISTINCT rational once (the
+# bigram-LM parity recipe), so scoring is exact integer sums and a
+# DuckDB oracle re-derives predictions bit-for-bit.
+
+NB_SCALE = PPL_SCALE
+
+
+def nb_train(
+    df: DataFrame,
+    label_col: str = "source",
+    text_col: str = "text",
+):
+    """Multinomial NB with add-one smoothing. Returns (weights,
+    classes): weights = (label, t, w_q) with
+    w_q = floor(ln((c(t,label)+1)/(n_label+V))·S + 0.5) — a
+    (classes × vocab)-bounded table; classes = (label, prior_q,
+    oov_q) with prior_q from document frequencies and oov_q the
+    unseen-token smoothing mass. One corpus scan; every aggregate is
+    map-side combined; nothing is ever collected."""
+    words = df.select(F.col(label_col).alias("label"), F.explode(_tokens(text_col)).alias("t"))
+    cnt = words.groupBy("label", "t").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("label").agg(F.sum("c").alias("n_l"))
+    vocab = words.agg(F.countDistinct("t").alias("v"))
+    ndocs = df.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("d_l")
+    )
+    n = df.agg(F.count(F.lit(1)).alias("n"))
+    s = float(NB_SCALE)
+    weights = (
+        cnt.join(tot, "label")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "label",
+            "t",
+            F.floor(
+                F.log(
+                    (F.col("c") + 1).cast("double")
+                    / (F.col("n_l") + F.col("v")).cast("double")
+                )
+                * F.lit(s)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("w_q"),
+        )
+    )
+    classes = (
+        ndocs.join(tot, "label")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "label",
+            F.floor(
+                F.log(F.col("d_l").cast("double") / F.col("n").cast("double"))
+                * F.lit(s)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("prior_q"),
+            F.floor(
+                F.log(
+                    F.lit(1.0) / (F.col("n_l") + F.col("v")).cast("double")
+                )
+                * F.lit(s)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("oov_q"),
+        )
+    )
+    return weights, classes
+
+
+def nb_classify(
+    df: DataFrame,
+    weights: DataFrame,
+    classes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score every document against every class and keep the argmax
+    (ties to the alphabetically-first label). score = prior_q +
+    Σ_matched w_q + (n_tokens − n_matched)·oov_q — exact integers.
+
+    Plan: one token explode joined to the (classes × vocab)-bounded
+    weight table (broadcast-friendly), per-(doc, label) aggregation,
+    then a doc×classes base (classes is O(labels) rows, broadcast)
+    left-joined and ranked by a doc-keyed window — no unkeyed window,
+    no per-row Python. Returns (id, pred_label, score_q, n_tokens)."""
+    base = df.select(
+        F.col(id_col),
+        F.size(_tokens(text_col)).cast("long").alias("n_tokens"),
+    )
+    words = df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("t"))
+    matched = (
+        words.join(F.broadcast(weights), "t")
+        .groupBy(id_col, "label")
+        .agg(
+            F.count(F.lit(1)).alias("m"),
+            F.sum("w_q").alias("sw"),
+        )
+    )
+    scored = (
+        base.crossJoin(F.broadcast(classes))
+        .join(matched, [id_col, "label"], "left")
+        .select(
+            id_col,
+            "label",
+            "n_tokens",
+            (
+                F.col("prior_q")
+                + F.coalesce(F.col("sw"), F.lit(0))
+                + (F.col("n_tokens") - F.coalesce(F.col("m"), F.lit(0)))
+                * F.col("oov_q")
+            ).alias("score_q"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_q").desc(), F.col("label").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            id_col,
+            F.col("label").alias("pred_label"),
+            "score_q",
+            "n_tokens",
+        )
     )

@@ -80,6 +80,20 @@ def q20_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.gopher_pass_from(toks, nt, F.col("__nsw")).alias("gopher_pass"),
         F.md5(text.redact()).alias("redacted_fp"),
         text.lang_id_ngram().alias("lang3"),
+        # HTML front-end: wrap the doc in a deterministic page with
+        # planted script/style/comment/entity constructs, extract it
+        # back, and pin the md5 — any drift in the extraction chain
+        # (rule order, entity decode, squeeze) breaks this hash
+        F.md5(
+            F.encode(text.html_to_text(text.synth_html()), "UTF-8")
+        ).alias("html_fp"),
+        # PII hardening: plant a Luhn-valid card (even ids) or an
+        # off-by-one invalid one (odd ids) plus an IPv4, all derived
+        # from doc_id in-engine, then redact — the md5 breaks if the
+        # checksum, candidate regex, or replace order drifts
+        F.md5(
+            F.encode(text.redact_pii_extended(text.synth_pii()), "UTF-8")
+        ).alias("pii_fp"),
     )
 
 
@@ -150,7 +164,9 @@ SELECT doc_id,
              '{text.URL_RE}', '<URL>', 'g'),
              '{text.EMAIL_RE}', '<EMAIL>', 'g'),
              '{text.PHONE_RE}', '<PHONE>', 'g')) AS redacted_fp,
-       {_lang3_sql()} AS lang3
+       {_lang3_sql()} AS lang3,
+       md5({text.html_to_text_sql(text.synth_html_sql())}) AS html_fp,
+       md5({text.redact_pii_extended_sql(text.synth_pii_sql())}) AS pii_fp
 FROM feat
 """
 

@@ -41,7 +41,9 @@ def q21_text_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     (text.bm25_topk — the 'bm25' rows pin each retrieved doc's exact
     quantized score and the ranking boundary) + hashed-linear
     classifier top-k (text.classifier_topk — the 'clf' rows pin each
-    selected doc's exact integer score) in one uniform shape."""
+    selected doc's exact integer score) + trained-in-engine NB source
+    classification ('nb' rows) + context-window chunking ('chunk'
+    rows) in one uniform shape."""
     from timebox_spark.operators import text as T
 
     lang = LQ.q21_lang_id(spark, sf_dir).select(
@@ -111,9 +113,22 @@ def q21_text_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.col("n_tokens")
         ).alias("n"),
     )
+    # 'nb' rows: trained-in-engine multinomial NB source classifier —
+    # k = doc_id:argmax-label, n = the exact integer score, so a
+    # drifted count, smoothing term, quantized ln, or tie-break
+    # breaks the driver hash per doc
+    nb_w, nb_c = T.nb_train(docs)
+    nb = T.nb_classify(docs, nb_w, nb_c).select(
+        F.lit("nb").alias("chk"),
+        F.concat_ws(
+            ":", F.col("doc_id").cast("string"), F.col("pred_label")
+        ).alias("k"),
+        F.col("score_q").alias("n"),
+    )
     return (
         lang.unionByName(words)
         .unionByName(bm25)
+        .unionByName(nb)
         .unionByName(clf)
         .unionByName(ppl)
         .unionByName(bpe)
@@ -390,6 +405,54 @@ FROM grid GROUP BY 1
 """
 
 
+def _nb_sql() -> str:
+    """DuckDB mirror of text.nb_train + nb_classify on the documents
+    table: same add-one smoothing rationals, same floor(ln·S + 0.5)
+    per-distinct quantization, same integer scoring and
+    (score DESC, label ASC) argmax."""
+    from timebox_spark.operators import text as T
+
+    S = T.NB_SCALE
+    return f"""
+WITH words AS (SELECT source AS label,
+        unnest(regexp_extract_all(text, '{T.TOKEN_RE}')) AS t FROM documents),
+cnt AS (SELECT label, t, count(*) c FROM words GROUP BY 1, 2),
+tot AS (SELECT label, CAST(sum(c) AS BIGINT) n_l FROM cnt GROUP BY 1),
+voc AS (SELECT count(DISTINCT t) v FROM words),
+nd AS (SELECT source AS label, count(*) d_l FROM documents GROUP BY 1),
+nn AS (SELECT count(*) n FROM documents),
+wts AS (SELECT label, t,
+          CAST(floor(ln((c + 1)::DOUBLE / (n_l + v)::DOUBLE) * {S} + 0.5)
+               AS BIGINT) w_q
+        FROM cnt JOIN tot USING (label) CROSS JOIN voc),
+cls AS (SELECT nd.label,
+          CAST(floor(ln(d_l::DOUBLE / n::DOUBLE) * {S} + 0.5)
+               AS BIGINT) prior_q,
+          CAST(floor(ln(1.0 / (n_l + v)::DOUBLE) * {S} + 0.5)
+               AS BIGINT) oov_q
+        FROM nd JOIN tot ON nd.label = tot.label
+        CROSS JOIN voc CROSS JOIN nn),
+nbase AS (SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '{T.TOKEN_RE}')) AS BIGINT)
+          AS n_tokens FROM documents),
+dw AS (SELECT doc_id,
+        unnest(regexp_extract_all(text, '{T.TOKEN_RE}')) t FROM documents),
+mt AS (SELECT doc_id, label, count(*) m, CAST(sum(w_q) AS BIGINT) sw
+       FROM dw JOIN wts USING (t) GROUP BY 1, 2),
+sc AS (SELECT b.doc_id, c.label, b.n_tokens,
+         c.prior_q + coalesce(mt.sw, 0)
+           + (b.n_tokens - coalesce(mt.m, 0)) * c.oov_q AS score_q
+       FROM nbase b CROSS JOIN cls c
+       LEFT JOIN mt ON mt.doc_id = b.doc_id AND mt.label = c.label),
+pr AS (SELECT doc_id, label, score_q,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_q DESC, label ASC) rn FROM sc)
+SELECT CAST(doc_id AS VARCHAR) || ':' || label AS k,
+       CAST(score_q AS BIGINT) AS n
+FROM pr WHERE rn = 1
+"""
+
+
 def _chunk_sql() -> str:
     """DuckDB mirror of text.chunk_documents (default window/stride):
     same minimal-cover chunk count, same token slices, same single-
@@ -442,6 +505,8 @@ UNION ALL
 SELECT 'kl', source, kl_q FROM ({_kl_sql()})
 UNION ALL
 SELECT 'chunk', k, n FROM ({_chunk_sql()})
+UNION ALL
+SELECT 'nb', k, n FROM ({_nb_sql()})
 """
 
 
