@@ -1224,3 +1224,88 @@ def test_nb_empty_doc_gets_prior_argmax(spark):
     got = {r["doc_id"]: r for r in T.nb_classify(df, w, c).collect()}
     assert got[2]["n_tokens"] == 0
     assert got[2]["pred_label"] == "A"  # prior 2/3 beats 1/3
+
+
+def test_c4_clean_hand_cases(spark):
+    """Every C4 line rule on a hand-built page: terminal punct, the
+    five-word floor, the javascript drop; page gates: sentence floor,
+    blocklist, lorem ipsum, curly brace (Raffel et al. 2020 §2.2)."""
+    page = "\n".join(
+        [
+            "This first sentence clearly has enough words.",
+            "Click here",  # no terminal punct -> dropped
+            "Short line here.",  # 3 words -> dropped
+            'He said "stop right there friend!"',  # ends in quote -> kept
+            "Enable JavaScript to view this content.",  # js -> dropped
+            "Another perfectly reasonable sentence ends here.",
+        ]
+    )
+    df = spark.createDataFrame([(1, page)], "id long, t string")
+    out = df.select(
+        text.c4_clean(F.col("t")).alias("c"),
+    ).collect()[0]
+    kept = out["c"].split("\n")
+    assert kept == [
+        "This first sentence clearly has enough words.",
+        'He said "stop right there friend!"',
+        "Another perfectly reasonable sentence ends here.",
+    ]
+
+    def gate(orig):
+        d = spark.createDataFrame([(orig,)], "t string")
+        return d.select(
+            text.c4_doc_pass(F.col("t"), text.c4_clean(F.col("t"))).alias("p")
+        ).collect()[0]["p"]
+
+    three = (
+        "One full sentence right here now.\n"
+        "Two full sentences right here now.\n"
+        "Three full sentences right here now."
+    )
+    assert gate(three) == 1
+    # only two sentences survive the line filter -> fails the floor
+    assert gate("\n".join(three.split("\n")[:2])) == 0
+    assert gate(three + "\nAlso mentions obscenityx in passing okay.") == 0
+    assert gate(three + "\nThis has Lorem Ipsum filler text inside.") == 0
+    assert gate(three + "\nvar f = function() { return 1; };") == 0
+
+
+def test_c4_synth_page_matches_duckdb(spark, duck):
+    """The q20 c4_fp/c4_pass columns: synth page -> line filter ->
+    page gate, bit-for-bit across engines at sf0.001."""
+    from timebox_spark.plans.tables import load
+    from tests.conftest import SF_SMOKE
+
+    docs = load(spark, SF_SMOKE, "documents")
+    page = text.synth_page()
+    cleaned = text.c4_clean(page)
+    sdf = (
+        docs.select(
+            "doc_id",
+            F.md5(F.encode(cleaned, "UTF-8")).alias("c4_fp"),
+            text.c4_doc_pass(page, cleaned).alias("c4_pass"),
+        )
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    page_sql = text.synth_page_sql()
+    cleaned_sql = text.c4_clean_sql(page_sql)
+    ddf = (
+        duck.execute(
+            f"""SELECT doc_id, md5({cleaned_sql}) AS c4_fp,
+                   {text.c4_doc_pass_sql(page_sql, cleaned_sql)} AS c4_pass
+            FROM documents"""
+        )
+        .fetchdf()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        sdf.astype({"doc_id": "int64", "c4_pass": "int64"}),
+        ddf.astype({"doc_id": "int64", "c4_pass": "int64"}),
+    )
+    # both branches of every rule fire somewhere in the corpus
+    assert 0 < sdf.c4_pass.sum() < len(sdf)

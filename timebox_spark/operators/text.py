@@ -1540,3 +1540,128 @@ def nb_classify(
             "n_tokens",
         )
     )
+
+
+# ------------------------------------------------- C4 quality filter
+
+# The C4 cleaning pipeline (Raffel et al. 2020, "Exploring the Limits
+# of Transfer Learning with T5", §2.2): line-level — keep only lines
+# ending in a terminal punctuation mark, with at least five words,
+# and without the word "javascript"; page-level — drop pages with
+# fewer than three sentences, any bad word, the phrase "lorem ipsum",
+# or a curly bracket. The reference engine has no text gates at all
+# (/root/reference/timebox/timebox.py stores numeric series); this is
+# part of the LLM-pipeline surface. Shared constants drive both the
+# Spark HOF chain and the DuckDB oracle. Pure map-side JVM — the
+# 100 TB cost is the scan itself.
+
+C4_LINE_MIN_WORDS = 5
+C4_MIN_SENTENCES = 3
+C4_TERMINAL_RE = r'[.!?"]$'
+C4_SENTENCE_RE = r"[.!?]"
+# placeholder blocklist (stand-in for the LDNOOBW word list C4 used)
+C4_BADWORDS = ("obscenityx", "slurwordx")
+C4_BADWORD_RE = r"\b(?:" + "|".join(C4_BADWORDS) + r")\b"
+
+
+def synth_page(id_col: str = "doc_id", text_col: str = "text") -> Column:
+    """Deterministic multi-line 'web page' around a document that
+    plants every C4 rule trigger: the doc text as a terminated
+    sentence, a no-terminal-punct nav line, a javascript line, a
+    too-short line, a stable five-word keeper — plus page-level
+    plants on id residues (lorem ipsum on id%5=0, a curly-brace code
+    line on id%7=0, a blocklist word on id%11=0), so both the kept
+    and dropped branch of every rule is exercised per corpus.
+    Identical string on DuckDB via ``synth_page_sql``."""
+    sid = F.col(id_col)
+    lines = [
+        F.concat(F.col(text_col), F.lit(".")),
+        F.lit("Click here to read more"),
+        F.lit("Please enable javascript to view this page."),
+        F.lit("Too short."),
+        F.lit("This stable sentence has six words."),
+        F.when((sid % 5) == 0, F.lit("Lorem ipsum dolor sit amet.")).otherwise(
+            F.lit("A perfectly ordinary closing sentence here.")
+        ),
+        F.when((sid % 7) == 0, F.lit("function f() { return 1; }")).otherwise(
+            F.lit("No code blocks appear on this page.")
+        ),
+        F.when((sid % 11) == 0, F.lit("Contains the word obscenityx sadly.")).otherwise(
+            F.lit("Family friendly content all the way.")
+        ),
+    ]
+    return F.concat_ws("\n", *lines)
+
+
+def synth_page_sql(id_col: str = "doc_id", text_col: str = "text") -> str:
+    lines = [
+        f"({text_col} || '.')",
+        "'Click here to read more'",
+        "'Please enable javascript to view this page.'",
+        "'Too short.'",
+        "'This stable sentence has six words.'",
+        f"CASE WHEN {id_col} % 5 = 0 THEN 'Lorem ipsum dolor sit amet.'"
+        " ELSE 'A perfectly ordinary closing sentence here.' END",
+        f"CASE WHEN {id_col} % 7 = 0 THEN 'function f() {{ return 1; }}'"
+        " ELSE 'No code blocks appear on this page.' END",
+        f"CASE WHEN {id_col} % 11 = 0 THEN 'Contains the word obscenityx sadly.'"
+        " ELSE 'Family friendly content all the way.' END",
+    ]
+    return "concat_ws(chr(10), " + ", ".join(lines) + ")"
+
+
+def c4_clean(col: Column) -> Column:
+    """C4 line filter: split on newlines, keep lines that (rtrimmed)
+    end in terminal punctuation, have >= C4_LINE_MIN_WORDS words, and
+    don't contain the word 'javascript' (case-insensitive); rejoin
+    with newlines. One HOF chain in whole-stage codegen."""
+    lines = F.split(col, "\n")
+    kept = F.filter(
+        lines,
+        lambda l: F.rtrim(l).rlike(C4_TERMINAL_RE)
+        & (F.size(F.regexp_extract_all(l, F.lit(TOKEN_RE), F.lit(0)))
+           >= C4_LINE_MIN_WORDS)
+        & ~F.lower(l).rlike(r"\bjavascript\b"),
+    )
+    return F.array_join(kept, "\n")
+
+
+def c4_clean_sql(expr: str) -> str:
+    """The identical line filter as DuckDB SQL over ``expr``."""
+    cond = (
+        f"regexp_matches(rtrim(l), {_sql_str(C4_TERMINAL_RE)})"
+        f" AND length(regexp_extract_all(l, {_sql_str(TOKEN_RE)}))"
+        f" >= {C4_LINE_MIN_WORDS}"
+        f" AND NOT regexp_matches(lower(l), '\\bjavascript\\b')"
+    )
+    return (
+        f"array_to_string(list_filter(string_split({expr}, chr(10)),"
+        f" l -> {cond}), chr(10))"
+    )
+
+
+def c4_doc_pass(orig: Column, cleaned: Column) -> Column:
+    """C4 page gate over (original, line-cleaned) text: >=
+    C4_MIN_SENTENCES sentence enders in the cleaned text, and the
+    ORIGINAL page (pre-line-filter, as in C4) has no blocklist word,
+    no 'lorem ipsum', and no curly bracket. 1/0 long."""
+    n_sent = F.size(
+        F.regexp_extract_all(cleaned, F.lit(C4_SENTENCE_RE), F.lit(0))
+    )
+    ok = (
+        (n_sent >= C4_MIN_SENTENCES)
+        & ~F.lower(orig).rlike(C4_BADWORD_RE)
+        & ~F.contains(F.lower(orig), F.lit("lorem ipsum"))
+        & ~F.contains(orig, F.lit("{"))
+    )
+    return F.when(ok, F.lit(1)).otherwise(F.lit(0)).cast("long")
+
+
+def c4_doc_pass_sql(orig: str, cleaned: str) -> str:
+    return (
+        f"CAST(CASE WHEN length(regexp_extract_all({cleaned},"
+        f" {_sql_str(C4_SENTENCE_RE)})) >= {C4_MIN_SENTENCES}"
+        f" AND NOT regexp_matches(lower({orig}), {_sql_str(C4_BADWORD_RE)})"
+        f" AND NOT contains(lower({orig}), 'lorem ipsum')"
+        f" AND NOT contains({orig}, '{{') THEN 1 ELSE 0 END AS BIGINT)"
+    )

@@ -94,6 +94,15 @@ def q20_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(
             F.encode(text.redact_pii_extended(text.synth_pii()), "UTF-8")
         ).alias("pii_fp"),
+        # C4 cleaning (Raffel et al. 2020 §2.2): wrap the doc in a
+        # multi-line page with planted rule triggers, line-filter +
+        # page-gate it — the md5 breaks if any line rule drifts, the
+        # gate if any page rule does
+        F.md5(F.encode(text.c4_clean(text.synth_page()), "UTF-8")).alias(
+            "c4_fp"
+        ),
+        text.c4_doc_pass(text.synth_page(), text.c4_clean(text.synth_page()))
+        .alias("c4_pass"),
     )
 
 
@@ -166,7 +175,9 @@ SELECT doc_id,
              '{text.PHONE_RE}', '<PHONE>', 'g')) AS redacted_fp,
        {_lang3_sql()} AS lang3,
        md5({text.html_to_text_sql(text.synth_html_sql())}) AS html_fp,
-       md5({text.redact_pii_extended_sql(text.synth_pii_sql())}) AS pii_fp
+       md5({text.redact_pii_extended_sql(text.synth_pii_sql())}) AS pii_fp,
+       md5({text.c4_clean_sql(text.synth_page_sql())}) AS c4_fp,
+       {text.c4_doc_pass_sql(text.synth_page_sql(), text.c4_clean_sql(text.synth_page_sql()))} AS c4_pass
 FROM feat
 """
 
