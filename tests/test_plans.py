@@ -575,3 +575,33 @@ def test_jsonl_roundtrip_preserves_tricky_text(spark, tmp_path):
     back = jsonl.read_jsonl(spark, path, df.schema)
     got = {r["doc_id"]: r["text"] for r in back.collect()}
     assert got == dict(enumerate(texts))
+
+
+def test_warc_roundtrip_content_length_framing(spark, tmp_path):
+    """WARC write->read survives the payloads that break a
+    separator-scanning reader: an embedded record separator, a nested
+    'WARC/1.0' marker, multi-byte UTF-8 (octet vs char length), and
+    an empty document."""
+    from timebox_spark.sources import warc
+
+    rows = [
+        (0, "plain ascii doc."),
+        (1, "unicode δοκιμή ünïcode 漢字."),
+        (2, "embedded\r\n\r\nseparator and WARC/1.0\r\nmarker inside."),
+        (3, ""),
+        (4, "Content-Length: 9999 spoofed in the body."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(2)
+    path = str(tmp_path / "warc_out")
+    warc.write_warc(df, path)
+    back = (
+        warc.read_warc(spark, path)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(back) == len(rows)
+    orig = dict(rows)
+    for _, r in back.iterrows():
+        assert r["text"] == orig[r["doc_id"]]
+        assert r["target_uri"] == f"http://corpus.invalid/doc/{r['doc_id']}"

@@ -170,3 +170,15 @@ class CurationAPI:
         from timebox_spark.operators.text import nb_classify
 
         return nb_classify(docs, weights, classes, **kw)
+
+    def read_warc(self, path: str) -> DataFrame:
+        """Distributed WARC/1.0 reader: one task per shard file,
+        Content-Length record framing (sources/warc.py)."""
+        from timebox_spark.sources.warc import read_warc
+
+        return read_warc(self.spark, path)
+
+    def write_warc(self, df: DataFrame, path: str, **kw) -> None:
+        from timebox_spark.sources.warc import write_warc
+
+        write_warc(df, path, **kw)

@@ -2479,6 +2479,47 @@ def _jsonl_member(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _warc_member(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC crawl-format round trip (sources/warc.py): write the
+    documents table as WARC/1.0 response records, read it back with
+    the Content-Length record walker, and digest — s1 re-sums the
+    doc ids RECOVERED FROM THE Target-URI headers and s3 is a per-doc
+    md5-based digest of the payload, so a framing error (octet count,
+    header drift, separator-scanning shortcuts) breaks the driver
+    hash. Oracle: the same digests from the raw parquet table."""
+    import hashlib as _h
+    import os as _os
+
+    from timebox_spark.sources import warc
+
+    tag = f"{_h.sha1(sf_dir.encode()).hexdigest()[:8]}_{_os.getpid()}"
+    path = f"/tmp/timebox_spark_warc_{tag}"
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    warc.write_warc(docs, path)
+    _register_bucketed_cleanup(spark, [], [path])
+    back = warc.read_warc(spark, path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("doc_id").alias("s1"),
+        F.sum(F.length("text").cast("long")).alias("s2"),
+        F.sum(
+            F.conv(
+                F.substring(F.md5(F.encode(F.col("text"), "UTF-8")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+        ).alias("s3"),
+    ).select(
+        F.lit("warc").alias("chk"),
+        "n_rows",
+        F.to_timestamp(F.lit("1970-01-01 00:00:00")).alias("ts_min"),
+        F.to_timestamp(F.lit("1970-01-01 00:00:00")).alias("ts_max"),
+        "s1",
+        "s2",
+        "s3",
+    )
+
+
 def q01_io_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parquet round-trip, pandas bridge, CSV round-trip digests +
     the bucketed co-located-join storage gate."""
@@ -2514,6 +2555,7 @@ def q01_io_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(c)
         .unionByName(_bucketed_member(spark, sf_dir))
         .unionByName(_jsonl_member(spark, sf_dir))
+        .unionByName(_warc_member(spark, sf_dir))
     )
 
 
@@ -2533,6 +2575,13 @@ SELECT 'bucketed', n_rows, ts_min, ts_max, value_q_sum,
 FROM ({Q.ORACLE_SQL['q01_roundtrip']})
 UNION ALL
 SELECT 'jsonl', CAST(count(*) AS BIGINT),
+       TIMESTAMP '1970-01-01 00:00:00', TIMESTAMP '1970-01-01 00:00:00',
+       CAST(sum(doc_id) AS BIGINT),
+       CAST(sum(length(text)) AS BIGINT),
+       CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'warc', CAST(count(*) AS BIGINT),
        TIMESTAMP '1970-01-01 00:00:00', TIMESTAMP '1970-01-01 00:00:00',
        CAST(sum(doc_id) AS BIGINT),
        CAST(sum(length(text)) AS BIGINT),
