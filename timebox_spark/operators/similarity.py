@@ -920,3 +920,199 @@ def text_embedding_topk(
     return _score_topk_portable(
         cand.withColumnRenamed(id_col, "vec_id"), k, "query_id"
     )
+
+
+# ------------------------------------------ product quantization (PQ)
+
+# The remaining member of the Faiss index family (Jégou et al. 2011,
+# "Product Quantization for Nearest Neighbor Search"): split the
+# vector into PQ_M subspaces, k-means each subspace to PQ_KSUB
+# codewords, store one small code per subspace — PQ_M bytes/vector
+# instead of 4·dim (32× here) — and score queries against codes via
+# an ADC (asymmetric distance computation) lookup table, never
+# reconstructing vectors. Inner-product flavor: score(q, x) ≈
+# Σ_m <q_m, c_{m, code_m(x)}>, which ranks like the dot product the
+# rest of this module uses. Engine-portable like the IVF path:
+# quantized integer subvectors, exact BIGINT sums everywhere, one
+# deterministic floor(sum/cnt + 0.5) per centroid component — the
+# DuckDB oracle (plans.ann_oracle) re-derives codebooks, codes, ADC
+# tables, and rankings bit-for-bit. The reference has no similarity
+# ops (SURVEY §2.7); this completes Flat / LSH / IVF / SQ8 / IVF+SQ8
+# with the PQ compression point of the design space.
+
+PQ_M = 8       # subspaces (64-dim → 8 dims each)
+PQ_KSUB = 16   # codewords per subspace → 4-bit codes, 8 B/vector
+PQ_ITERS = 1   # Lloyd refinements over the seed codebook
+
+
+def _pq_subdim(dim: int = ANN_DIM, m: int = PQ_M) -> int:
+    assert dim % m == 0, (dim, m)
+    return dim // m
+
+
+def _pq_encode(df: DataFrame, cb, id_col: str, vec_col: str) -> DataFrame:
+    """(id, quantized vec) → (id, codes array<int> of length PQ_M):
+    per subspace, the L2-nearest codeword (exact integer squared
+    distance, ties to the smallest code). Arrow numpy kernel, one
+    pass, no shuffle — at 100 TB this is the encode-once scan whose
+    output is the column you persist."""
+    import numpy as np
+    import pandas as pd
+
+    from timebox_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    cbm = np.ascontiguousarray(cb, dtype=np.int64)  # (M, K, ds)
+    m_sub, ksub, ds = cbm.shape
+
+    def compute(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.int64)
+            sub = mat.reshape(len(pdf), m_sub, ds)
+            # (n, M, K) squared L2 via expansion: ||x||² - 2x·c + ||c||²
+            # (exact: int64 partials well under 2^63 for 1e6-scale ints)
+            x2 = (sub * sub).sum(axis=2)[:, :, None]
+            c2 = (cbm * cbm).sum(axis=2)[None, :, :]
+            xc = np.einsum("nmd,mkd->nmk", sub, cbm)
+            dist = x2 - 2 * xc + c2
+            codes = dist.argmin(axis=2)  # first min = smallest code
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "codes": list(codes.astype(np.int32)),
+                }
+            )
+
+    return ensure_parallelism(df.select(id_col, vec_col)).mapInPandas(
+        compute, schema=f"{id_col} long, codes array<int>"
+    )
+
+
+def portable_pq_train(
+    corpus_q: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = PQ_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "__vq",
+):
+    """Per-subspace integer k-means, all subspaces trained in ONE
+    distributed pass per Lloyd step (subspace id is just another
+    grouping key — the oracle mirrors it the same way, so CTE depth
+    doesn't multiply by M). Seeds: the ``ksub`` vectors with smallest
+    (md5-prefix(id), id), each contributing its m-th subvector to
+    subspace m — identical seed ids across subspaces, re-derivable by
+    both engines. Update: floor(sum/cnt + 0.5) per (m, code, dim);
+    empty cells keep their codeword. Returns int64 (m, ksub, ds)."""
+    import math
+
+    import numpy as np
+
+    ds = _pq_subdim(ANN_DIM, m)
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    rows = (
+        corpus_q.select(vec_col, h.alias("__h"), F.col(id_col).alias("__i"))
+        .orderBy("__h", "__i")
+        .limit(ksub)
+        .collect()
+    )
+    seeds = np.array([list(r[vec_col]) for r in rows], dtype=np.int64)
+    cb = np.ascontiguousarray(
+        seeds.reshape(ksub, m, ds).transpose(1, 0, 2)
+    )  # (m, ksub, ds)
+    for _ in range(iters):
+        assigned = _pq_encode(corpus_q, cb, id_col, vec_col)
+        joined = corpus_q.join(assigned, id_col).select(
+            F.posexplode(vec_col).alias("pos", "comp"),
+            F.col("codes"),
+        )
+        sums = (
+            joined.select(
+                (F.col("pos") / ds).cast("int").alias("m"),
+                (F.col("pos") % ds).alias("d"),
+                F.element_at(
+                    F.col("codes"), (F.col("pos") / ds).cast("int") + 1
+                ).alias("j"),
+                "comp",
+            )
+            .groupBy("m", "j", "d")
+            .agg(F.sum("comp").alias("s"), F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        new = cb.copy()
+        for r in sums:
+            new[r["m"], r["j"], r["d"]] = math.floor(
+                float(r["s"]) / float(r["cnt"]) + 0.5
+            )
+        cb = new
+    return cb
+
+
+def portable_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = ANN_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    cb=None,
+) -> DataFrame:
+    """PQ/ADC top-k: corpus scored purely from its codes. Per query,
+    an ADC table adc[m][j] = <q_m, c_{m,j}> (exact BIGINT, computed
+    driver-free inside the plan: PQ_M·PQ_KSUB literal-centroid dots
+    per query row); per candidate, score = Σ_m adc[m][code_m] — an
+    O(M) integer fold per pair instead of an O(dim) dot on a vector
+    the compressed store no longer holds. Queries broadcast by
+    contract; ranking (score DESC, id) as everywhere."""
+    cq, qq = _quantize_sides(corpus, queries, id_col, vec_col, query_id_col)
+    if cb is None:
+        cb = portable_pq_train(cq)
+    m_sub, ksub, ds = cb.shape
+    codes = _pq_encode(cq, cb, "vec_id", "__vq")
+    # ADC table as one flat array<long> of length M*K per query:
+    # adc[(m-1)*K + j+1] = dot(q_m, c[m][j]) with literal centroids
+    adc_entries = []
+    for mi in range(m_sub):
+        for j in range(ksub):
+            dot = None
+            for d in range(ds):
+                t = F.element_at(F.col("__qq"), mi * ds + d + 1) * F.lit(
+                    int(cb[mi, j, d])
+                )
+                dot = t if dot is None else dot + t
+            adc_entries.append(dot.cast("long"))
+    qadc = queries.select(
+        F.col(id_col).alias(query_id_col),
+        quantized_vec(F.col(vec_col)).alias("__qq"),
+    ).select(query_id_col, F.array(*adc_entries).alias("__adc"))
+    scored = (
+        codes.crossJoin(F.broadcast(qadc))
+        .filter(F.col("vec_id") != F.col(query_id_col))
+        .select(
+            F.col(query_id_col),
+            F.col("vec_id").alias("neighbor_id"),
+            F.aggregate(
+                F.zip_with(
+                    F.col("codes"),
+                    F.sequence(F.lit(0), F.lit(m_sub - 1)),
+                    lambda c, mi: F.element_at(
+                        F.col("__adc"), (mi * ksub + c + 1).cast("int")
+                    ),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("cosine_q"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine_q"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", "neighbor_id", "cosine_q")
+    )
