@@ -32,7 +32,11 @@ from timebox_spark.operators.similarity import (
     ANN_PLANES,
     ANN_QSCALE,
     ANN_TABLES,
+    PQ_ITERS,
+    PQ_KSUB,
+    PQ_M,
     SEM_EPS_Q,
+    _pq_subdim,
     lsh_plane_signs,
 )
 
@@ -86,6 +90,91 @@ def _assign(centroids: str, src: str, idc: str, vecc: str, rn_bound: int) -> str
              row_number() OVER (PARTITION BY e.{idc} ORDER BY {score} DESC, c.j) AS rn
       FROM {src} e CROSS JOIN {centroids} c
     ) WHERE rn <= {rn_bound}"""
+
+
+def _pq_assign(cb: str) -> str:
+    """Per (vector, subspace): the L2-nearest codeword of ``cb``
+    (exact integer squared distance, ties to the smallest code) —
+    mirrors similarity._pq_encode's argmin."""
+    ds = _pq_subdim()
+    dist = (
+        f"list_sum(list_transform(range(1, {ds + 1}),"
+        f" d -> (e.sv[d] - c.c[d]) * (e.sv[d] - c.c[d])))"
+    )
+    return f"""SELECT vec_id, m, j, sv FROM (
+      SELECT e.vec_id, e.m, c.j, e.sv,
+             row_number() OVER (PARTITION BY e.vec_id, e.m
+                                ORDER BY {dist}, c.j) AS rn
+      FROM pq_es e JOIN {cb} c ON c.m = e.m
+    ) WHERE rn = 1"""
+
+
+def _pq_blocks() -> str:
+    """CTE block re-deriving the PQ index (similarity.portable_pq_*):
+    subvector split, md5-seeded per-subspace codebooks, PQ_ITERS
+    integer Lloyd steps (floor(sum/cnt + 0.5), empty cells keep their
+    codeword), final codes, per-query ADC tables adc[m][j] =
+    <q_m, c_{m,j}> (exact BIGINT), and ADC scores = Σ_m adc[m][code_m]
+    ranked (score DESC, neighbor_id)."""
+    ds = _pq_subdim()
+    lloyd = []
+    for i in range(PQ_ITERS):
+        lloyd.append(
+            f"pq_a{i + 1} AS ({_pq_assign(f'pq_c{i}')}),\n"
+            f"pq_m{i + 1} AS (\n"
+            f"  SELECT m, j, r.range AS d, CAST(sum(sv[r.range]) AS BIGINT) AS s,\n"
+            f"         count(*) AS cnt\n"
+            f"  FROM pq_a{i + 1} CROSS JOIN range(1, {ds + 1}) r GROUP BY 1, 2, 3\n"
+            f"),\n"
+            f"pq_g{i + 1} AS (\n"
+            f"  SELECT m, j, list(CAST(floor(CAST(s AS DOUBLE) / cnt + 0.5) AS BIGINT)\n"
+            f"                    ORDER BY d) AS c\n"
+            f"  FROM pq_m{i + 1} GROUP BY 1, 2\n"
+            f"),\n"
+            f"pq_c{i + 1} AS (SELECT p.m, p.j, coalesce(g.c, p.c) AS c\n"
+            f"  FROM pq_c{i} p LEFT JOIN pq_g{i + 1} g ON g.m = p.m AND g.j = p.j)"
+        )
+    lloyd_sql = ",\n".join(lloyd)
+    cfin = f"pq_c{PQ_ITERS}"
+    return f"""pq_es AS (
+  SELECT vec_id, r.range AS m,
+         list_slice(v, r.range * {ds} + 1, (r.range + 1) * {ds}) AS sv
+  FROM eq CROSS JOIN range(0, {PQ_M}) r
+),
+pq_seed AS (
+  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS j, vec_id FROM (
+    SELECT ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS h,
+           vec_id
+    FROM eq ORDER BY 1, 2 LIMIT {PQ_KSUB}
+  )
+),
+pq_c0 AS (
+  SELECT s.m, p.j, s.sv AS c FROM pq_seed p JOIN pq_es s ON s.vec_id = p.vec_id
+),
+{lloyd_sql},
+pq_codes AS ({_pq_assign(cfin)}),
+pq_adc AS (
+  SELECT q.query_id, c.m, c.j,
+         CAST(list_sum(list_transform(range(1, {ds + 1}),
+           d -> list_slice(q.qv, c.m * {ds} + 1, (c.m + 1) * {ds})[d] * c.c[d]))
+           AS BIGINT) AS adc
+  FROM qe q CROSS JOIN {cfin} c
+),
+pq_s AS (
+  SELECT a.query_id, e.vec_id AS neighbor_id,
+         CAST(sum(a.adc) AS BIGINT) AS cosine_q
+  FROM pq_codes e JOIN pq_adc a ON a.m = e.m AND a.j = e.j
+  WHERE e.vec_id <> a.query_id
+  GROUP BY 1, 2
+),
+pq_k AS ({_topk('pq_s')}),
+pq_rec AS (
+  SELECT q.query_id, CAST(count(x.neighbor_id) AS BIGINT) AS hits
+  FROM qids q LEFT JOIN (
+    SELECT l.query_id, l.neighbor_id
+    FROM pq_k l JOIN ex_k e ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+  ) x ON x.query_id = q.query_id GROUP BY q.query_id
+)"""
 
 
 def portable_ann_sql() -> str:
@@ -248,7 +337,8 @@ sem AS (
                   % 1000000007) AS BIGINT) AS digest
   FROM af LEFT JOIN sem_pr p ON p.j = af.j AND p.vec_id = af.vec_id
   GROUP BY af.j
-)
+),
+{_pq_blocks()}
 SELECT 'exact' AS method, query_id, rank, neighbor_id, cosine_q FROM ex_k
 UNION ALL
 SELECT 'lsh', query_id, rank, neighbor_id, cosine_q FROM lsh_k
@@ -280,4 +370,8 @@ UNION ALL
 SELECT 'ivf_int8_recall', query_id, CAST(0 AS INTEGER), CAST(-1 AS BIGINT), hits FROM ii_rec
 UNION ALL
 SELECT 'semdedup', j, CAST(n_pruned AS INTEGER), n, digest FROM sem
+UNION ALL
+SELECT 'pq', query_id, rank, neighbor_id, cosine_q FROM pq_k
+UNION ALL
+SELECT 'pq_recall', query_id, CAST(0 AS INTEGER), CAST(-1 AS BIGINT), hits FROM pq_rec
 """

@@ -1015,7 +1015,14 @@ def q29_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     compressed domain — the ANN storage/re-rank format); 'int8_recall'
     pins its per-query agreement with the exact top-k. The 'hardneg'
     rows gate ``similarity.portable_hard_negatives`` (closest
-    different-label vectors — contrastive-training negative mining)."""
+    different-label vectors — contrastive-training negative mining).
+
+    The 'pq' rows gate ``similarity.portable_pq_topk`` (product
+    quantization, Jégou 2011: md5-seeded per-subspace integer k-means
+    codebooks, 4-bit codes, ADC lookup-table scoring); the oracle
+    re-derives codebooks, codes, ADC tables, and the ranking
+    bit-for-bit (plans.ann_oracle._pq_blocks). 'pq_recall' pins the
+    per-query agreement with the exact top-k."""
     from timebox_spark.operators import similarity as S
     from timebox_spark.plans.ann_oracle import ANN_QUERY_MAX_ID
 
@@ -1045,6 +1052,7 @@ def q29_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidates scored in the int8 compressed domain
     ivf_int8 = _pin(S.ivf_int8_topk(emb, queries, cmat=cmat))
     sem = _pin(S.semdedup_clusters(cq, cmat))
+    pq = _pin(S.portable_pq_topk(emb, queries))
     fast_lsh = _pin(S.lsh_topk(
         emb, queries, k=S.ANN_K, planes=S.ANN_PLANES, dim=S.ANN_DIM,
         tables=S.ANN_TABLES,
@@ -1097,6 +1105,8 @@ def q29_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(rec(S.recall_hits(int8, exact), "int8_recall"))
         .unionByName(tagged(ivf_int8, "ivf_int8"))
         .unionByName(rec(S.recall_hits(ivf_int8, exact), "ivf_int8_recall"))
+        .unionByName(tagged(pq, "pq"))
+        .unionByName(rec(S.recall_hits(pq, exact), "pq_recall"))
         .unionByName(floor_row(fast_lsh, "fast_lsh_floor"))
         .unionByName(floor_row(fast_ivf, "fast_ivf_floor"))
         .unionByName(
