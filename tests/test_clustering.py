@@ -424,3 +424,23 @@ def test_exact_span_dedup_random_corpus_vs_reference(spark):
         r = got[d]
         assert (r["n_tokens"], r["n_kept"], r["n_spans"]) == (nt, nk, ns), d
         assert r["kept_fp"] == hashlib.md5(kept_text.encode()).hexdigest(), d
+
+
+def test_exact_span_dedup_rejects_million_window_docs(spark):
+    """Round-8 verdict task 4: a doc with >= 2^20 token windows must
+    RAISE (the (id, pos) pack would silently alias into the next
+    id's key space) — reject, don't silently miss. A doc just under
+    the bound still dedups normally."""
+    import pytest
+
+    from timebox_spark.operators import dedup
+
+    k = 5
+    n_tokens = (1 << dedup._SPAN_POS_BITS) + k  # 2^20 + k windows... pos hits 2^20
+    big = " ".join(["tok"] * n_tokens)
+    df = spark.createDataFrame(
+        [(0, big), (1, "something else entirely")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(Exception, match="token windows"):
+        dedup.exact_span_dedup(df, k=k).collect()

@@ -652,3 +652,59 @@ def test_video_hamming_near_dups_and_64frame_cap(spark):
         for r in AU.video_near_dups(fps).collect()
     }
     assert set(pairs) == {(0, 1)} and pairs[(0, 1)] == d01
+
+
+def test_pigeonhole_blocks_sized_from_actual_width(spark):
+    """Round-8 verdict task 3: blocks tile the ACTUAL envelope width.
+    For 8-frame clips (7-bit envelopes) the old fixed-16-bit layout
+    put the whole fingerprint in block 0 and emitted every
+    same-length pair 3x through all-zero blocks 1-3; the width-tiled
+    layout emits only genuine block agreements (pinned against a
+    Python mirror of the tiling) — at least a 3x candidate drop —
+    while hamming<=3 recall on the short envelope is preserved."""
+    from pyspark.sql import functions as F
+
+    from timebox_spark.operators import audio as AU
+
+    fps_vals = [0b0000000, 0b1111111, 0b1010101, 0b0110011, 0b1001110]
+    fps = spark.createDataFrame(
+        [(i, v, 8) for i, v in enumerate(fps_vals)],
+        "doc_id long, vfp long, n_frames long",
+    )
+    w = 7  # envelope width for 8-frame clips
+
+    def keys(fp: int) -> list[int]:
+        return [
+            (fp >> (k * w // 4)) % (1 << ((k + 1) * w // 4 - k * w // 4))
+            for k in range(4)
+        ]
+
+    expect = sum(
+        sum(ka == kb for ka, kb in zip(keys(a), keys(b)))
+        for x, a in enumerate(fps_vals)
+        for b in fps_vals[x + 1 :]
+    )
+    raw = AU._pigeonhole_pairs(
+        fps,
+        "vfp",
+        "n_frames",
+        F.least(F.col("n_frames") - 1, F.lit(AU.VFP_MAX_BITS)),
+        _candidates_only=True,
+    )
+    n_raw = raw.count()
+    assert n_raw == expect, (n_raw, expect)
+    # old layout: 3 all-zero blocks -> every same-length pair 3x
+    old_floor = 3 * (len(fps_vals) * (len(fps_vals) - 1) // 2)
+    assert n_raw * 3 <= old_floor, (n_raw, old_floor)
+
+    # recall survives the tiling: a hamming-3 pair on the 7-bit
+    # envelope still agrees on a block and is emitted
+    fps2 = spark.createDataFrame(
+        [(0, 0b0000000, 8), (1, 0b0001011, 8), (2, 0b1111111, 8)],
+        "doc_id long, vfp long, n_frames long",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in AU.video_near_dups(fps2).collect()
+    }
+    assert pairs == {(0, 1): 3}, pairs

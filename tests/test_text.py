@@ -1226,6 +1226,71 @@ def test_nb_empty_doc_gets_prior_argmax(spark):
     assert got[2]["pred_label"] == "A"  # prior 2/3 beats 1/3
 
 
+def test_nb_vocab_pruning_bounds_weight_table(spark):
+    """min_count / max_vocab bound the weight table by construction
+    (the fastText/CCNet norm); pruned tokens are scored as OOV and V
+    in the smoothing denominator is the PRUNED vocab size. Pinned
+    against an independent Python recompute over the pruned vocab."""
+    import math
+
+    from timebox_spark.operators import text as T
+
+    rows = [
+        (0, "alpha alpha beta rare1", "A"),
+        (1, "beta alpha alpha", "A"),
+        (2, "delta delta epsilon rare2", "B"),
+        (3, "epsilon delta", "B"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    # min_count=2 drops the two singleton tokens from weights entirely
+    w, c = T.nb_train(df, min_count=2)
+    kept = {r["t"] for r in w.select("t").distinct().collect()}
+    assert kept == {"alpha", "beta", "delta", "epsilon"}
+
+    # independent recompute: V=4 (pruned), counts over kept tokens
+    # only, n_l over kept tokens only; rare* score as OOV
+    toks = {i: t.split() for i, t, _ in rows}
+    labels = {i: s for i, _, s in rows}
+    cnt: dict = {}
+    tot: dict = {}
+    for i, x in toks.items():
+        for t in x:
+            if t in kept:
+                cnt[(labels[i], t)] = cnt.get((labels[i], t), 0) + 1
+                tot[labels[i]] = tot.get(labels[i], 0) + 1
+    V = len(kept)
+    S = T.NB_SCALE
+
+    def q(x: float) -> int:
+        return math.floor(x * S + 0.5)
+
+    def score(i: int, lab: str) -> int:
+        s = q(math.log(2 / 4.0))  # both priors 2/4
+        for t in toks[i]:
+            if (lab, t) in cnt:
+                s += q(math.log((cnt[(lab, t)] + 1) / (tot[lab] + V)))
+            else:
+                s += q(math.log(1.0 / (tot[lab] + V)))
+        return s
+
+    got = {r["doc_id"]: r for r in T.nb_classify(df, w, c).collect()}
+    for i in toks:
+        want_score, want_lab = max(
+            (score(i, lab), lab) for lab in ("A", "B")
+        )
+        assert got[i]["score_q"] == want_score, i
+        assert got[i]["pred_label"] == want_lab, i
+
+    # max_vocab=2 keeps the two globally-most-frequent tokens
+    # (alpha:4, delta:3; beta:2/epsilon:2 lose)
+    w2, _ = T.nb_train(df, max_vocab=2)
+    assert {r["t"] for r in w2.select("t").distinct().collect()} == {
+        "alpha",
+        "delta",
+    }
+
+
 def test_c4_clean_hand_cases(spark):
     """Every C4 line rule on a hand-built page: terminal punct, the
     five-word floor, the javascript drop; page gates: sentence floor,

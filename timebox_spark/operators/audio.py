@@ -524,19 +524,35 @@ def _pigeonhole_pairs(
     fps: DataFrame,
     fp_col: str,
     len_col: str,
-    block_bits: int,
+    width,
     max_hamming: int = 3,
     id_col: str = "doc_id",
+    _candidates_only: bool = False,
 ) -> DataFrame:
     """Near-dup candidate pairs by fingerprint Hamming distance with
     4-block pigeonhole blocking (multimodal.py dhash_near_dups shape):
-    the fingerprint splits into four ``block_bits``-wide blocks; any
-    pair within ``max_hamming`` <= 3 must agree on at least one block,
-    so candidates come from four block equi-joins — never an all-pairs
-    product. The exact ``len_col`` is part of every block key (equal
-    envelopes require equal lengths, and it keeps buckets to
-    same-length media at corpus scale). Returns (id_a, id_b,
-    <len_col>, hamming) with id_a < id_b.
+    the fingerprint splits into four blocks tiling its ACTUAL bit
+    width (block k covers bits [k·w div 4, (k+1)·w div 4)); any pair
+    within ``max_hamming`` <= 3 must agree on at least one block, so
+    candidates come from four block equi-joins — never an all-pairs
+    product. ``width`` is the fingerprint's bit width — an int for
+    fixed-width fingerprints, or a Column derived from ``len_col``
+    for variable-width envelopes (both sides of any candidate pair
+    share ``len_col``, so the per-row block layout is
+    join-consistent). Tiling the real width, instead of assuming a
+    fixed ``block_bits``, is what keeps short envelopes from
+    degenerating: with fixed 16-bit blocks an 8-frame clip put its
+    whole 7-bit envelope in block 0 and blocks 1–3 were all-zero for
+    EVERY row, so each same-length pair was emitted 3× through what
+    was effectively an unblocked product. With width tiling every
+    block is non-empty once width >= 4; for width < 4 the zero-width
+    blocks still always agree — the same-length product they emit is
+    then REQUIRED for recall (3 flips can hit all <4 real blocks) and
+    such envelopes carry almost no signal anyway. The exact
+    ``len_col`` is part of every block key (equal envelopes require
+    equal lengths, and it keeps buckets to same-length media at
+    corpus scale). Returns (id_a, id_b, <len_col>, hamming) with
+    id_a < id_b.
 
     ``max_hamming`` > 3 is rejected, not silently missed — 4 flipped
     bits can hit all 4 blocks (CLAUDE.md pigeonhole rule)."""
@@ -545,8 +561,20 @@ def _pigeonhole_pairs(
             "4-block pigeonhole blocking guarantees recall only for "
             f"max_hamming <= 3 (got {max_hamming})"
         )
-    mask = (1 << block_bits) - 1
-    blocks = fps.select(
+    w = F.lit(int(width)) if isinstance(width, int) else width
+    src = fps.withColumn("__w", w.cast("int"))
+
+    def _key(k: int):
+        # block k = bits [lo, hi) of the fingerprint; shiftleft needs
+        # F.expr for a column bit count (CLAUDE.md). pmod(x, 1) == 0
+        # for zero-width blocks, a constant always-agree key.
+        lo = f"(({k} * __w) div 4)"
+        hi = f"(({k + 1} * __w) div 4)"
+        return F.expr(
+            f"pmod(shiftright({fp_col}, {lo}), shiftleft(1L, {hi} - {lo}))"
+        )
+
+    blocks = src.select(
         F.col(id_col),
         F.col(fp_col),
         F.col(len_col),
@@ -554,11 +582,7 @@ def _pigeonhole_pairs(
             F.array(
                 *[
                     F.struct(
-                        F.lit(k).alias("blk"),
-                        (
-                            F.expr(f"shiftright({fp_col}, {k * block_bits})")
-                            % (mask + 1)
-                        ).alias("key"),
+                        F.lit(k).alias("blk"), _key(k).alias("key")
                     )
                     for k in range(4)
                 ]
@@ -566,23 +590,22 @@ def _pigeonhole_pairs(
         ).alias("e"),
     ).select(id_col, fp_col, len_col, "e.blk", "e.key")
     a, b = blocks.alias("a"), blocks.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col(f"a.{len_col}") == F.col(f"b.{len_col}"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col(f"a.{len_col}").alias(len_col),
-            F.col(f"a.{fp_col}").alias("__fa"),
-            F.col(f"b.{fp_col}").alias("__fb"),
-        )
-        .distinct()
+    raw = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col(f"a.{len_col}") == F.col(f"b.{len_col}"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.col(f"a.{len_col}").alias(len_col),
+        F.col(f"a.{fp_col}").alias("__fa"),
+        F.col(f"b.{fp_col}").alias("__fb"),
     )
+    if _candidates_only:
+        return raw.select("id_a", "id_b", len_col)
+    cand = raw.distinct()
     hamming = F.bit_count(F.col("__fa").bitwiseXOR(F.col("__fb"))).cast("long")
     return (
         cand.withColumn("hamming", hamming)
@@ -600,7 +623,7 @@ def audio_near_dups_hamming(
     noise) still pairs, unlike ``audio_near_dups``'s exact-equality
     join. Returns (id_a, id_b, n_samples, hamming <= max_hamming)."""
     return _pigeonhole_pairs(
-        fps, "afp", "n_samples", (AFP_FRAMES - 1) // 4,
+        fps, "afp", "n_samples", AFP_FRAMES - 1,
         max_hamming=max_hamming, id_col=id_col,
     )
 
@@ -609,13 +632,18 @@ def video_near_dups(
     fps: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
 ) -> DataFrame:
     """Hamming-tolerant video near-dups over the brightness envelope:
-    four 16-bit pigeonhole blocks of the (<= 63-bit) fingerprint,
-    keyed with the exact frame count. For clips shorter than ~16
-    frames the upper blocks are all-zero and the frame-count key
-    carries the blocking (same-length clips only) — correctness is
-    unaffected; the pigeonhole win kicks in for longer envelopes.
+    four pigeonhole blocks tiling the clip's ACTUAL envelope width
+    (min(n_frames−1, 63) comparison bits), keyed with the exact frame
+    count. Per-row block sizing is join-consistent because candidate
+    pairs must share n_frames; it keeps short clips (< 16 frames)
+    genuinely blocked instead of degenerating to a same-length
+    all-pairs product through all-zero upper blocks.
     Returns (id_a, id_b, n_frames, hamming <= max_hamming)."""
     return _pigeonhole_pairs(
-        fps, "vfp", "n_frames", 16,
-        max_hamming=max_hamming, id_col=id_col,
+        fps,
+        "vfp",
+        "n_frames",
+        F.least(F.col("n_frames") - 1, F.lit(VFP_MAX_BITS)),
+        max_hamming=max_hamming,
+        id_col=id_col,
     )

@@ -1427,15 +1427,36 @@ def exact_span_dedup(
     no O(m²) HOF → doc-level left join + one JVM lambda filter
     rebuilds the kept text. Token-level rows exist only in the
     window table; every later stage is doc- or span-sized. The
-    (id, pos) pack needs pos < 2^20 and |id| < 2^42 (ANSI overflow
-    throws, not wraps, beyond that).
+    (id, pos) pack needs pos < 2^20 and |id| < 2^42. Beyond 2^42 on
+    the id, ANSI long-overflow throws on its own; a doc with >= 2^20
+    token windows would instead ALIAS silently into the next id's
+    key space, so the pack expression raise_errors on it explicitly
+    (the CLAUDE.md "reject, don't silently miss" rule — mirroring
+    ``_pigeonhole_pairs``'s max_hamming rejection).
 
     Returns (id, n_tokens, n_kept, n_spans, kept_fp) for every input
     document; kept_fp = md5 of the space-rejoined kept tokens
     (md5('') when everything was removed — identical on DuckDB).
     """
     wins = span_window_hashes(df, id_col, text_col, k)
-    pack = F.col(id_col) * F.lit(1 << _SPAN_POS_BITS) + F.col("pos")
+    pack = F.when(
+        F.col("pos") < F.lit(1 << _SPAN_POS_BITS),
+        F.col(id_col) * F.lit(1 << _SPAN_POS_BITS) + F.col("pos"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "exact_span_dedup: document "
+                ),
+                F.col(id_col).cast("string"),
+                F.lit(
+                    f" has >= 2^{_SPAN_POS_BITS} token windows; the"
+                    " (id, pos) pack would alias into the next id's"
+                    " key space"
+                ),
+            )
+        )
+    )
     dup = (
         wins.groupBy("h")
         .agg(F.min(pack).alias("__keep"), F.count(F.lit(1)).alias("__c"))

@@ -1421,6 +1421,8 @@ def nb_train(
     df: DataFrame,
     label_col: str = "source",
     text_col: str = "text",
+    min_count: int = 1,
+    max_vocab: int | None = None,
 ):
     """Multinomial NB with add-one smoothing. Returns (weights,
     classes): weights = (label, t, w_q) with
@@ -1428,11 +1430,30 @@ def nb_train(
     (classes × vocab)-bounded table; classes = (label, prior_q,
     oov_q) with prior_q from document frequencies and oov_q the
     unseen-token smoothing mass. One corpus scan; every aggregate is
-    map-side combined; nothing is ever collected."""
+    map-side combined; nothing is ever collected.
+
+    At crawl scale the raw vocab is 10⁷–10⁸ distinct tokens, which
+    makes the weight table itself a scale hazard; the fastText/CCNet
+    norm is to bound it by construction: `min_count` drops tokens
+    with global count below the floor, `max_vocab` keeps only the N
+    globally-most-frequent tokens (count desc, token asc tiebreak —
+    a TakeOrdered, not an unkeyed window). Pruned tokens score as
+    OOV downstream, and V in the smoothing denominator is the PRUNED
+    vocab size, so train and classify stay self-consistent. Defaults
+    keep the historical exact behavior (no pruning)."""
     words = df.select(F.col(label_col).alias("label"), F.explode(_tokens(text_col)).alias("t"))
     cnt = words.groupBy("label", "t").agg(F.count(F.lit(1)).alias("c"))
+    if min_count > 1 or max_vocab is not None:
+        kept = cnt.groupBy("t").agg(F.sum("c").alias("gc"))
+        if min_count > 1:
+            kept = kept.filter(F.col("gc") >= min_count)
+        if max_vocab is not None:
+            kept = kept.orderBy(
+                F.col("gc").desc(), F.col("t").asc()
+            ).limit(max_vocab)
+        cnt = cnt.join(kept.select("t"), "t")
     tot = cnt.groupBy("label").agg(F.sum("c").alias("n_l"))
-    vocab = words.agg(F.countDistinct("t").alias("v"))
+    vocab = cnt.agg(F.countDistinct("t").alias("v"))
     ndocs = df.groupBy(F.col(label_col).alias("label")).agg(
         F.count(F.lit(1)).alias("d_l")
     )
@@ -1495,17 +1516,23 @@ def nb_classify(
     Σ_matched w_q + (n_tokens − n_matched)·oov_q — exact integers.
 
     Plan: one token explode joined to the (classes × vocab)-bounded
-    weight table (broadcast-friendly), per-(doc, label) aggregation,
-    then a doc×classes base (classes is O(labels) rows, broadcast)
-    left-joined and ranked by a doc-keyed window — no unkeyed window,
-    no per-row Python. Returns (id, pred_label, score_q, n_tokens)."""
+    weight table, per-(doc, label) aggregation, then a doc×classes
+    base (classes is O(labels) rows, broadcast) left-joined and
+    ranked by a doc-keyed window — no unkeyed window, no per-row
+    Python. The weights join is deliberately NOT forced broadcast:
+    at crawl scale the weight table is (classes × vocab) rows and a
+    mandatory broadcast OOMs driver and executors; AQE picks
+    broadcast when the table is actually small, and degrades to a
+    shuffle join otherwise (bound the table itself with nb_train's
+    min_count / max_vocab knobs). Returns (id, pred_label, score_q,
+    n_tokens)."""
     base = df.select(
         F.col(id_col),
         F.size(_tokens(text_col)).cast("long").alias("n_tokens"),
     )
     words = df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("t"))
     matched = (
-        words.join(F.broadcast(weights), "t")
+        words.join(weights, "t")
         .groupBy(id_col, "label")
         .agg(
             F.count(F.lit(1)).alias("m"),
