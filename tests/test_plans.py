@@ -605,3 +605,139 @@ def test_warc_roundtrip_content_length_framing(spark, tmp_path):
     for _, r in back.iterrows():
         assert r["text"] == orig[r["doc_id"]]
         assert r["target_uri"] == f"http://corpus.invalid/doc/{r['doc_id']}"
+
+
+def _foreign_warc_record(doc_id: int, text: str) -> bytes:
+    """Build a WARC/1.0 response record WITHOUT warc.warc_record —
+    an independent construction so the reader is tested against
+    foreign bytes, not its own writer."""
+    body = text.encode("utf-8")
+    hdr = (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        f"WARC-Record-ID: <urn:foreign:{doc_id}>\r\n"
+        f"WARC-Target-URI: http://corpus.invalid/doc/{doc_id}\r\n"
+        "Content-Type: text/plain\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode()
+    return hdr + body + b"\r\n\r\n"
+
+
+def test_warc_gz_reads_foreign_multimember_shard(spark, tmp_path):
+    """Round-8 verdict task 5: real Common Crawl shards are .warc.gz
+    with one gzip MEMBER per record. A foreign-built multi-member
+    shard (each record separately gzip.compress'ed, concatenated)
+    must parse; a whole-file single-member gzip must too."""
+    import gzip
+
+    from timebox_spark.sources import warc
+
+    texts = {
+        0: "first gzip member δοκιμή.",
+        1: "second member with WARC/1.0\r\n\r\n inside.",
+        2: "",
+    }
+    members = b"".join(
+        gzip.compress(_foreign_warc_record(i, t), mtime=0)
+        for i, t in texts.items()
+    )
+    d = tmp_path / "cc_shard"
+    d.mkdir()
+    (d / "shard-00000.warc.gz").write_bytes(members)
+    # whole-file gzip (one member over all records) in the same dir
+    allrecs = b"".join(_foreign_warc_record(i + 10, t) for i, t in texts.items())
+    (d / "shard-00001.warc.gz").write_bytes(gzip.compress(allrecs, mtime=0))
+    got = {
+        r["doc_id"]: r["text"]
+        for r in warc.read_warc(spark, str(d), on_error="raise").collect()
+    }
+    assert got == {**texts, **{i + 10: t for i, t in texts.items()}}
+
+
+def test_warc_gz_write_roundtrip_per_record_members(spark, tmp_path):
+    """write_warc(compress=True) emits per-record gzip members that
+    a plain stdlib reader can walk member-by-member, and read_warc
+    round-trips them."""
+    import gzip
+    import io
+    import zlib
+
+    from timebox_spark.sources import warc
+
+    rows = [(i, f"doc {i} body with ünïcode {i}") for i in range(7)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(2)
+    path = str(tmp_path / "warc_gz_out")
+    warc.write_warc(df, path, compress=True)
+    import os
+
+    names = sorted(n for n in os.listdir(path) if n.endswith(".warc.gz"))
+    assert 1 <= len(names) <= 2 and not any("staging" in n for n in names)
+    # member-per-record: count gzip members across the files
+    n_members = 0
+    for n in names:
+        blob = (tmp_path / "warc_gz_out" / n).read_bytes()
+        pos = 0
+        while pos < len(blob):
+            d = zlib.decompressobj(wbits=31)
+            d.decompress(blob[pos:])
+            assert d.eof
+            pos = len(blob) - len(d.unused_data)
+            n_members += 1
+    assert n_members == len(rows)
+    back = {
+        r["doc_id"]: r["text"]
+        for r in warc.read_warc(spark, path, on_error="raise").collect()
+    }
+    assert back == dict(rows)
+    assert io is not None and gzip is not None
+
+
+def test_warc_malformed_records_skip_or_raise(spark, tmp_path):
+    """Garbage in a real crawl must not abort the shard: a record
+    with a non-integer Content-Length, one whose body is truncated
+    past EOF, and a corrupt gzip member are skipped under the default
+    policy (good neighbors survive) and raised under
+    on_error='raise'."""
+    import gzip
+
+    import pytest
+
+    from timebox_spark.sources import warc
+
+    good0 = _foreign_warc_record(0, "good zero.")
+    bad_len = (
+        b"WARC/1.0\r\n"
+        b"WARC-Target-URI: http://corpus.invalid/doc/1\r\n"
+        b"Content-Length: not-a-number\r\n\r\n"
+        b"whatever body"
+    )
+    good2 = _foreign_warc_record(2, "good two.")
+    truncated = _foreign_warc_record(3, "x" * 50)[:-30]  # body cut short
+    plain = tmp_path / "plain"
+    plain.mkdir()
+    (plain / "shard.warc").write_bytes(good0 + bad_len + good2 + truncated)
+    got = {
+        r["doc_id"]: r["text"]
+        for r in warc.read_warc(spark, str(plain)).collect()
+    }
+    assert got == {0: "good zero.", 2: "good two."}
+    with pytest.raises(Exception, match="alformed|ontent-Length"):
+        warc.read_warc(spark, str(plain), on_error="raise").collect()
+
+    gz = tmp_path / "gz"
+    gz.mkdir()
+    corrupt = bytearray(gzip.compress(_foreign_warc_record(5, "y" * 200), mtime=0))
+    corrupt[len(corrupt) // 2] ^= 0xFF  # flip a byte mid-deflate-stream
+    members = (
+        gzip.compress(good0, mtime=0)
+        + bytes(corrupt)
+        + gzip.compress(good2, mtime=0)
+    )
+    (gz / "shard.warc.gz").write_bytes(members)
+    got = {
+        r["doc_id"]: r["text"]
+        for r in warc.read_warc(spark, str(gz)).collect()
+    }
+    assert got == {0: "good zero.", 2: "good two."}
+    with pytest.raises(Exception, match="gzip"):
+        warc.read_warc(spark, str(gz), on_error="raise").collect()

@@ -116,6 +116,18 @@ def test_portable_ann_recall_floors(spark):
     ivf = sum(by_m["ivf_recall"]) / (k * len(by_m["ivf_recall"]))
     assert lsh >= 0.4, f"portable LSH recall collapsed: {lsh}"
     assert ivf >= 0.5, f"portable IVF recall collapsed: {ivf}"
+    # PQ floor (ADVICE r8): flat 4-bit ADC over UNSTRUCTURED gaussian
+    # embeddings is quantization-noise-dominated — measured 0.12 here
+    # (vs 0.01 random top-5-of-500), codebook verified healthy (all
+    # 16 codes used per subspace; bit-exact vs the numpy reference).
+    # The floor catches a collapse to ranking-by-id, not a quality
+    # regression real clustered data wouldn't show.
+    pq = sum(by_m["pq_recall"]) / (k * len(by_m["pq_recall"]))
+    assert pq >= 0.05, f"PQ/ADC recall collapsed: {pq}"
+    # IVFADC = IVF pruning (recall 0.72) ∘ PQ ranking noise (0.12) —
+    # measured 0.08 here; the floor is a collapse tripwire only
+    ipq = sum(by_m["ivfpq_recall"]) / (k * len(by_m["ivfpq_recall"]))
+    assert ipq >= 0.03, f"IVFADC recall collapsed: {ipq}"
 
 
 def test_semdedup_planted_duplicates(spark):
@@ -351,3 +363,136 @@ def test_hashed_embedding_matches_python_model(spark):
     assert got == {i: py_vec(t) for i, t in docs}
     assert got[1] == got[2]  # bag-of-words: order-invariant
     assert got[3] == [0] * T.EMB_DIM
+
+
+def _np_pq_reference(vecs: dict[int, list[float]], m=8, ksub=16, iters=1):
+    """Independent numpy mirror of portable_pq_train + _pq_encode:
+    md5-seeded codebook, integer Lloyd step with floor(sum/cnt+0.5),
+    exact-L2 4-bit codes (ties to smallest code)."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    ids = sorted(vecs)
+    dim = len(vecs[ids[0]])
+    ds = dim // m
+    q = {
+        i: [math.floor(float(x) * 1e6 + 0.5) for x in vecs[i]] for i in ids
+    }
+    seeds_order = sorted(
+        ids,
+        key=lambda i: (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16), i),
+    )[:ksub]
+    cb = (
+        np.array([q[i] for i in seeds_order], dtype=np.int64)
+        .reshape(ksub, m, ds)
+        .transpose(1, 0, 2)
+        .copy()
+    )
+
+    def encode(cbm):
+        mat = np.array([q[i] for i in ids], dtype=np.int64)
+        sub = mat.reshape(len(ids), m, ds)
+        x2 = (sub * sub).sum(axis=2)[:, :, None]
+        c2 = (cbm * cbm).sum(axis=2)[None, :, :]
+        xc = np.einsum("nmd,mkd->nmk", sub, cbm)
+        return (x2 - 2 * xc + c2).argmin(axis=2)
+
+    for _ in range(iters):
+        codes = encode(cb)
+        new = cb.copy()
+        mat = np.array([q[i] for i in ids], dtype=np.int64).reshape(
+            len(ids), m, ds
+        )
+        for mi in range(m):
+            for j in range(ksub):
+                sel = mat[codes[:, mi] == j, mi, :]
+                if len(sel):
+                    for d in range(ds):
+                        new[mi, j, d] = math.floor(
+                            float(sel[:, d].sum()) / float(len(sel)) + 0.5
+                        )
+        cb = new
+    return q, cb, {i: list(c) for i, c in zip(ids, encode(cb))}
+
+
+def test_pq_train_encode_topk_match_numpy_reference(spark):
+    """Round-8 verdict task 6: portable_pq_train / _pq_encode /
+    portable_pq_topk pinned bit-for-bit against an independent numpy
+    recompute (seeding, Lloyd update, code assignment, ADC scores,
+    ranking) — the DuckDB oracle already re-derives the same chain,
+    but an in-repo reference catches a bug the two engines might
+    share via copy-paste of constants."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    n, dim = 40, similarity.ANN_DIM
+    raw = rng.normal(size=(n, dim)).astype(np.float32)
+    vecs = {i: [float(x) for x in raw[i]] for i in range(n)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    cq = df.select(
+        "vec_id", similarity.quantized_vec(F.col("embedding")).alias("__vq")
+    )
+    qref, cb_ref, codes_ref = _np_pq_reference(vecs)
+
+    cb = similarity.portable_pq_train(cq)
+    assert cb.shape == cb_ref.shape
+    assert (cb == cb_ref).all(), "codebook diverges from numpy Lloyd"
+
+    got_codes = {
+        r["vec_id"]: list(r["codes"])
+        for r in similarity._pq_encode(cq, cb, "vec_id", "__vq").collect()
+    }
+    assert got_codes == codes_ref
+
+    # topk: ADC scores + (score desc, id) ranking vs numpy
+    queries = df.filter(F.col("vec_id") < 3)
+    k = similarity.ANN_K
+    got = similarity.portable_pq_topk(df, queries, k=k, cb=cb).collect()
+    for qid in range(3):
+        adc = np.array(
+            [
+                [
+                    int(np.dot(np.array(qref[qid][mi * 8 : mi * 8 + 8]), cb[mi, j]))
+                    for j in range(16)
+                ]
+                for mi in range(8)
+            ],
+            dtype=np.int64,
+        )
+        scores = {
+            i: int(sum(adc[mi, codes_ref[i][mi]] for mi in range(8)))
+            for i in vecs
+            if i != qid
+        }
+        want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        mine = sorted(
+            [r for r in got if r["query_id"] == qid], key=lambda r: r["rank"]
+        )
+        assert [(r["neighbor_id"], r["cosine_q"]) for r in mine] == want, qid
+
+
+def test_pq_train_rejects_undersized_corpus(spark):
+    """Fewer corpus vectors than PQ_KSUB seeds must fail loudly (the
+    oracle's seed LIMIT would otherwise silently yield a partial
+    codebook — divergent failure modes on degenerate input)."""
+    import numpy as np
+    import pytest
+
+    rng = np.random.default_rng(1)
+    df = spark.createDataFrame(
+        [
+            (i, [float(x) for x in rng.normal(size=similarity.ANN_DIM)])
+            for i in range(similarity.PQ_KSUB - 1)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    cq = df.select(
+        "vec_id", similarity.quantized_vec(F.col("embedding")).alias("__vq")
+    )
+    with pytest.raises(ValueError, match="at least ksub"):
+        similarity.portable_pq_train(cq)

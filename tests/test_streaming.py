@@ -460,3 +460,51 @@ def test_compact_corpus_arrival_order_dedup(spark):
         F.md5(F.encode(normalize_text("text"), "UTF-8")).alias("fp")
     ).distinct().count()
     assert n_fp == corpus.count() == 4
+
+
+def test_compact_corpus_near_dup_drops_planted_neighbors(spark):
+    """Round-8 verdict task 7: compact_corpus(near_dup=True) drops
+    near-duplicates the exact fingerprint misses — a cycle-2 near
+    copy of a corpus doc is dropped even with a smaller id (arrival
+    order wins), a within-batch near copy loses to the smaller id —
+    and the persisted corpus_index path never touches corpus text."""
+    from timebox_spark.operators import dedup as DD
+    from timebox_spark.streaming import ingest
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps "
+        "running through the long meadow toward the river bank"
+    )
+    other = (
+        "completely different subject matter about integer codecs "
+        "and columnar storage layouts with delta encoding schemes"
+    )
+    b1 = spark.createDataFrame(
+        [(10, base), (11, other)], "doc_id long, text string"
+    )
+    app1 = ingest.compact_corpus(b1, near_dup=True)
+    assert {r["doc_id"] for r in app1.collect()} == {10, 11}
+
+    idx = DD.portable_minhash_index(app1)
+    b2 = spark.createDataFrame(
+        [
+            (-5, base + " qq"),     # near-dup of corpus doc 10, smaller id
+            (20, "an entirely fresh document about streaming state"),
+            (21, "an entirely fresh document about streaming state zz"),
+            (22, other),            # EXACT dup of corpus doc 11
+        ],
+        "doc_id long, text string",
+    )
+    app2 = ingest.compact_corpus(
+        b2, corpus=app1, near_dup=True, corpus_index=idx
+    )
+    kept = {r["doc_id"] for r in app2.collect()}
+    # -5 near-dups corpus 10 (dropped though its id is smallest);
+    # 21 near-dups batch-mate 20 (larger id loses); 22 exact-dups 11
+    assert kept == {20}, kept
+    # without near_dup, only the exact dup is dropped
+    kept_exact = {
+        r["doc_id"]
+        for r in ingest.compact_corpus(b2, corpus=app1).collect()
+    }
+    assert kept_exact == {-5, 20, 21}, kept_exact

@@ -969,6 +969,46 @@ def test_lsh_tuning_matches_s_curve():
         lsh_tuning(0.0)
     with pytest.raises(ValueError):
         lsh_tuning(1.0)
+    # bias sides: precision = closest s* >= t, recall = closest <= t
+    # (s* for 32 hashes: b=2→0.958, b=4→0.841, b=8→0.595, b=16→0.25)
+    assert lsh_tuning(0.35, 32, bias="precision") == (8, 4)
+    assert lsh_tuning(0.35, 32, bias="recall") == (16, 2)
+    assert lsh_tuning(0.7, 32, bias="precision") == (4, 8)
+    assert lsh_tuning(0.7, 32, bias="recall") == (8, 4)
+    # fallback to closest when the requested side is empty
+    assert lsh_tuning(0.99, 32, bias="precision") == (1, 32)
+    assert lsh_tuning(0.02, 32, bias="recall") == (32, 1)
+    with pytest.raises(ValueError):
+        lsh_tuning(0.5, 32, bias="optimism")
+
+
+def test_minhash_dedup_derives_bands_from_threshold(spark):
+    """Round-8 verdict task 8: minhash_dedup(threshold=...) derives
+    (bands, rows) via lsh_tuning instead of a hard-coded 8 — the
+    band-join candidate rate tracks the threshold: a loose threshold
+    derives more/narrower bands (more candidates), a tight one
+    fewer/wider (fewer candidates). Pinned on the sf0.001 corpus."""
+    from tests.conftest import SF_SMOKE
+    from timebox_spark.operators import dedup
+    from timebox_spark.plans.tables import load
+
+    docs = load(spark, SF_SMOKE, "documents")
+    combined = dedup.minhash_signatures(docs, emit_sets=True).persist()
+
+    def n_cands(threshold: float) -> int:
+        b, _ = dedup.lsh_tuning(threshold, 32, bias="precision")
+        return dedup.minhash_lsh_candidates(combined, bands=b).count()
+
+    loose, mid, tight = n_cands(0.2), n_cands(0.35), n_cands(0.8)
+    combined.unpersist()
+    # 0.2 -> (16, 2): flood; 0.35 -> (8, 4); 0.8 -> (4, 8): scarce
+    assert loose > mid > tight, (loose, mid, tight)
+    # and the pipeline's own derivation equals the explicit-bands run
+    auto = dedup.minhash_dedup(docs, threshold=0.35)
+    explicit = dedup.minhash_dedup(docs, threshold=0.35, bands=8)
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )
 
 
 def test_chunk_documents_windows_and_overlap(spark):
@@ -1374,3 +1414,50 @@ def test_c4_synth_page_matches_duckdb(spark, duck):
     )
     # both branches of every rule fire somewhere in the corpus
     assert 0 < sdf.c4_pass.sum() < len(sdf)
+
+
+def test_token_id_export_roundtrip_and_vocab(spark, tmp_path):
+    """Round-8 verdict task 9: build_vocab assigns contiguous ids by
+    (count desc, token asc); tokens_to_ids maps OOV to TOKID_UNK and
+    preserves exact sequence order; export_token_shards round-trips
+    the array<long> sequences through sharded parquet losslessly."""
+    import hashlib
+
+    from timebox_spark.operators import text as T
+
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the dog sat"),
+        (2, ""),
+        (3, "unseen zebra the"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab = T.build_vocab(df, max_vocab=4)
+    got_v = {r["t"]: (r["id"], r["n"]) for r in vocab.collect()}
+    # counts: the=4, sat=2, cat/dog/mat/on/unseen/zebra=1 → top-4 by
+    # (count desc, token asc): the(1), sat(2), cat(3), dog(4)
+    assert got_v == {"the": (1, 4), "sat": (2, 2), "cat": (3, 1), "dog": (4, 1)}
+
+    seqs = {r["doc_id"]: r for r in T.tokens_to_ids(df, vocab).collect()}
+    assert list(seqs[0]["ids"]) == [1, 3, 2, 0, 1, 0]  # on/mat → UNK
+    assert list(seqs[1]["ids"]) == [1, 4, 2]
+    assert list(seqs[2]["ids"]) == [] and seqs[2]["n_tokens"] == 0
+    assert seqs[3]["n_oov"] == 2 and list(seqs[3]["ids"]) == [0, 0, 1]
+
+    # digest pins OOV positions too (id 0 contributes via the +1)
+    dg = {r["doc_id"]: r["dg"] for r in T.token_id_digest(
+        T.tokens_to_ids(df, vocab)).collect()}
+    p, q = T._TOKID_P, T._TOKID_Q
+    want0 = sum(((i + 1) % p) * ((pos + 1) % p) % q
+                for pos, i in enumerate([1, 3, 2, 0, 1, 0]))
+    assert dg[0] == want0 and dg[2] == 0
+
+    path = str(tmp_path / "tok_shards")
+    back = T.export_token_shards(df, vocab, path, n_shards=2)
+    got = {r["doc_id"]: (list(r["ids"]), r["shard"]) for r in back.collect()}
+    assert {d: ids for d, (ids, _) in got.items()} == {
+        d: list(seqs[d]["ids"]) for d in seqs
+    }
+    for d, (_, shard) in got.items():
+        want_shard = int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % 2
+        assert shard == want_shard, d

@@ -368,7 +368,7 @@ def minhash_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 32,
-    bands: int = 8,
+    bands: int | None = None,
     shingle_n: int = 5,
     threshold: float = 0.7,
     estimate_margin: float | None = None,
@@ -376,6 +376,16 @@ def minhash_dedup(
     """Full MinHash-LSH near-dup pipeline: shingle → minhash → band →
     bucket-join → [optional signature-estimate prefilter] →
     exact-Jaccard verify.
+
+    ``bands=None`` (default) derives (bands, rows) from ``threshold``
+    via ``lsh_tuning(bias='precision')`` — the S-curve midpoint sits
+    at or just above the verify threshold, so the band join's
+    candidate rate tracks the threshold instead of a hard-coded 8
+    (which was only right near threshold ≈ 0.6). Precision bias
+    because the exact-Jaccard verify downstream restores precision
+    for free while a candidate flood is the scale failure mode; pass
+    an explicit ``bands`` (or use ``lsh_tuning(bias='recall')``) to
+    trade verify compute for borderline-pair recall.
 
     ``estimate_margin`` (e.g. 0.25) enables the prefilter: keep
     candidates whose estimated Jaccard is within the margin below the
@@ -390,6 +400,8 @@ def minhash_dedup(
     sig columns, verify joins the set column — the corpus text is
     tokenized exactly once end-to-end.
     """
+    if bands is None:
+        bands, _rows = lsh_tuning(threshold, num_hashes, bias="precision")
     combined = minhash_signatures(
         df, id_col, text_col, num_hashes, shingle_n, emit_sets=True
     ).persist()
@@ -1118,21 +1130,23 @@ def _md5_u32(col, salt: str | None = None):
     return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
 
 
-def portable_minhash_pairs(
+def portable_minhash_index(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    threshold: float = 0.35,
     num_perm: int = 32,
     bands: int = 8,
     shingle_n: int = 5,
-) -> DataFrame:
-    """MinHash+LSH near-dup pairs with the portable hash family:
-    h_i(s) = md5(f"{i}|" + s) truncated to 32 bits; signatures are
-    minima per salt, band keys are md5 over r = num_perm/bands
-    signature values, candidates are band-key collisions, and the
-    output is candidates whose EXACT shingle jaccard >= threshold.
-    Deterministic and SQL-expressible end-to-end."""
+) -> tuple[DataFrame, DataFrame]:
+    """The portable-hash LSH index of a corpus as two narrow tables:
+    ``banded`` = (id, band, key) — the band table an incremental
+    consumer (the streaming compactor) PERSISTS alongside the corpus
+    so later cycles band new docs against it without re-scanning
+    corpus text — and ``sets`` = (id, __sh) shingle sets for the
+    exact-Jaccard verify of banded candidates. Hash family:
+    h_i(s) = md5(f"{i}|" + s) truncated to 32 bits, band keys md5
+    over r = num_perm/bands signature values — deterministic and
+    SQL-expressible, so the DuckDB oracle re-derives both tables."""
     if num_perm % bands:
         raise ValueError("num_perm must divide into bands")
     r = num_perm // bands
@@ -1159,6 +1173,27 @@ def portable_minhash_pairs(
     banded = sigs.select(
         id_col, F.explode(F.array(*band_structs)).alias("b")
     ).select(id_col, "b.band", "b.key")
+    return banded, d
+
+
+def portable_minhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.35,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs with the portable hash family:
+    h_i(s) = md5(f"{i}|" + s) truncated to 32 bits; signatures are
+    minima per salt, band keys are md5 over r = num_perm/bands
+    signature values, candidates are band-key collisions, and the
+    output is candidates whose EXACT shingle jaccard >= threshold.
+    Deterministic and SQL-expressible end-to-end."""
+    banded, d = portable_minhash_index(
+        df, id_col, text_col, num_perm, bands, shingle_n
+    )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -1292,29 +1327,49 @@ def incremental_exact_dedup(
     )
 
 
-def lsh_tuning(threshold: float, num_hashes: int = 32) -> tuple[int, int]:
+def lsh_tuning(
+    threshold: float, num_hashes: int = 32, bias: str = "closest"
+) -> tuple[int, int]:
     """Choose the (bands, rows_per_band) factorization of
-    ``num_hashes`` whose LSH S-curve threshold (1/b)^(1/r) — the
+    ``num_hashes`` by its LSH S-curve threshold (1/b)^(1/r) — the
     Jaccard similarity at which a pair's candidate probability
-    1 − (1 − s^r)^b crosses ~0.5 (Mining of Massive Datasets §3.4.3)
-    — sits closest to the caller's ``threshold``. Pure driver-side
-    arithmetic over the O(d(num_hashes)) divisor set; feed the result
-    to ``minhash_dedup(bands=...)`` so the band join's candidate rate
-    matches the verify threshold instead of a hard-coded default:
-    too few rows per band floods the verify stage at loose
-    thresholds, too many misses true pairs at tight ones."""
+    1 − (1 − s^r)^b crosses ~0.5 (Mining of Massive Datasets §3.4.3).
+    Pure driver-side arithmetic over the O(d(num_hashes)) divisor
+    set. ``bias`` picks which side of the caller's ``threshold`` to
+    favor when no factorization lands on it exactly:
+
+    - ``'closest'``: minimum |s* − threshold| (the MMDS default).
+    - ``'precision'``: the closest s* AT OR ABOVE threshold (falls
+      back to closest when every s* is below) — fewest false
+      candidates. This is ``minhash_dedup``'s default derivation:
+      its exact-Jaccard verify restores precision anyway, so extra
+      candidates are pure verify-stage cost, and the cost is not
+      hypothetical — at sf0.1 / threshold 0.35, 'closest' picks
+      (16, 2) and candidates explode 17k → 2.48M (145×) vs the
+      (8, 4) the precision bias picks.
+    - ``'recall'``: the closest s* AT OR BELOW threshold (falls back
+      to closest) — catches borderline-similarity pairs at the price
+      of a hotter verify stage; pass it when a missed near-dup costs
+      more than compute."""
     if not 0.0 < threshold < 1.0:
         raise ValueError(f"threshold must be in (0, 1), got {threshold}")
-    best: tuple[float, int, int] | None = None
+    if bias not in ("closest", "precision", "recall"):
+        raise ValueError(f"bias must be closest|precision|recall, got {bias!r}")
+    cands: list[tuple[float, int, int]] = []
     for bands in range(1, num_hashes + 1):
         if num_hashes % bands:
             continue
         rows = num_hashes // bands
         s_star = (1.0 / bands) ** (1.0 / rows)
-        cand = (abs(s_star - threshold), bands, rows)
-        if best is None or cand < best:
-            best = cand
-    assert best is not None
+        cands.append((s_star, bands, rows))
+    if bias == "precision":
+        side = [c for c in cands if c[0] >= threshold]
+    elif bias == "recall":
+        side = [c for c in cands if c[0] <= threshold]
+    else:
+        side = cands
+    pool = side or cands
+    best = min(pool, key=lambda c: (abs(c[0] - threshold), c[1], c[2]))
     return best[1], best[2]
 
 

@@ -1020,6 +1020,13 @@ def portable_pq_train(
         .limit(ksub)
         .collect()
     )
+    if len(rows) < ksub:
+        # fail loudly and identically to the oracle (whose seed LIMIT
+        # would silently yield a partial codebook) on degenerate input
+        raise ValueError(
+            f"portable_pq_train needs at least ksub={ksub} corpus "
+            f"vectors to seed the codebook, got {len(rows)}"
+        )
     seeds = np.array([list(r[vec_col]) for r in rows], dtype=np.int64)
     cb = np.ascontiguousarray(
         seeds.reshape(ksub, m, ds).transpose(1, 0, 2)
@@ -1071,41 +1078,112 @@ def portable_pq_topk(
     cq, qq = _quantize_sides(corpus, queries, id_col, vec_col, query_id_col)
     if cb is None:
         cb = portable_pq_train(cq)
-    m_sub, ksub, ds = cb.shape
+    m_sub, ksub, _ds = cb.shape
     codes = _pq_encode(cq, cb, "vec_id", "__vq")
-    # ADC table as one flat array<long> of length M*K per query:
-    # adc[(m-1)*K + j+1] = dot(q_m, c[m][j]) with literal centroids
-    adc_entries = []
-    for mi in range(m_sub):
-        for j in range(ksub):
-            dot = None
-            for d in range(ds):
-                t = F.element_at(F.col("__qq"), mi * ds + d + 1) * F.lit(
-                    int(cb[mi, j, d])
-                )
-                dot = t if dot is None else dot + t
-            adc_entries.append(dot.cast("long"))
-    qadc = queries.select(
-        F.col(id_col).alias(query_id_col),
-        quantized_vec(F.col(vec_col)).alias("__qq"),
-    ).select(query_id_col, F.array(*adc_entries).alias("__adc"))
+    qadc = qq.select(
+        query_id_col, _pq_adc_array(cb, "__qq").alias("__adc")
+    )
     scored = (
         codes.crossJoin(F.broadcast(qadc))
         .filter(F.col("vec_id") != F.col(query_id_col))
         .select(
             F.col(query_id_col),
             F.col("vec_id").alias("neighbor_id"),
-            F.aggregate(
-                F.zip_with(
-                    F.col("codes"),
-                    F.sequence(F.lit(0), F.lit(m_sub - 1)),
-                    lambda c, mi: F.element_at(
-                        F.col("__adc"), (mi * ksub + c + 1).cast("int")
-                    ),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            ).alias("cosine_q"),
+            _pq_adc_score(m_sub, ksub).alias("cosine_q"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine_q"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", "neighbor_id", "cosine_q")
+    )
+
+
+def _pq_adc_array(cb, qvec_col: str):
+    """Per-query ADC table as one flat array<long> of length M·K:
+    adc[m·K + j + 1] = <q_m, c_{m,j}> with LITERAL centroid
+    components (exact BIGINT — computed inside the plan, driver-free,
+    M·K·ds multiply-adds per query row)."""
+    m_sub, ksub, ds = cb.shape
+    entries = []
+    for mi in range(m_sub):
+        for j in range(ksub):
+            dot = None
+            for d in range(ds):
+                t = F.element_at(F.col(qvec_col), mi * ds + d + 1) * F.lit(
+                    int(cb[mi, j, d])
+                )
+                dot = t if dot is None else dot + t
+            entries.append(dot.cast("long"))
+    return F.array(*entries)
+
+
+def _pq_adc_score(m_sub: int, ksub: int):
+    """score = Σ_m adc[m·K + code_m] — an O(M) integer fold per
+    (candidate, query) pair over the ``codes`` and ``__adc`` cols."""
+    return F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(m_sub - 1)),
+            lambda c, mi: F.element_at(
+                F.col("__adc"), (mi * ksub + c + 1).cast("int")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = ANN_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    nlist: int = ANN_NLIST,
+    nprobe: int = ANN_NPROBE,
+    iters: int = ANN_ITERS,
+    cmat=None,
+    cb=None,
+) -> DataFrame:
+    """IVFADC (Jégou et al. 2011 §IV): the scale-canonical composed
+    index — prune candidates by IVF cell (corpus hard-assigned once,
+    queries probe ``nprobe`` cells), then score survivors purely from
+    their PQ codes via the per-query ADC table. This is what fixes
+    flat-ADC's remaining full scan: per query only ~nprobe/nlist of
+    the code table is touched, and each touch is an O(M) integer
+    fold. Raw-vector PQ (no residual encoding) — both stages share
+    the same quantized-int contract, so the DuckDB oracle composes
+    the existing ``af``/``qp`` cell CTEs with ``pq_codes``/``pq_adc``
+    and re-derives every row bit-for-bit. Candidate pairs are unique
+    by construction (corpus vector lives in exactly one cell).
+    Pre-trained ``cmat``/``cb`` can be shared across consumers (the
+    q29 suite reuses both)."""
+    cq, qq = _quantize_sides(corpus, queries, id_col, vec_col, query_id_col)
+    if cmat is None:
+        cmat = portable_ivf_train(cq, nlist, iters)
+    if cb is None:
+        cb = portable_pq_train(cq)
+    m_sub, ksub, _ds = cb.shape
+    cells = _portable_ivf_assign(cq, cmat, "vec_id", "__vq", nprobe=1).select(
+        "cluster", "vec_id"
+    )
+    coded = cells.join(_pq_encode(cq, cb, "vec_id", "__vq"), "vec_id")
+    qb = _portable_ivf_assign(qq, cmat, query_id_col, "__qq", nprobe=nprobe)
+    qadc = qb.select(
+        "cluster", query_id_col, _pq_adc_array(cb, "__qq").alias("__adc")
+    )
+    scored = (
+        coded.join(F.broadcast(qadc), "cluster")
+        .filter(F.col("vec_id") != F.col(query_id_col))
+        .select(
+            F.col(query_id_col),
+            F.col("vec_id").alias("neighbor_id"),
+            _pq_adc_score(m_sub, ksub).alias("cosine_q"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(

@@ -1692,3 +1692,147 @@ def c4_doc_pass_sql(orig: str, cleaned: str) -> str:
         f" AND NOT contains(lower({orig}), 'lorem ipsum')"
         f" AND NOT contains({orig}, '{{') THEN 1 ELSE 0 END AS BIGINT)"
     )
+
+
+# --------------------------------------------- token-id export
+
+# The last step to a training-ready corpus: token STRINGS (whitespace
+# or BPE) become contiguous integer ids a trainer consumes. The
+# reference engine stores numeric series only (no text at all,
+# /root/reference/timebox/timebox.py:20) — this is LLM-pipeline
+# extension surface. Constants shared with the q21 DuckDB oracle.
+VOCAB_EXPORT_MAX = 512   # manifest bound: top-N tokens by frequency
+TOKID_UNK = 0            # reserved OOV id; vocab tokens get 1..V
+_TOKID_P = 1_000_003
+_TOKID_Q = 1_000_000_007
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    max_vocab: int = VOCAB_EXPORT_MAX,
+    min_count: int = 1,
+) -> DataFrame:
+    """Contiguous-id vocab manifest (t, n, id): ids 1..V assigned by
+    global frequency rank (count desc, token asc tiebreak); id 0 is
+    reserved for OOV (``TOKID_UNK``). The manifest is bounded BY
+    CONSTRUCTION — count, filter by ``min_count``, TakeOrdered the
+    top ``max_vocab`` — so the ranking window runs over at most
+    ``max_vocab`` rows (never a data-sized unkeyed window) and every
+    downstream consumer can broadcast it."""
+    counts = (
+        df.select(F.explode(_tokens(text_col)).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    if min_count > 1:
+        counts = counts.filter(F.col("n") >= min_count)
+    top = counts.orderBy(F.col("n").desc(), F.col("t").asc()).limit(max_vocab)
+    w = Window.orderBy(F.col("n").desc(), F.col("t").asc())
+    return top.withColumn("id", F.row_number().over(w).cast("long"))
+
+
+def tokens_to_ids(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, ids array<long>, n_tokens, n_oov): every document's exact
+    token-id sequence. Tokenization stays JVM-side (``_tokens``); the
+    id lookup is an Arrow ``mapInPandas`` kernel over the token
+    arrays with the (bounded, ``build_vocab``) manifest shipped as a
+    Spark broadcast dict — map-only, no shuffle, no per-row Python.
+    OOV tokens map to ``TOKID_UNK``."""
+    import pandas as pd
+
+    from timebox_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    mapping = {r["t"]: int(r["id"]) for r in vocab.select("t", "id").collect()}
+    bc = df.sparkSession.sparkContext.broadcast(mapping)
+
+    def kernel(batches):
+        m = bc.value
+        for pdf in batches:
+            ids_out, nt, no = [], [], []
+            for toks in pdf["__toks"]:
+                ids = [m.get(t, TOKID_UNK) for t in toks]
+                ids_out.append(ids)
+                nt.append(len(ids))
+                no.append(sum(1 for i in ids if i == TOKID_UNK))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "ids": ids_out,
+                    "n_tokens": pd.Series(nt, dtype="int64"),
+                    "n_oov": pd.Series(no, dtype="int64"),
+                }
+            )
+
+    return df.select(
+        F.col(id_col), _tokens(text_col).alias("__toks")
+    ).mapInPandas(
+        kernel,
+        schema=f"{id_col} long, ids array<long>, n_tokens long, n_oov long",
+    )
+
+
+def export_token_shards(
+    df: DataFrame,
+    vocab: DataFrame,
+    path: str,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Write the id sequences as a sharded training-ready parquet
+    corpus: (doc_id, shard, ids array<long>), one file set per shard
+    via partitionBy — the layout a data loader streams. Shard =
+    md5(doc_id) mod n_shards (deterministic, size-balanced). Returns
+    the read-back DataFrame so callers can digest what was actually
+    persisted."""
+    seqs = tokens_to_ids(df, vocab, id_col, text_col).withColumn(
+        "shard",
+        (
+            F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+            ).cast("long")
+            % n_shards
+        ).cast("int"),
+    )
+    (
+        seqs.select(id_col, "shard", "ids")
+        .repartition("shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    return df.sparkSession.read.parquet(path)
+
+
+def token_id_digest(
+    seqs: DataFrame, id_col: str = "doc_id", keep: tuple = ()
+) -> DataFrame:
+    """(id, dg): dg = Σ_pos ((id_at_pos + 1) % P)·(pos % P) mod Q over
+    the 1-based positions — pins EVERY position's id (the +1 keeps
+    OOV id 0 visible; a swapped, dropped, or re-mapped token changes
+    dg). Per-term modulus keeps the sum in BIGINT under ANSI at any
+    sequence length. Empty sequences digest to 0 (the F.sequence
+    descending trap is guarded)."""
+    p, q = _TOKID_P, _TOKID_Q
+    idx = F.when(
+        F.size("ids") > 0, F.sequence(F.lit(1), F.size("ids"))
+    ).otherwise(F.array().cast("array<int>"))
+    dg = F.aggregate(
+        F.zip_with(
+            F.col("ids"),
+            idx,
+            lambda i, pos: ((i + 1) % p) * (pos.cast("long") % p) % q,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return seqs.select(
+        F.col(id_col), *[F.col(c) for c in keep], dg.alias("dg")
+    )

@@ -174,6 +174,27 @@ pq_rec AS (
     SELECT l.query_id, l.neighbor_id
     FROM pq_k l JOIN ex_k e ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
   ) x ON x.query_id = q.query_id GROUP BY q.query_id
+),
+-- IVFADC (similarity.ivf_pq_topk): candidates from the SAME
+-- probe-join as ivf_k (af = hard cell per corpus vector, qp = query
+-- probes), scored from the SAME pq_codes/pq_adc — both stages are
+-- re-derived, so the composition is too
+ipq_s AS (
+  SELECT qp.query_id, af.vec_id AS neighbor_id,
+         CAST(sum(a.adc) AS BIGINT) AS cosine_q
+  FROM af JOIN qp ON af.j = qp.j
+  JOIN pq_codes e ON e.vec_id = af.vec_id
+  JOIN pq_adc a ON a.query_id = qp.query_id AND a.m = e.m AND a.j = e.j
+  WHERE af.vec_id <> qp.query_id
+  GROUP BY 1, 2
+),
+ipq_k AS ({_topk('ipq_s')}),
+ipq_rec AS (
+  SELECT q.query_id, CAST(count(x.neighbor_id) AS BIGINT) AS hits
+  FROM qids q LEFT JOIN (
+    SELECT l.query_id, l.neighbor_id
+    FROM ipq_k l JOIN ex_k e ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+  ) x ON x.query_id = q.query_id GROUP BY q.query_id
 )"""
 
 
@@ -374,4 +395,8 @@ UNION ALL
 SELECT 'pq', query_id, rank, neighbor_id, cosine_q FROM pq_k
 UNION ALL
 SELECT 'pq_recall', query_id, CAST(0 AS INTEGER), CAST(-1 AS BIGINT), hits FROM pq_rec
+UNION ALL
+SELECT 'ivfpq', query_id, rank, neighbor_id, cosine_q FROM ipq_k
+UNION ALL
+SELECT 'ivfpq_recall', query_id, CAST(0 AS INTEGER), CAST(-1 AS BIGINT), hits FROM ipq_rec
 """

@@ -125,6 +125,30 @@ def q21_text_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("k"),
         F.col("score_q").alias("n"),
     )
+    # token-id export (round-8 verdict task 9): 'vocab' rows pin the
+    # exact manifest (token → contiguous id AND its count, packed
+    # id·P + n mod P), 'tokid' rows pin every document's exact id
+    # SEQUENCE (position-weighted digest; k carries n_tokens:n_oov so
+    # OOV accounting is hash-gated too)
+    vocab_df = T.build_vocab(docs)
+    vocab_rows = vocab_df.select(
+        F.lit("vocab").alias("chk"),
+        F.col("t").alias("k"),
+        (
+            F.col("id") * F.lit(T._TOKID_P) + F.col("n") % F.lit(T._TOKID_P)
+        ).alias("n"),
+    )
+    seqs = T.tokens_to_ids(docs, vocab_df)
+    tokid = T.token_id_digest(seqs, keep=("n_tokens", "n_oov")).select(
+        F.lit("tokid").alias("chk"),
+        F.concat_ws(
+            ":",
+            F.col("doc_id").cast("string"),
+            F.col("n_tokens").cast("string"),
+            F.col("n_oov").cast("string"),
+        ).alias("k"),
+        F.col("dg").alias("n"),
+    )
     return (
         lang.unionByName(words)
         .unionByName(bm25)
@@ -136,6 +160,8 @@ def q21_text_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(rep)
         .unionByName(kl)
         .unionByName(chunks)
+        .unionByName(vocab_rows)
+        .unionByName(tokid)
     )
 
 
@@ -484,6 +510,55 @@ FROM (
 """
 
 
+def _tokid_sql() -> tuple[str, str]:
+    """DuckDB mirror of text.build_vocab + tokens_to_ids +
+    token_id_digest: same frequency ranking (count desc, token asc,
+    top VOCAB_EXPORT_MAX, ids 1..V, OOV=0), same position-weighted
+    per-term-modulus digest over 1-based positions. Returns the
+    (vocab, tokid) member SQLs."""
+    from timebox_spark.operators import text as T
+
+    p, q = T._TOKID_P, T._TOKID_Q
+    base = f"""
+WITH tc AS (
+  SELECT t, count(*) AS n FROM (
+    SELECT unnest(regexp_extract_all(text, '{T.TOKEN_RE}')) AS t FROM documents
+  ) GROUP BY t
+),
+vc AS (
+  SELECT t, n, id FROM (
+    SELECT t, n, row_number() OVER (ORDER BY n DESC, t) AS id FROM tc
+  ) WHERE id <= {T.VOCAB_EXPORT_MAX}
+)"""
+    vocab = f"""{base}
+SELECT t AS k, CAST(id * {p} + n % {p} AS BIGINT) AS n FROM vc"""
+    tokid = f"""{base},
+tk AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '{T.TOKEN_RE}')) AS t,
+         generate_subscripts(regexp_extract_all(text, '{T.TOKEN_RE}'), 1) AS pos
+  FROM documents
+),
+ti AS (
+  SELECT k.doc_id, k.pos, coalesce(v.id, 0) AS tid
+  FROM tk k LEFT JOIN vc v ON v.t = k.t
+),
+sq AS (
+  SELECT doc_id,
+         CAST(sum(((tid + 1) % {p}) * (pos % {p}) % {q}) AS BIGINT) AS dg,
+         CAST(count(*) AS BIGINT) AS nt,
+         CAST(sum((tid = 0)::INT) AS BIGINT) AS noov
+  FROM ti GROUP BY doc_id
+)
+SELECT CAST(d.doc_id AS VARCHAR) || ':' || CAST(coalesce(sq.nt, 0) AS VARCHAR)
+         || ':' || CAST(coalesce(sq.noov, 0) AS VARCHAR) AS k,
+       coalesce(sq.dg, 0) AS n
+FROM documents d LEFT JOIN sq ON sq.doc_id = d.doc_id"""
+    return vocab, tokid
+
+
+_TOKID_VOCAB_SQL, _TOKID_SEQ_SQL = _tokid_sql()
+
 _Q21_SUITE_SQL = f"""
 SELECT 'lang' AS chk, lang_pred AS k, n FROM ({LQ.ORACLE_SQL['q21_lang_id']})
 UNION ALL
@@ -507,6 +582,10 @@ UNION ALL
 SELECT 'chunk', k, n FROM ({_chunk_sql()})
 UNION ALL
 SELECT 'nb', k, n FROM ({_nb_sql()})
+UNION ALL
+SELECT 'vocab', k, n FROM ({_TOKID_VOCAB_SQL})
+UNION ALL
+SELECT 'tokid', k, n FROM ({_TOKID_SEQ_SQL})
 """
 
 
@@ -818,7 +897,11 @@ def q25_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mh.unionByName(sh)
 
 
-def _portable_minhash_sql() -> str:
+def _mh_ctes(src: str, pfx: str) -> str:
+    """CTE block re-deriving dedup.portable_minhash_index over the
+    (doc_id, text) source ``src``: {pfx}d = shingle sets, {pfx}ex,
+    {pfx}sigs, {pfx}banded = (doc_id, band, key) — prefixed so the
+    compactor oracle can instantiate it per ingest cycle."""
     n = LQ._J_SHINGLE_N
     r = _MH_NUM_PERM // _MH_BANDS
     sig_exprs = ", ".join(
@@ -826,8 +909,9 @@ def _portable_minhash_sql() -> str:
         for i in range(_MH_NUM_PERM)
     )
     band_selects = " UNION ALL ".join(
-        "SELECT doc_id, {j} AS band, md5(concat_ws(',', {cols})) AS key FROM sigs".format(
+        "SELECT doc_id, {j} AS band, md5(concat_ws(',', {cols})) AS key FROM {p}sigs".format(
             j=j,
+            p=pfx,
             cols=", ".join(f"CAST(h{j * r + k} AS VARCHAR)" for k in range(r)),
         )
         for j in range(_MH_BANDS)
@@ -836,13 +920,23 @@ def _portable_minhash_sql() -> str:
         f"CASE WHEN length(norm) < {n} THEN [norm] "
         f"ELSE list_transform(range(1, length(norm) - {n - 2}), i -> substr(norm, i, {n})) END"
     )
-    return f"""
-WITH d AS (
+    return f"""{pfx}d AS (
   SELECT doc_id, list_distinct({shingle}) AS sh
-  FROM (SELECT doc_id, {LQ._NORM} AS norm FROM documents)
-), ex AS (SELECT doc_id, unnest(sh) AS s FROM d),
-sigs AS (SELECT doc_id, {sig_exprs} FROM ex GROUP BY doc_id),
-banded AS ({band_selects}),
+  FROM (SELECT doc_id, {LQ._NORM} AS norm FROM {src})
+), {pfx}ex AS (SELECT doc_id, unnest(sh) AS s FROM {pfx}d),
+{pfx}sigs AS (SELECT doc_id, {sig_exprs} FROM {pfx}ex GROUP BY doc_id),
+{pfx}banded AS ({band_selects})"""
+
+
+_MH_JAC = (
+    "CAST(length(list_intersect(da.sh, db.sh)) AS DOUBLE)"
+    " / (length(da.sh) + length(db.sh) - length(list_intersect(da.sh, db.sh)))"
+)
+
+
+def _portable_minhash_sql() -> str:
+    return f"""
+WITH {_mh_ctes('documents', '')},
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM banded a JOIN banded b
@@ -1022,7 +1116,13 @@ def q29_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebooks, 4-bit codes, ADC lookup-table scoring); the oracle
     re-derives codebooks, codes, ADC tables, and the ranking
     bit-for-bit (plans.ann_oracle._pq_blocks). 'pq_recall' pins the
-    per-query agreement with the exact top-k."""
+    per-query agreement with the exact top-k.
+
+    The 'ivfpq' rows gate ``similarity.ivf_pq_topk`` (IVFADC — the
+    composed index: the 'ivf' rows' k-means cells prune, the 'pq'
+    rows' codes/ADC score); the oracle joins its existing cell and
+    code CTEs, so both stages stay bit-for-bit. 'ivfpq_recall' as
+    above."""
     from timebox_spark.operators import similarity as S
     from timebox_spark.plans.ann_oracle import ANN_QUERY_MAX_ID
 
@@ -1052,7 +1152,12 @@ def q29_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidates scored in the int8 compressed domain
     ivf_int8 = _pin(S.ivf_int8_topk(emb, queries, cmat=cmat))
     sem = _pin(S.semdedup_clusters(cq, cmat))
-    pq = _pin(S.portable_pq_topk(emb, queries))
+    # train the PQ codebook once; flat ADC and IVFADC share it
+    cb = S.portable_pq_train(cq)
+    pq = _pin(S.portable_pq_topk(emb, queries, cb=cb))
+    # IVFADC (round-8 verdict task 6): prune by the SAME k-means cells
+    # as 'ivf', score by the SAME codes/ADC as 'pq'
+    ivfpq = _pin(S.ivf_pq_topk(emb, queries, cmat=cmat, cb=cb))
     fast_lsh = _pin(S.lsh_topk(
         emb, queries, k=S.ANN_K, planes=S.ANN_PLANES, dim=S.ANN_DIM,
         tables=S.ANN_TABLES,
@@ -1107,6 +1212,8 @@ def q29_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(rec(S.recall_hits(ivf_int8, exact), "ivf_int8_recall"))
         .unionByName(tagged(pq, "pq"))
         .unionByName(rec(S.recall_hits(pq, exact), "pq_recall"))
+        .unionByName(tagged(ivfpq, "ivfpq"))
+        .unionByName(rec(S.recall_hits(ivfpq, exact), "ivfpq_recall"))
         .unionByName(floor_row(fast_lsh, "fast_lsh_floor"))
         .unionByName(floor_row(fast_ivf, "fast_ivf_floor"))
         .unionByName(
@@ -2103,13 +2210,13 @@ def q68_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     app1 = ingest.compact_corpus(b1)
     app2 = ingest.compact_corpus(b2, corpus=app1)
 
-    def compact_digest(df, k):
+    def compact_digest(df, k, member="compact"):
         return df.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("doc_id").alias("v1"),
             F.sum(F.length("text").cast("long")).alias("v2"),
         ).select(
-            F.lit("compact").alias("member"),
+            F.lit(member).alias("member"),
             F.lit(k).alias("k"),
             "n",
             "v1",
@@ -2118,12 +2225,44 @@ def q68_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     compact = compact_digest(app1, "1").unionByName(compact_digest(app2, "2"))
 
+    # near-dup-aware compactor ('compact_near' rows, round-8 verdict
+    # task 7): plants the exact fingerprint CANNOT catch — cycle-2
+    # copies of cycle-1 odd docs (% 10 == 5) with ' qq' appended
+    # (near-identical shingle sets; arrival order must drop the copy
+    # against the corpus even though its id is smaller than every
+    # corpus id), and larger-id copies of cycle-2 even docs
+    # (% 10 == 6) with ' zz' appended (within-batch smallest-id
+    # near-dedup must drop the copy). Cycle 2 consumes the PERSISTED
+    # corpus index (portable_minhash_index of the cycle-1 result), so
+    # the incremental no-corpus-rescan path is what the driver hash
+    # gates.
+    from timebox_spark.operators import dedup as DD
+
+    near_cross = b1.filter(F.col("doc_id") % 10 == 5).select(
+        (-(F.col("doc_id") + 1000000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq")).alias("text"),
+    )
+    near_intra = evens.filter(F.col("doc_id") % 10 == 6).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    b2n = evens.unionByName(near_cross).unionByName(near_intra)
+    app1n = ingest.compact_corpus(b1, near_dup=True)
+    idx1 = DD.portable_minhash_index(app1n)
+    app2n = ingest.compact_corpus(
+        b2n, corpus=app1n, near_dup=True, corpus_index=idx1
+    )
+    compact_near = compact_digest(app1n, "1", "compact_near").unionByName(
+        compact_digest(app2n, "2", "compact_near")
+    )
+
     return (
         sliding.unionByName(session)
         .unionByName(dedupd)
         .unionByName(runmax)
         .unionByName(qsketch)
         .unionByName(compact)
+        .unionByName(compact_near)
     )
 
 
@@ -2231,7 +2370,84 @@ UNION ALL SELECT * FROM (
 )
 """
 
+def _q68_compact_near_sql() -> str:
+    """Oracle for the NEAR-dup-aware compactor: re-derives both ingest
+    cycles end-to-end — exact fingerprint dedup (within-batch smallest
+    id; cycle 2 anti-joined against the cycle-1 KEPT set), then the
+    portable MinHash-LSH band tables (``_mh_ctes`` per cycle), banded
+    candidates (corpus×batch in either id order + smaller-id
+    within-batch), exact shingle-Jaccard verify at the q25 threshold,
+    and the drop. Mirrors ingest.compact_corpus(near_dup=True) with
+    the persisted corpus index."""
+    t = _MH_THRESHOLD
+    fp = f"md5({LQ._NORM})"
+    return f"""
+SELECT 'compact_near' AS member, CAST(cyc AS VARCHAR) AS k,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(doc_id) AS BIGINT) AS v1,
+       CAST(sum(length(text)) AS BIGINT) AS v2
+FROM (
+  WITH e1 AS (
+    SELECT doc_id, text FROM (
+      SELECT doc_id, text,
+             row_number() OVER (PARTITION BY {fp} ORDER BY doc_id) AS rn
+      FROM documents WHERE doc_id % 2 = 1
+    ) WHERE rn = 1
+  ),
+  {_mh_ctes('e1', 'n1')},
+  dr1 AS (
+    SELECT DISTINCT c.id_b AS doc_id FROM (
+      SELECT DISTINCT a.doc_id AS id_a, x.doc_id AS id_b
+      FROM n1banded a JOIN n1banded x
+        ON a.band = x.band AND a.key = x.key AND a.doc_id < x.doc_id
+    ) c
+    JOIN n1d da ON da.doc_id = c.id_a JOIN n1d db ON db.doc_id = c.id_b
+    WHERE {_MH_JAC} >= {t}
+  ),
+  k1 AS (SELECT * FROM e1 WHERE doc_id NOT IN (SELECT doc_id FROM dr1)),
+  b2 AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT -(doc_id + 1000000), text || ' qq'
+    FROM documents WHERE doc_id % 2 = 1 AND doc_id % 10 = 5
+    UNION ALL
+    SELECT doc_id + 2000000, text || ' zz'
+    FROM documents WHERE doc_id % 2 = 0 AND doc_id % 10 = 6
+  ),
+  e2 AS (
+    SELECT doc_id, text FROM (
+      SELECT doc_id, text,
+             row_number() OVER (PARTITION BY {fp} ORDER BY doc_id) AS rn
+      FROM b2 WHERE {fp} NOT IN (SELECT {fp} FROM k1)
+    ) WHERE rn = 1
+  ),
+  {_mh_ctes('e2', 'n2')},
+  dr2 AS (
+    SELECT DISTINCT c.id_b AS doc_id FROM (
+      SELECT DISTINCT a.id_a, x.doc_id AS id_b FROM (
+        SELECT doc_id AS id_a, band, key, TRUE AS corp FROM n1banded
+        WHERE doc_id NOT IN (SELECT doc_id FROM dr1)
+        UNION ALL
+        SELECT doc_id, band, key, FALSE FROM n2banded
+      ) a JOIN n2banded x ON a.band = x.band AND a.key = x.key
+      WHERE a.corp OR a.id_a < x.doc_id
+    ) c
+    JOIN (SELECT doc_id, sh FROM n1d
+          WHERE doc_id NOT IN (SELECT doc_id FROM dr1)
+          UNION ALL SELECT doc_id, sh FROM n2d) da ON da.doc_id = c.id_a
+    JOIN n2d db ON db.doc_id = c.id_b
+    WHERE {_MH_JAC} >= {t}
+  ),
+  k2 AS (SELECT * FROM e2 WHERE doc_id NOT IN (SELECT doc_id FROM dr2))
+  SELECT doc_id, text, 1 AS cyc FROM k1
+  UNION ALL
+  SELECT doc_id, text, 2 FROM k2
+) GROUP BY cyc
+"""
+
+
 _Q68_SQL += f"\nUNION ALL SELECT * FROM ({_q68_compact_sql()})"
+_Q68_SQL += f"\nUNION ALL SELECT * FROM ({_q68_compact_near_sql()})"
 
 
 # ------------------------------------------------------------------
@@ -2530,6 +2746,48 @@ def _warc_member(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _warc_gz_member(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzip-member WARC round trip (round-8 verdict task 5): write
+    the documents table as a ``.warc.gz`` shard set — one gzip member
+    PER RECORD, the Common Crawl layout — and read it back through
+    the member walker + Content-Length framing. Same digests as the
+    plain 'warc' member, so a member-boundary bug (concatenated
+    members decoded as one, a lost record at a boundary, non-
+    deterministic compression) breaks the driver hash against the
+    raw-parquet oracle."""
+    import hashlib as _h
+    import os as _os
+
+    from timebox_spark.sources import warc
+
+    tag = f"{_h.sha1(sf_dir.encode()).hexdigest()[:8]}_{_os.getpid()}"
+    path = f"/tmp/timebox_spark_warcgz_{tag}"
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    warc.write_warc(docs, path, compress=True)
+    _register_bucketed_cleanup(spark, [], [path])
+    back = warc.read_warc(spark, path, on_error="raise")
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("doc_id").alias("s1"),
+        F.sum(F.length("text").cast("long")).alias("s2"),
+        F.sum(
+            F.conv(
+                F.substring(F.md5(F.encode(F.col("text"), "UTF-8")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+        ).alias("s3"),
+    ).select(
+        F.lit("warc_gz").alias("chk"),
+        "n_rows",
+        F.to_timestamp(F.lit("1970-01-01 00:00:00")).alias("ts_min"),
+        F.to_timestamp(F.lit("1970-01-01 00:00:00")).alias("ts_max"),
+        "s1",
+        "s2",
+        "s3",
+    )
+
+
 def q01_io_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parquet round-trip, pandas bridge, CSV round-trip digests +
     the bucketed co-located-join storage gate."""
@@ -2566,6 +2824,7 @@ def q01_io_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_bucketed_member(spark, sf_dir))
         .unionByName(_jsonl_member(spark, sf_dir))
         .unionByName(_warc_member(spark, sf_dir))
+        .unionByName(_warc_gz_member(spark, sf_dir))
     )
 
 
@@ -2592,6 +2851,13 @@ SELECT 'jsonl', CAST(count(*) AS BIGINT),
 FROM documents
 UNION ALL
 SELECT 'warc', CAST(count(*) AS BIGINT),
+       TIMESTAMP '1970-01-01 00:00:00', TIMESTAMP '1970-01-01 00:00:00',
+       CAST(sum(doc_id) AS BIGINT),
+       CAST(sum(length(text)) AS BIGINT),
+       CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'warc_gz', CAST(count(*) AS BIGINT),
        TIMESTAMP '1970-01-01 00:00:00', TIMESTAMP '1970-01-01 00:00:00',
        CAST(sum(doc_id) AS BIGINT),
        CAST(sum(length(text)) AS BIGINT),

@@ -22,10 +22,23 @@ the engine able to round-trip that front natively:
 Scale notes: record building and digesting are map-only JVM; the
 reader is an Arrow ``mapInPandas`` over ``binaryFile`` rows (batch =
 files, bytes ops per record, no per-record Python string churn).
-Plain (uncompressed) WARC only: real crawls use per-record gzip
-members, which need a gzip library on executors — the framing walker
-here is the part Spark has to get right, and it is identical either
-way.
+Both plain WARC and the real-crawl ``.warc.gz`` layout are read:
+Common Crawl shards are concatenated PER-RECORD gzip members (one
+deflate stream per record, so a range request can decompress one
+record without its neighbors), and ``read_warc`` walks members with
+``zlib.decompressobj(wbits=31)`` + ``unused_data`` continuation —
+also accepting a whole-file gzip (one big member) since the
+Content-Length walker downstream is framing-exact either way.
+``write_warc(compress=True)`` produces the member-per-record layout
+executor-side (stdlib gzip, mtime=0 for determinism) under the same
+staging/tmp+rename task-commit protocol as sources/npb.py.
+
+Malformed records (real crawls contain garbage): each record is
+validated — Content-Length present, integer, and in-bounds; payload
+UTF-8 — and ``on_error='skip'`` (default) drops the bad record and
+rescans from the next ``WARC/1.0`` marker, while ``on_error='raise'``
+surfaces it with the file offset. A corrupt gzip member likewise
+skips (the member boundary is self-synchronizing) or raises.
 
 The reference engine has no web-format source at all (numeric series
 only, /root/reference/timebox/timebox.py:20); this extends the
@@ -90,19 +103,117 @@ def write_warc(
     path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    compress: bool = False,
 ) -> None:
     """Write one WARC stream per partition (repartition first to
     control shard size — the file is the reader's unit of
-    parallelism). The text sink appends one ``\\n`` per record; the
-    Content-Length walker skips it."""
-    df.select(warc_record(id_col, text_col).alias("value")).write.mode(
-        "overwrite"
-    ).text(path)
+    parallelism). Plain mode uses the JVM text sink (its per-record
+    ``\\n`` is transparent to the Content-Length walker).
+
+    ``compress=True`` writes the real-crawl ``.warc.gz`` layout: each
+    record is its OWN gzip member (stdlib ``gzip.compress``, mtime=0
+    so identical input gives identical bytes), members concatenated
+    per partition — the Common Crawl shape that lets a reader inflate
+    one record without its neighbors. Spark has no binary-stream
+    sink, so the members are written executor-side under the
+    sources/npb.py task-commit protocol: tasks write complete
+    ``part-NNNNN.warc.gz`` files into a job-scoped staging dir (each
+    tmp+rename atomic, named by partitionId so a speculative retry
+    overwrites rather than duplicates), and only after the job
+    succeeds does the driver publish them into ``path``. Assumes
+    executors and driver share ``path`` (local mode or shared POSIX
+    FS — same assumption as ``write_npb``)."""
+    records = df.select(warc_record(id_col, text_col).alias("value"))
+    if not compress:
+        records.write.mode("overwrite").text(path)
+        return
+
+    import gzip
+    import os
+    import shutil
+    import uuid
+
+    from pyspark import TaskContext
+
+    from timebox_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    os.makedirs(path, exist_ok=True)
+    staging = os.path.join(path, f"_staging_{uuid.uuid4().hex}")
+    os.makedirs(staging, exist_ok=True)
+
+    def write_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        chunks: list[bytes] = []
+        for pdf in batches:
+            for rec in pdf["value"]:
+                chunks.append(gzip.compress(rec.encode("utf-8"), mtime=0))
+        if chunks:
+            out = os.path.join(staging, f"part-{pid:05d}.warc.gz")
+            tmp = out + ".tmp"
+            with open(tmp, "wb") as fh:
+                fh.write(b"".join(chunks))
+            os.replace(tmp, out)
+        yield pd.DataFrame({"n": [len(chunks)]})
+
+    try:
+        records.mapInPandas(write_part, schema="n long").write.mode(
+            "overwrite"
+        ).format("noop").save()
+        for name in os.listdir(staging):
+            if name.endswith(".warc.gz"):
+                os.replace(
+                    os.path.join(staging, name), os.path.join(path, name)
+                )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
 
 
-def _walk_records(blob: bytes) -> Iterator[tuple[int, str, str]]:
+_GZ_MAGIC = b"\x1f\x8b\x08"
+
+
+def _inflate_members(blob: bytes, on_error: str) -> Iterator[bytes]:
+    """Yield the decompressed bytes of each gzip member of a
+    multi-member stream (``zlib.decompressobj(wbits=31)`` +
+    ``unused_data`` continuation — stdlib ``gzip.decompress`` would
+    concatenate members, losing the per-record boundaries and the
+    ability to skip one corrupt member). On a corrupt member,
+    ``on_error='skip'`` resynchronizes by scanning for the next gzip
+    magic (``1f 8b 08``) past the failure point — the warcio
+    convention; a false sync point just fails again and the scan
+    continues — while ``'raise'`` surfaces the offset."""
+    import zlib
+
+    pos, n = 0, len(blob)
+    while pos < n:
+        try:
+            d = zlib.decompressobj(wbits=31)
+            member = d.decompress(blob[pos:])
+            if not d.eof:
+                raise zlib.error("truncated gzip member")
+            yield member
+            consumed = (n - pos) - len(d.unused_data)
+            pos += max(consumed, 1)
+        except zlib.error as e:
+            if on_error == "raise":
+                raise ValueError(
+                    f"corrupt gzip member at byte {pos}: {e}"
+                ) from e
+            nxt = blob.find(_GZ_MAGIC, pos + 1)
+            if nxt < 0:
+                return
+            pos = nxt
+
+
+def _walk_records(
+    blob: bytes, on_error: str = "skip"
+) -> Iterator[tuple[int, str, str]]:
     """Yield (doc_id, target_uri, payload) from a concatenated WARC
-    byte stream by Content-Length framing."""
+    byte stream by Content-Length framing. A malformed record —
+    missing/non-integer Content-Length, a body extending past the end
+    of the stream (truncation), or non-UTF-8 payload — is skipped
+    (rescanning from the next ``WARC/1.0`` marker after the bad
+    header) or raised with its offset, per ``on_error``."""
     pos, n = 0, len(blob)
     marker = b"WARC/1.0\r\n"
     while True:
@@ -111,26 +222,58 @@ def _walk_records(blob: bytes) -> Iterator[tuple[int, str, str]]:
             return
         hdr_end = blob.find(b"\r\n\r\n", start)
         if hdr_end < 0:
+            if on_error == "raise":
+                raise ValueError(
+                    f"unterminated WARC header at byte {start}"
+                )
             return
         headers: dict[str, str] = {}
         for line in blob[start + len(marker): hdr_end].split(b"\r\n"):
             k, _, v = line.partition(b":")
-            headers[k.strip().lower().decode()] = v.strip().decode()
-        length = int(headers["content-length"])
+            headers[k.strip().lower().decode(errors="replace")] = v.strip().decode(
+                errors="replace"
+            )
         body_start = hdr_end + 4
-        payload = blob[body_start: body_start + length]
+        try:
+            length = int(headers["content-length"])
+            if length < 0 or body_start + length > n:
+                raise ValueError(
+                    f"record at byte {start}: Content-Length {length} "
+                    f"exceeds stream (len {n})"
+                )
+            payload = blob[body_start: body_start + length].decode("utf-8")
+        except (KeyError, ValueError, UnicodeDecodeError) as e:
+            if on_error == "raise":
+                raise ValueError(
+                    f"malformed WARC record at byte {start}: {e}"
+                ) from e
+            pos = body_start  # rescan for the next record marker
+            continue
         uri = headers.get("warc-target-uri", "")
-        doc_id = int(uri.rsplit("/", 1)[-1]) if uri else -1
-        yield doc_id, uri, payload.decode("utf-8")
+        try:
+            doc_id = int(uri.rsplit("/", 1)[-1]) if uri else -1
+        except ValueError:
+            doc_id = -1
+        yield doc_id, uri, payload
         pos = body_start + length
         if pos >= n:
             return
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
+def read_warc(
+    spark: SparkSession, path: str, on_error: str = "skip"
+) -> DataFrame:
     """Distributed WARC reader: ``binaryFile`` rows (one per shard)
     walked record-by-record with Content-Length framing in an Arrow
-    ``mapInPandas`` kernel. Returns (doc_id, target_uri, text)."""
+    ``mapInPandas`` kernel. Shards whose bytes start with the gzip
+    magic are treated as ``.warc.gz`` (per-record gzip members, the
+    Common Crawl layout) and inflated member-by-member first; plain
+    shards are walked directly. ``on_error``: ``'skip'`` (default)
+    drops malformed records / corrupt members and keeps the shard,
+    ``'raise'`` fails the task with the offending offset. Returns
+    (doc_id, target_uri, text)."""
+    if on_error not in ("skip", "raise"):
+        raise ValueError(f"on_error must be 'skip' or 'raise', got {on_error!r}")
     from timebox_spark.session import ship_package
 
     ship_package(spark)
@@ -138,11 +281,12 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [
-                rec
-                for blob in pdf["content"]
-                for rec in _walk_records(bytes(blob))
-            ]
+            rows = []
+            for blob in pdf["content"]:
+                data = bytes(blob)
+                if data[:3] == _GZ_MAGIC:
+                    data = b"".join(_inflate_members(data, on_error))
+                rows.extend(_walk_records(data, on_error))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "target_uri", "text"]
             )

@@ -398,6 +398,12 @@ def compact_corpus(
     corpus: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    near_dup: bool = False,
+    threshold: float = 0.35,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 5,
+    corpus_index: tuple | None = None,
 ) -> DataFrame:
     """The batch half of the ingest lambda split ``curate_stream``
     documents: given the rows a streaming window accumulated
@@ -413,12 +419,76 @@ def compact_corpus(
     side reduces to distinct fingerprints before an anti-join, so a
     compaction cycle never rescans corpus text — at 100 TB the
     fingerprint column is persisted with the corpus and the left side
-    is a narrow column scan."""
-    from timebox_spark.operators.dedup import incremental_exact_dedup
+    is a narrow column scan.
+
+    ``near_dup=True`` (round-8 verdict task 7) additionally drops
+    NEAR-duplicates, which the exact-fingerprint anti-join lets
+    through: exact survivors are banded with the portable MinHash-LSH
+    family (``dedup.portable_minhash_index``) and a survivor is
+    dropped iff a band-key collision verifies at exact shingle
+    Jaccard >= ``threshold`` against (a) any corpus doc — arrival
+    order wins regardless of id — or (b) a smaller-id batch
+    survivor. Pass ``corpus_index`` (the (banded, sets) pair
+    ``portable_minhash_index`` returned when the corpus was last
+    appended — at scale it is PERSISTED with the corpus) so a cycle
+    never re-shingles corpus text; without it the index is built
+    from ``corpus`` here (correct, but a corpus-sized scan —
+    fine for tests, not for the 100 TB steady state). Everything is
+    md5-portable, so the q68 'compact_near' oracle re-derives every
+    kept id bit-for-bit."""
+    from timebox_spark.operators.dedup import (
+        incremental_exact_dedup,
+        portable_minhash_index,
+    )
 
     if corpus is None:
         corpus = new_batch.limit(0)
-    return incremental_exact_dedup(new_batch, corpus, id_col, text_col)
+    kept = incremental_exact_dedup(new_batch, corpus, id_col, text_col)
+    if not near_dup:
+        return kept
+    b_banded, b_sets = portable_minhash_index(
+        kept, id_col, text_col, num_perm, bands, shingle_n
+    )
+    b_banded = b_banded.persist()
+    if corpus_index is not None:
+        c_banded, c_sets = corpus_index
+    else:
+        c_banded, c_sets = portable_minhash_index(
+            corpus, id_col, text_col, num_perm, bands, shingle_n
+        )
+    # candidates: batch survivor × (corpus ∪ smaller-id batch survivor)
+    a = c_banded.select(
+        F.col(id_col).alias("id_a"), "band", "key", F.lit(True).alias("__corpus")
+    ).unionByName(
+        b_banded.select(
+            F.col(id_col).alias("id_a"), "band", "key",
+            F.lit(False).alias("__corpus"),
+        )
+    )
+    cand = (
+        a.join(
+            b_banded.select(F.col(id_col).alias("id_b"), "band", "key"),
+            ["band", "key"],
+        )
+        .filter(F.col("__corpus") | (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sets = c_sets.unionByName(b_sets).select(
+        id_col, F.col("__sh").alias("sh")
+    )
+    sh_a = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size("sh_a").cast("double") + F.size("sh_b").cast("double") - inter
+    dropped = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .filter(inter / union >= F.lit(threshold))
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return kept.join(dropped, id_col, "left_anti")
 
 
 def hourly_histogram(
