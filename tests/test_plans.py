@@ -741,3 +741,64 @@ def test_warc_malformed_records_skip_or_raise(spark, tmp_path):
     assert got == {0: "good zero.", 2: "good two."}
     with pytest.raises(Exception, match="gzip"):
         warc.read_warc(spark, str(gz), on_error="raise").collect()
+
+
+def test_warc_gz_rerun_clears_stale_shards(spark, tmp_path):
+    """Overwrite-contract parity with plain mode: a compress=True
+    rerun that produces FEWER partitions must delete the prior run's
+    extra part files, not leave them for read_warc to resurrect."""
+    from timebox_spark.sources import warc
+
+    path = str(tmp_path / "warc_gz_rerun")
+    first = spark.createDataFrame(
+        [(i, f"first run doc {i}") for i in range(8)],
+        "doc_id long, text string",
+    ).repartition(4)
+    warc.write_warc(first, path, compress=True)
+
+    second = spark.createDataFrame(
+        [(100, "second run only doc")], "doc_id long, text string"
+    ).repartition(1)
+    warc.write_warc(second, path, compress=True)
+    got = {
+        r["doc_id"]: r["text"]
+        for r in warc.read_warc(spark, path, on_error="raise").collect()
+    }
+    assert got == {100: "second run only doc"}
+
+
+def test_warc_payload_decode_failure_resumes_at_frame_boundary(
+    spark, tmp_path
+):
+    """A record whose Content-Length framing is VALID but whose
+    payload fails UTF-8 decode must be skipped by resuming at the
+    frame's end boundary — marker-scanning inside the payload would
+    emit the embedded pseudo-record as a garbage row."""
+    import pytest
+
+    from timebox_spark.sources import warc
+
+    good0 = _foreign_warc_record(0, "good zero.")
+    # invalid UTF-8 payload that CONTAINS a complete fake record: a
+    # rescan-from-body_start reader would emit doc 99
+    pseudo = _foreign_warc_record(99, "pseudo record from inside")
+    bad_payload = b"\xff\xfe" + pseudo + b"\xff"
+    bad = (
+        b"WARC/1.0\r\n"
+        b"WARC-Target-URI: http://corpus.invalid/doc/1\r\n"
+        + f"Content-Length: {len(bad_payload)}\r\n\r\n".encode()
+        + bad_payload
+        + b"\r\n\r\n"
+    )
+    good2 = _foreign_warc_record(2, "good two.")
+    d = tmp_path / "decode_fail"
+    d.mkdir()
+    (d / "shard.warc").write_bytes(good0 + bad + good2)
+    got = {
+        r["doc_id"]: r["text"]
+        for r in warc.read_warc(spark, str(d)).collect()
+    }
+    assert got == {0: "good zero.", 2: "good two."}
+    assert 99 not in got
+    with pytest.raises(Exception, match="alformed"):
+        warc.read_warc(spark, str(d), on_error="raise").collect()

@@ -1176,6 +1176,75 @@ def portable_minhash_index(
     return banded, d
 
 
+SHINGLE_HASH_SALT = "sh"
+
+
+def hashed_shingle_sets(
+    sets: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, __sh array<long>): each char shingle replaced by its
+    32-bit md5 hash (salt ``'sh|'``) — the SIGNATURE-SIZED verify
+    representation a persisted corpus index stores instead of raw
+    shingle strings (round-9 verdict task 2: the raw ``__sh`` sets
+    are text-sized — persisting them alongside a 100 TB corpus would
+    roughly double it; 4-byte hashes are ~fixed-width). Jaccard over
+    hashed sets equals raw-shingle Jaccard except on md5 collisions,
+    which both engines reproduce identically (the q68 oracle hashes
+    the same way), so the comparison stays bit-for-bit."""
+    return sets.select(
+        id_col,
+        F.array_distinct(
+            F.transform(
+                "__sh", lambda s: _md5_u32(s, SHINGLE_HASH_SALT)
+            )
+        ).alias("__sh"),
+    )
+
+
+def build_corpus_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 5,
+) -> tuple[DataFrame, DataFrame]:
+    """The PERSISTABLE near-dup index of a corpus: ``(banded, sets)``
+    where banded = (id, band, key) LSH band table and sets = (id,
+    __sh array<long>) HASHED shingle sets (``hashed_shingle_sets``)
+    for the exact-Jaccard verify. This is the pair
+    ``streaming.ingest.compact_corpus(corpus_index=...)`` consumes
+    and ``save_corpus_index``/``load_corpus_index`` round-trip — at
+    the 100 TB steady state the index lives with the corpus and a
+    compaction cycle touches only these two narrow tables, never
+    corpus text."""
+    banded, d = portable_minhash_index(
+        df, id_col, text_col, num_perm, bands, shingle_n
+    )
+    return banded, hashed_shingle_sets(d, id_col)
+
+
+def save_corpus_index(index: tuple[DataFrame, DataFrame], path: str) -> None:
+    """Persist a ``build_corpus_index`` pair as two parquet tables
+    (``{path}/banded``, ``{path}/sets``) so the streaming compactor
+    survives driver restarts without re-scanning corpus text. Plain
+    ``mode('overwrite')`` parquet: atomic-per-commit, splittable,
+    readable by any engine (the sets column is array<long>)."""
+    banded, sets = index
+    banded.write.mode("overwrite").parquet(f"{path}/banded")
+    sets.write.mode("overwrite").parquet(f"{path}/sets")
+
+
+def load_corpus_index(
+    spark, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """Load a ``save_corpus_index`` pair back as (banded, sets)."""
+    return (
+        spark.read.parquet(f"{path}/banded"),
+        spark.read.parquet(f"{path}/sets"),
+    )
+
+
 def portable_minhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

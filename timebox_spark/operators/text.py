@@ -895,14 +895,22 @@ def apply_bpe(col, merges: list[tuple[str, str, int]]) -> Column:
 
 
 def bpe_train_summary(
-    df: DataFrame, text_col: str = "text", n_merges: int = BPE_MERGES
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = BPE_MERGES,
+    trained: tuple | None = None,
 ) -> DataFrame:
     """Driver-gated digest of the full trainer: one row per learned
     merge (round, a, b, pair count) plus a 'tokens' row with the
     corpus token count after all merges (Σ freq·n_syms over the final
     vocab) — the end-to-end evidence that training AND application
-    agree with the oracle's independently recomputed merge sequence."""
-    merges, vocab = bpe_train(df, text_col, n_merges)
+    agree with the oracle's independently recomputed merge sequence.
+    Pass ``trained=(merges, vocab)`` to reuse an already-run
+    ``bpe_train`` instead of training again (the q21 suite shares one
+    training run between these rows and the BPE token-id export)."""
+    merges, vocab = trained if trained is not None else bpe_train(
+        df, text_col, n_merges
+    )
     spark = df.sparkSession
     mrows = spark.createDataFrame(
         [(i + 1, a, b, n) for i, (a, b, n) in enumerate(merges)],
@@ -1712,6 +1720,7 @@ def build_vocab(
     text_col: str = "text",
     max_vocab: int = VOCAB_EXPORT_MAX,
     min_count: int = 1,
+    tokens: Column | None = None,
 ) -> DataFrame:
     """Contiguous-id vocab manifest (t, n, id): ids 1..V assigned by
     global frequency rank (count desc, token asc tiebreak); id 0 is
@@ -1719,9 +1728,14 @@ def build_vocab(
     CONSTRUCTION — count, filter by ``min_count``, TakeOrdered the
     top ``max_vocab`` — so the ranking window runs over at most
     ``max_vocab`` rows (never a data-sized unkeyed window) and every
-    downstream consumer can broadcast it."""
+    downstream consumer can broadcast it.
+
+    ``tokens`` overrides the whitespace/regex tokenizer with any
+    ``array<string>`` column expression — e.g. ``apply_bpe(...)``
+    output — so BPE vocabularies build through the same path."""
+    toks = tokens if tokens is not None else _tokens(text_col)
     counts = (
-        df.select(F.explode(_tokens(text_col)).alias("t"))
+        df.select(F.explode(toks).alias("t"))
         .groupBy("t")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -1737,44 +1751,45 @@ def tokens_to_ids(
     vocab: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokens: Column | None = None,
 ) -> DataFrame:
     """(id, ids array<long>, n_tokens, n_oov): every document's exact
-    token-id sequence. Tokenization stays JVM-side (``_tokens``); the
-    id lookup is an Arrow ``mapInPandas`` kernel over the token
-    arrays with the (bounded, ``build_vocab``) manifest shipped as a
-    Spark broadcast dict — map-only, no shuffle, no per-row Python.
-    OOV tokens map to ``TOKID_UNK``."""
-    import pandas as pd
+    token-id sequence, entirely JVM-side. The (bounded, ≤``max_vocab``
+    by ``build_vocab`` construction) manifest is collected once and
+    shipped as a ``map_from_arrays`` PLAN LITERAL; the per-token
+    lookup is ``transform(toks, t -> coalesce(try_element_at(vmap,
+    t), 0))`` — map-only, no shuffle, zero Python in the executor
+    path (the round-9 ``weak``: the old Arrow kernel looped per
+    token in Python). ``try_element_at`` (not ``element_at``/``[]``)
+    because ANSI mode throws on missing map keys. OOV → ``TOKID_UNK``.
 
-    from timebox_spark.session import ship_package
-
-    ship_package(df.sparkSession)
-    mapping = {r["t"]: int(r["id"]) for r in vocab.select("t", "id").collect()}
-    bc = df.sparkSession.sparkContext.broadcast(mapping)
-
-    def kernel(batches):
-        m = bc.value
-        for pdf in batches:
-            ids_out, nt, no = [], [], []
-            for toks in pdf["__toks"]:
-                ids = [m.get(t, TOKID_UNK) for t in toks]
-                ids_out.append(ids)
-                nt.append(len(ids))
-                no.append(sum(1 for i in ids if i == TOKID_UNK))
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "ids": ids_out,
-                    "n_tokens": pd.Series(nt, dtype="int64"),
-                    "n_oov": pd.Series(no, dtype="int64"),
-                }
-            )
-
-    return df.select(
-        F.col(id_col), _tokens(text_col).alias("__toks")
-    ).mapInPandas(
-        kernel,
-        schema=f"{id_col} long, ids array<long>, n_tokens long, n_oov long",
+    ``tokens`` overrides the whitespace/regex tokenizer with any
+    ``array<string>`` column (e.g. ``apply_bpe`` output), so BPE ids
+    export through the same path as whitespace ids."""
+    rows = vocab.select("t", "id").collect()
+    toks = tokens if tokens is not None else _tokens(text_col)
+    unk = F.lit(TOKID_UNK).cast("long")
+    if rows:
+        vmap = F.map_from_arrays(
+            F.lit([r["t"] for r in rows]),
+            F.lit([int(r["id"]) for r in rows]),
+        )
+        ids = F.transform(
+            toks, lambda t: F.coalesce(F.try_element_at(vmap, t), unk)
+        )
+    else:
+        ids = F.transform(toks, lambda t: unk)
+    # two-step select: `ids` is referenced three times downstream and
+    # is expensive (regex tokenize + map probe); aliasing it in its
+    # own projection keeps CollapseProject from inlining it 3×
+    out = df.select(F.col(id_col), ids.alias("ids"))
+    return out.select(
+        id_col,
+        "ids",
+        F.size("ids").cast("long").alias("n_tokens"),
+        F.size(
+            F.filter("ids", lambda i: i == F.lit(TOKID_UNK))
+        ).cast("long").alias("n_oov"),
     )
 
 

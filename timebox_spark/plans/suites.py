@@ -72,8 +72,10 @@ def q21_text_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("bpe").alias("chk"), F.col("pair").alias("k"), "n"
     )
     # full trainer: the N learned merges in order + post-merge corpus
-    # token total (text.bpe_train / bpe_train_summary)
-    bpem = T.bpe_train_summary(docs).select(
+    # token total (text.bpe_train / bpe_train_summary). Trained ONCE
+    # here and shared with the BPE token-id export below.
+    trained = T.bpe_train(docs)
+    bpem = T.bpe_train_summary(docs, trained=trained).select(
         F.lit("bpe_merges").alias("chk"),
         F.concat_ws(
             ":", F.col("round").cast("string"), F.col("a"), F.col("b")
@@ -149,6 +151,31 @@ def q21_text_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("k"),
         F.col("dg").alias("n"),
     )
+    # BPE token-id export (round-9 verdict task 1b): the two halves of
+    # the pipeline compose — apply_bpe's sub-word tokens flow through
+    # the SAME build_vocab/tokens_to_ids path as whitespace tokens.
+    # 'vocab_bpe' pins the BPE manifest, 'tokid_bpe' every document's
+    # exact BPE-id sequence (position-weighted digest + OOV counts).
+    btoks = T.apply_bpe("text", trained[0])
+    bvocab = T.build_vocab(docs, tokens=btoks)
+    bvocab_rows = bvocab.select(
+        F.lit("vocab_bpe").alias("chk"),
+        F.col("t").alias("k"),
+        (
+            F.col("id") * F.lit(T._TOKID_P) + F.col("n") % F.lit(T._TOKID_P)
+        ).alias("n"),
+    )
+    bseqs = T.tokens_to_ids(docs, bvocab, tokens=btoks)
+    btokid = T.token_id_digest(bseqs, keep=("n_tokens", "n_oov")).select(
+        F.lit("tokid_bpe").alias("chk"),
+        F.concat_ws(
+            ":",
+            F.col("doc_id").cast("string"),
+            F.col("n_tokens").cast("string"),
+            F.col("n_oov").cast("string"),
+        ).alias("k"),
+        F.col("dg").alias("n"),
+    )
     return (
         lang.unionByName(words)
         .unionByName(bm25)
@@ -162,6 +189,8 @@ def q21_text_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(chunks)
         .unionByName(vocab_rows)
         .unionByName(tokid)
+        .unionByName(bvocab_rows)
+        .unionByName(btokid)
     )
 
 
@@ -557,7 +586,102 @@ FROM documents d LEFT JOIN sq ON sq.doc_id = d.doc_id"""
     return vocab, tokid
 
 
+def _tokid_bpe_sql() -> tuple[str, str]:
+    """DuckDB mirror of apply_bpe → build_vocab → tokens_to_ids →
+    token_id_digest: re-trains the BPE merges with the same unrolled
+    CTE rounds as ``_bpe_merges_sql`` but KEEPS the word column, so
+    each document word joins to its final merged symbol sequence —
+    exactly what ``apply_bpe`` computes per occurrence (every corpus
+    word is in the training vocab, so the join is total). Global
+    token positions come from a per-doc running sum of per-word
+    symbol counts. Returns the (vocab_bpe, tokid_bpe) member SQLs."""
+    from timebox_spark.operators import text as T
+
+    p, q = T._TOKID_P, T._TOKID_Q
+    sep = "chr(31)"
+    sep2 = f"({sep} || {sep})"
+    parts = [
+        f"""w0 AS (
+  SELECT w, regexp_replace(w, '(.)', {sep} || '\\1' || {sep}, 'g') AS seq,
+         CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(regexp_extract_all(text, '{T.TOKEN_RE}')) AS w
+        FROM documents)
+  GROUP BY 1, 2
+)"""
+    ]
+    for r in range(T.BPE_MERGES):
+        parts.append(
+            f"""q{r + 1} AS (
+  SELECT s.a AS a, s.b AS b, CAST(sum(freq) AS BIGINT) AS n FROM (
+    SELECT freq,
+           unnest(list_transform(range(2, len(syms) + 1),
+                  i -> {{'a': syms[i - 1], 'b': syms[i]}})) AS s
+    FROM (SELECT freq, string_split(trim(seq, chr(31)), {sep2}) AS syms
+          FROM w{r})
+  ) GROUP BY 1, 2
+),
+c{r + 1} AS (SELECT a, b FROM q{r + 1} ORDER BY n DESC, a, b LIMIT 1),
+w{r + 1} AS (
+  SELECT w, CASE WHEN c{r + 1}.a IS NULL THEN seq
+              ELSE replace(seq, {sep} || a || {sep} || {sep} || b || {sep},
+                           {sep} || a || b || {sep}) END AS seq, freq
+  FROM w{r} LEFT JOIN c{r + 1} ON TRUE
+)"""
+        )
+    base = (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+wf AS (SELECT w, string_split(trim(seq, chr(31)), {sep2}) AS syms
+       FROM w{T.BPE_MERGES}),
+dw AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '{T.TOKEN_RE}')) AS w,
+         generate_subscripts(regexp_extract_all(text, '{T.TOKEN_RE}'), 1)
+           AS wpos
+  FROM documents
+),
+dx AS (SELECT dw.doc_id, dw.wpos, wf.syms, len(wf.syms) AS ns
+       FROM dw JOIN wf ON wf.w = dw.w),
+do_ AS (
+  SELECT doc_id, wpos, syms,
+         sum(ns) OVER (PARTITION BY doc_id ORDER BY wpos
+                       ROWS UNBOUNDED PRECEDING) - ns AS off
+  FROM dx
+),
+dt AS (SELECT doc_id, off + generate_subscripts(syms, 1) AS pos,
+              unnest(syms) AS t
+       FROM do_),
+btc AS (SELECT t, count(*) AS n FROM dt GROUP BY 1),
+bvc AS (
+  SELECT t, n, id FROM (
+    SELECT t, n, row_number() OVER (ORDER BY n DESC, t) AS id FROM btc
+  ) WHERE id <= {T.VOCAB_EXPORT_MAX}
+)"""
+    )
+    vocab = f"""{base}
+SELECT t AS k, CAST(id * {p} + n % {p} AS BIGINT) AS n FROM bvc"""
+    tokid = f"""{base},
+ti AS (
+  SELECT dt.doc_id, dt.pos, coalesce(v.id, 0) AS tid
+  FROM dt LEFT JOIN bvc v ON v.t = dt.t
+),
+sq AS (
+  SELECT doc_id,
+         CAST(sum(((tid + 1) % {p}) * (pos % {p}) % {q}) AS BIGINT) AS dg,
+         CAST(count(*) AS BIGINT) AS nt,
+         CAST(sum((tid = 0)::INT) AS BIGINT) AS noov
+  FROM ti GROUP BY doc_id
+)
+SELECT CAST(d.doc_id AS VARCHAR) || ':' || CAST(coalesce(sq.nt, 0) AS VARCHAR)
+         || ':' || CAST(coalesce(sq.noov, 0) AS VARCHAR) AS k,
+       coalesce(sq.dg, 0) AS n
+FROM documents d LEFT JOIN sq ON sq.doc_id = d.doc_id"""
+    return vocab, tokid
+
+
 _TOKID_VOCAB_SQL, _TOKID_SEQ_SQL = _tokid_sql()
+_TOKID_BPE_VOCAB_SQL, _TOKID_BPE_SEQ_SQL = _tokid_bpe_sql()
 
 _Q21_SUITE_SQL = f"""
 SELECT 'lang' AS chk, lang_pred AS k, n FROM ({LQ.ORACLE_SQL['q21_lang_id']})
@@ -586,6 +710,10 @@ UNION ALL
 SELECT 'vocab', k, n FROM ({_TOKID_VOCAB_SQL})
 UNION ALL
 SELECT 'tokid', k, n FROM ({_TOKID_SEQ_SQL})
+UNION ALL
+SELECT 'vocab_bpe', k, n FROM ({_TOKID_BPE_VOCAB_SQL})
+UNION ALL
+SELECT 'tokid_bpe', k, n FROM ({_TOKID_BPE_SEQ_SQL})
 """
 
 

@@ -35,9 +35,12 @@ staging/tmp+rename task-commit protocol as sources/npb.py.
 
 Malformed records (real crawls contain garbage): each record is
 validated — Content-Length present, integer, and in-bounds; payload
-UTF-8 — and ``on_error='skip'`` (default) drops the bad record and
-rescans from the next ``WARC/1.0`` marker, while ``on_error='raise'``
-surfaces it with the file offset. A corrupt gzip member likewise
+UTF-8 — and ``on_error='skip'`` (default) drops the bad record:
+when the frame itself was unusable it rescans from the next
+``WARC/1.0`` marker, while a mere payload-decode failure resumes at
+the frame's known-good end boundary (marker-scanning inside a valid
+frame could emit garbage pseudo-records). ``on_error='raise'``
+surfaces either failure with the file offset. A corrupt gzip member likewise
 skips (the member boundary is self-synchronizing) or raises.
 
 The reference engine has no web-format source at all (numeric series
@@ -144,27 +147,45 @@ def write_warc(
 
     def write_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pid = TaskContext.get().partitionId()
-        chunks: list[bytes] = []
-        for pdf in batches:
-            for rec in pdf["value"]:
-                chunks.append(gzip.compress(rec.encode("utf-8"), mtime=0))
-        if chunks:
-            out = os.path.join(staging, f"part-{pid:05d}.warc.gz")
-            tmp = out + ".tmp"
-            with open(tmp, "wb") as fh:
-                fh.write(b"".join(chunks))
+        out = os.path.join(staging, f"part-{pid:05d}.warc.gz")
+        tmp = out + ".tmp"
+        # stream members to the open tmp file as they compress — peak
+        # memory is one record, not the whole partition (a
+        # repartition-to-few-shards call used to double peak task
+        # memory by accumulating every member in a list first)
+        n = 0
+        fh = None
+        try:
+            for pdf in batches:
+                for rec in pdf["value"]:
+                    if fh is None:
+                        fh = open(tmp, "wb")
+                    fh.write(gzip.compress(rec.encode("utf-8"), mtime=0))
+                    n += 1
+        finally:
+            if fh is not None:
+                fh.close()
+        if n:
             os.replace(tmp, out)
-        yield pd.DataFrame({"n": [len(chunks)]})
+        yield pd.DataFrame({"n": [n]})
 
     try:
         records.mapInPandas(write_part, schema="n long").write.mode(
             "overwrite"
         ).format("noop").save()
-        for name in os.listdir(staging):
-            if name.endswith(".warc.gz"):
-                os.replace(
-                    os.path.join(staging, name), os.path.join(path, name)
-                )
+        published = {
+            name for name in os.listdir(staging) if name.endswith(".warc.gz")
+        }
+        for name in published:
+            os.replace(
+                os.path.join(staging, name), os.path.join(path, name)
+            )
+        # overwrite contract parity with plain mode's .text(path): a
+        # rerun that produces FEWER partitions must not leave the
+        # prior run's extra shards behind for read_warc to resurrect
+        for name in os.listdir(path):
+            if name.endswith(".warc.gz") and name not in published:
+                os.remove(os.path.join(path, name))
     finally:
         shutil.rmtree(staging, ignore_errors=True)
 
@@ -184,16 +205,28 @@ def _inflate_members(blob: bytes, on_error: str) -> Iterator[bytes]:
     continues — while ``'raise'`` surfaces the offset."""
     import zlib
 
+    # Feed the decompressor BOUNDED slices of a zero-copy memoryview:
+    # d.decompress(blob[pos:]) would slice O(n) bytes per member and
+    # unused_data would hold another O(n) copy — O(M·n) memcpy over a
+    # shard of M members, quadratic for exactly the member-per-record
+    # Common Crawl layout this reader targets. With 1 MiB chunks the
+    # copies are O(n) total and unused_data is bounded by one chunk.
+    chunk_len = 1 << 20
+    mv = memoryview(blob)
     pos, n = 0, len(blob)
     while pos < n:
         try:
             d = zlib.decompressobj(wbits=31)
-            member = d.decompress(blob[pos:])
+            out: list[bytes] = []
+            p = pos
+            while not d.eof and p < n:
+                nxt_p = min(p + chunk_len, n)
+                out.append(d.decompress(mv[p:nxt_p]))
+                p = nxt_p
             if not d.eof:
                 raise zlib.error("truncated gzip member")
-            yield member
-            consumed = (n - pos) - len(d.unused_data)
-            pos += max(consumed, 1)
+            yield b"".join(out)
+            pos = max(p - len(d.unused_data), pos + 1)
         except zlib.error as e:
             if on_error == "raise":
                 raise ValueError(
@@ -241,13 +274,24 @@ def _walk_records(
                     f"record at byte {start}: Content-Length {length} "
                     f"exceeds stream (len {n})"
                 )
-            payload = blob[body_start: body_start + length].decode("utf-8")
-        except (KeyError, ValueError, UnicodeDecodeError) as e:
+        except (KeyError, ValueError) as e:
             if on_error == "raise":
                 raise ValueError(
                     f"malformed WARC record at byte {start}: {e}"
                 ) from e
-            pos = body_start  # rescan for the next record marker
+            pos = body_start  # framing unusable: rescan for a marker
+            continue
+        try:
+            payload = blob[body_start: body_start + length].decode("utf-8")
+        except UnicodeDecodeError as e:
+            if on_error == "raise":
+                raise ValueError(
+                    f"malformed WARC record at byte {start}: {e}"
+                ) from e
+            # the frame itself was valid — resume at its known-good
+            # end boundary; marker-scanning from body_start could
+            # emit garbage pseudo-records from inside the bad payload
+            pos = body_start + length
             continue
         uri = headers.get("warc-target-uri", "")
         try:
