@@ -485,7 +485,7 @@ def test_compact_corpus_near_dup_drops_planted_neighbors(spark):
     app1 = ingest.compact_corpus(b1, near_dup=True)
     assert {r["doc_id"] for r in app1.collect()} == {10, 11}
 
-    idx = DD.portable_minhash_index(app1)
+    idx = DD.build_corpus_index(app1)
     b2 = spark.createDataFrame(
         [
             (-5, base + " qq"),     # near-dup of corpus doc 10, smaller id
@@ -508,3 +508,111 @@ def test_compact_corpus_near_dup_drops_planted_neighbors(spark):
         for r in ingest.compact_corpus(b2, corpus=app1).collect()
     }
     assert kept_exact == {-5, 20, 21}, kept_exact
+
+
+def test_corpus_index_save_load_survives_restart(spark, tmp_path):
+    """Round-9 verdict task 2: the corpus index persists to parquet
+    as (banded, HASHED sets — array<long>, signature-sized, never raw
+    shingle strings) and a compaction cycle run from the LOADED index
+    in a fresh session equals the in-memory-index result."""
+    from timebox_spark.operators import dedup as DD
+    from timebox_spark.streaming import ingest
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps "
+        "running through the long meadow toward the river bank"
+    )
+    other = (
+        "completely different subject matter about integer codecs "
+        "and columnar storage layouts with delta encoding schemes"
+    )
+    b1 = spark.createDataFrame(
+        [(10, base), (11, other)], "doc_id long, text string"
+    )
+    app1 = ingest.compact_corpus(b1, near_dup=True)
+    idx = DD.build_corpus_index(app1)
+    assert dict(idx[1].dtypes)["__sh"] == "array<bigint>"
+    path = str(tmp_path / "corpus_index")
+    DD.save_corpus_index(idx, path)
+
+    # "driver restart": a fresh session state over the same context —
+    # the loaded index must carry everything cycle 2 needs
+    spark2 = spark.newSession()
+    idx2 = DD.load_corpus_index(spark2, path)
+    b2_rows = [
+        (-5, base + " qq"),
+        (20, "an entirely fresh document about streaming state"),
+        (22, other),
+    ]
+    b2 = spark2.createDataFrame(b2_rows, "doc_id long, text string")
+    app1_2 = spark2.createDataFrame(
+        app1.collect(), "doc_id long, text string"
+    )
+    app2 = ingest.compact_corpus(
+        b2, corpus=app1_2, near_dup=True, corpus_index=idx2
+    )
+    assert {r["doc_id"] for r in app2.collect()} == {20}
+
+    # and the loaded-index result equals the in-memory-index result
+    b2_mem = spark.createDataFrame(b2_rows, "doc_id long, text string")
+    app2_mem = ingest.compact_corpus(
+        b2_mem, corpus=app1, near_dup=True, corpus_index=idx
+    )
+    assert {r["doc_id"] for r in app2_mem.collect()} == {20}
+
+
+def test_compact_corpus_leaves_no_cached_rdds(spark):
+    """Round-9 verdict task 4: a two-cycle near-dup compaction run
+    must not accumulate cache entries — the long-running streaming
+    driver would leak one per cycle until LRU eviction."""
+    from timebox_spark.streaming import ingest
+
+    jsc = spark.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keySet().toArray())
+    b1 = spark.createDataFrame(
+        [(1, "first cycle document about rivers and meadows"),
+         (2, "second document in the first cycle on storage codecs")],
+        "doc_id long, text string",
+    )
+    app1 = ingest.compact_corpus(b1, near_dup=True)
+    b2 = spark.createDataFrame(
+        [(3, "first cycle document about rivers and meadows qq"),
+         (4, "a wholly new third document concerning watermarks")],
+        "doc_id long, text string",
+    )
+    app2 = ingest.compact_corpus(b2, corpus=app1, near_dup=True)
+    app2.collect()
+    after = set(jsc.getPersistentRDDs().keySet().toArray())
+    assert after - before == set(), after - before
+
+
+def test_compact_corpus_id_collision_keeps_edited_reingest(spark):
+    """ADVICE round 9: a batch doc that REUSES a corpus doc_id with
+    different text must be judged on its OWN shingle sets — the old
+    id-keyed set union joined the corpus row under the same id and
+    the corpus-vs-corpus self-pair (jaccard 1.0) dropped the batch
+    doc unconditionally. bands=32/rows=1 makes the band collision
+    between the old and edited text near-certain while their true
+    jaccard stays far below the 0.9 verify threshold."""
+    from timebox_spark.streaming import ingest
+
+    text_a = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india "
+        "juliett kilo lima mike november oscar papa quebec romeo"
+    )
+    # edited re-ingest: shares a minority of shingles with text_a
+    text_b = (
+        "alpha bravo charlie delta echo completely rewritten tail "
+        "with new content about streaming compaction semantics"
+    )
+    corpus = spark.createDataFrame(
+        [(7, text_a)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(7, text_b)], "doc_id long, text string"
+    )
+    kept = ingest.compact_corpus(
+        batch, corpus=corpus, near_dup=True,
+        threshold=0.9, num_perm=32, bands=32,
+    )
+    assert [r["doc_id"] for r in kept.collect()] == [7]

@@ -1053,7 +1053,13 @@ def _mh_ctes(src: str, pfx: str) -> str:
   FROM (SELECT doc_id, {LQ._NORM} AS norm FROM {src})
 ), {pfx}ex AS (SELECT doc_id, unnest(sh) AS s FROM {pfx}d),
 {pfx}sigs AS (SELECT doc_id, {sig_exprs} FROM {pfx}ex GROUP BY doc_id),
-{pfx}banded AS ({band_selects})"""
+{pfx}banded AS ({band_selects}),
+{pfx}hd AS (
+  SELECT doc_id,
+         list_distinct(list_transform(sh,
+           s -> ('0x' || substr(md5('sh|' || s), 1, 8))::BIGINT)) AS sh
+  FROM {pfx}d
+)"""
 
 
 _MH_JAC = (
@@ -2361,9 +2367,10 @@ def q68_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus id), and larger-id copies of cycle-2 even docs
     # (% 10 == 6) with ' zz' appended (within-batch smallest-id
     # near-dedup must drop the copy). Cycle 2 consumes the PERSISTED
-    # corpus index (portable_minhash_index of the cycle-1 result), so
-    # the incremental no-corpus-rescan path is what the driver hash
-    # gates.
+    # corpus index — build_corpus_index of the cycle-1 result saved
+    # to parquet and LOADED back (round-9 verdict task 2), so the
+    # driver hash gates the exact path a restarted streaming driver
+    # takes: no corpus text rescan, signature-sized verify sets.
     from timebox_spark.operators import dedup as DD
 
     near_cross = b1.filter(F.col("doc_id") % 10 == 5).select(
@@ -2376,7 +2383,10 @@ def q68_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b2n = evens.unionByName(near_cross).unionByName(near_intra)
     app1n = ingest.compact_corpus(b1, near_dup=True)
-    idx1 = DD.portable_minhash_index(app1n)
+    idx_path = Q._tmp("q68_corpus_index", sf_dir)
+    shutil.rmtree(idx_path, ignore_errors=True)
+    DD.save_corpus_index(DD.build_corpus_index(app1n), idx_path)
+    idx1 = DD.load_corpus_index(spark, idx_path)
     app2n = ingest.compact_corpus(
         b2n, corpus=app1n, near_dup=True, corpus_index=idx1
     )
@@ -2504,9 +2514,11 @@ def _q68_compact_near_sql() -> str:
     id; cycle 2 anti-joined against the cycle-1 KEPT set), then the
     portable MinHash-LSH band tables (``_mh_ctes`` per cycle), banded
     candidates (corpus×batch in either id order + smaller-id
-    within-batch), exact shingle-Jaccard verify at the q25 threshold,
-    and the drop. Mirrors ingest.compact_corpus(near_dup=True) with
-    the persisted corpus index."""
+    within-batch), exact HASHED-shingle Jaccard verify at the q25
+    threshold (the ``{pfx}hd`` CTEs — 32-bit md5 per shingle, same
+    salt as ``dedup.hashed_shingle_sets``), and the drop. Mirrors
+    ingest.compact_corpus(near_dup=True) with the persisted
+    (parquet-round-tripped) corpus index."""
     t = _MH_THRESHOLD
     fp = f"md5({LQ._NORM})"
     return f"""
@@ -2529,7 +2541,7 @@ FROM (
       FROM n1banded a JOIN n1banded x
         ON a.band = x.band AND a.key = x.key AND a.doc_id < x.doc_id
     ) c
-    JOIN n1d da ON da.doc_id = c.id_a JOIN n1d db ON db.doc_id = c.id_b
+    JOIN n1hd da ON da.doc_id = c.id_a JOIN n1hd db ON db.doc_id = c.id_b
     WHERE {_MH_JAC} >= {t}
   ),
   k1 AS (SELECT * FROM e1 WHERE doc_id NOT IN (SELECT doc_id FROM dr1)),
@@ -2560,10 +2572,10 @@ FROM (
       ) a JOIN n2banded x ON a.band = x.band AND a.key = x.key
       WHERE a.corp OR a.id_a < x.doc_id
     ) c
-    JOIN (SELECT doc_id, sh FROM n1d
+    JOIN (SELECT doc_id, sh FROM n1hd
           WHERE doc_id NOT IN (SELECT doc_id FROM dr1)
-          UNION ALL SELECT doc_id, sh FROM n2d) da ON da.doc_id = c.id_a
-    JOIN n2d db ON db.doc_id = c.id_b
+          UNION ALL SELECT doc_id, sh FROM n2hd) da ON da.doc_id = c.id_a
+    JOIN n2hd db ON db.doc_id = c.id_b
     WHERE {_MH_JAC} >= {t}
   ),
   k2 AS (SELECT * FROM e2 WHERE doc_id NOT IN (SELECT doc_id FROM dr2))

@@ -424,21 +424,46 @@ def compact_corpus(
     ``near_dup=True`` (round-8 verdict task 7) additionally drops
     NEAR-duplicates, which the exact-fingerprint anti-join lets
     through: exact survivors are banded with the portable MinHash-LSH
-    family (``dedup.portable_minhash_index``) and a survivor is
-    dropped iff a band-key collision verifies at exact shingle
-    Jaccard >= ``threshold`` against (a) any corpus doc — arrival
-    order wins regardless of id — or (b) a smaller-id batch
-    survivor. Pass ``corpus_index`` (the (banded, sets) pair
-    ``portable_minhash_index`` returned when the corpus was last
-    appended — at scale it is PERSISTED with the corpus) so a cycle
-    never re-shingles corpus text; without it the index is built
-    from ``corpus`` here (correct, but a corpus-sized scan —
-    fine for tests, not for the 100 TB steady state). Everything is
-    md5-portable, so the q68 'compact_near' oracle re-derives every
-    kept id bit-for-bit."""
+    family and a survivor is dropped iff a band-key collision
+    verifies at exact HASHED-shingle Jaccard >= ``threshold``
+    (``dedup.hashed_shingle_sets`` — 32-bit md5 per shingle, the
+    signature-sized representation the persisted index stores)
+    against (a) any corpus doc — arrival order wins regardless of id
+    — or (b) a smaller-id batch survivor. Note the CHAIN-DROP
+    semantics of (b): a batch survivor B is dropped if it verifies
+    against any smaller-id batch survivor A even when A is itself
+    dropped against the corpus — for a chain A~B~C with A already in
+    the corpus, both B and C are dropped although C may never match a
+    KEPT doc. This over-drops relative to the cluster-keep-one
+    semantics of batch ``dedup.minhash_dedup`` + connected
+    components; it is the deliberate conservative choice for a
+    growing corpus (a near-dup of a near-dup is still redundant with
+    the corpus representative at threshold transitivity's margin).
+
+    Pass ``corpus_index`` — the (banded, hashed sets) pair from
+    ``dedup.build_corpus_index`` / ``dedup.load_corpus_index``, at
+    scale PERSISTED alongside the corpus via
+    ``dedup.save_corpus_index`` — so a cycle never re-shingles corpus
+    text; without it the index is built from ``corpus`` here
+    (correct, but a corpus-sized scan — fine for tests, not for the
+    100 TB steady state). Everything is md5-portable, so the q68
+    'compact_near' oracle re-derives every kept id bit-for-bit.
+
+    Nothing here is persisted/cached (round-9 verdict task 4): in the
+    long-running streaming driver this is built for, per-cycle
+    ``persist()`` leaks cache entries until LRU eviction. The one
+    twice-used plan, the batch band table, reuses its shuffle via
+    Spark's ReuseExchange instead — the heavy map side (shingle +
+    signature aggregation) runs once per cycle, only the cheap
+    post-shuffle band explode is duplicated.
+
+    ``corpus``/``new_batch`` ids must be disjoint (a corpus doc_id
+    re-ingested WITH DIFFERENT TEXT would otherwise collide in the
+    verify join); the verify tables carry an origin flag so corpus
+    and batch set rows never alias even on id collision."""
     from timebox_spark.operators.dedup import (
+        build_corpus_index,
         incremental_exact_dedup,
-        portable_minhash_index,
     )
 
     if corpus is None:
@@ -446,14 +471,13 @@ def compact_corpus(
     kept = incremental_exact_dedup(new_batch, corpus, id_col, text_col)
     if not near_dup:
         return kept
-    b_banded, b_sets = portable_minhash_index(
+    b_banded, b_sets = build_corpus_index(
         kept, id_col, text_col, num_perm, bands, shingle_n
     )
-    b_banded = b_banded.persist()
     if corpus_index is not None:
         c_banded, c_sets = corpus_index
     else:
-        c_banded, c_sets = portable_minhash_index(
+        c_banded, c_sets = build_corpus_index(
             corpus, id_col, text_col, num_perm, bands, shingle_n
         )
     # candidates: batch survivor × (corpus ∪ smaller-id batch survivor)
@@ -471,18 +495,27 @@ def compact_corpus(
             ["band", "key"],
         )
         .filter(F.col("__corpus") | (F.col("id_a") < F.col("id_b")))
-        .select("id_a", "id_b")
+        .select("id_a", "id_b", "__corpus")
         .distinct()
     )
-    sets = c_sets.unionByName(b_sets).select(
-        id_col, F.col("__sh").alias("sh")
+    # origin-tagged set rows: the a-side joins on (id, origin) so a
+    # corpus row and a batch row sharing an id can never swap sets
+    sh_a = c_sets.select(
+        F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"),
+        F.lit(True).alias("__corpus"),
+    ).unionByName(
+        b_sets.select(
+            F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"),
+            F.lit(False).alias("__corpus"),
+        )
     )
-    sh_a = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    sh_b = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    sh_b = b_sets.select(
+        F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b")
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size("sh_a").cast("double") + F.size("sh_b").cast("double") - inter
     dropped = (
-        cand.join(sh_a, "id_a")
+        cand.join(sh_a, ["id_a", "__corpus"])
         .join(sh_b, "id_b")
         .filter(inter / union >= F.lit(threshold))
         .select(F.col("id_b").alias(id_col))
