@@ -128,6 +128,13 @@ def test_portable_ann_recall_floors(spark):
     # measured 0.08 here; the floor is a collapse tripwire only
     ipq = sum(by_m["ivfpq_recall"]) / (k * len(by_m["ivfpq_recall"]))
     assert ipq >= 0.03, f"IVFADC recall collapsed: {ipq}"
+    # residual IVFADC (round-9 verdict task 3): residual encoding must
+    # not lose recall vs raw-vector PQ at the same nprobe — Jégou §IV's
+    # point is that it GAINS as nlist grows
+    ipr = sum(by_m["ivfpq_res_recall"]) / (
+        k * len(by_m["ivfpq_res_recall"])
+    )
+    assert ipr >= ipq, f"residual IVFADC below raw IVFADC: {ipr} < {ipq}"
 
 
 def test_semdedup_planted_duplicates(spark):

@@ -1194,3 +1194,100 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "rank", "neighbor_id", "cosine_q")
     )
+
+
+def _centroid_literal(cmat):
+    """The (nlist × dim) integer centroid matrix as ONE nested-array
+    plan literal — nlist is small by construction, so this rides with
+    the task binary like the LSH sign tensor."""
+    return F.lit([[int(x) for x in row] for row in cmat]).cast(
+        "array<array<long>>"
+    )
+
+
+def ivf_pq_residual_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = ANN_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    nlist: int = ANN_NLIST,
+    nprobe: int = ANN_NPROBE,
+    iters: int = ANN_ITERS,
+    cmat=None,
+    cb=None,
+) -> DataFrame:
+    """IVFADC with RESIDUAL encoding — the full Jégou et al. 2011 §IV
+    construction ``ivf_pq_topk`` approximates: each corpus vector is
+    PQ-encoded as r = v − c_cell(v) (the codebook is trained on the
+    residuals), and a candidate's score decomposes exactly as
+    <q, v̂> = <q, c_cell> + <q, r̂> — a per-(query, probed-cell) BIGINT
+    bias plus the same O(M) ADC fold. Residuals matter because they
+    are centered near zero: one shared codebook quantizes every
+    cell's local geometry instead of the global point spread, so
+    recall holds as nlist grows where raw-vector PQ degrades (the
+    admitted gap in ``ivf_pq_topk``'s docstring).
+
+    Plan shape is identical to ``ivf_pq_topk`` — residual subtraction
+    is a map-side ``zip_with`` against the centroid literal, the bias
+    is computed on the broadcast query-probe rows, and the scoring
+    join still touches only ~nprobe/nlist of the code table per
+    query. Everything stays exact BIGINT, so the q29 oracle
+    re-derives 'ivfpq_res' bit-for-bit. ``cb`` here is the RESIDUAL
+    codebook (never interchangeable with the raw one)."""
+    cq, qq = _quantize_sides(corpus, queries, id_col, vec_col, query_id_col)
+    if cmat is None:
+        cmat = portable_ivf_train(cq, nlist, iters)
+    cents = _centroid_literal(cmat)
+    cells = _portable_ivf_assign(cq, cmat, "vec_id", "__vq", nprobe=1)
+    res = cells.select(
+        "cluster",
+        "vec_id",
+        F.zip_with(
+            "__vq",
+            F.element_at(cents, F.col("cluster") + 1),
+            lambda a, b: a - b,
+        ).alias("__vr"),
+    )
+    if cb is None:
+        cb = portable_pq_train(res.select("vec_id", "__vr"), vec_col="__vr")
+    m_sub, ksub, _ds = cb.shape
+    coded = res.select("cluster", "vec_id").join(
+        _pq_encode(res, cb, "vec_id", "__vr"), "vec_id"
+    )
+    qb = _portable_ivf_assign(qq, cmat, query_id_col, "__qq", nprobe=nprobe)
+    bias = F.aggregate(
+        F.zip_with(
+            "__qq",
+            F.element_at(cents, F.col("cluster") + 1),
+            lambda a, b: a * b,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    qadc = qb.select(
+        "cluster",
+        query_id_col,
+        bias.alias("__bias"),
+        _pq_adc_array(cb, "__qq").alias("__adc"),
+    )
+    scored = (
+        coded.join(F.broadcast(qadc), "cluster")
+        .filter(F.col("vec_id") != F.col(query_id_col))
+        .select(
+            F.col(query_id_col),
+            F.col("vec_id").alias("neighbor_id"),
+            (F.col("__bias") + _pq_adc_score(m_sub, ksub)).alias(
+                "cosine_q"
+            ),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine_q"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", "neighbor_id", "cosine_q")
+    )

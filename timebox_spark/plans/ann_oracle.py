@@ -92,10 +92,11 @@ def _assign(centroids: str, src: str, idc: str, vecc: str, rn_bound: int) -> str
     ) WHERE rn <= {rn_bound}"""
 
 
-def _pq_assign(cb: str) -> str:
+def _pq_assign(cb: str, es: str = "pq_es") -> str:
     """Per (vector, subspace): the L2-nearest codeword of ``cb``
     (exact integer squared distance, ties to the smallest code) —
-    mirrors similarity._pq_encode's argmin."""
+    mirrors similarity._pq_encode's argmin. ``es`` selects the
+    subvector source (raw ``pq_es`` or residual ``pqr_es``)."""
     ds = _pq_subdim()
     dist = (
         f"list_sum(list_transform(range(1, {ds + 1}),"
@@ -105,8 +106,33 @@ def _pq_assign(cb: str) -> str:
       SELECT e.vec_id, e.m, c.j, e.sv,
              row_number() OVER (PARTITION BY e.vec_id, e.m
                                 ORDER BY {dist}, c.j) AS rn
-      FROM pq_es e JOIN {cb} c ON c.m = e.m
+      FROM {es} e JOIN {cb} c ON c.m = e.m
     ) WHERE rn = 1"""
+
+
+def _pq_lloyd_layers(pfx: str, es: str) -> str:
+    """The PQ_ITERS integer Lloyd layers as prefixed CTEs — shared by
+    the raw codebook (``pq_``) and the residual codebook (``pqr_``,
+    similarity.ivf_pq_residual_topk)."""
+    ds = _pq_subdim()
+    lloyd = []
+    for i in range(PQ_ITERS):
+        lloyd.append(
+            f"{pfx}a{i + 1} AS ({_pq_assign(f'{pfx}c{i}', es)}),\n"
+            f"{pfx}m{i + 1} AS (\n"
+            f"  SELECT m, j, r.range AS d, CAST(sum(sv[r.range]) AS BIGINT) AS s,\n"
+            f"         count(*) AS cnt\n"
+            f"  FROM {pfx}a{i + 1} CROSS JOIN range(1, {ds + 1}) r GROUP BY 1, 2, 3\n"
+            f"),\n"
+            f"{pfx}g{i + 1} AS (\n"
+            f"  SELECT m, j, list(CAST(floor(CAST(s AS DOUBLE) / cnt + 0.5) AS BIGINT)\n"
+            f"                    ORDER BY d) AS c\n"
+            f"  FROM {pfx}m{i + 1} GROUP BY 1, 2\n"
+            f"),\n"
+            f"{pfx}c{i + 1} AS (SELECT p.m, p.j, coalesce(g.c, p.c) AS c\n"
+            f"  FROM {pfx}c{i} p LEFT JOIN {pfx}g{i + 1} g ON g.m = p.m AND g.j = p.j)"
+        )
+    return ",\n".join(lloyd)
 
 
 def _pq_blocks() -> str:
@@ -117,25 +143,10 @@ def _pq_blocks() -> str:
     <q_m, c_{m,j}> (exact BIGINT), and ADC scores = Σ_m adc[m][code_m]
     ranked (score DESC, neighbor_id)."""
     ds = _pq_subdim()
-    lloyd = []
-    for i in range(PQ_ITERS):
-        lloyd.append(
-            f"pq_a{i + 1} AS ({_pq_assign(f'pq_c{i}')}),\n"
-            f"pq_m{i + 1} AS (\n"
-            f"  SELECT m, j, r.range AS d, CAST(sum(sv[r.range]) AS BIGINT) AS s,\n"
-            f"         count(*) AS cnt\n"
-            f"  FROM pq_a{i + 1} CROSS JOIN range(1, {ds + 1}) r GROUP BY 1, 2, 3\n"
-            f"),\n"
-            f"pq_g{i + 1} AS (\n"
-            f"  SELECT m, j, list(CAST(floor(CAST(s AS DOUBLE) / cnt + 0.5) AS BIGINT)\n"
-            f"                    ORDER BY d) AS c\n"
-            f"  FROM pq_m{i + 1} GROUP BY 1, 2\n"
-            f"),\n"
-            f"pq_c{i + 1} AS (SELECT p.m, p.j, coalesce(g.c, p.c) AS c\n"
-            f"  FROM pq_c{i} p LEFT JOIN pq_g{i + 1} g ON g.m = p.m AND g.j = p.j)"
-        )
-    lloyd_sql = ",\n".join(lloyd)
+    lloyd_sql = _pq_lloyd_layers("pq_", "pq_es")
     cfin = f"pq_c{PQ_ITERS}"
+    rfin = f"pqr_c{PQ_ITERS}"
+    ivf_cfin = f"c{ANN_ITERS}"
     return f"""pq_es AS (
   SELECT vec_id, r.range AS m,
          list_slice(v, r.range * {ds} + 1, (r.range + 1) * {ds}) AS sv
@@ -194,6 +205,57 @@ ipq_rec AS (
   FROM qids q LEFT JOIN (
     SELECT l.query_id, l.neighbor_id
     FROM ipq_k l JOIN ex_k e ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+  ) x ON x.query_id = q.query_id GROUP BY q.query_id
+),
+-- residual IVFADC (similarity.ivf_pq_residual_topk, Jégou §IV): the
+-- codebook is re-trained on r = v - c_cell(v) (same md5 seed ids),
+-- candidates come from the SAME af/qp probe-join, and the score is
+-- the per-(query, cell) bias <q, c_cell> plus the residual ADC fold
+pqr_rv AS (
+  SELECT af.vec_id,
+         list_transform(range(1, {ANN_DIM + 1}),
+                        d -> af.v[d] - cf.c[d]) AS rv
+  FROM af JOIN {ivf_cfin} cf ON cf.j = af.j
+),
+pqr_es AS (
+  SELECT vec_id, r.range AS m,
+         list_slice(rv, r.range * {ds} + 1, (r.range + 1) * {ds}) AS sv
+  FROM pqr_rv CROSS JOIN range(0, {PQ_M}) r
+),
+pqr_c0 AS (
+  SELECT s.m, p.j, s.sv AS c FROM pq_seed p JOIN pqr_es s ON s.vec_id = p.vec_id
+),
+{_pq_lloyd_layers("pqr_", "pqr_es")},
+pqr_codes AS ({_pq_assign(rfin, "pqr_es")}),
+pqr_adc AS (
+  SELECT q.query_id, c.m, c.j,
+         CAST(list_sum(list_transform(range(1, {ds + 1}),
+           d -> list_slice(q.qv, c.m * {ds} + 1, (c.m + 1) * {ds})[d] * c.c[d]))
+           AS BIGINT) AS adc
+  FROM qe q CROSS JOIN {rfin} c
+),
+pqr_bias AS (
+  SELECT qp.query_id, qp.j,
+         CAST(list_sum(list_transform(range(1, {ANN_DIM + 1}),
+           d -> qp.qv[d] * cf.c[d])) AS BIGINT) AS bias
+  FROM qp JOIN {ivf_cfin} cf ON cf.j = qp.j
+),
+ipr_s AS (
+  SELECT qp.query_id, af.vec_id AS neighbor_id,
+         CAST(min(b.bias) + sum(a.adc) AS BIGINT) AS cosine_q
+  FROM af JOIN qp ON af.j = qp.j
+  JOIN pqr_codes e ON e.vec_id = af.vec_id
+  JOIN pqr_adc a ON a.query_id = qp.query_id AND a.m = e.m AND a.j = e.j
+  JOIN pqr_bias b ON b.query_id = qp.query_id AND b.j = af.j
+  WHERE af.vec_id <> qp.query_id
+  GROUP BY 1, 2
+),
+ipr_k AS ({_topk('ipr_s')}),
+ipr_rec AS (
+  SELECT q.query_id, CAST(count(x.neighbor_id) AS BIGINT) AS hits
+  FROM qids q LEFT JOIN (
+    SELECT l.query_id, l.neighbor_id
+    FROM ipr_k l JOIN ex_k e ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
   ) x ON x.query_id = q.query_id GROUP BY q.query_id
 )"""
 
@@ -399,4 +461,8 @@ UNION ALL
 SELECT 'ivfpq', query_id, rank, neighbor_id, cosine_q FROM ipq_k
 UNION ALL
 SELECT 'ivfpq_recall', query_id, CAST(0 AS INTEGER), CAST(-1 AS BIGINT), hits FROM ipq_rec
+UNION ALL
+SELECT 'ivfpq_res', query_id, rank, neighbor_id, cosine_q FROM ipr_k
+UNION ALL
+SELECT 'ivfpq_res_recall', query_id, CAST(0 AS INTEGER), CAST(-1 AS BIGINT), hits FROM ipr_rec
 """

@@ -1256,6 +1256,10 @@ def q29_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     composed index: the 'ivf' rows' k-means cells prune, the 'pq'
     rows' codes/ADC score); the oracle joins its existing cell and
     code CTEs, so both stages stay bit-for-bit. 'ivfpq_recall' as
+    above. The 'ivfpq_res' rows gate
+    ``similarity.ivf_pq_residual_topk`` (residual-encoding IVFADC,
+    Jégou §IV complete: codebook trained on r = v − c_cell, score =
+    per-cell bias + residual ADC fold); 'ivfpq_res_recall' as
     above."""
     from timebox_spark.operators import similarity as S
     from timebox_spark.plans.ann_oracle import ANN_QUERY_MAX_ID
@@ -1292,6 +1296,9 @@ def q29_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IVFADC (round-8 verdict task 6): prune by the SAME k-means cells
     # as 'ivf', score by the SAME codes/ADC as 'pq'
     ivfpq = _pin(S.ivf_pq_topk(emb, queries, cmat=cmat, cb=cb))
+    # residual IVFADC (round-9 verdict task 3): same cells, codebook
+    # re-trained on r = v − c_cell, score = cell bias + residual ADC
+    ivfpq_res = _pin(S.ivf_pq_residual_topk(emb, queries, cmat=cmat))
     fast_lsh = _pin(S.lsh_topk(
         emb, queries, k=S.ANN_K, planes=S.ANN_PLANES, dim=S.ANN_DIM,
         tables=S.ANN_TABLES,
@@ -1348,6 +1355,8 @@ def q29_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(rec(S.recall_hits(pq, exact), "pq_recall"))
         .unionByName(tagged(ivfpq, "ivfpq"))
         .unionByName(rec(S.recall_hits(ivfpq, exact), "ivfpq_recall"))
+        .unionByName(tagged(ivfpq_res, "ivfpq_res"))
+        .unionByName(rec(S.recall_hits(ivfpq_res, exact), "ivfpq_res_recall"))
         .unionByName(floor_row(fast_lsh, "fast_lsh_floor"))
         .unionByName(floor_row(fast_ivf, "fast_ivf_floor"))
         .unionByName(
