@@ -400,6 +400,96 @@ def test_curate_stream_matches_batch(spark, tmp_path):
     assert len(got) > 0
 
 
+def test_near_dup_hits_stream_flags_planted_copy(spark, tmp_path):
+    """Round-9 verdict task 6: a near copy arriving INSIDE one ingest
+    window is flagged by the banded-signature state — doc 3 (a ' qq'
+    edit of doc 1) hits with a high MinHash estimate against doc 1,
+    while the unrelated doc 2 and the first-arrival doc 1 emit
+    nothing. Hits are per-band; consumers dedupe by doc_id."""
+    import datetime as dt
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps "
+        "running through the long meadow toward the river bank"
+    )
+    other = (
+        "completely different subject matter about integer codecs "
+        "and columnar storage layouts with delta encoding schemes"
+    )
+    t0 = dt.datetime(2025, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base, t0),
+        (2, other, t0 + dt.timedelta(seconds=1)),
+        (3, base + " qq", t0 + dt.timedelta(seconds=2)),
+    ]
+    src = str(tmp_path / "neardup_src")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, ts timestamp"
+    ).coalesce(1).write.parquet(src)
+
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(src)
+    hits = ingest.near_dup_hits_stream(stream, min_est=0.5)
+    ingest.run_to_memory(hits, "near_hits_t", "append", str(tmp_path / "ck_nd"))
+    got = spark.table("near_hits_t").collect()
+    assert got, "planted near-dup not flagged"
+    flagged = {r["doc_id"] for r in got}
+    assert flagged == {3}, flagged
+    assert all(r["matched_id"] == 1 and r["est"] >= 0.5 for r in got)
+
+
+def test_write_stream_warc_gz_roundtrip(spark, tmp_path):
+    """Round-9 verdict task 7: draining a document stream through the
+    checkpointed WARC sink produces per-batch .warc.gz shard sets
+    that read_warc reads back losslessly — the streaming front door
+    to the crawl interchange format."""
+    from timebox_spark.plans.tables import load
+    from timebox_spark.sources import warc
+
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    src = str(tmp_path / "warc_stream_src")
+    docs.repartition(2).write.parquet(src)
+
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = str(tmp_path / "warc_stream_out")
+    q = ingest.write_stream_warc(
+        stream, out, str(tmp_path / "ck_warc")
+    ).start()
+    q.awaitTermination()
+
+    import os
+
+    shards = [
+        os.path.join(r, n)
+        for r, _, names in os.walk(out)
+        for n in names
+        if n.endswith(".warc.gz")
+    ]
+    assert shards, "no .warc.gz shards written"
+    back = {
+        r["doc_id"]: r["text"]
+        for r in warc.read_warc(spark, out, on_error="raise").collect()
+    }
+    want = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert back == want
+
+
 def test_hourly_histogram_stream_matches_batch(spark, tmp_path, staged_events):
     """The streaming log2-histogram emits, for every closed window,
     exactly the batch sketch rows — an exact mergeable quantile

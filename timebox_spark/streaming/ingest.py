@@ -278,6 +278,43 @@ def write_stream_npb(df: DataFrame, path: str, checkpoint: str):
     )
 
 
+def write_stream_warc(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    compress: bool = True,
+):
+    """Streaming WARC sink (round-9 verdict task 7): each micro-batch
+    of curated documents becomes a set of ``.warc.gz`` shards under
+    ``{path}/batch={batch_id}`` via ``foreachBatch`` →
+    ``sources.warc.write_warc`` — per-record gzip members (the Common
+    Crawl layout), exactly-once per batch id through the checkpoint
+    (a replayed batch rewrites its own directory; ``write_warc``'s
+    overwrite contract clears stale shards). ``read_warc(path)``
+    reads the whole tree back (binaryFile recurses). Returns the
+    unstarted writer, like ``write_stream_npb``."""
+    from timebox_spark.sources import warc
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        warc.write_warc(
+            batch_df,
+            f"{path}/batch={batch_id}",
+            id_col=id_col,
+            text_col=text_col,
+            compress=compress,
+        )
+
+    return (
+        df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
 def write_stream_parquet(
     df: DataFrame, path: str, checkpoint: str, output_mode: str = "append"
 ):
@@ -522,6 +559,151 @@ def compact_corpus(
         .distinct()
     )
     return kept.join(dropped, id_col, "left_anti")
+
+
+def near_dup_hits_stream(
+    stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 5,
+    min_est: float = 0.5,
+    state_ttl_ms: int = 3_600_000,
+) -> DataFrame:
+    """Round-9 verdict task 6 — the stream half of near-dup
+    detection: banded-MinHash state WITHIN the watermark, so a near
+    copy arriving in the same ingest window is flagged immediately
+    instead of waiting for the batch compactor.
+
+    The portable signature family (same md5 hash family as
+    ``dedup.portable_minhash_index``, bit-identical values) is
+    computed MAP-ONLY in-stream — ``array_min`` over the shingle
+    array per permutation, no groupBy, streaming-legal — and each doc
+    fans out to its ``bands`` (band, key) rows. State is keyed by
+    (band, key) via ``applyInPandasWithState``: a group holds the
+    signatures seen in its LSH bucket within the TTL, so state is
+    O(active buckets), each bucket tiny by LSH construction. A doc
+    whose full-signature agreement with any EARLIER doc in the bucket
+    (batch order: event time, then id) reaches ``min_est`` — the
+    unbiased MinHash Jaccard estimate — emits a hit row
+    (doc_id, band, matched_id, est). Event-time timeout evicts a
+    bucket once the watermark passes its last arrival + TTL.
+
+    Consumers drop flagged docs with a per-micro-batch anti-join on
+    the DISTINCT hit doc_ids (``foreachBatch``, the lambda split the
+    compactor already uses); hits are estimate-verified, not
+    exact-Jaccard — the batch compactor remains the exact authority
+    at corpus scale. A doc can hit in several bands; dedupe by id."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from timebox_spark.operators.dedup import (
+        _md5_u32,
+        char_shingles,
+        normalize_text,
+    )
+
+    if num_perm % bands:
+        raise ValueError("num_perm must divide into bands")
+    r = num_perm // bands
+    d = stream.withColumn("__norm", normalize_text(text_col)).withColumn(
+        "__sh", F.array_distinct(char_shingles("__norm", shingle_n))
+    )
+    sigs = d.select(
+        id_col,
+        ts_col,
+        *[
+            F.array_min(
+                F.transform("__sh", lambda s, i=i: _md5_u32(s, str(i)))
+            ).alias(f"h{i}")
+            for i in range(num_perm)
+        ],
+    )
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"h{j * r + k}").cast("string")
+                        for k in range(r)
+                    ],
+                )
+            ).alias("key"),
+        )
+        for j in range(bands)
+    ]
+    banded = sigs.select(
+        id_col,
+        ts_col,
+        F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("__sig"),
+        F.explode(F.array(*band_structs)).alias("b"),
+    ).select(id_col, ts_col, "__sig", "b.band", "b.key")
+
+    out_schema = (
+        f"{id_col} long, band int, matched_id long, est double"
+    )
+    state_schema = "ids array<long>, sigs array<array<long>>"
+
+    def update(key, pdfs, state: GroupState):
+        import numpy as np
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        ids, stored = state.get if state.exists else ([], [])
+        ids = list(ids)
+        stored = [np.asarray(s, dtype=np.int64) for s in stored]
+        band = int(key[0])
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if not len(rows):
+            return
+        rows = rows.sort_values([ts_col, id_col])
+        hits_id, hits_m, hits_e = [], [], []
+        for _, row in rows.iterrows():
+            sig = np.asarray(row["__sig"], dtype=np.int64)
+            best_est, best_id = 0.0, None
+            for mid, msig in zip(ids, stored):
+                est = float((sig == msig).mean())
+                if est > best_est or (
+                    est == best_est and best_id is not None and mid < best_id
+                ):
+                    best_est, best_id = est, mid
+            if best_id is not None and best_est >= min_est:
+                hits_id.append(int(row[id_col]))
+                hits_m.append(int(best_id))
+                hits_e.append(best_est)
+            ids.append(int(row[id_col]))
+            stored.append(sig)
+        state.update(([int(i) for i in ids], [[int(x) for x in s] for s in stored]))
+        ts_max_ms = int(rows[ts_col].max().value // 1_000_000)
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(wm, ts_max_ms) + state_ttl_ms)
+        if hits_id:
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(hits_id, dtype="int64"),
+                    "band": pd.Series([band] * len(hits_id), dtype="int32"),
+                    "matched_id": pd.Series(hits_m, dtype="int64"),
+                    "est": pd.Series(hits_e, dtype="float64"),
+                }
+            )
+
+    return (
+        banded.withWatermark(ts_col, watermark)
+        .groupBy("band", "key")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
 
 
 def hourly_histogram(
