@@ -676,6 +676,64 @@ def test_compact_corpus_leaves_no_cached_rdds(spark):
     assert after - before == set(), after - before
 
 
+def test_run_ingest_cycle_disk_state_and_replay(spark, tmp_path):
+    """The disk-state steady-state composition: three cycles through
+    parquet state (corpus/fps/index trees) equal the in-memory
+    compact_corpus chain, corpus text is never re-read (state tables
+    only), and REPLAYING a cycle id overwrites its own partition —
+    same final state, the foreachBatch crash-recovery contract."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps "
+        "running through the long meadow toward the river bank"
+    )
+    other = (
+        "completely different subject matter about integer codecs "
+        "and columnar storage layouts with delta encoding schemes"
+    )
+    third = "a wholly new third document concerning watermark state"
+    cycles = {
+        0: [(10, base), (11, other)],
+        1: [(-5, base + " qq"), (20, third), (22, other)],
+        2: [(30, third + " zz"), (31, "yet another unrelated doc body")],
+    }
+    store = str(tmp_path / "ingest_store")
+
+    def run(cid):
+        df = spark.createDataFrame(
+            cycles[cid], "doc_id long, text string"
+        )
+        return ingest.run_ingest_cycle(df, store, cid)
+
+    n0, n1, n2 = run(0), run(1), run(2)
+    # cycle 0 keeps both; cycle 1 drops -5 (near-dup of corpus 10)
+    # and 22 (exact dup of 11); cycle 2 drops 30 (near-dup of 20)
+    assert (n0, n1, n2) == (2, 1, 1), (n0, n1, n2)
+    corpus = spark.read.parquet(f"{store}/corpus")
+    kept = {r["doc_id"] for r in corpus.collect()}
+    assert kept == {10, 11, 20, 31}, kept
+
+    # in-memory chain gives the same result
+    from timebox_spark.operators import dedup as DD
+
+    c = None
+    for cid in cycles:
+        df = spark.createDataFrame(cycles[cid], "doc_id long, text string")
+        fresh = ingest.compact_corpus(df, corpus=c, near_dup=True)
+        c = fresh if c is None else c.unionByName(fresh)
+    assert {r["doc_id"] for r in c.collect()} == kept
+
+    # replay cycle 2 (crashed-attempt rerun): ignores its own partial
+    # output, overwrites its partition, state unchanged
+    assert run(2) == 1
+    corpus2 = spark.read.parquet(f"{store}/corpus")
+    assert {r["doc_id"] for r in corpus2.collect()} == kept
+    fps = spark.read.parquet(f"{store}/fps")
+    assert fps.count() == len(kept)
+    banded = spark.read.parquet(f"{store}/index/banded")
+    assert banded.count() == len(kept) * 8  # bands per doc
+    assert DD is not None
+
+
 def test_compact_corpus_id_collision_keeps_edited_reingest(spark):
     """ADVICE round 9: a batch doc that REUSES a corpus doc_id with
     different text must be judged on its OWN shingle sets — the old

@@ -1368,11 +1368,24 @@ def portable_simhash_pairs(
     )
 
 
+def corpus_fingerprints(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """The one-column (__fp) normalized-text fingerprint table of a
+    corpus — what a growing store PERSISTS alongside its documents so
+    every later ``incremental_exact_dedup`` cycle is a narrow column
+    scan instead of a corpus-text rescan."""
+    return df.select(
+        F.md5(F.encode(normalize_text(text_col), "UTF-8")).alias("__fp")
+    )
+
+
 def incremental_exact_dedup(
     new_batch: DataFrame,
     corpus: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    corpus_fps: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental ingest dedup: rows of ``new_batch`` whose
     normalized-text fingerprint appears nowhere in the existing
@@ -1382,11 +1395,16 @@ def incremental_exact_dedup(
 
     Plan: the corpus side reduces to DISTINCT fingerprints before the
     anti-join (one agg + one join, both on the md5 key — uniform by
-    construction); in production the fingerprint column is persisted
-    with the corpus, making the left side a narrow column scan."""
+    construction). Pass ``corpus_fps`` (a persisted
+    ``corpus_fingerprints`` table) to make the corpus side that
+    narrow column scan for real — ``corpus`` text is then never
+    touched."""
     fp = F.md5(F.encode(normalize_text(text_col), "UTF-8"))
     batch_fp = new_batch.withColumn("__fp", fp)
-    corpus_fp = corpus.select(fp.alias("__fp")).distinct()
+    if corpus_fps is not None:
+        corpus_fp = corpus_fps.select("__fp").distinct()
+    else:
+        corpus_fp = corpus.select(fp.alias("__fp")).distinct()
     fresh = batch_fp.join(corpus_fp, "__fp", "left_anti")
     w = Window.partitionBy("__fp").orderBy(id_col)
     return (

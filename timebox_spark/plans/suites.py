@@ -2392,7 +2392,11 @@ def q68_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b2n = evens.unionByName(near_cross).unionByName(near_intra)
     app1n = ingest.compact_corpus(b1, near_dup=True)
-    idx_path = Q._tmp("q68_corpus_index", sf_dir)
+    import hashlib as _h
+    import os as _os
+
+    tag = f"{_h.sha1(sf_dir.encode()).hexdigest()[:8]}_{_os.getpid()}"
+    idx_path = f"/tmp/timebox_spark_q68_corpus_index_{tag}"
     shutil.rmtree(idx_path, ignore_errors=True)
     DD.save_corpus_index(DD.build_corpus_index(app1n), idx_path)
     idx1 = DD.load_corpus_index(spark, idx_path)
@@ -2403,6 +2407,58 @@ def q68_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         compact_digest(app2n, "2", "compact_near")
     )
 
+    # in-stream near-dup detection ('near_hits' rows, round-9 verdict
+    # task 6): every document plus ' qq' copies of % 10 == 7 docs
+    # (ids + 3e6, later event times) flow through
+    # ingest.near_dup_hits_stream; arrival order = (ts, id) = id
+    # order by construction, so the DuckDB oracle re-derives every
+    # (doc, matched, per-band) hit from the same md5 signature family
+    # — which bands fired (v1), and the exact signature agreement
+    # (v2 = Σ est·32). Single availableNow batch: in-batch (ts, id)
+    # ordering makes the state semantics equal the global order the
+    # SQL mirrors (cross-batch state is pytest-covered).
+    nh_orig = d2.select(
+        "doc_id",
+        "text",
+        F.timestamp_millis(
+            F.lit(1_700_000_000_000) + F.col("doc_id")
+        ).alias("ts"),
+    )
+    nh_copy = d2.filter(F.col("doc_id") % 10 == 7).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" qq")).alias("text"),
+        F.timestamp_millis(
+            F.lit(1_700_000_000_000) + F.col("doc_id") + 3_000_000
+        ).alias("ts"),
+    )
+    nh_dir = f"/tmp/timebox_spark_q68_near_src_{tag}"
+    shutil.rmtree(nh_dir, ignore_errors=True)
+    nh_orig.unionByName(nh_copy).write.parquet(nh_dir)
+    nh_stream = spark.readStream.schema(
+        "doc_id long, text string, ts timestamp"
+    ).parquet(nh_dir)
+    nh_hits = ingest.near_dup_hits_stream(nh_stream, min_est=0.5)
+    nh = (
+        drain(nh_hits, "q68_near_hits_sink", "append")
+        .groupBy("doc_id", "matched_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("band").cast("long").alias("v1"),
+            F.sum(F.round(F.col("est") * 32).cast("long")).alias("v2"),
+        )
+        .select(
+            F.lit("near_hits").alias("member"),
+            F.concat_ws(
+                ":",
+                F.col("doc_id").cast("string"),
+                F.col("matched_id").cast("string"),
+            ).alias("k"),
+            "n",
+            "v1",
+            "v2",
+        )
+    )
+
     return (
         sliding.unionByName(session)
         .unionByName(dedupd)
@@ -2410,6 +2466,7 @@ def q68_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(qsketch)
         .unionByName(compact)
         .unionByName(compact_near)
+        .unionByName(nh)
     )
 
 
@@ -2595,8 +2652,53 @@ FROM (
 """
 
 
+def _q68_near_hits_sql() -> str:
+    """Oracle for the in-stream near-dup detector
+    (ingest.near_dup_hits_stream): re-derives the portable MinHash
+    signatures and band table over the SAME planted-copy construction
+    (``_mh_ctes`` — identical md5 family), then for every banded doc
+    the best EARLIER-arrival bucket-mate (signature agreement desc,
+    id asc — arrival order IS id order by construction) and keeps
+    hits whose agreement reaches min_est·num_perm. The digest pins
+    which bands fired and the exact agreement per (doc, matched)."""
+    agree = " + ".join(
+        f"(sa.h{i} = sb.h{i})::INT" for i in range(_MH_NUM_PERM)
+    )
+    min_agree = int(_MH_NUM_PERM * 0.5)
+    return f"""
+SELECT 'near_hits' AS member,
+       CAST(id_b AS VARCHAR) || ':' || CAST(id_a AS VARCHAR) AS k,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(band) AS BIGINT) AS v1,
+       CAST(sum(agree) AS BIGINT) AS v2
+FROM (
+  WITH nh_src AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 3000000, text || ' qq'
+    FROM documents WHERE doc_id % 10 = 7
+  ),
+  {_mh_ctes('nh_src', 'nh')},
+  pr AS (
+    SELECT b.doc_id AS id_b, a.doc_id AS id_a, a.band,
+           ({agree}) AS agree,
+           row_number() OVER (PARTITION BY b.doc_id, a.band
+                              ORDER BY ({agree}) DESC, a.doc_id) AS rn
+    FROM nhbanded a
+    JOIN nhbanded b ON a.band = b.band AND a.key = b.key
+                   AND a.doc_id < b.doc_id
+    JOIN nhsigs sa ON sa.doc_id = a.doc_id
+    JOIN nhsigs sb ON sb.doc_id = b.doc_id
+  )
+  SELECT id_b, id_a, band, agree FROM pr
+  WHERE rn = 1 AND agree >= {min_agree}
+) GROUP BY id_b, id_a
+"""
+
+
 _Q68_SQL += f"\nUNION ALL SELECT * FROM ({_q68_compact_sql()})"
 _Q68_SQL += f"\nUNION ALL SELECT * FROM ({_q68_compact_near_sql()})"
+_Q68_SQL += f"\nUNION ALL SELECT * FROM ({_q68_near_hits_sql()})"
 
 
 # ------------------------------------------------------------------

@@ -441,6 +441,7 @@ def compact_corpus(
     bands: int = 8,
     shingle_n: int = 5,
     corpus_index: tuple | None = None,
+    corpus_fps: DataFrame | None = None,
 ) -> DataFrame:
     """The batch half of the ingest lambda split ``curate_stream``
     documents: given the rows a streaming window accumulated
@@ -483,7 +484,10 @@ def compact_corpus(
     ``dedup.save_corpus_index`` — so a cycle never re-shingles corpus
     text; without it the index is built from ``corpus`` here
     (correct, but a corpus-sized scan — fine for tests, not for the
-    100 TB steady state). Everything is md5-portable, so the q68
+    100 TB steady state). Likewise ``corpus_fps`` (a persisted
+    ``dedup.corpus_fingerprints`` table) makes the exact-dedup side a
+    narrow column scan; with BOTH provided, corpus text is never read
+    at all (``run_ingest_cycle`` is the disk-state composition). Everything is md5-portable, so the q68
     'compact_near' oracle re-derives every kept id bit-for-bit.
 
     Nothing here is persisted/cached (round-9 verdict task 4): in the
@@ -505,7 +509,9 @@ def compact_corpus(
 
     if corpus is None:
         corpus = new_batch.limit(0)
-    kept = incremental_exact_dedup(new_batch, corpus, id_col, text_col)
+    kept = incremental_exact_dedup(
+        new_batch, corpus, id_col, text_col, corpus_fps=corpus_fps
+    )
     if not near_dup:
         return kept
     b_banded, b_sets = build_corpus_index(
@@ -561,6 +567,109 @@ def compact_corpus(
     return kept.join(dropped, id_col, "left_anti")
 
 
+def run_ingest_cycle(
+    new_batch: DataFrame,
+    store_path: str,
+    cycle_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    near_dup: bool = True,
+    threshold: float = 0.35,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 5,
+) -> int:
+    """One steady-state compaction cycle against ON-DISK corpus state
+    — the production composition the per-DataFrame pieces build up
+    to. ``store_path`` holds four parquet trees, each partitioned by
+    ``cycle={id}``:
+
+    - ``corpus/``  — the kept documents,
+    - ``fps/``     — their normalized-text fingerprints
+      (``dedup.corpus_fingerprints``),
+    - ``index/banded`` and ``index/sets`` — the near-dup index
+      (``dedup.build_corpus_index``: band table + hashed shingle
+      sets).
+
+    The cycle reads ONLY the fps and index trees (never corpus
+    text), compacts ``new_batch`` against them
+    (``compact_corpus(corpus_fps=..., corpus_index=...)``), and
+    writes the kept rows plus their fps/index increments under this
+    cycle's partition. Reads filter ``cycle < cycle_id``, so a
+    REPLAYED cycle (a crashed foreachBatch attempt rerun with the
+    same batch id) ignores its own partial output and overwrites it —
+    idempotent exactly like ``write_stream_warc``'s batch dirs; call
+    it from ``foreachBatch(lambda df, bid: run_ingest_cycle(df,
+    store, bid))`` for checkpointed exactly-once. Returns the number
+    of rows appended.
+
+    Every state table is a narrow column scan at any corpus size; the
+    only text read is the new batch's."""
+    import os
+
+    from timebox_spark.operators.dedup import (
+        build_corpus_index,
+        corpus_fingerprints,
+    )
+
+    spark = new_batch.sparkSession
+    paths = {
+        "corpus": f"{store_path}/corpus",
+        "fps": f"{store_path}/fps",
+        "banded": f"{store_path}/index/banded",
+        "sets": f"{store_path}/index/sets",
+    }
+
+    def read_prior(key: str) -> DataFrame | None:
+        p = paths[key]
+        if not os.path.isdir(p) or not any(
+            n.startswith("cycle=") for n in os.listdir(p)
+        ):
+            return None
+        df = spark.read.parquet(p)
+        return df.filter(F.col("cycle") < cycle_id).drop("cycle")
+
+    fps = read_prior("fps")
+    banded = read_prior("banded") if near_dup else None
+    sets = read_prior("sets") if near_dup else None
+    # a missing index on a near_dup cycle (first cycle, or exact-only
+    # history) still near-dedups within the batch itself: the empty
+    # index is a valid corpus index
+    if near_dup and banded is None:
+        banded, sets = build_corpus_index(
+            new_batch.limit(0), id_col, text_col, num_perm, bands, shingle_n
+        )
+    kept = compact_corpus(
+        new_batch,
+        corpus=None,
+        id_col=id_col,
+        text_col=text_col,
+        near_dup=near_dup,
+        threshold=threshold,
+        num_perm=num_perm,
+        bands=bands,
+        shingle_n=shingle_n,
+        corpus_index=(banded, sets) if near_dup else None,
+        corpus_fps=fps,
+    )
+
+    cyc = f"cycle={cycle_id}"
+    kept.write.mode("overwrite").parquet(f"{paths['corpus']}/{cyc}")
+    # re-read what was PHYSICALLY kept so fps/index derive from the
+    # committed rows (and the lineage below is a trivial scan)
+    kept_disk = spark.read.parquet(f"{paths['corpus']}/{cyc}")
+    corpus_fingerprints(kept_disk, text_col).write.mode(
+        "overwrite"
+    ).parquet(f"{paths['fps']}/{cyc}")
+    if near_dup:
+        nb, ns = build_corpus_index(
+            kept_disk, id_col, text_col, num_perm, bands, shingle_n
+        )
+        nb.write.mode("overwrite").parquet(f"{paths['banded']}/{cyc}")
+        ns.write.mode("overwrite").parquet(f"{paths['sets']}/{cyc}")
+    return kept_disk.count()
+
+
 def near_dup_hits_stream(
     stream: DataFrame,
     id_col: str = "doc_id",
@@ -612,15 +721,18 @@ def near_dup_hits_stream(
     d = stream.withColumn("__norm", normalize_text(text_col)).withColumn(
         "__sh", F.array_distinct(char_shingles("__norm", shingle_n))
     )
+    def _sig(i: int):
+        # factory, not `lambda s, i=i`: a two-parameter lambda is an
+        # (element, index) HOF lambda to PySpark — the default arg
+        # would be silently overridden by the array index column
+        return F.array_min(
+            F.transform("__sh", lambda s: _md5_u32(s, str(i)))
+        )
+
     sigs = d.select(
         id_col,
         ts_col,
-        *[
-            F.array_min(
-                F.transform("__sh", lambda s, i=i: _md5_u32(s, str(i)))
-            ).alias(f"h{i}")
-            for i in range(num_perm)
-        ],
+        *[_sig(i).alias(f"h{i}") for i in range(num_perm)],
     )
     band_structs = [
         F.struct(
