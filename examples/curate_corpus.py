@@ -125,6 +125,28 @@ def main() -> None:
         min_tokens=3,
     ).show()
 
+    # 13. token-id export: the trainer-facing artifact — BPE sub-word
+    # ids through the same vocab/id path as whitespace tokens, all
+    # JVM-side (map-literal lookup, zero Python in the plan)
+    btoks = text.apply_bpe("text", merges)
+    bvocab = text.build_vocab(docs, tokens=btoks)
+    bseqs = text.tokens_to_ids(docs, bvocab, tokens=btoks)
+    print("BPE token-id sequences (first 3 docs):")
+    bseqs.orderBy("doc_id").show(3, truncate=60)
+
+    # 14. the steady-state ingest loop: disk-backed corpus + persisted
+    # fingerprint/near-dup-index state, one compaction cycle per
+    # arriving batch — corpus text is never re-read
+    from timebox_spark.streaming import ingest
+
+    store = tempfile.mkdtemp(prefix="timebox_ingest_store_")
+    half = docs.select("doc_id", "text")
+    b0 = half.filter(F.col("doc_id") % 2 == 1)
+    b1 = half.filter(F.col("doc_id") % 2 == 0)
+    n0 = ingest.run_ingest_cycle(b0, store, 0)
+    n1 = ingest.run_ingest_cycle(b1, store, 1)
+    print(f"ingest cycles appended {n0} then {n1} docs; store at {store}")
+
     spark.stop()
 
 
