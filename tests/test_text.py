@@ -87,6 +87,46 @@ def test_shuffle_shards_deterministic_and_balanced(spark):
     assert sorted(map(tuple, a)) != sorted(map(tuple, c))
 
 
+def test_pack_token_rows_matches_python_mirror(spark):
+    """pack_token_rows materializes the fixed-budget training rows:
+    every pack's exact id content equals an independent python
+    replay of the md5-shuffled concat-and-chunk layout, each pack is
+    full except the shard's last, and empty docs shift nothing."""
+    import hashlib
+
+    from timebox_spark.operators.sampling import (
+        SHUFFLE_SEED,
+        pack_token_rows,
+    )
+
+    rows = [(i, list(range(i * 100, i * 100 + (i * 37) % 50)))
+            for i in range(20)]  # doc 0 is empty
+    df = spark.createDataFrame(rows, "doc_id long, ids array<long>")
+    got = {
+        (r["shard"], r["pack"]): list(r["ids"])
+        for r in pack_token_rows(df, budget=16, n_shards=2).collect()
+    }
+
+    def h(d):
+        return int(
+            hashlib.md5(f"{SHUFFLE_SEED}:{d}".encode()).hexdigest()[:8], 16
+        )
+
+    want = {}
+    for shard in (0, 1):
+        docs = sorted(
+            (r for r in rows if h(r[0]) % 2 == shard),
+            key=lambda r: (h(r[0]), r[0]),
+        )
+        stream = [t for _, ids in docs for t in ids]
+        for p in range((len(stream) + 15) // 16):
+            want[(shard, p)] = stream[p * 16:(p + 1) * 16]
+    assert got == want
+    for (shard, pack), ids in got.items():
+        last = max(p for s, p in got if s == shard)
+        assert len(ids) == 16 or pack == last
+
+
 def test_lang_id_ngram_goldens(spark):
     from timebox_spark.operators import text as T
 

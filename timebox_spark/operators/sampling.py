@@ -113,6 +113,78 @@ def pack_sequences(
     )
 
 
+def pack_token_rows(
+    seqs: DataFrame,
+    key: str = "doc_id",
+    ids_col: str = "ids",
+    budget: int = PACK_BUDGET,
+    n_shards: int = SHUFFLE_SHARDS,
+    seed: str = SHUFFLE_SEED,
+) -> DataFrame:
+    """The MATERIALIZED training rows ``pack_sequences`` only stamps:
+    (shard, pack, ids array<long>, n_tokens) — within each shuffled
+    shard, documents' id sequences (``tokens_to_ids`` output) are
+    concatenated in the deterministic export order and cut into
+    fixed ``budget``-token windows, documents splitting across window
+    boundaries (the GPT pretraining layout a data loader feeds the
+    trainer verbatim). Every pack holds exactly ``budget`` ids except
+    each shard's last.
+
+    Plan: NO per-token explode — each document fans out only to the
+    ≤ ceil(len/budget)+1 packs it overlaps (`sequence` over the pack
+    range), contributes the `slice` of its array landing in each, and
+    packs assemble with a (shard, pack)-keyed aggregation whose group
+    size is bounded by ``budget`` pieces (`array_sort` on the
+    stream-offset struct keeps concatenation order without a window).
+    One shuffle on the shard key + one on (shard, pack), both
+    bounded-row; the running-offset window is the same keyed cumsum
+    the shard export already runs. Empty documents contribute
+    nothing (and shift nothing). Deterministic md5 order end-to-end,
+    so the q44 'packrow' oracle re-derives every row's exact id
+    content."""
+    from pyspark.sql import Window
+
+    sharded = shuffle_shards(seqs, key, n_shards, seed)
+    nt = F.size(ids_col).cast("long")
+    w = Window.partitionBy("shard").orderBy("shuffle_h", key)
+    staged = sharded.withColumn("__before", F.sum(nt).over(w) - nt)
+    first_pack = F.floor(F.col("__before") / budget)
+    last_pack = F.floor((F.col("__before") + nt - 1) / budget)
+    spans = staged.filter(nt > 0).select(
+        "shard",
+        F.col("__before").alias("ord"),
+        F.col(ids_col).alias("__ids"),
+        F.explode(F.sequence(first_pack, last_pack)).alias("pack"),
+    )
+    lo = F.greatest(F.col("pack") * budget - F.col("ord"), F.lit(0))
+    hi = F.least(
+        (F.col("pack") + 1) * budget - F.col("ord"),
+        F.size("__ids").cast("long"),
+    )
+    pieces = spans.select(
+        "shard",
+        "pack",
+        "ord",
+        F.slice("__ids", (lo + 1).cast("int"), (hi - lo).cast("int")).alias(
+            "piece"
+        ),
+    )
+    return (
+        pieces.groupBy("shard", "pack")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ord", "piece"))
+                    ),
+                    lambda s: s["piece"],
+                )
+            ).alias("ids")
+        )
+        .withColumn("n_tokens", F.size("ids").cast("long"))
+    )
+
+
 def shuffle_shards(
     df: DataFrame,
     key: str,

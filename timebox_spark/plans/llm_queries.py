@@ -766,12 +766,38 @@ def q44_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_sum",
         )
     )
+    # materialized packed training rows (sampling.pack_token_rows over
+    # tokens_to_ids output): one row per (shard, pack) pinning the
+    # pack's EXACT id content — n = token count, min_id = pack id,
+    # id_sum = the positional token-id digest (Σ ((id+1)%P)·(pos%P)
+    # mod Q over 1-based within-pack positions). Move any token across
+    # a window boundary, remap any id, or reorder any document and
+    # the digest breaks.
+    from timebox_spark.operators.sampling import pack_token_rows
+
+    vocab = text.build_vocab(docs)
+    seqs = text.tokens_to_ids(docs, vocab)
+    packed = pack_token_rows(seqs)
+    packrows = text.token_id_digest(
+        packed, id_col="shard", keep=("pack", "n_tokens")
+    ).select(
+        F.concat(
+            F.lit("packrow"),
+            F.col("shard").cast("string"),
+            F.lit(":"),
+            F.col("pack").cast("string"),
+        ).alias("split"),
+        F.col("n_tokens").alias("n"),
+        F.col("pack").cast("long").alias("min_id"),
+        F.col("dg").alias("id_sum"),
+    )
     return (
         splits.unionByName(shards)
         .unionByName(packs)
         .unionByName(mixes)
         .unionByName(dsir)
         .unionByName(caps)
+        .unionByName(packrows)
     )
 
 
@@ -794,13 +820,40 @@ WITH b AS (
          length(regexp_extract_all(text, '{text.TOKEN_RE}')) AS nt,
          ('0x' || substr(md5('{SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
   FROM documents
-), r AS (
+), r0 AS (
   SELECT doc_id, h, nt, h % {SHUFFLE_SHARDS} AS shard,
          row_number() OVER w AS pos,
          COALESCE(SUM(nt) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           // {PACK_BUDGET} AS pack
+           AS before
   FROM s
   WINDOW w AS (PARTITION BY h % {SHUFFLE_SHARDS} ORDER BY h, doc_id)
+), r AS (
+  SELECT *, before // {PACK_BUDGET} AS pack FROM r0
+), ptc AS (
+  SELECT t, count(*) AS n FROM (
+    SELECT unnest(regexp_extract_all(text, '{text.TOKEN_RE}')) AS t
+    FROM documents
+  ) GROUP BY t
+), pvc AS (
+  SELECT t, id FROM (
+    SELECT t, n, row_number() OVER (ORDER BY n DESC, t) AS id FROM ptc
+  ) WHERE id <= {text.VOCAB_EXPORT_MAX}
+), ptk AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '{text.TOKEN_RE}')) AS t,
+         generate_subscripts(regexp_extract_all(text, '{text.TOKEN_RE}'), 1)
+           AS tpos
+  FROM documents
+), pti AS (
+  SELECT k.doc_id, k.tpos, coalesce(v.id, 0) AS tid
+  FROM ptk k LEFT JOIN pvc v ON v.t = k.t
+), pstream AS (
+  SELECT r.shard, r.before + d.tpos - 1 AS gpos, d.tid
+  FROM r JOIN pti d ON d.doc_id = r.doc_id
+), prow AS (
+  SELECT shard, gpos // {PACK_BUDGET} AS pack,
+         gpos % {PACK_BUDGET} AS poff, tid
+  FROM pstream
 )
 SELECT CASE WHEN bucket < 80 THEN 'train'
             WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
@@ -893,6 +946,13 @@ FROM (
                             ORDER BY length(text) DESC, doc_id) AS rn
   FROM documents
 ) WHERE rn <= {_CAP_K} GROUP BY 1
+UNION ALL
+SELECT 'packrow' || CAST(shard AS VARCHAR) || ':' || CAST(pack AS VARCHAR),
+       CAST(count(*) AS BIGINT),
+       CAST(pack AS BIGINT),
+       CAST(sum(((tid + 1) % {text._TOKID_P}) * ((poff + 1) % {text._TOKID_P})
+                % {text._TOKID_Q}) AS BIGINT)
+FROM prow GROUP BY shard, pack
 """
 
 
