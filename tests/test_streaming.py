@@ -676,6 +676,58 @@ def test_compact_corpus_leaves_no_cached_rdds(spark):
     assert after - before == set(), after - before
 
 
+def test_curate_and_ingest_stream_end_to_end(spark, tmp_path):
+    """The full streaming entrypoint: two micro-batches of raw docs
+    flow through curation gates into the disk-backed store; an exact
+    dup and a near dup of batch-1 survivors arriving in batch 2 are
+    compacted away, and the final corpus equals the batch-mode
+    derivation (curate → two-cycle compact chain)."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps "
+        "running through the long meadow toward the river bank"
+    )
+    other = (
+        "completely different subject matter about integer codecs "
+        "and columnar storage layouts with delta encoding schemes"
+    )
+    batch1 = [(10, base, "en"), (11, other, "en"),
+              (12, "short", "en"),                     # gated: too few tokens
+              (13, base + " aber auf deutsch bitte", "de")]  # gated: lang
+    batch2 = [(20, base + " qq", "en"),                # near dup of 10
+              (21, other, "en"),                       # exact dup of 11
+              (22, "a wholly new third document concerning state "
+                   "stores and watermark semantics in streams", "en")]
+    src = str(tmp_path / "raw_docs")
+    for i, b in enumerate((batch1, batch2)):
+        spark.createDataFrame(
+            b, "doc_id long, text string, lang string"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(src)
+    store = str(tmp_path / "store")
+    q = ingest.curate_and_ingest_stream(
+        stream, store, str(tmp_path / "ck_cai"),
+        min_quality_q=0, min_tokens=6,
+    ).start()
+    q.awaitTermination()
+
+    kept = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{store}/corpus").collect()
+    }
+    # 12 gated (tokens), 13 gated (lang-id), 21 exact dup, 20 near dup
+    assert kept == {10, 11, 22}, kept
+
+
 def test_run_ingest_cycle_disk_state_and_replay(spark, tmp_path):
     """The disk-state steady-state composition: three cycles through
     parquet state (corpus/fps/index trees) equal the in-memory

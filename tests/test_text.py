@@ -1518,6 +1518,32 @@ def test_tokens_to_ids_is_jvm_only(spark):
         assert marker not in plan, plan
 
 
+def test_tokenizer_save_load_roundtrip(spark, tmp_path):
+    """The tokenizer artifact (merges + vocab manifest) round-trips
+    through JSON: loaded merges tokenize identically and the loaded
+    vocab produces bit-identical id sequences."""
+    from timebox_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(0, "low lower lowest"), (1, "low low newest")],
+        "doc_id long, text string",
+    )
+    merges, _ = T.bpe_train(df, n_merges=3)
+    btoks = T.apply_bpe("text", merges)
+    vocab = T.build_vocab(df, tokens=btoks)
+    want = {r["doc_id"]: list(r["ids"])
+            for r in T.tokens_to_ids(df, vocab, tokens=btoks).collect()}
+
+    path = str(tmp_path / "tok" / "tokenizer.json")
+    T.save_tokenizer(merges, vocab, path)
+    merges2, vocab2 = T.load_tokenizer(spark, path)
+    assert merges2 == merges
+    btoks2 = T.apply_bpe("text", merges2)
+    got = {r["doc_id"]: list(r["ids"])
+           for r in T.tokens_to_ids(df, vocab2, tokens=btoks2).collect()}
+    assert got == want
+
+
 def test_tokens_to_ids_bpe_composition(spark):
     """Round-9 verdict task 1b: apply_bpe output feeds build_vocab /
     tokens_to_ids via the ``tokens`` parameter — BPE sub-word ids

@@ -1793,6 +1793,51 @@ def tokens_to_ids(
     )
 
 
+def save_tokenizer(merges, vocab: DataFrame, path: str) -> None:
+    """Persist the tokenizer artifact — the BPE merge list in
+    training order plus the contiguous-id vocab manifest — as one
+    JSON file (tmp+rename atomic). Both halves are bounded by
+    construction (N merges, ≤ ``max_vocab`` manifest rows), so this
+    is a driver-side write of the SAME literals the Spark plans
+    embed; the trainer side reads it without any engine."""
+    import json
+    import os
+
+    rows = [
+        [r["t"], int(r["n"]), int(r["id"])]
+        for r in vocab.orderBy("id").collect()
+    ]
+    payload = {
+        "merges": [[a, b, int(n)] for a, b, n in merges],
+        "vocab": rows,
+        "unk_id": TOKID_UNK,
+    }
+    parent = os.path.dirname(path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(payload, fh, ensure_ascii=False)
+    os.replace(tmp, path)
+
+
+def load_tokenizer(spark, path: str):
+    """Load a ``save_tokenizer`` artifact: returns (merges, vocab)
+    where merges is the [(a, b, count), ...] list ``apply_bpe``
+    consumes and vocab is the (t, n, id) DataFrame
+    ``tokens_to_ids`` consumes."""
+    import json
+
+    with open(path, encoding="utf-8") as fh:
+        payload = json.load(fh)
+    merges = [(a, b, int(n)) for a, b, n in payload["merges"]]
+    vocab = spark.createDataFrame(
+        [(t, int(n), int(i)) for t, n, i in payload["vocab"]],
+        "t string, n long, id long",
+    )
+    return merges, vocab
+
+
 def export_token_shards(
     df: DataFrame,
     vocab: DataFrame,

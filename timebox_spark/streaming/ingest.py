@@ -567,6 +567,58 @@ def compact_corpus(
     return kept.join(dropped, id_col, "left_anti")
 
 
+def curate_and_ingest_stream(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    langs: tuple[str, ...] = ("en",),
+    min_quality_q: int = 500_000,
+    min_tokens: int = 10,
+    classifier_min_score: int | None = None,
+    near_dup: bool = True,
+    threshold: float = 0.35,
+):
+    """The end-to-end streaming ingest entrypoint: raw document
+    stream → ``curate_stream``'s stateless annotate/gate/redact →
+    per-micro-batch ``run_ingest_cycle`` against the disk-backed
+    corpus store (exact + near-dup compaction over persisted
+    fps/index state; corpus text never re-read). The micro-batch id
+    is the cycle id, so a replayed batch overwrites its own
+    partitions — exactly-once end to end through the checkpoint.
+    Returns the unstarted writer (``.start()`` to run;
+    ``trigger(availableNow=True)`` preset for drain-style use)."""
+    curated = curate_stream(
+        stream,
+        id_col=id_col,
+        text_col=text_col,
+        langs=langs,
+        min_quality_q=min_quality_q,
+        min_tokens=min_tokens,
+        classifier_min_score=classifier_min_score,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        run_ingest_cycle(
+            batch_df.select(id_col, text_col),
+            store_path,
+            int(batch_id),
+            id_col=id_col,
+            text_col=text_col,
+            near_dup=near_dup,
+            threshold=threshold,
+        )
+
+    return (
+        curated.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
 def run_ingest_cycle(
     new_batch: DataFrame,
     store_path: str,
