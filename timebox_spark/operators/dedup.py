@@ -399,6 +399,14 @@ def minhash_dedup(
     same kernel (``emit_sets``), persisted once; banding reads the
     sig columns, verify joins the set column — the corpus text is
     tokenized exactly once end-to-end.
+
+    Cache lifecycle (caller contract): this is a BATCH utility — its
+    persists are plan-keyed cache entries (repeat invocations of the
+    same query reuse, never accumulate) dropped at session end. A
+    long-lived driver compacting many corpora should either call
+    ``spark.catalog.clearCache()`` between corpora or use the
+    streaming compactor path (``streaming.ingest.compact_corpus``),
+    which persists nothing per cycle by design.
     """
     if bands is None:
         bands, _rows = lsh_tuning(threshold, num_hashes, bias="precision")

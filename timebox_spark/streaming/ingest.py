@@ -830,17 +830,18 @@ def near_dup_hits_stream(
         hits_id, hits_m, hits_e = [], [], []
         for _, row in rows.iterrows():
             sig = np.asarray(row["__sig"], dtype=np.int64)
-            best_est, best_id = 0.0, None
-            for mid, msig in zip(ids, stored):
-                est = float((sig == msig).mean())
-                if est > best_est or (
-                    est == best_est and best_id is not None and mid < best_id
-                ):
-                    best_est, best_id = est, mid
-            if best_id is not None and best_est >= min_est:
-                hits_id.append(int(row[id_col]))
-                hits_m.append(int(best_id))
-                hits_e.append(best_est)
+            if ids:
+                # vectorized agreement against the whole bucket state;
+                # tie rule = (est desc, matched id asc), mirrored by
+                # the q68 oracle's (agree DESC, doc_id ASC) rank
+                ests = (np.stack(stored) == sig).mean(axis=1)
+                best = float(ests.max())
+                if best >= min_est:
+                    hits_id.append(int(row[id_col]))
+                    hits_m.append(
+                        min(ids[j] for j in np.flatnonzero(ests == best))
+                    )
+                    hits_e.append(best)
             ids.append(int(row[id_col]))
             stored.append(sig)
         state.update(([int(i) for i in ids], [[int(x) for x in s] for s in stored]))
