@@ -1518,6 +1518,30 @@ def test_tokens_to_ids_is_jvm_only(spark):
         assert marker not in plan, plan
 
 
+def test_tokens_to_ids_join_path_equals_literal_path(spark):
+    """The broadcast-join strategy (production-size vocabs above the
+    literal threshold) produces bit-identical sequences to the
+    plan-literal probe — including OOV mapping, empty docs, and
+    within-doc order."""
+    from timebox_spark.operators import text as T
+
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the dog sat"),
+        (2, ""),
+        (3, "unseen zebra the"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab = T.build_vocab(df, max_vocab=4)
+    lit = {r["doc_id"]: (list(r["ids"]), r["n_tokens"], r["n_oov"])
+           for r in T.tokens_to_ids(df, vocab).collect()}
+    jn = {r["doc_id"]: (list(r["ids"]), r["n_tokens"], r["n_oov"])
+          for r in T.tokens_to_ids(df, vocab, literal_max=0).collect()}
+    assert jn == lit
+    assert jn[2] == ([], 0, 0)
+    assert jn[3][2] == 2  # OOV accounting survives the join path
+
+
 def test_tokenizer_save_load_roundtrip(spark, tmp_path):
     """The tokenizer artifact (merges + vocab manifest) round-trips
     through JSON: loaded merges tokenize identically and the loaded

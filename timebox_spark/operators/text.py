@@ -1746,43 +1746,98 @@ def build_vocab(
     return top.withColumn("id", F.row_number().over(w).cast("long"))
 
 
+# above this many manifest rows, tokens_to_ids switches from the
+# plan-literal map probe to a broadcast join — a 100k-entry literal
+# would bloat every task binary and the Catalyst tree
+TOKID_LITERAL_MAX = 4096
+
+
 def tokens_to_ids(
     df: DataFrame,
     vocab: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     tokens: Column | None = None,
+    literal_max: int = TOKID_LITERAL_MAX,
 ) -> DataFrame:
     """(id, ids array<long>, n_tokens, n_oov): every document's exact
-    token-id sequence, entirely JVM-side. The (bounded, ≤``max_vocab``
-    by ``build_vocab`` construction) manifest is collected once and
-    shipped as a ``map_from_arrays`` PLAN LITERAL; the per-token
-    lookup is ``transform(toks, t -> coalesce(try_element_at(vmap,
-    t), 0))`` — map-only, no shuffle, zero Python in the executor
-    path (the round-9 ``weak``: the old Arrow kernel looped per
-    token in Python). ``try_element_at`` (not ``element_at``/``[]``)
-    because ANSI mode throws on missing map keys. OOV → ``TOKID_UNK``.
+    token-id sequence, entirely JVM-side, OOV → ``TOKID_UNK``.
+
+    Two physical strategies with identical results, chosen by vocab
+    size (``literal_max`` boundary):
+
+    - **literal** (small manifests, e.g. ``build_vocab``'s ≤512): the
+      manifest ships as a ``map_from_arrays`` PLAN LITERAL and the
+      per-token lookup is ``transform(toks, t ->
+      coalesce(try_element_at(vmap, t), 0))`` — map-only, no shuffle,
+      zero Python (the round-9 ``weak``: the old Arrow kernel looped
+      per token in Python). ``try_element_at`` because ANSI mode
+      throws on missing map keys.
+    - **join** (production vocabs, 32k–100k+): posexplode tokens →
+      broadcast hash join against the vocab table → re-assemble the
+      sequence with a doc-keyed ``array_sort(collect_list(struct(pos,
+      id)))`` (group size = one document's tokens). One exchange on
+      the doc key, vocab never collected to a literal — the standard
+      shape at any corpus size.
 
     ``tokens`` overrides the whitespace/regex tokenizer with any
     ``array<string>`` column (e.g. ``apply_bpe`` output), so BPE ids
     export through the same path as whitespace ids."""
-    rows = vocab.select("t", "id").collect()
     toks = tokens if tokens is not None else _tokens(text_col)
     unk = F.lit(TOKID_UNK).cast("long")
-    if rows:
-        vmap = F.map_from_arrays(
-            F.lit([r["t"] for r in rows]),
-            F.lit([int(r["id"]) for r in rows]),
+    head = vocab.select("t", "id").limit(literal_max + 1).collect()
+    if len(head) > literal_max:
+        ex = df.select(
+            F.col(id_col), F.posexplode_outer(toks).alias("__pos", "__t")
         )
-        ids = F.transform(
-            toks, lambda t: F.coalesce(F.try_element_at(vmap, t), unk)
+        joined = ex.join(
+            F.broadcast(
+                vocab.select(F.col("t").alias("__t"), F.col("id").alias("__vid"))
+            ),
+            "__t",
+            "left",
+        )
+        seqs = joined.groupBy(id_col).agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        # posexplode_outer emits one (null, null) row
+                        # for an empty array so empty docs survive;
+                        # filter it back out of the sequence here
+                        F.when(
+                            F.col("__pos").isNotNull(),
+                            F.struct(
+                                F.col("__pos"),
+                                F.coalesce(F.col("__vid").cast("long"), unk)
+                                .alias("__vid"),
+                            ),
+                        )
+                    )
+                ),
+                lambda s: s["__vid"],
+            ).alias("ids")
+        )
+        out = df.select(id_col).join(seqs, id_col, "left").select(
+            id_col,
+            F.coalesce("ids", F.array().cast("array<long>")).alias("ids"),
         )
     else:
-        ids = F.transform(toks, lambda t: unk)
-    # two-step select: `ids` is referenced three times downstream and
-    # is expensive (regex tokenize + map probe); aliasing it in its
-    # own projection keeps CollapseProject from inlining it 3×
-    out = df.select(F.col(id_col), ids.alias("ids"))
+        rows = head
+        if rows:
+            vmap = F.map_from_arrays(
+                F.lit([r["t"] for r in rows]),
+                F.lit([int(r["id"]) for r in rows]),
+            )
+            ids = F.transform(
+                toks, lambda t: F.coalesce(F.try_element_at(vmap, t), unk)
+            )
+        else:
+            ids = F.transform(toks, lambda t: unk)
+        # two-step select: `ids` is referenced three times downstream
+        # and is expensive (regex tokenize + map probe); aliasing it
+        # in its own projection keeps CollapseProject from inlining
+        # it 3×
+        out = df.select(F.col(id_col), ids.alias("ids"))
     return out.select(
         id_col,
         "ids",
