@@ -1518,6 +1518,52 @@ def test_tokens_to_ids_is_jvm_only(spark):
         assert marker not in plan, plan
 
 
+def test_export_packed_shards_roundtrip(spark, tmp_path):
+    """The packed training set survives the parquet round trip: the
+    read-back rows equal pack_token_rows' in-memory result, every
+    shard is its own partition directory, and BPE ids flow through
+    export_token_shards' tokens passthrough."""
+    from timebox_spark.operators import text as T
+    from timebox_spark.operators.sampling import (
+        export_packed_shards,
+        pack_token_rows,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i} body " + "word " * (i % 7)) for i in range(12)],
+        "doc_id long, text string",
+    )
+    vocab = T.build_vocab(df)
+    seqs = T.tokens_to_ids(df, vocab)
+    want = {
+        (r["shard"], r["pack"]): list(r["ids"])
+        for r in pack_token_rows(seqs, budget=8, n_shards=2).collect()
+    }
+    path = str(tmp_path / "packed")
+    back = export_packed_shards(seqs, path, budget=8, n_shards=2)
+    got = {
+        (r["shard"], r["pack"]): list(r["ids"]) for r in back.collect()
+    }
+    assert got == want
+
+    import os
+
+    assert sorted(
+        n for n in os.listdir(path) if n.startswith("shard=")
+    ) == ["shard=0", "shard=1"]
+
+    # BPE passthrough on the per-doc shard exporter
+    merges, _ = T.bpe_train(df, n_merges=2)
+    btoks = T.apply_bpe("text", merges)
+    bvocab = T.build_vocab(df, tokens=btoks)
+    out = T.export_token_shards(
+        df, bvocab, str(tmp_path / "bpe_shards"), n_shards=2, tokens=btoks
+    )
+    bwant = {r["doc_id"]: list(r["ids"])
+             for r in T.tokens_to_ids(df, bvocab, tokens=btoks).collect()}
+    assert {r["doc_id"]: list(r["ids"]) for r in out.collect()} == bwant
+
+
 def test_tokens_to_ids_join_path_equals_literal_path(spark):
     """The broadcast-join strategy (production-size vocabs above the
     literal threshold) produces bit-identical sequences to the

@@ -185,6 +185,31 @@ def pack_token_rows(
     )
 
 
+def export_packed_shards(
+    seqs: DataFrame,
+    path: str,
+    key: str = "doc_id",
+    ids_col: str = "ids",
+    budget: int = PACK_BUDGET,
+    n_shards: int = SHUFFLE_SHARDS,
+    seed: str = SHUFFLE_SEED,
+) -> DataFrame:
+    """Write ``pack_token_rows`` output as the on-disk training set:
+    (shard, pack, ids, n_tokens) parquet partitioned by shard — each
+    shard directory is one data-loader stream of fixed-budget rows in
+    ``pack`` order. Returns the read-back DataFrame so callers can
+    digest what was physically persisted."""
+    packed = pack_token_rows(seqs, key, ids_col, budget, n_shards, seed)
+    (
+        packed.repartition("shard")
+        .sortWithinPartitions("pack")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    return seqs.sparkSession.read.parquet(path)
+
+
 def shuffle_shards(
     df: DataFrame,
     key: str,

@@ -1900,14 +1900,16 @@ def export_token_shards(
     n_shards: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokens: Column | None = None,
 ) -> DataFrame:
     """Write the id sequences as a sharded training-ready parquet
     corpus: (doc_id, shard, ids array<long>), one file set per shard
     via partitionBy — the layout a data loader streams. Shard =
-    md5(doc_id) mod n_shards (deterministic, size-balanced). Returns
-    the read-back DataFrame so callers can digest what was actually
-    persisted."""
-    seqs = tokens_to_ids(df, vocab, id_col, text_col).withColumn(
+    md5(doc_id) mod n_shards (deterministic, size-balanced).
+    ``tokens`` passes through to ``tokens_to_ids`` so BPE ids export
+    the same way. Returns the read-back DataFrame so callers can
+    digest what was actually persisted."""
+    seqs = tokens_to_ids(df, vocab, id_col, text_col, tokens).withColumn(
         "shard",
         (
             F.conv(
