@@ -1759,9 +1759,17 @@ def tokens_to_ids(
     text_col: str = "text",
     tokens: Column | None = None,
     literal_max: int = TOKID_LITERAL_MAX,
+    vocab_size: int | None = None,
 ) -> DataFrame:
     """(id, ids array<long>, n_tokens, n_oov): every document's exact
     token-id sequence, entirely JVM-side, OOV → ``TOKID_UNK``.
+
+    ``vocab_size`` is a caller hint (``build_vocab``'s output is
+    bounded by its ``max_vocab`` argument, known statically at every
+    call site): when it exceeds ``literal_max`` the strategy probe —
+    an eager ``limit(literal_max+1).collect()`` that executes the
+    vocab plan — is skipped entirely and the join path runs without
+    ever collecting the manifest.
 
     Two physical strategies with identical results, chosen by vocab
     size (``literal_max`` boundary):
@@ -1785,8 +1793,11 @@ def tokens_to_ids(
     export through the same path as whitespace ids."""
     toks = tokens if tokens is not None else _tokens(text_col)
     unk = F.lit(TOKID_UNK).cast("long")
-    head = vocab.select("t", "id").limit(literal_max + 1).collect()
-    if len(head) > literal_max:
+    if vocab_size is not None and vocab_size > literal_max:
+        head = None  # join path decided statically: no probe job
+    else:
+        head = vocab.select("t", "id").limit(literal_max + 1).collect()
+    if head is None or len(head) > literal_max:
         ex = df.select(
             F.col(id_col), F.posexplode_outer(toks).alias("__pos", "__t")
         )
@@ -1833,6 +1844,10 @@ def tokens_to_ids(
             )
         else:
             ids = F.transform(toks, lambda t: unk)
+        # NULL tokens (e.g. NULL text) → empty sequence, matching the
+        # join path — the two strategies must be result-identical or
+        # a vocab-size change would silently alter the output
+        ids = F.coalesce(ids, F.array().cast("array<long>"))
         # two-step select: `ids` is referenced three times downstream
         # and is expensive (regex tokenize + map probe); aliasing it
         # in its own projection keeps CollapseProject from inlining

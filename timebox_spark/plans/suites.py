@@ -15,6 +15,7 @@ exercise identical code paths.
 
 from __future__ import annotations
 
+import os
 import shutil
 from collections.abc import Callable
 
@@ -2024,7 +2025,10 @@ def _stage_stream_input(
     import os
     import time
 
-    src = Q._tmp("stream_src", sf_dir) + ("_s" if sentinel else "")
+    src = (
+        f"{Q._tmp('stream_src', sf_dir)}_{os.getpid()}"
+        + ("_s" if sentinel else "")
+    )
     events = load(spark, sf_dir, "events").select(
         "ts", "event_id", "user_id", "event_type", "value"
     )
@@ -2077,7 +2081,7 @@ def q65_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from timebox_spark.streaming import ingest
 
     src = _stage_stream_input(spark, sf_dir, n_files=8, sentinel=True)
-    ckpt = Q._tmp("stream_hourly_ckpt", sf_dir)
+    ckpt = f"{Q._tmp('stream_hourly_ckpt', sf_dir)}_{os.getpid()}"
     shutil.rmtree(ckpt, ignore_errors=True)  # fresh drain each run
     stream = ingest.read_event_stream(spark, src, max_files_per_trigger=2)
     rolled = ingest.hourly_rollup(stream, watermark="1 hour", window="1 hour")
@@ -2104,7 +2108,7 @@ def q66_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from timebox_spark.streaming import ingest
 
     src = _stage_stream_input(spark, sf_dir, n_files=8)
-    ckpt = Q._tmp("stream_join_ckpt", sf_dir)
+    ckpt = f"{Q._tmp('stream_join_ckpt', sf_dir)}_{os.getpid()}"
     shutil.rmtree(ckpt, ignore_errors=True)
     clicks = ingest.read_event_stream(spark, src).filter(
         F.col("event_type") == "click"
@@ -2159,7 +2163,7 @@ def q67_stream_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from timebox_spark.streaming import ingest
 
     src = _stage_stream_input(spark, sf_dir, n_files=8)
-    ckpt = Q._tmp("stream_zscore_ckpt", sf_dir)
+    ckpt = f"{Q._tmp('stream_zscore_ckpt', sf_dir)}_{os.getpid()}"
     shutil.rmtree(ckpt, ignore_errors=True)
     stream = ingest.read_event_stream(spark, src).withColumn(
         "value", F.round(F.col("value") * 1000).cast("long").cast("double")
@@ -2229,7 +2233,12 @@ def q68_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _stage_stream_input(spark, sf_dir, n_files=8, sentinel=True)
 
     def drain(df, name, mode):
-        ckpt = Q._tmp(f"{name}_ckpt", sf_dir)
+        # per-(sf_dir, pid) checkpoint: deterministic reruns in one
+        # process overwrite, concurrent processes (pytest alongside
+        # the driver) never rmtree each other's mid-drain state
+        import os as _os
+
+        ckpt = f"{Q._tmp(f'{name}_ckpt', sf_dir)}_{_os.getpid()}"
         shutil.rmtree(ckpt, ignore_errors=True)
         ingest.run_to_memory(df, name, mode, ckpt)
         return spark.table(name)

@@ -657,7 +657,7 @@ def run_ingest_cycle(
 
     Every state table is a narrow column scan at any corpus size; the
     only text read is the new batch's."""
-    import os
+    from pyspark.errors import AnalysisException
 
     from timebox_spark.operators.dedup import (
         build_corpus_index,
@@ -673,12 +673,15 @@ def run_ingest_cycle(
     }
 
     def read_prior(key: str) -> DataFrame | None:
-        p = paths[key]
-        if not os.path.isdir(p) or not any(
-            n.startswith("cycle=") for n in os.listdir(p)
-        ):
+        # probe through Spark's reader, not driver-local os.path — the
+        # store may live on HDFS/S3, where a local isdir() is always
+        # False and would silently skip corpus dedup every cycle
+        try:
+            df = spark.read.parquet(paths[key])
+        except AnalysisException:
+            return None  # tree doesn't exist yet (first cycle)
+        if "cycle" not in df.columns:
             return None
-        df = spark.read.parquet(p)
         return df.filter(F.col("cycle") < cycle_id).drop("cycle")
 
     fps = read_prior("fps")
@@ -733,11 +736,21 @@ def near_dup_hits_stream(
     shingle_n: int = 5,
     min_est: float = 0.5,
     state_ttl_ms: int = 3_600_000,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Round-9 verdict task 6 — the stream half of near-dup
     detection: banded-MinHash state WITHIN the watermark, so a near
     copy arriving in the same ingest window is flagged immediately
     instead of waiting for the batch compactor.
+
+    ``max_bucket`` bounds a bucket's stored signatures: arrivals
+    beyond the cap are still CHECKED against the stored prefix (a
+    duplicate flood's copies all match the cluster's earliest docs,
+    which are exactly what the prefix holds) but not added, so a
+    10k-copy crawl burst costs O(copies · max_bucket) comparisons and
+    O(max_bucket) state instead of O(copies²) / O(copies). Default
+    None keeps the exact all-earlier-arrivals semantics the q68
+    oracle re-derives; production streams should set it (~256).
 
     The portable signature family (same md5 hash family as
     ``dedup.portable_minhash_index``, bit-identical values) is
@@ -770,8 +783,16 @@ def near_dup_hits_stream(
     if num_perm % bands:
         raise ValueError("num_perm must divide into bands")
     r = num_perm // bands
-    d = stream.withColumn("__norm", normalize_text(text_col)).withColumn(
-        "__sh", F.array_distinct(char_shingles("__norm", shingle_n))
+    d = (
+        stream.withColumn("__norm", normalize_text(text_col))
+        .withColumn(
+            "__sh", F.array_distinct(char_shingles("__norm", shingle_n))
+        )
+        # NULL text → NULL shingles → all-NULL signatures, which the
+        # state kernel cannot compare (and the batch index silently
+        # drops such docs: explode of NULL emits nothing) — mirror
+        # the batch family by dropping them here too
+        .filter(F.col("__sh").isNotNull())
     )
     def _sig(i: int):
         # factory, not `lambda s, i=i`: a two-parameter lambda is an
@@ -842,8 +863,9 @@ def near_dup_hits_stream(
                         min(ids[j] for j in np.flatnonzero(ests == best))
                     )
                     hits_e.append(best)
-            ids.append(int(row[id_col]))
-            stored.append(sig)
+            if max_bucket is None or len(ids) < max_bucket:
+                ids.append(int(row[id_col]))
+                stored.append(sig)
         state.update(([int(i) for i in ids], [[int(x) for x in s] for s in stored]))
         ts_max_ms = int(rows[ts_col].max().value // 1_000_000)
         wm = state.getCurrentWatermarkMs()
