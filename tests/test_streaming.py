@@ -446,6 +446,51 @@ def test_near_dup_hits_stream_flags_planted_copy(spark, tmp_path):
     assert all(r["matched_id"] == 1 and r["est"] >= 0.5 for r in got)
 
 
+def test_near_dup_hits_stream_bucket_cap_and_null_text(spark, tmp_path):
+    """max_bucket=1 stores only each bucket's first arrival, yet later
+    flood copies still hit against that prefix; a NULL-text row is
+    dropped before banding instead of crashing the state kernel."""
+    import datetime as dt
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps "
+        "running through the long meadow toward the river bank"
+    )
+    t0 = dt.datetime(2025, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base, t0),
+        (2, None, t0 + dt.timedelta(seconds=1)),
+        (3, base + " qq", t0 + dt.timedelta(seconds=2)),
+        (4, base + " zz", t0 + dt.timedelta(seconds=3)),
+    ]
+    src = str(tmp_path / "cap_src")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, ts timestamp"
+    ).coalesce(1).write.parquet(src)
+
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(src)
+    hits = ingest.near_dup_hits_stream(stream, min_est=0.5, max_bucket=1)
+    ingest.run_to_memory(hits, "cap_hits_t", "append", str(tmp_path / "ck_cap"))
+    got = spark.table("cap_hits_t").collect()
+    flagged = {r["doc_id"] for r in got}
+    assert flagged == {3, 4}, flagged
+    # the cap is per BUCKET: doc 3 always matches the globally-first
+    # doc 1; doc 4 matches doc 1 in buckets they share, and may match
+    # doc 3 only in a bucket where 3 (not 1) was the first arrival
+    assert all(r["matched_id"] == 1 for r in got if r["doc_id"] == 3)
+    assert {r["matched_id"] for r in got if r["doc_id"] == 4} <= {1, 3}
+    assert any(r["matched_id"] == 1 for r in got if r["doc_id"] == 4)
+
+
 def test_write_stream_warc_gz_roundtrip(spark, tmp_path):
     """Round-9 verdict task 7: draining a document stream through the
     checkpointed WARC sink produces per-batch .warc.gz shard sets
