@@ -645,6 +645,39 @@ def test_compact_corpus_near_dup_drops_planted_neighbors(spark):
     assert kept_exact == {-5, 20, 21}, kept_exact
 
 
+def test_compact_corpus_cluster_keep_one_vs_chain(spark):
+    """keep='cluster' vs the default chain-drop on a planted A~B~C
+    chain (A in corpus, B bridges A and C, C matches B but not A):
+    chain drops both B and C; cluster drops B (corpus match) and
+    KEEPS C — it matches nothing kept. An independent doc rides
+    along untouched in both modes."""
+    import random
+
+    rng = random.Random(7)
+    words = [f"w{rng.randrange(10**6):06d}" for _ in range(220)]
+    x, y = words[:50], words[50:100]       # A = X ∪ Y
+    p = words[100:130]                     # B = A + P
+    a_text = " ".join(x + y)
+    b_text = " ".join(x + y + p)
+    c_text = " ".join(y + p)               # C = Y ∪ P: close to B, far from A
+    other = " ".join(words[130:220])
+
+    corpus = spark.createDataFrame(
+        [(1, a_text), (2, other)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(10, b_text), (11, c_text)], "doc_id long, text string"
+    )
+    kw = dict(corpus=corpus, near_dup=True, threshold=0.5,
+              num_perm=32, bands=16)
+    chain = {r["doc_id"] for r in ingest.compact_corpus(
+        batch, keep="chain", **kw).collect()}
+    cluster = {r["doc_id"] for r in ingest.compact_corpus(
+        batch, keep="cluster", **kw).collect()}
+    assert chain == set(), chain          # B corpus-dropped, C chained away
+    assert cluster == {11}, cluster       # C matches nothing kept
+
+
 def test_corpus_index_save_load_survives_restart(spark, tmp_path):
     """Round-9 verdict task 2: the corpus index persists to parquet
     as (banded, HASHED sets — array<long>, signature-sized, never raw

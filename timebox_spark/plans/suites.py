@@ -992,6 +992,10 @@ SELECT 'lsh', id_a, id_b, cosine_q FROM ({_q27_lsh_sql()})
 _MH_THRESHOLD = 0.35
 _MH_NUM_PERM = 32
 _MH_BANDS = 8
+# q68 'keep1' member: planted-chain suffix + its banding/threshold
+_KEEP1_SUFFIX = " " + " ".join(f"kq{i}" for i in range(30))
+_KEEP1_THRESHOLD = 0.5
+_KEEP1_BANDS = 16
 _SH_MAX_HAMMING = 3
 
 
@@ -1026,13 +1030,14 @@ def q25_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mh.unionByName(sh)
 
 
-def _mh_ctes(src: str, pfx: str) -> str:
+def _mh_ctes(src: str, pfx: str, bands: int = _MH_BANDS) -> str:
     """CTE block re-deriving dedup.portable_minhash_index over the
     (doc_id, text) source ``src``: {pfx}d = shingle sets, {pfx}ex,
-    {pfx}sigs, {pfx}banded = (doc_id, band, key) — prefixed so the
-    compactor oracle can instantiate it per ingest cycle."""
+    {pfx}sigs, {pfx}banded = (doc_id, band, key), {pfx}hd = hashed
+    sets — prefixed so the compactor oracle can instantiate it per
+    ingest cycle, ``bands`` matching the Spark call's banding."""
     n = LQ._J_SHINGLE_N
-    r = _MH_NUM_PERM // _MH_BANDS
+    r = _MH_NUM_PERM // bands
     sig_exprs = ", ".join(
         f"min(('0x' || substr(md5('{i}|' || s), 1, 8))::BIGINT) AS h{i}"
         for i in range(_MH_NUM_PERM)
@@ -1043,7 +1048,7 @@ def _mh_ctes(src: str, pfx: str) -> str:
             p=pfx,
             cols=", ".join(f"CAST(h{j * r + k} AS VARCHAR)" for k in range(r)),
         )
-        for j in range(_MH_BANDS)
+        for j in range(bands)
     )
     shingle = (
         f"CASE WHEN length(norm) < {n} THEN [norm] "
@@ -2416,6 +2421,43 @@ def q68_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         compact_digest(app2n, "2", "compact_near")
     )
 
+    # cluster-keep-one vs chain-drop ('keep1' rows): a planted A~B~C
+    # chain per corpus doc with doc_id % 10 == 9 — B = text + suffix
+    # (bridges corpus and C), C = second half of text + suffix (close
+    # to B, far from A at threshold 0.5). keep='cluster' keeps each
+    # surviving C (it matches nothing kept); keep='chain' drops it via
+    # the corpus-dropped B. Both semantics digested on the SAME batch.
+    keep1_b = b1.filter(F.col("doc_id") % 10 == 9).select(
+        (F.col("doc_id") + 7_000_000).alias("doc_id"),
+        F.concat("text", F.lit(_KEEP1_SUFFIX)).alias("text"),
+    )
+    keep1_c = b1.filter(F.col("doc_id") % 10 == 9).select(
+        (F.col("doc_id") + 8_000_000).alias("doc_id"),
+        F.concat(
+            F.expr(
+                "substring(text, cast(length(text) / 2 as int) + 1,"
+                " 100000000)"
+            ),
+            F.lit(_KEEP1_SUFFIX),
+        ).alias("text"),
+    )
+    bk1 = keep1_b.unionByName(keep1_c)
+    keep1_kw = dict(
+        corpus=app1n, near_dup=True, threshold=_KEEP1_THRESHOLD,
+        num_perm=_MH_NUM_PERM, bands=_KEEP1_BANDS,
+    )
+    keep1 = compact_digest(
+        ingest.compact_corpus(bk1, keep="cluster", **keep1_kw),
+        "cluster",
+        "keep1",
+    ).unionByName(
+        compact_digest(
+            ingest.compact_corpus(bk1, keep="chain", **keep1_kw),
+            "chain",
+            "keep1",
+        )
+    )
+
     # in-stream near-dup detection ('near_hits' rows, round-9 verdict
     # task 6): every document plus ' qq' copies of % 10 == 7 docs
     # (ids + 3e6, later event times) flow through
@@ -2475,6 +2517,7 @@ def q68_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(qsketch)
         .unionByName(compact)
         .unionByName(compact_near)
+        .unionByName(keep1)
         .unionByName(nh)
     )
 
@@ -2661,6 +2704,111 @@ FROM (
 """
 
 
+def _q68_keep1_sql() -> str:
+    """Oracle for compact_corpus's two within-batch semantics on the
+    planted A~B~C chain batch: re-derives the cycle-1 corpus (exact +
+    near dedup, default banding), the B/C batch construction (same
+    literal suffix and half-text substring), exact dedup vs corpus
+    fps, corpus-vs-batch verified drops at the keep1 threshold/
+    banding, then BOTH endings — chain (drop id_b of any verified
+    smaller-id batch pair) and cluster (recursive-CTE connected
+    components over verified pairs among corpus-survivors, keep each
+    component's min id)."""
+    t = _KEEP1_THRESHOLD
+    fp = f"md5({LQ._NORM})"
+    sfx = _KEEP1_SUFFIX
+    return f"""
+SELECT 'keep1' AS member, mode AS k,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(doc_id) AS BIGINT) AS v1,
+       CAST(sum(length(text)) AS BIGINT) AS v2
+FROM (
+  WITH RECURSIVE e1 AS (
+    SELECT doc_id, text FROM (
+      SELECT doc_id, text,
+             row_number() OVER (PARTITION BY {fp} ORDER BY doc_id) AS rn
+      FROM documents WHERE doc_id % 2 = 1
+    ) WHERE rn = 1
+  ),
+  {_mh_ctes('e1', 'm1')},
+  mdr1 AS (
+    SELECT DISTINCT c.id_b AS doc_id FROM (
+      SELECT DISTINCT a.doc_id AS id_a, x.doc_id AS id_b
+      FROM m1banded a JOIN m1banded x
+        ON a.band = x.band AND a.key = x.key AND a.doc_id < x.doc_id
+    ) c
+    JOIN m1hd da ON da.doc_id = c.id_a JOIN m1hd db ON db.doc_id = c.id_b
+    WHERE {_MH_JAC} >= {_MH_THRESHOLD}
+  ),
+  kc AS MATERIALIZED (SELECT * FROM e1 WHERE doc_id NOT IN (SELECT doc_id FROM mdr1)),
+  bk AS (
+    SELECT doc_id + 7000000 AS doc_id, text || '{sfx}' AS text
+    FROM documents WHERE doc_id % 2 = 1 AND doc_id % 10 = 9
+    UNION ALL
+    SELECT doc_id + 8000000,
+           substr(text, (length(text) // 2) + 1) || '{sfx}'
+    FROM documents WHERE doc_id % 2 = 1 AND doc_id % 10 = 9
+  ),
+  ek AS MATERIALIZED (
+    SELECT doc_id, text FROM (
+      SELECT doc_id, text,
+             row_number() OVER (PARTITION BY {fp} ORDER BY doc_id) AS rn
+      FROM bk WHERE {fp} NOT IN (SELECT {fp} FROM kc)
+    ) WHERE rn = 1
+  ),
+  {_mh_ctes('kc', 'q0', bands=_KEEP1_BANDS)},
+  {_mh_ctes('ek', 'q1', bands=_KEEP1_BANDS)},
+  kdrc AS MATERIALIZED (
+    SELECT DISTINCT c.id_b AS doc_id FROM (
+      SELECT DISTINCT a.doc_id AS id_a, x.doc_id AS id_b
+      FROM q0banded a JOIN q1banded x
+        ON a.band = x.band AND a.key = x.key
+    ) c
+    JOIN q0hd da ON da.doc_id = c.id_a JOIN q1hd db ON db.doc_id = c.id_b
+    WHERE {_MH_JAC} >= {t}
+  ),
+  kbp AS MATERIALIZED (
+    SELECT c.id_a, c.id_b FROM (
+      SELECT DISTINCT a.doc_id AS id_a, x.doc_id AS id_b
+      FROM q1banded a JOIN q1banded x
+        ON a.band = x.band AND a.key = x.key AND a.doc_id < x.doc_id
+    ) c
+    JOIN q1hd da ON da.doc_id = c.id_a JOIN q1hd db ON db.doc_id = c.id_b
+    WHERE {_MH_JAC} >= {t}
+  ),
+  chain_kept AS (
+    SELECT * FROM ek
+    WHERE doc_id NOT IN (SELECT doc_id FROM kdrc)
+      AND doc_id NOT IN (SELECT id_b FROM kbp)
+  ),
+  rem AS MATERIALIZED (SELECT * FROM ek WHERE doc_id NOT IN (SELECT doc_id FROM kdrc)),
+  rpairs AS MATERIALIZED (
+    SELECT id_a, id_b FROM kbp
+    WHERE id_a IN (SELECT doc_id FROM rem)
+      AND id_b IN (SELECT doc_id FROM rem)
+  ),
+  edges AS MATERIALIZED (
+    SELECT id_a AS src, id_b AS dst FROM rpairs
+    UNION ALL
+    SELECT id_b, id_a FROM rpairs
+  ),
+  reach AS (
+    SELECT src AS node, src AS lbl FROM edges
+    UNION
+    SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+  ),
+  comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+  cluster_kept AS (
+    SELECT * FROM rem
+    WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+  )
+  SELECT 'chain' AS mode, doc_id, text FROM chain_kept
+  UNION ALL
+  SELECT 'cluster', doc_id, text FROM cluster_kept
+) GROUP BY mode
+"""
+
+
 def _q68_near_hits_sql() -> str:
     """Oracle for the in-stream near-dup detector
     (ingest.near_dup_hits_stream): re-derives the portable MinHash
@@ -2707,6 +2855,7 @@ FROM (
 
 _Q68_SQL += f"\nUNION ALL SELECT * FROM ({_q68_compact_sql()})"
 _Q68_SQL += f"\nUNION ALL SELECT * FROM ({_q68_compact_near_sql()})"
+_Q68_SQL += f"\nUNION ALL SELECT * FROM ({_q68_keep1_sql()})"
 _Q68_SQL += f"\nUNION ALL SELECT * FROM ({_q68_near_hits_sql()})"
 
 

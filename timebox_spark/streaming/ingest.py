@@ -442,6 +442,7 @@ def compact_corpus(
     shingle_n: int = 5,
     corpus_index: tuple | None = None,
     corpus_fps: DataFrame | None = None,
+    keep: str = "chain",
 ) -> DataFrame:
     """The batch half of the ingest lambda split ``curate_stream``
     documents: given the rows a streaming window accumulated
@@ -467,16 +468,24 @@ def compact_corpus(
     (``dedup.hashed_shingle_sets`` — 32-bit md5 per shingle, the
     signature-sized representation the persisted index stores)
     against (a) any corpus doc — arrival order wins regardless of id
-    — or (b) a smaller-id batch survivor. Note the CHAIN-DROP
-    semantics of (b): a batch survivor B is dropped if it verifies
-    against any smaller-id batch survivor A even when A is itself
-    dropped against the corpus — for a chain A~B~C with A already in
-    the corpus, both B and C are dropped although C may never match a
-    KEPT doc. This over-drops relative to the cluster-keep-one
-    semantics of batch ``dedup.minhash_dedup`` + connected
-    components; it is the deliberate conservative choice for a
-    growing corpus (a near-dup of a near-dup is still redundant with
-    the corpus representative at threshold transitivity's margin).
+    — or (b) a smaller-id batch survivor. ``keep`` selects the
+    within-batch semantics of (b):
+
+    - ``'chain'`` (default): a batch survivor B is dropped if it
+      verifies against ANY smaller-id batch survivor A even when A
+      is itself dropped against the corpus — for a chain A~B~C with
+      A already in the corpus, both B and C are dropped although C
+      may never match a KEPT doc. Deliberately conservative for a
+      growing corpus (a near-dup of a near-dup is still redundant
+      with the corpus representative at threshold transitivity's
+      margin) and needs no iteration.
+    - ``'cluster'``: cluster-keep-one — corpus-matched survivors drop
+      first, then the REMAINING batch survivors form connected
+      components over verified pairs (``dedup.connected_components``)
+      and each component keeps its smallest id. The chain's C above
+      survives when it matches nothing kept. Costs the O(diameter)
+      CC rounds per cycle; gated by the q68 'keep1' rows against a
+      recursive-CTE oracle.
 
     Pass ``corpus_index`` — the (banded, hashed sets) pair from
     ``dedup.build_corpus_index`` / ``dedup.load_corpus_index``, at
@@ -507,6 +516,8 @@ def compact_corpus(
         incremental_exact_dedup,
     )
 
+    if keep not in ("chain", "cluster"):
+        raise ValueError(f"keep must be 'chain' or 'cluster', got {keep!r}")
     if corpus is None:
         corpus = new_batch.limit(0)
     kept = incremental_exact_dedup(
@@ -557,14 +568,44 @@ def compact_corpus(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size("sh_a").cast("double") + F.size("sh_b").cast("double") - inter
-    dropped = (
+    verified = (
         cand.join(sh_a, ["id_a", "__corpus"])
         .join(sh_b, "id_b")
         .filter(inter / union >= F.lit(threshold))
+        .select("id_a", "id_b", "__corpus")
+    )
+    if keep == "chain":
+        dropped = verified.select(F.col("id_b").alias(id_col)).distinct()
+        return kept.join(dropped, id_col, "left_anti")
+    # cluster-keep-one: corpus matches drop first; the remaining batch
+    # survivors cluster over their verified pairs and each component
+    # keeps its smallest id
+    from timebox_spark.operators.dedup import connected_components
+
+    corpus_dropped = (
+        verified.filter("__corpus")
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )
-    return kept.join(dropped, id_col, "left_anti")
+    remaining = kept.join(corpus_dropped, id_col, "left_anti")
+    rem_ids = remaining.select(F.col(id_col).alias("__rid"))
+    pairs = (
+        verified.filter(~F.col("__corpus"))
+        .join(rem_ids, F.col("id_a") == F.col("__rid"), "left_semi")
+        .join(rem_ids, F.col("id_b") == F.col("__rid"), "left_semi")
+        .select("id_a", "id_b")
+    )
+    # the CC loop references its edge set once per round — without a
+    # lineage cut each round re-executes the whole banding+verify
+    # pipeline. localCheckpoint (same tool connected_components uses
+    # internally per round) makes rounds trivial joins; cluster mode
+    # therefore leaves checkpoint RDDs behind, unlike chain mode.
+    pairs = pairs.localCheckpoint(eager=True)
+    comp = connected_components(pairs)
+    non_rep = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return remaining.join(non_rep, id_col, "left_anti")
 
 
 def curate_and_ingest_stream(
