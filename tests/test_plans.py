@@ -692,6 +692,61 @@ def test_warc_gz_write_roundtrip_per_record_members(spark, tmp_path):
     assert io is not None and gzip is not None
 
 
+def test_warc_ranged_reads_match_full_walk(spark, tmp_path):
+    """Round-11 verdict task 8: index_warc_gz emits one (path,
+    offset, length) span per gzip member of a multi-member .warc.gz,
+    and read_warc_ranges over ALL spans is bit-identical to the full
+    read_warc walk; a sub-selection fetches exactly those members —
+    the testable core of CDX-index + ranged-GET Common Crawl ingest."""
+    from timebox_spark.sources import warc
+
+    rows = [(i, f"ranged doc {i} bödy with content {i * 7}") for i in range(9)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(2)
+    path = str(tmp_path / "warc_ranged")
+    warc.write_warc(df, path, compress=True)
+
+    idx = warc.index_warc_gz(spark, path, on_error="raise")
+    idx_rows = idx.collect()
+    assert len(idx_rows) == len(rows)
+    assert {r["doc_id"] for r in idx_rows} == {i for i, _ in rows}
+    # spans tile each shard exactly: per file, offsets start at 0 and
+    # each member begins where the previous ended
+    import os
+    from collections import defaultdict
+
+    by_file = defaultdict(list)
+    for r in idx_rows:
+        by_file[r["path"]].append((r["offset"], r["length"]))
+    for p, spans in by_file.items():
+        spans.sort()
+        assert spans[0][0] == 0
+        for (o1, l1), (o2, _l2) in zip(spans, spans[1:]):
+            assert o1 + l1 == o2
+        local = p[len("file:"):] if p.startswith("file:") else p
+        assert spans[-1][0] + spans[-1][1] == os.path.getsize(local)
+
+    full = sorted(
+        map(tuple, warc.read_warc(spark, path, on_error="raise").collect())
+    )
+    ranged = sorted(
+        map(tuple, warc.read_warc_ranges(spark, idx, on_error="raise").collect())
+    )
+    assert ranged == full
+
+    # sub-selection: only even doc ids, via the index — exactly those
+    # members come back, passing ranges as plain tuples too
+    sel = [
+        (r["path"], r["offset"], r["length"])
+        for r in idx_rows
+        if r["doc_id"] % 2 == 0
+    ]
+    got = {
+        r["doc_id"]: r["text"]
+        for r in warc.read_warc_ranges(spark, sel, on_error="raise").collect()
+    }
+    assert got == {i: t for i, t in rows if i % 2 == 0}
+
+
 def test_warc_malformed_records_skip_or_raise(spark, tmp_path):
     """Garbage in a real crawl must not abort the shard: a record
     with a non-integer Content-Length, one whose body is truncated

@@ -182,3 +182,18 @@ class CurationAPI:
         from timebox_spark.sources.warc import write_warc
 
         write_warc(df, path, **kw)
+
+    def index_warc(self, path: str, **kw) -> DataFrame:
+        """CDX-style member index of a .warc.gz tree: (path, offset,
+        length, doc_id, target_uri) per gzip member."""
+        from timebox_spark.sources.warc import index_warc_gz
+
+        return index_warc_gz(self.spark, path, **kw)
+
+    def read_warc_ranges(self, ranges, **kw) -> DataFrame:
+        """Inflate single .warc.gz members by (path, offset, length)
+        — the ranged-GET ingest path; ``ranges`` is an ``index_warc``
+        DataFrame or a list of tuples."""
+        from timebox_spark.sources.warc import read_warc_ranges
+
+        return read_warc_ranges(self.spark, ranges, **kw)

@@ -56,6 +56,84 @@ def _lang_pred_sql(extra_cols: str = "") -> str:
 
 # ------------------------------------------------------------------ q20
 
+def _q20_column_families() -> dict[str, list]:
+    """q20's projection, split into the column families it gained
+    over the rounds (round-11 verdict task 6: q20's cost is column
+    count, not plan shape — the per-family split lets bench attribute
+    growth to the family that caused it). Order of dict insertion =
+    column order of the composed query."""
+    toks, nt = F.col("__toks"), F.col("__nt")
+    return {
+        # the original r04 surface: token/punct/stopword counts,
+        # quality score, fingerprint, word-length + repetition stats
+        "base": [
+            nt.alias("n_tokens"),
+            text.bpe_ish_token_count().alias("n_bpe_tokens"),
+            F.col("__npunct").alias("n_punct"),
+            F.col("__nsw").alias("n_stopwords"),
+            text.quality_score_q_from(nt, F.col("__nsw"), F.col("__npunct")).alias(
+                "quality_q"
+            ),
+            text.fingerprint().alias("fp"),
+            F.round(text.mean_word_length_from(toks) * 1e6)
+            .cast("long")
+            .alias("mean_wl_q"),
+            F.round(text.dup_2gram_fraction_from(toks) * 1e6)
+            .cast("long")
+            .alias("dup2_q"),
+        ],
+        "gopher": [
+            text.gopher_pass_from(toks, nt, F.col("__nsw")).alias("gopher_pass")
+        ],
+        "redact": [F.md5(text.redact()).alias("redacted_fp")],
+        "langid": [text.lang_id_ngram().alias("lang3")],
+        # HTML front-end: wrap the doc in a deterministic page with
+        # planted script/style/comment/entity constructs, extract it
+        # back, and pin the md5 — any drift in the extraction chain
+        # (rule order, entity decode, squeeze) breaks this hash
+        "html": [
+            F.md5(
+                F.encode(text.html_to_text(text.synth_html()), "UTF-8")
+            ).alias("html_fp")
+        ],
+        # PII hardening: plant a Luhn-valid card (even ids) or an
+        # off-by-one invalid one (odd ids) plus an IPv4, all derived
+        # from doc_id in-engine, then redact — the md5 breaks if the
+        # checksum, candidate regex, or replace order drifts
+        "pii": [
+            F.md5(
+                F.encode(text.redact_pii_extended(text.synth_pii()), "UTF-8")
+            ).alias("pii_fp")
+        ],
+        # C4 cleaning (Raffel et al. 2020 §2.2): wrap the doc in a
+        # multi-line page with planted rule triggers, line-filter +
+        # page-gate it — the md5 breaks if any line rule drifts, the
+        # gate if any page rule does
+        "c4": [
+            F.md5(F.encode(text.c4_clean(text.synth_page()), "UTF-8")).alias(
+                "c4_fp"
+            ),
+            text.c4_doc_pass(
+                text.synth_page(), text.c4_clean(text.synth_page())
+            ).alias("c4_pass"),
+        ],
+    }
+
+
+def q20_stage_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """One DataFrame per q20 column family (shared token_features
+    input) — bench times each to attribute q20's cost per family; the
+    'base' frame carries the shared tokenization cost."""
+    from timebox_spark.session import ensure_parallelism
+
+    docs = ensure_parallelism(load(spark, sf_dir, "documents"))
+    feats = text.token_features(docs)
+    return {
+        fam: feats.select("doc_id", *cols)
+        for fam, cols in _q20_column_families().items()
+    }
+
+
 def q20_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from timebox_spark.session import ensure_parallelism
 
@@ -64,45 +142,9 @@ def q20_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenize once (token_features) instead of per-signal
     docs = ensure_parallelism(load(spark, sf_dir, "documents"))
     feats = text.token_features(docs)
-    toks, nt = F.col("__toks"), F.col("__nt")
+    fams = _q20_column_families()
     return feats.select(
-        "doc_id",
-        nt.alias("n_tokens"),
-        text.bpe_ish_token_count().alias("n_bpe_tokens"),
-        F.col("__npunct").alias("n_punct"),
-        F.col("__nsw").alias("n_stopwords"),
-        text.quality_score_q_from(nt, F.col("__nsw"), F.col("__npunct")).alias(
-            "quality_q"
-        ),
-        text.fingerprint().alias("fp"),
-        F.round(text.mean_word_length_from(toks) * 1e6).cast("long").alias("mean_wl_q"),
-        F.round(text.dup_2gram_fraction_from(toks) * 1e6).cast("long").alias("dup2_q"),
-        text.gopher_pass_from(toks, nt, F.col("__nsw")).alias("gopher_pass"),
-        F.md5(text.redact()).alias("redacted_fp"),
-        text.lang_id_ngram().alias("lang3"),
-        # HTML front-end: wrap the doc in a deterministic page with
-        # planted script/style/comment/entity constructs, extract it
-        # back, and pin the md5 — any drift in the extraction chain
-        # (rule order, entity decode, squeeze) breaks this hash
-        F.md5(
-            F.encode(text.html_to_text(text.synth_html()), "UTF-8")
-        ).alias("html_fp"),
-        # PII hardening: plant a Luhn-valid card (even ids) or an
-        # off-by-one invalid one (odd ids) plus an IPv4, all derived
-        # from doc_id in-engine, then redact — the md5 breaks if the
-        # checksum, candidate regex, or replace order drifts
-        F.md5(
-            F.encode(text.redact_pii_extended(text.synth_pii()), "UTF-8")
-        ).alias("pii_fp"),
-        # C4 cleaning (Raffel et al. 2020 §2.2): wrap the doc in a
-        # multi-line page with planted rule triggers, line-filter +
-        # page-gate it — the md5 breaks if any line rule drifts, the
-        # gate if any page rule does
-        F.md5(F.encode(text.c4_clean(text.synth_page()), "UTF-8")).alias(
-            "c4_fp"
-        ),
-        text.c4_doc_pass(text.synth_page(), text.c4_clean(text.synth_page()))
-        .alias("c4_pass"),
+        "doc_id", *[c for cols in fams.values() for c in cols]
     )
 
 

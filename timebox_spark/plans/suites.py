@@ -2421,6 +2421,29 @@ def q68_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         compact_digest(app2n, "2", "compact_near")
     )
 
+    # estimate-verify compactor tier ('compact_est' rows, round-11
+    # verdict task 3): same two-cycle construction as 'compact_near'
+    # but the persisted index stores only the num_perm MinHash longs
+    # per doc (build_corpus_index(verify='estimate') — truly
+    # signature-sized) and candidates verify at SIGNATURE AGREEMENT
+    # >= threshold, the unbiased Jaccard estimator. Cycle 2 consumes
+    # the index through the versioned atomic save/load layout, so the
+    # driver hash also gates that publish path.
+    app1e = ingest.compact_corpus(b1, near_dup=True, verify="estimate")
+    idx_path_e = f"/tmp/timebox_spark_q68_corpus_index_est_{tag}"
+    shutil.rmtree(idx_path_e, ignore_errors=True)
+    DD.save_corpus_index(
+        DD.build_corpus_index(app1e, verify="estimate"), idx_path_e
+    )
+    idx1e = DD.load_corpus_index(spark, idx_path_e)
+    app2e = ingest.compact_corpus(
+        b2n, corpus=app1e, near_dup=True, corpus_index=idx1e,
+        verify="estimate",
+    )
+    compact_est = compact_digest(app1e, "1", "compact_est").unionByName(
+        compact_digest(app2e, "2", "compact_est")
+    )
+
     # cluster-keep-one vs chain-drop ('keep1' rows): a planted A~B~C
     # chain per corpus doc with doc_id % 10 == 9 — B = text + suffix
     # (bridges corpus and C), C = second half of text + suffix (close
@@ -2488,7 +2511,11 @@ def q68_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     nh_stream = spark.readStream.schema(
         "doc_id long, text string, ts timestamp"
     ).parquet(nh_dir)
-    nh_hits = ingest.near_dup_hits_stream(nh_stream, min_est=0.5)
+    # max_bucket=None: exact all-earlier-arrivals semantics (the SQL
+    # oracle re-derives every hit); production default is bounded
+    nh_hits = ingest.near_dup_hits_stream(
+        nh_stream, min_est=0.5, max_bucket=None
+    )
     nh = (
         drain(nh_hits, "q68_near_hits_sink", "append")
         .groupBy("doc_id", "matched_id")
@@ -2517,6 +2544,7 @@ def q68_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(qsketch)
         .unionByName(compact)
         .unionByName(compact_near)
+        .unionByName(compact_est)
         .unionByName(keep1)
         .unionByName(nh)
     )
@@ -2704,6 +2732,95 @@ FROM (
 """
 
 
+def _mh_agree(num: int = _MH_NUM_PERM) -> str:
+    """Signature-agreement Jaccard estimate between sig rows aliased
+    ``da`` and ``db`` (the fraction of equal MinHash components) —
+    the DuckDB mirror of compact_corpus(verify='estimate')."""
+    terms = " + ".join(
+        f"CASE WHEN da.h{i} = db.h{i} THEN 1 ELSE 0 END" for i in range(num)
+    )
+    return f"CAST(({terms}) AS DOUBLE) / {num}"
+
+
+def _q68_compact_est_sql() -> str:
+    """Oracle for the ESTIMATE-verify compactor tier: identical
+    two-cycle construction to ``_q68_compact_near_sql`` but banded
+    candidates verify at MinHash signature agreement (``_mh_agree``
+    over the ``{pfx}sigs`` CTEs) >= the threshold, instead of exact
+    hashed-shingle Jaccard — mirroring
+    ingest.compact_corpus(verify='estimate') with the versioned
+    persisted index."""
+    t = _MH_THRESHOLD
+    fp = f"md5({LQ._NORM})"
+    agree = _mh_agree()
+    hcols = ", ".join(f"h{i}" for i in range(_MH_NUM_PERM))
+    return f"""
+SELECT 'compact_est' AS member, CAST(cyc AS VARCHAR) AS k,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(doc_id) AS BIGINT) AS v1,
+       CAST(sum(length(text)) AS BIGINT) AS v2
+FROM (
+  WITH e1 AS (
+    SELECT doc_id, text FROM (
+      SELECT doc_id, text,
+             row_number() OVER (PARTITION BY {fp} ORDER BY doc_id) AS rn
+      FROM documents WHERE doc_id % 2 = 1
+    ) WHERE rn = 1
+  ),
+  {_mh_ctes('e1', 'p1')},
+  pdr1 AS (
+    SELECT DISTINCT c.id_b AS doc_id FROM (
+      SELECT DISTINCT a.doc_id AS id_a, x.doc_id AS id_b
+      FROM p1banded a JOIN p1banded x
+        ON a.band = x.band AND a.key = x.key AND a.doc_id < x.doc_id
+    ) c
+    JOIN p1sigs da ON da.doc_id = c.id_a
+    JOIN p1sigs db ON db.doc_id = c.id_b
+    WHERE {agree} >= {t}
+  ),
+  pk1 AS (SELECT * FROM e1 WHERE doc_id NOT IN (SELECT doc_id FROM pdr1)),
+  pb2 AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT -(doc_id + 1000000), text || ' qq'
+    FROM documents WHERE doc_id % 2 = 1 AND doc_id % 10 = 5
+    UNION ALL
+    SELECT doc_id + 2000000, text || ' zz'
+    FROM documents WHERE doc_id % 2 = 0 AND doc_id % 10 = 6
+  ),
+  pe2 AS (
+    SELECT doc_id, text FROM (
+      SELECT doc_id, text,
+             row_number() OVER (PARTITION BY {fp} ORDER BY doc_id) AS rn
+      FROM pb2 WHERE {fp} NOT IN (SELECT {fp} FROM pk1)
+    ) WHERE rn = 1
+  ),
+  {_mh_ctes('pe2', 'p2')},
+  pdr2 AS (
+    SELECT DISTINCT c.id_b AS doc_id FROM (
+      SELECT DISTINCT a.id_a, x.doc_id AS id_b FROM (
+        SELECT doc_id AS id_a, band, key, TRUE AS corp FROM p1banded
+        WHERE doc_id NOT IN (SELECT doc_id FROM pdr1)
+        UNION ALL
+        SELECT doc_id, band, key, FALSE FROM p2banded
+      ) a JOIN p2banded x ON a.band = x.band AND a.key = x.key
+      WHERE a.corp OR a.id_a < x.doc_id
+    ) c
+    JOIN (SELECT doc_id, {hcols} FROM p1sigs
+          WHERE doc_id NOT IN (SELECT doc_id FROM pdr1)
+          UNION ALL SELECT doc_id, {hcols} FROM p2sigs) da
+      ON da.doc_id = c.id_a
+    JOIN p2sigs db ON db.doc_id = c.id_b
+    WHERE {agree} >= {t}
+  ),
+  pk2 AS (SELECT * FROM pe2 WHERE doc_id NOT IN (SELECT doc_id FROM pdr2))
+  SELECT doc_id, text, 1 AS cyc FROM pk1
+  UNION ALL
+  SELECT doc_id, text, 2 FROM pk2
+) GROUP BY cyc
+"""
+
+
 def _q68_keep1_sql() -> str:
     """Oracle for compact_corpus's two within-batch semantics on the
     planted A~B~C chain batch: re-derives the cycle-1 corpus (exact +
@@ -2855,6 +2972,7 @@ FROM (
 
 _Q68_SQL += f"\nUNION ALL SELECT * FROM ({_q68_compact_sql()})"
 _Q68_SQL += f"\nUNION ALL SELECT * FROM ({_q68_compact_near_sql()})"
+_Q68_SQL += f"\nUNION ALL SELECT * FROM ({_q68_compact_est_sql()})"
 _Q68_SQL += f"\nUNION ALL SELECT * FROM ({_q68_keep1_sql()})"
 _Q68_SQL += f"\nUNION ALL SELECT * FROM ({_q68_near_hits_sql()})"
 

@@ -119,11 +119,12 @@ def write_warc(
     per partition — the Common Crawl shape that lets a reader inflate
     one record without its neighbors. Spark has no binary-stream
     sink, so the members are written executor-side under the
-    sources/npb.py task-commit protocol: tasks write complete
-    ``part-NNNNN.warc.gz`` files into a job-scoped staging dir (each
-    tmp+rename atomic, named by partitionId so a speculative retry
-    overwrites rather than duplicates), and only after the job
-    succeeds does the driver publish them into ``path``. Assumes
+    sources/npb.py task-commit protocol: tasks stream into
+    attempt-scoped tmp files and os.replace onto the
+    partitionId-named ``part-NNNNN.warc.gz`` in a job-scoped staging
+    dir (concurrent attempts of one partition never share a tmp; the
+    last finished attempt's complete file wins), and only after the
+    job succeeds does the driver publish them into ``path``. Assumes
     executors and driver share ``path`` (local mode or shared POSIX
     FS — same assumption as ``write_npb``)."""
     records = df.select(warc_record(id_col, text_col).alias("value"))
@@ -146,9 +147,15 @@ def write_warc(
     os.makedirs(staging, exist_ok=True)
 
     def write_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         out = os.path.join(staging, f"part-{pid:05d}.warc.gz")
-        tmp = out + ".tmp"
+        # tmp is PER ATTEMPT (advisor round 11): two live attempts of
+        # the same partition (speculation, or a zombie task racing its
+        # retry) must never interleave writes into one tmp file — each
+        # streams into its own, and the final os.replace onto the
+        # partitionId-named target is last-writer-wins atomic
+        tmp = f"{out}.tmp.{ctx.taskAttemptId()}"
         # stream members to the open tmp file as they compress — peak
         # memory is one record, not the whole partition (a
         # repartition-to-few-shards call used to double peak task
@@ -193,12 +200,16 @@ def write_warc(
 _GZ_MAGIC = b"\x1f\x8b\x08"
 
 
-def _inflate_members(blob: bytes, on_error: str) -> Iterator[bytes]:
-    """Yield the decompressed bytes of each gzip member of a
-    multi-member stream (``zlib.decompressobj(wbits=31)`` +
-    ``unused_data`` continuation — stdlib ``gzip.decompress`` would
+def _iter_member_spans(
+    blob: bytes, on_error: str
+) -> Iterator[tuple[int, int, bytes]]:
+    """Yield (offset, length, decompressed bytes) for each gzip
+    member of a multi-member stream (``zlib.decompressobj(wbits=31)``
+    + ``unused_data`` continuation — stdlib ``gzip.decompress`` would
     concatenate members, losing the per-record boundaries and the
-    ability to skip one corrupt member). On a corrupt member,
+    ability to skip one corrupt member). The (offset, length) span is
+    the member's COMPRESSED extent — exactly what a CDX-style index
+    records and a ranged GET fetches. On a corrupt member,
     ``on_error='skip'`` resynchronizes by scanning for the next gzip
     magic (``1f 8b 08``) past the failure point — the warcio
     convention; a false sync point just fails again and the scan
@@ -225,8 +236,9 @@ def _inflate_members(blob: bytes, on_error: str) -> Iterator[bytes]:
                 p = nxt_p
             if not d.eof:
                 raise zlib.error("truncated gzip member")
-            yield b"".join(out)
-            pos = max(p - len(d.unused_data), pos + 1)
+            end = p - len(d.unused_data)
+            yield pos, end - pos, b"".join(out)
+            pos = max(end, pos + 1)
         except zlib.error as e:
             if on_error == "raise":
                 raise ValueError(
@@ -236,6 +248,13 @@ def _inflate_members(blob: bytes, on_error: str) -> Iterator[bytes]:
             if nxt < 0:
                 return
             pos = nxt
+
+
+def _inflate_members(blob: bytes, on_error: str) -> Iterator[bytes]:
+    """Decompressed bytes of each gzip member (see
+    ``_iter_member_spans``)."""
+    for _off, _ln, data in _iter_member_spans(blob, on_error):
+        yield data
 
 
 def _walk_records(
@@ -336,3 +355,110 @@ def read_warc(
             )
 
     return files.mapInPandas(parse, WARC_OUT_SCHEMA)
+
+
+WARC_INDEX_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("offset", LongType()),
+        StructField("length", LongType()),
+        StructField("doc_id", LongType()),
+        StructField("target_uri", StringType()),
+    ]
+)
+
+
+def index_warc_gz(
+    spark: SparkSession, path: str, on_error: str = "skip"
+) -> DataFrame:
+    """CDX-style member index of a ``.warc.gz`` tree: one row per
+    gzip member — (shard path, compressed byte offset, compressed
+    length, doc_id, target_uri) — built distributed (one task per
+    shard, same ``binaryFile`` parallelism as ``read_warc``). This is
+    the index Common Crawl publishes alongside its shards; with it,
+    ``read_warc_ranges`` inflates exactly the selected members by
+    byte range instead of walking whole shards (round-11 verdict
+    task 8 — the testable core of object-store ranged-GET ingest)."""
+    if on_error not in ("skip", "raise"):
+        raise ValueError(f"on_error must be 'skip' or 'raise', got {on_error!r}")
+    from timebox_spark.session import ship_package
+
+    ship_package(spark)
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for p, blob in zip(pdf["path"], pdf["content"]):
+                data = bytes(blob)
+                if data[:3] != _GZ_MAGIC:
+                    continue  # plain shards have no member ranges
+                for off, ln, member in _iter_member_spans(data, on_error):
+                    recs = list(_walk_records(member, on_error))
+                    did, uri = (recs[0][0], recs[0][1]) if recs else (-1, "")
+                    rows.append((p, off, ln, did, uri))
+            yield pd.DataFrame(
+                rows,
+                columns=["path", "offset", "length", "doc_id", "target_uri"],
+            )
+
+    return files.mapInPandas(parse, WARC_INDEX_SCHEMA)
+
+
+def read_warc_ranges(
+    spark: SparkSession,
+    ranges: DataFrame | list[tuple[str, int, int]],
+    on_error: str = "skip",
+) -> DataFrame:
+    """Ranged WARC reads: inflate SINGLE ``.warc.gz`` members by
+    (path, offset, length) — the member-per-record gzip layout exists
+    precisely so one record decompresses without its neighbors, and
+    this is how a production pipeline consumes Common Crawl: a CDX
+    index lookup, then one ranged GET per selected record, never a
+    full-shard download. ``ranges`` is an ``index_warc_gz``-shaped
+    DataFrame (extra columns ignored) or a plain list of (path,
+    offset, length) tuples; work is distributed over its partitions,
+    each task seek-reading only its spans (at scale the ``open``/
+    ``seek`` below becomes the object store's range request — the
+    framing, inflation and record walk are identical). Rows come back
+    as (doc_id, target_uri, text), bit-identical to the full
+    ``read_warc`` walk of the same members."""
+    if on_error not in ("skip", "raise"):
+        raise ValueError(f"on_error must be 'skip' or 'raise', got {on_error!r}")
+    from timebox_spark.session import ship_package
+
+    ship_package(spark)
+    if not isinstance(ranges, DataFrame):
+        rdf = spark.createDataFrame(
+            [(str(p), int(o), int(ln)) for p, o, ln in ranges],
+            "path string, offset long, length long",
+        )
+    else:
+        rdf = ranges.select("path", "offset", "length")
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from urllib.parse import unquote, urlparse
+
+        for pdf in batches:
+            rows = []
+            # group by shard so each file opens once per batch, spans
+            # read in offset order (sequential-friendly on disk, and
+            # coalescing-friendly for a future ranged-GET backend)
+            for p, grp in pdf.groupby("path", sort=False):
+                local = unquote(urlparse(p).path) if "://" in p or p.startswith("file:") else p
+                with open(local, "rb") as f:
+                    for off, ln in (
+                        grp[["offset", "length"]]
+                        .sort_values("offset")
+                        .itertuples(index=False)
+                    ):
+                        f.seek(int(off))
+                        data = f.read(int(ln))
+                        if data[:3] == _GZ_MAGIC:
+                            data = b"".join(_inflate_members(data, on_error))
+                        rows.extend(_walk_records(data, on_error))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "target_uri", "text"]
+            )
+
+    return rdf.mapInPandas(parse, WARC_OUT_SCHEMA)

@@ -388,6 +388,7 @@ def curate_stream(
     min_quality_q: int = 500_000,
     min_tokens: int = 10,
     classifier_min_score: int | None = None,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Streaming curation annotate+gate: the STATELESS stages of
     ``pipeline.curate`` (lang-id, quality score, token count, the
@@ -402,12 +403,17 @@ def curate_stream(
     accumulated store) — the standard lambda split for ingest
     pipelines. A purely in-stream dedup alternative is
     ``dedup_stream``-style dropDuplicatesWithinWatermark keyed on the
-    text fingerprint when an ingest-time column exists."""
+    text fingerprint when an ingest-time column exists.
+
+    ``carry_cols`` names input columns (e.g. the event-time column a
+    downstream ``near_dup_hits_stream`` watermarks on) passed through
+    untouched alongside the curated output."""
     from timebox_spark.operators import text as TX
 
     annotated = stream.select(
         F.col(id_col),
         F.col(text_col),
+        *[F.col(c) for c in carry_cols],
         TX.lang_id(text_col).alias("lang_pred"),
         TX.quality_score_q(text_col).alias("quality_q"),
         TX.token_count(text_col).alias("n_tokens"),
@@ -443,6 +449,7 @@ def compact_corpus(
     corpus_index: tuple | None = None,
     corpus_fps: DataFrame | None = None,
     keep: str = "chain",
+    verify: str = "exact",
 ) -> DataFrame:
     """The batch half of the ingest lambda split ``curate_stream``
     documents: given the rows a streaming window accumulated
@@ -507,6 +514,16 @@ def compact_corpus(
     signature aggregation) runs once per cycle, only the cheap
     post-shuffle band explode is duplicated.
 
+    ``verify`` selects the candidate-verification tier (round-11
+    verdict task 3): ``'exact'`` (default) verifies at hashed-shingle
+    Jaccard >= ``threshold``; ``'estimate'`` verifies at MinHash
+    signature AGREEMENT >= ``threshold`` (the unbiased Jaccard
+    estimator) so the persisted index stays truly signature-sized —
+    num_perm longs per doc regardless of text length. When
+    ``corpus_index`` is provided its verify-table shape must match
+    (``__sh`` for exact, ``__sig`` for estimate) — mismatches raise
+    rather than silently comparing different representations.
+
     ``corpus``/``new_batch`` ids must be disjoint (a corpus doc_id
     re-ingested WITH DIFFERENT TEXT would otherwise collide in the
     verify join); the verify tables carry an origin flag so corpus
@@ -518,6 +535,8 @@ def compact_corpus(
 
     if keep not in ("chain", "cluster"):
         raise ValueError(f"keep must be 'chain' or 'cluster', got {keep!r}")
+    if verify not in ("exact", "estimate"):
+        raise ValueError(f"verify must be 'exact' or 'estimate', got {verify!r}")
     if corpus is None:
         corpus = new_batch.limit(0)
     kept = incremental_exact_dedup(
@@ -525,15 +544,22 @@ def compact_corpus(
     )
     if not near_dup:
         return kept
-    b_banded, b_sets = build_corpus_index(
-        kept, id_col, text_col, num_perm, bands, shingle_n
-    )
+    vcol = "__sig" if verify == "estimate" else "__sh"
     if corpus_index is not None:
         c_banded, c_sets = corpus_index
+        if vcol not in c_sets.columns:
+            raise ValueError(
+                f"corpus_index verify table has columns {c_sets.columns}; "
+                f"verify={verify!r} needs {vcol!r} — rebuild the index "
+                f"with build_corpus_index(verify={verify!r})"
+            )
     else:
         c_banded, c_sets = build_corpus_index(
-            corpus, id_col, text_col, num_perm, bands, shingle_n
+            corpus, id_col, text_col, num_perm, bands, shingle_n, verify=verify
         )
+    b_banded, b_sets = build_corpus_index(
+        kept, id_col, text_col, num_perm, bands, shingle_n, verify=verify
+    )
     # candidates: batch survivor × (corpus ∪ smaller-id batch survivor)
     a = c_banded.select(
         F.col(id_col).alias("id_a"), "band", "key", F.lit(True).alias("__corpus")
@@ -555,23 +581,39 @@ def compact_corpus(
     # origin-tagged set rows: the a-side joins on (id, origin) so a
     # corpus row and a batch row sharing an id can never swap sets
     sh_a = c_sets.select(
-        F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"),
+        F.col(id_col).alias("id_a"), F.col(vcol).alias("sh_a"),
         F.lit(True).alias("__corpus"),
     ).unionByName(
         b_sets.select(
-            F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"),
+            F.col(id_col).alias("id_a"), F.col(vcol).alias("sh_a"),
             F.lit(False).alias("__corpus"),
         )
     )
     sh_b = b_sets.select(
-        F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b")
+        F.col(id_col).alias("id_b"), F.col(vcol).alias("sh_b")
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size("sh_a").cast("double") + F.size("sh_b").cast("double") - inter
+    if verify == "estimate":
+        # signature agreement: positionwise equality over the aligned
+        # num_perm MinHash values (zip_with genuinely takes a
+        # two-parameter lambda — unlike transform/filter, where two
+        # params mean (element, index))
+        agree = F.size(
+            F.filter(
+                F.zip_with("sh_a", "sh_b", lambda x, y: x == y),
+                lambda b: b,
+            )
+        ).cast("double")
+        sim = agree / F.size("sh_a").cast("double")
+    else:
+        inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        union = (
+            F.size("sh_a").cast("double") + F.size("sh_b").cast("double") - inter
+        )
+        sim = inter / union
     verified = (
         cand.join(sh_a, ["id_a", "__corpus"])
         .join(sh_b, "id_b")
-        .filter(inter / union >= F.lit(threshold))
+        .filter(sim >= F.lit(threshold))
         .select("id_a", "id_b", "__corpus")
     )
     if keep == "chain":
@@ -598,14 +640,59 @@ def compact_corpus(
     # the CC loop references its edge set once per round — without a
     # lineage cut each round re-executes the whole banding+verify
     # pipeline. localCheckpoint (same tool connected_components uses
-    # internally per round) makes rounds trivial joins; cluster mode
-    # therefore leaves checkpoint RDDs behind, unlike chain mode.
+    # internally per round) makes rounds trivial joins. Every
+    # checkpoint RDD this cycle creates (pairs + one per CC round) is
+    # UNPERSISTED before returning (advisor round 11: a long-running
+    # driver otherwise accumulates block-manager state per cycle):
+    # the non-representative ids are collected — bounded by the
+    # batch's within-batch near-dup count — so the returned plan
+    # carries no checkpoint lineage at all, matching chain mode's
+    # leave-nothing-behind contract (asserted by the
+    # getPersistentRDDs pytest).
+    spark = new_batch.sparkSession
+    jpersist = spark.sparkContext._jsc.getPersistentRDDs()
+    before = set(jpersist.keySet().toArray())
     pairs = pairs.localCheckpoint(eager=True)
-    comp = connected_components(pairs)
-    non_rep = comp.filter(F.col("node") != F.col("component")).select(
-        F.col("node").alias(id_col)
+    if pairs.rdd.isEmpty():
+        non_rep_ids = []
+    else:
+        comp = connected_components(pairs)
+        non_rep_ids = [
+            r[0]
+            for r in comp.filter(F.col("node") != F.col("component"))
+            .select("node")
+            .collect()
+        ]
+    jpersist = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in set(jpersist.keySet().toArray()) - before:
+        jpersist.get(rid).unpersist(False)
+    if not non_rep_ids:
+        return remaining
+    dropped_df = spark.createDataFrame(
+        [(int(i),) for i in non_rep_ids], f"{id_col} long"
     )
-    return remaining.join(non_rep, id_col, "left_anti")
+    return remaining.join(F.broadcast(dropped_df), id_col, "left_anti")
+
+
+class SequentialStreamingDrain:
+    """A drain-order wrapper over several UNSTARTED availableNow
+    writers: ``start()`` returns self, ``awaitTermination()`` starts
+    and drains each writer in order, so a consumer query (the ingest
+    sink anti-joining on detector hits) only runs after its producer
+    (the hit detector) has fully drained the source. Mirrors the
+    ``q = writer.start(); q.awaitTermination()`` call shape of a
+    single StreamingQuery."""
+
+    def __init__(self, writers):
+        self._writers = list(writers)
+
+    def start(self):
+        return self
+
+    def awaitTermination(self, timeout=None):
+        for w in self._writers:
+            w.start().awaitTermination()
+        return True
 
 
 def curate_and_ingest_stream(
@@ -620,6 +707,12 @@ def curate_and_ingest_stream(
     classifier_min_score: int | None = None,
     near_dup: bool = True,
     threshold: float = 0.35,
+    stream_near_dup: bool = False,
+    ts_col: str = "ts",
+    nd_min_est: float = 0.5,
+    nd_watermark: str = "1 hour",
+    nd_max_bucket: int | None = 256,
+    consolidate_every: int | None = 64,
 ):
     """The end-to-end streaming ingest entrypoint: raw document
     stream → ``curate_stream``'s stateless annotate/gate/redact →
@@ -629,7 +722,24 @@ def curate_and_ingest_stream(
     is the cycle id, so a replayed batch overwrites its own
     partitions — exactly-once end to end through the checkpoint.
     Returns the unstarted writer (``.start()`` to run;
-    ``trigger(availableNow=True)`` preset for drain-style use)."""
+    ``trigger(availableNow=True)`` preset for drain-style use).
+
+    ``stream_near_dup=True`` (round-11 verdict task 2) additionally
+    wires ``near_dup_hits_stream`` in FRONT of the store: the input
+    must carry an event-time column ``ts_col``; a detector query
+    drains the curated stream first, appending its hit rows to
+    ``{store_path}/near_hits`` (own checkpoint under
+    ``{checkpoint}_nd``), and the ingest sink anti-joins each
+    micro-batch on the DISTINCT hit ids before ``run_ingest_cycle``
+    — a same-window near copy never reaches the corpus store, not
+    even transiently. Hits are signature-ESTIMATE verified
+    (``nd_min_est`` MinHash agreement), so a flagged doc may have
+    exact Jaccard below ``threshold``: the detector is a cheap
+    pre-gate (bounded state via ``nd_max_bucket``); the compactor's
+    exact verify remains the authority for everything it passes.
+    The return value is then a :class:`SequentialStreamingDrain`
+    (same ``start()/awaitTermination()`` shape) draining detector
+    then ingest, so hit state is complete before ingest consumes it."""
     curated = curate_stream(
         stream,
         id_col=id_col,
@@ -638,26 +748,138 @@ def curate_and_ingest_stream(
         min_quality_q=min_quality_q,
         min_tokens=min_tokens,
         classifier_min_score=classifier_min_score,
+        carry_cols=(ts_col,) if stream_near_dup else (),
     )
+    hits_path = f"{store_path}/near_hits"
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        batch = batch_df.select(id_col, text_col)
+        if stream_near_dup:
+            from pyspark.errors import AnalysisException
+
+            try:
+                hit_ids = (
+                    batch_df.sparkSession.read.parquet(hits_path)
+                    .select(id_col)
+                    .distinct()
+                )
+                batch = batch.join(hit_ids, id_col, "left_anti")
+            except AnalysisException:
+                pass  # no hits recorded yet (tree doesn't exist)
         run_ingest_cycle(
-            batch_df.select(id_col, text_col),
+            batch,
             store_path,
             int(batch_id),
             id_col=id_col,
             text_col=text_col,
             near_dup=near_dup,
             threshold=threshold,
+            consolidate_every=consolidate_every,
         )
 
-    return (
+    ingest_writer = (
         curated.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+    if not stream_near_dup:
+        return ingest_writer
+    hits = near_dup_hits_stream(
+        curated,
+        id_col=id_col,
+        text_col=text_col,
+        ts_col=ts_col,
+        watermark=nd_watermark,
+        min_est=nd_min_est,
+        max_bucket=nd_max_bucket,
+    )
+    hits_writer = (
+        hits.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", hits_path)
+        .option("checkpointLocation", f"{checkpoint}_nd")
+        .trigger(availableNow=True)
+    )
+    return SequentialStreamingDrain([hits_writer, ingest_writer])
+
+
+_INGEST_TREES = ("corpus", "fps", "banded", "sets")
+
+
+def _store_tree_paths(store_path: str) -> dict[str, str]:
+    return {
+        "corpus": f"{store_path}/corpus",
+        "fps": f"{store_path}/fps",
+        "banded": f"{store_path}/index/banded",
+        "sets": f"{store_path}/index/sets",
+    }
+
+
+def consolidate_ingest_store(
+    spark: SparkSession, store_path: str, upto_cycle: int
+) -> None:
+    """Rewrite every ``cycle=N`` partition with ``N <= upto_cycle`` in
+    the four ingest state trees into ONE ``cycle={upto_cycle}``
+    partition each (round-11 verdict task 4). A long-lived stream
+    otherwise accumulates one tiny partition per micro-batch and the
+    ``cycle < cycle_id`` state reads pay ever-growing listing and
+    small-file open cost — the classic compaction problem; this is
+    the periodic rewrite that bounds it.
+
+    Crash-safe and idempotent, mirror of the tmp+rename discipline
+    the npb/warc writers use: per tree, (a) the consolidated rows are
+    written to ``{store}/_tmp_consolidate/{tree}/cycle={upto}`` —
+    SKIPPED if that tmp already carries _SUCCESS, so a rerun resumes
+    a crashed attempt instead of re-deriving from a tree it may have
+    already partially emptied; (b) the old partition dirs are
+    deleted; (c) the tmp dir is renamed into the tree (atomic dir
+    rename, same filesystem by construction). A crash at any point
+    leaves either the old partitions, or the tmp + a subset of old
+    partitions (recovered by the skip-rebuild rule), or the final
+    layout. Callers must only invoke this for ``upto_cycle`` values
+    STRICTLY BELOW the running cycle id (``run_ingest_cycle``'s
+    ``consolidate_every`` does) — a cycle that might still be
+    replayed must never be folded into an earlier partition label."""
+    fs_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    fs = fs_path(store_path).getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    )
+    from pyspark.errors import AnalysisException
+
+    for tree, tree_path in _store_tree_paths(store_path).items():
+        if not fs.exists(fs_path(tree_path)):
+            continue
+        tmp = f"{store_path}/_tmp_consolidate/{tree}/cycle={upto_cycle}"
+        if not fs.exists(fs_path(f"{tmp}/_SUCCESS")):
+            try:
+                df = spark.read.parquet(tree_path)
+            except AnalysisException:
+                continue
+            if "cycle" not in df.columns:
+                continue
+            (
+                df.filter(F.col("cycle") <= upto_cycle)
+                .drop("cycle")
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+        # remove the folded partitions, then publish the consolidated
+        # one under the highest folded cycle label (reads filtering
+        # cycle < running_cycle keep seeing every folded row)
+        for st in fs.listStatus(fs_path(tree_path)):
+            name = st.getPath().getName()
+            if not name.startswith("cycle="):
+                continue
+            try:
+                n = int(name[6:])
+            except ValueError:
+                continue
+            if n <= upto_cycle:
+                fs.delete(st.getPath(), True)
+        fs.rename(fs_path(tmp), fs_path(f"{tree_path}/cycle={upto_cycle}"))
+    fs.delete(fs_path(f"{store_path}/_tmp_consolidate"), True)
 
 
 def run_ingest_cycle(
@@ -671,6 +893,8 @@ def run_ingest_cycle(
     num_perm: int = 32,
     bands: int = 8,
     shingle_n: int = 5,
+    index_verify: str = "exact",
+    consolidate_every: int | None = None,
 ) -> int:
     """One steady-state compaction cycle against ON-DISK corpus state
     — the production composition the per-DataFrame pieces build up
@@ -697,7 +921,12 @@ def run_ingest_cycle(
     of rows appended.
 
     Every state table is a narrow column scan at any corpus size; the
-    only text read is the new batch's."""
+    only text read is the new batch's. ``consolidate_every=K`` folds
+    the accumulated per-cycle partitions into one every K cycles
+    (``consolidate_ingest_store``) so partition count — and with it
+    listing/small-file cost — stays bounded by K on a stream that
+    runs forever; the fold only ever covers cycles strictly below
+    this one, which the checkpoint guarantees can no longer replay."""
     from pyspark.errors import AnalysisException
 
     from timebox_spark.operators.dedup import (
@@ -706,12 +935,9 @@ def run_ingest_cycle(
     )
 
     spark = new_batch.sparkSession
-    paths = {
-        "corpus": f"{store_path}/corpus",
-        "fps": f"{store_path}/fps",
-        "banded": f"{store_path}/index/banded",
-        "sets": f"{store_path}/index/sets",
-    }
+    paths = _store_tree_paths(store_path)
+    if consolidate_every and cycle_id > 0 and cycle_id % consolidate_every == 0:
+        consolidate_ingest_store(spark, store_path, cycle_id - 1)
 
     def read_prior(key: str) -> DataFrame | None:
         # probe through Spark's reader, not driver-local os.path — the
@@ -733,7 +959,8 @@ def run_ingest_cycle(
     # index is a valid corpus index
     if near_dup and banded is None:
         banded, sets = build_corpus_index(
-            new_batch.limit(0), id_col, text_col, num_perm, bands, shingle_n
+            new_batch.limit(0), id_col, text_col, num_perm, bands,
+            shingle_n, verify=index_verify,
         )
     kept = compact_corpus(
         new_batch,
@@ -747,6 +974,7 @@ def run_ingest_cycle(
         shingle_n=shingle_n,
         corpus_index=(banded, sets) if near_dup else None,
         corpus_fps=fps,
+        verify=index_verify,
     )
 
     cyc = f"cycle={cycle_id}"
@@ -759,7 +987,8 @@ def run_ingest_cycle(
     ).parquet(f"{paths['fps']}/{cyc}")
     if near_dup:
         nb, ns = build_corpus_index(
-            kept_disk, id_col, text_col, num_perm, bands, shingle_n
+            kept_disk, id_col, text_col, num_perm, bands, shingle_n,
+            verify=index_verify,
         )
         nb.write.mode("overwrite").parquet(f"{paths['banded']}/{cyc}")
         ns.write.mode("overwrite").parquet(f"{paths['sets']}/{cyc}")
@@ -777,7 +1006,7 @@ def near_dup_hits_stream(
     shingle_n: int = 5,
     min_est: float = 0.5,
     state_ttl_ms: int = 3_600_000,
-    max_bucket: int | None = None,
+    max_bucket: int | None = 256,
 ) -> DataFrame:
     """Round-9 verdict task 6 — the stream half of near-dup
     detection: banded-MinHash state WITHIN the watermark, so a near
@@ -789,9 +1018,11 @@ def near_dup_hits_stream(
     duplicate flood's copies all match the cluster's earliest docs,
     which are exactly what the prefix holds) but not added, so a
     10k-copy crawl burst costs O(copies · max_bucket) comparisons and
-    O(max_bucket) state instead of O(copies²) / O(copies). Default
-    None keeps the exact all-earlier-arrivals semantics the q68
-    oracle re-derives; production streams should set it (~256).
+    O(max_bucket) state instead of O(copies²) / O(copies). BOUNDED BY
+    DEFAULT (round-11 verdict task 1): an unconfigured production
+    stream must not carry the quadratic path; pass ``None`` explicitly
+    for the exact all-earlier-arrivals semantics the q68 oracle
+    re-derives (only safe when the ingest window is known small).
 
     The portable signature family (same md5 hash family as
     ``dedup.portable_minhash_index``, bit-identical values) is
@@ -883,31 +1114,48 @@ def near_dup_hits_stream(
             return
         ids, stored = state.get if state.exists else ([], [])
         ids = list(ids)
-        stored = [np.asarray(s, dtype=np.int64) for s in stored]
         band = int(key[0])
         rows = pd.concat(list(pdfs), ignore_index=True)
         if not len(rows):
             return
         rows = rows.sort_values([ts_col, id_col])
+        # the stored-signature matrix is materialized ONCE per batch
+        # and grown in place (round-11 verdict task 1) — capacity n +
+        # len(rows) is an exact upper bound on appends, so a flood
+        # costs O(copies · stored · num_perm) compares and zero
+        # re-stacking, vs the old per-arrival np.stack(stored) that
+        # re-copied the whole bucket per row
+        n = len(ids)
+        mat = np.empty((n + len(rows), num_perm), dtype=np.int64)
+        if n:
+            mat[:n] = np.asarray(stored, dtype=np.int64)
+        row_ids = rows[id_col].to_numpy(dtype=np.int64)
+        row_sigs = np.asarray(
+            [np.asarray(s, dtype=np.int64) for s in rows["__sig"]],
+            dtype=np.int64,
+        )
         hits_id, hits_m, hits_e = [], [], []
-        for _, row in rows.iterrows():
-            sig = np.asarray(row["__sig"], dtype=np.int64)
-            if ids:
+        for k in range(len(rows)):
+            sig = row_sigs[k]
+            if n:
                 # vectorized agreement against the whole bucket state;
                 # tie rule = (est desc, matched id asc), mirrored by
                 # the q68 oracle's (agree DESC, doc_id ASC) rank
-                ests = (np.stack(stored) == sig).mean(axis=1)
+                ests = (mat[:n] == sig).mean(axis=1)
                 best = float(ests.max())
                 if best >= min_est:
-                    hits_id.append(int(row[id_col]))
+                    hits_id.append(int(row_ids[k]))
                     hits_m.append(
                         min(ids[j] for j in np.flatnonzero(ests == best))
                     )
                     hits_e.append(best)
-            if max_bucket is None or len(ids) < max_bucket:
-                ids.append(int(row[id_col]))
-                stored.append(sig)
-        state.update(([int(i) for i in ids], [[int(x) for x in s] for s in stored]))
+            if max_bucket is None or n < max_bucket:
+                mat[n] = sig
+                ids.append(int(row_ids[k]))
+                n += 1
+        state.update(
+            ([int(i) for i in ids], [[int(x) for x in mat[j]] for j in range(n)])
+        )
         ts_max_ms = int(rows[ts_col].max().value // 1_000_000)
         wm = state.getCurrentWatermarkMs()
         state.setTimeoutTimestamp(max(wm, ts_max_ms) + state_ttl_ms)
