@@ -36,6 +36,75 @@ def test_connected_components_matches_union_find(spark):
     assert got == _union_find(edges)
 
 
+def test_connected_components_star_matches_union_find(spark):
+    """Large-star/small-star contraction equals union-find (and hence
+    label propagation) on paths, cliques, stars, multi-component and
+    random graphs — the algorithms are drop-in interchangeable."""
+    import random
+
+    cases = [
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (3, 4)],
+        [(i, i + 1) for i in range(1, 40)],                 # deep path
+        [(1, j) for j in range(2, 15)],                     # star
+        [(a, b) for a in range(1, 8) for b in range(a + 1, 8)],  # clique
+        [(5, 5), (5, 6)],                                   # self-loop
+    ]
+    rng = random.Random(42)
+    for _ in range(3):
+        n = 60
+        cases.append(
+            [
+                (rng.randrange(1, n), rng.randrange(1, n))
+                for _ in range(70)
+            ]
+        )
+    for edges in cases:
+        uf = _union_find([e for e in edges if e[0] != e[1]])
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r["node"]: r["component"]
+            for r in dedup.connected_components_star(pairs).collect()
+        }
+        assert got == uf, (edges[:5], len(edges))
+
+
+def test_connected_components_star_sublinear_rounds_on_deep_path(spark):
+    """The point of contraction: a 64-link path (diameter 64) must
+    converge in far fewer rounds than label propagation's O(diameter)
+    — O(log² n) per Kiveris et al. 2014."""
+    edges = [(i, i + 1) for i in range(1, 65)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    stats: dict = {}
+    got = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components_star(
+            pairs, stats=stats, max_iterations=20
+        ).collect()
+    }
+    assert got == {i: 1 for i in range(1, 66)}
+    assert stats["rounds"] <= 10, stats
+
+
+def test_dedup_clusters_star_algorithm(spark):
+    """dedup_clusters(algorithm='star') equals the default label-
+    propagation assignment on real minhash pairs."""
+    docs = load(spark, SF_SMOKE, "documents")
+    pairs = dedup.minhash_dedup(docs, threshold=0.35)
+    lp = {
+        r["doc_id"]: r["canonical_id"]
+        for r in dedup.dedup_clusters(docs, pairs).collect()
+    }
+    star = {
+        r["doc_id"]: r["canonical_id"]
+        for r in dedup.dedup_clusters(docs, pairs, algorithm="star").collect()
+    }
+    assert lp == star
+    import pytest
+
+    with pytest.raises(ValueError, match="algorithm"):
+        dedup.dedup_clusters(docs, pairs, algorithm="bogus")
+
+
 def test_dedup_clusters_on_documents(spark):
     docs = load(spark, SF_SMOKE, "documents")
     pairs = dedup.minhash_dedup(docs, threshold=0.35)

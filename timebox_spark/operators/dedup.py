@@ -672,16 +672,128 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 50,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii,
+    *Connected Components in MapReduce and Beyond*, SoCC 2014) — the
+    O(log² n)-round scale path the label-propagation diagnostic
+    (``connected_components(stats=...)``'s round count) escalates to
+    when cluster DIAMETER grows with corpus size: label propagation
+    pays O(diameter) rounds (a 10k-link plagiarism chain = 10k joins),
+    contraction pays O(log² n) regardless of shape.
+
+    Edges are kept canonical (child > parent). Per round:
+    *large-star* attaches every neighbor v > u to m = min(Γ(u) ∪ {u})
+    over the bidirectional adjacency; *small-star* re-points each
+    node's smaller-neighborhood (and itself) at its minimum. Both are
+    one groupBy-min + one join each. Converged when the small-star
+    output equals the previous round's edge set exactly (count match
+    + empty exceptAll — a digest heuristic could terminate early on
+    collision); then edges ARE (node, root) stars and labels read off
+    directly. Raises if ``max_iterations`` rounds don't converge —
+    silently mislabeled components are worse than a loud failure.
+
+    Returns (node, component) for every node appearing in ``pairs``,
+    component = min id — bit-identical to ``connected_components``
+    (pinned by tests on paths/cliques/random graphs), so the two are
+    drop-in interchangeable (``dedup_clusters(algorithm='star')``).
+    Like label propagation, each round localCheckpoints to cut
+    lineage; callers in long-lived drivers clean checkpoint state the
+    way ``streaming.ingest.compact_corpus`` does."""
+    e = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("child"),
+            F.least("a", "b").alias("parent"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if stats is not None:
+        stats["edges"] = e.count()
+        stats["rounds"] = 0
+        stats["edges_per_round"] = []
+    for _ in range(max_iterations):
+        # large-star: bidirectional adjacency, attach larger neighbors
+        # to the neighborhood minimum
+        adj = e.select(
+            F.col("child").alias("u"), F.col("parent").alias("v")
+        ).union(
+            e.select(F.col("parent").alias("u"), F.col("child").alias("v"))
+        )
+        m = (
+            adj.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", F.col("u")).alias("m"))
+        )
+        e1 = (
+            adj.filter(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("v").alias("child"), F.col("m").alias("parent"))
+            .distinct()
+        )
+        # small-star: per node, re-point its smaller-neighborhood
+        # (and itself) at the minimum of that neighborhood
+        m2 = e1.groupBy("child").agg(F.min("parent").alias("m"))
+        joined = e1.join(m2, "child")
+        e2 = (
+            joined.filter(F.col("parent") != F.col("m"))
+            .select(F.col("parent").alias("child"), F.col("m").alias("parent"))
+            .union(joined.select("child", F.col("m").alias("parent")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if stats is not None:
+            stats["rounds"] += 1
+            stats["edges_per_round"].append(e2.count())
+        same_count = e2.count() == e.count()
+        if same_count and e2.exceptAll(e).limit(1).count() == 0:
+            e = e2
+            break
+        e = e2
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in "
+            f"{max_iterations} rounds"
+        )
+    return (
+        e.select(F.col("child").alias("node"), F.col("parent").alias("component"))
+        .union(
+            e.select(
+                F.col("parent").alias("node"), F.col("parent").alias("component")
+            )
+        )
+        .distinct()
+    )
+
+
 def dedup_clusters(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
     stats: dict | None = None,
+    algorithm: str = "label",
 ) -> DataFrame:
     """Canonical-doc assignment: every doc mapped to its cluster's min
     id (docs with no near-dup map to themselves). ``stats`` is passed
-    through to :func:`connected_components`."""
-    comp = connected_components(pairs, stats=stats)
+    through to the component algorithm; ``algorithm='label'`` (min-
+    label propagation, O(diameter) rounds — right for the shallow
+    clusters near-dup graphs usually are) or ``'star'``
+    (:func:`connected_components_star`, O(log² n) rounds — right when
+    the stats diagnostic shows diameter growing with corpus size)."""
+    if algorithm == "label":
+        comp = connected_components(pairs, stats=stats)
+    elif algorithm == "star":
+        comp = connected_components_star(pairs, stats=stats)
+    else:
+        raise ValueError(f"algorithm must be 'label' or 'star', got {algorithm!r}")
     return (
         df.select(F.col(id_col))
         .join(comp, df[id_col] == comp.node, "left")

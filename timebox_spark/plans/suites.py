@@ -1952,7 +1952,16 @@ def q31_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard pairs (the q24 pair set — SQL-expressible) fed through
     distributed min-label propagation; DuckDB recomputes the same
     connected components with a recursive CTE. The minhash-pair
-    variant of clustering is pinned separately in tests/test_clustering."""
+    variant of clustering is pinned separately in tests/test_clustering.
+
+    Round 12: a flag row (canonical_id = -1) additionally gates the
+    large-star/small-star contraction path
+    (``dedup.connected_components_star`` — the O(log² n)-round scale
+    escalation): cluster_size = 1 only if the star labels equal the
+    label-propagation labels EXACTLY over every node, rep_score = the
+    labeled node count (re-derived by the oracle from the recursive
+    CTE). A single disagreeing node flips the flag to 0 and the
+    driver hash mismatches."""
     docs = load(spark, sf_dir, "documents").withColumn(
         "len_bucket", F.floor(F.length("text") / LQ._J_BUCKET).cast("long")
     )
@@ -1962,7 +1971,17 @@ def q31_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_n=LQ._J_SHINGLE_N,
         threshold=LQ._J_THRESHOLD,
     )
-    clusters = dedup.dedup_clusters(docs, pairs)
+    comp_lp = dedup.connected_components(pairs)
+    clusters = (
+        docs.select("doc_id")
+        .join(comp_lp, docs["doc_id"] == comp_lp["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias(
+                "canonical_id"
+            ),
+        )
+    )
     sized = (
         clusters.groupBy("canonical_id")
         .agg(F.count(F.lit(1)).alias("cluster_size"))
@@ -1971,9 +1990,35 @@ def q31_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quality-aware keep-one: pin each cluster's best member (longest
     # text, id tiebreak) — dedup.cluster_representatives
     reps = dedup.cluster_representatives(docs, clusters, score_col="n_chars")
-    return sized.join(reps, "canonical_id").select(
+    main = sized.join(reps, "canonical_id").select(
         "canonical_id", "cluster_size", "rep_id", "rep_score"
     )
+    comp_star = dedup.connected_components_star(pairs)
+    agree = (
+        comp_lp.join(
+            comp_star.withColumnRenamed("component", "component_s"),
+            "node",
+            "full",
+        )
+        .agg(
+            F.coalesce(
+                F.min(
+                    F.when(
+                        F.col("component") == F.col("component_s"), 1
+                    ).otherwise(0)
+                ),
+                F.lit(1),
+            ).alias("agree"),
+            F.count(F.lit(1)).alias("n_nodes"),
+        )
+        .select(
+            F.lit(-1).cast("long").alias("canonical_id"),
+            F.col("agree").cast("long").alias("cluster_size"),
+            F.lit(-1).cast("long").alias("rep_id"),
+            F.col("n_nodes").cast("long").alias("rep_score"),
+        )
+    )
+    return main.unionByName(agree)
 
 
 _Q31_SQL = f"""
@@ -2004,6 +2049,9 @@ rep AS (
 )
 SELECT s.canonical_id, s.cluster_size, r.rep_id, r.rep_score
 FROM sized s JOIN rep r USING (canonical_id)
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(1 AS BIGINT), CAST(-1 AS BIGINT),
+       (SELECT CAST(count(*) AS BIGINT) FROM comp)
 """
 
 
@@ -2537,6 +2585,37 @@ def q68_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # capped-detector member ('near_cap' rows, round-12): the SAME
+    # planted-copy stream through max_bucket=1 — the bounded
+    # production path (each bucket stores only its first arrival;
+    # later arrivals are checked against that prefix). With cap=1 the
+    # semantics are SQL-expressible (matched = the bucket's earliest
+    # doc), so the default-capped kernel is driver-gated bit-for-bit,
+    # not just pytest-covered.
+    nhc_hits = ingest.near_dup_hits_stream(
+        nh_stream, min_est=0.5, max_bucket=1
+    )
+    nhc = (
+        drain(nhc_hits, "q68_near_cap_sink", "append")
+        .groupBy("doc_id", "matched_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("band").cast("long").alias("v1"),
+            F.sum(F.round(F.col("est") * 32).cast("long")).alias("v2"),
+        )
+        .select(
+            F.lit("near_cap").alias("member"),
+            F.concat_ws(
+                ":",
+                F.col("doc_id").cast("string"),
+                F.col("matched_id").cast("string"),
+            ).alias("k"),
+            "n",
+            "v1",
+            "v2",
+        )
+    )
+
     return (
         sliding.unionByName(session)
         .unionByName(dedupd)
@@ -2547,6 +2626,7 @@ def q68_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(compact_est)
         .unionByName(keep1)
         .unionByName(nh)
+        .unionByName(nhc)
     )
 
 
@@ -2970,11 +3050,54 @@ FROM (
 """
 
 
+def _q68_near_cap_sql() -> str:
+    """Oracle for the BOUNDED detector path (max_bucket=1, the
+    production default's semantics at its tightest): each (band, key)
+    bucket stores only its FIRST arrival (min doc_id — arrival order
+    is id order by construction), every later bucket-mate is checked
+    against exactly that signature, and a hit emits (doc, band,
+    first_id, agreement). SQL-expressible precisely because the cap
+    removes the order-dependent bucket growth."""
+    agree = " + ".join(
+        f"(sa.h{i} = sb.h{i})::INT" for i in range(_MH_NUM_PERM)
+    )
+    min_agree = int(_MH_NUM_PERM * 0.5)
+    return f"""
+SELECT 'near_cap' AS member,
+       CAST(id_b AS VARCHAR) || ':' || CAST(id_a AS VARCHAR) AS k,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(band) AS BIGINT) AS v1,
+       CAST(sum(agree) AS BIGINT) AS v2
+FROM (
+  WITH nc_src AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 3000000, text || ' qq'
+    FROM documents WHERE doc_id % 10 = 7
+  ),
+  {_mh_ctes('nc_src', 'nc')},
+  ncfr AS (
+    SELECT band, key, min(doc_id) AS first_id
+    FROM ncbanded GROUP BY band, key
+  )
+  SELECT b.doc_id AS id_b, f.first_id AS id_a, b.band,
+         ({agree}) AS agree
+  FROM ncbanded b
+  JOIN ncfr f ON b.band = f.band AND b.key = f.key
+             AND b.doc_id > f.first_id
+  JOIN ncsigs sa ON sa.doc_id = f.first_id
+  JOIN ncsigs sb ON sb.doc_id = b.doc_id
+  WHERE ({agree}) >= {min_agree}
+) GROUP BY id_b, id_a
+"""
+
+
 _Q68_SQL += f"\nUNION ALL SELECT * FROM ({_q68_compact_sql()})"
 _Q68_SQL += f"\nUNION ALL SELECT * FROM ({_q68_compact_near_sql()})"
 _Q68_SQL += f"\nUNION ALL SELECT * FROM ({_q68_compact_est_sql()})"
 _Q68_SQL += f"\nUNION ALL SELECT * FROM ({_q68_keep1_sql()})"
 _Q68_SQL += f"\nUNION ALL SELECT * FROM ({_q68_near_hits_sql()})"
+_Q68_SQL += f"\nUNION ALL SELECT * FROM ({_q68_near_cap_sql()})"
 
 
 # ------------------------------------------------------------------

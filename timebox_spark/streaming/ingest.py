@@ -713,6 +713,7 @@ def curate_and_ingest_stream(
     nd_watermark: str = "1 hour",
     nd_max_bucket: int | None = 256,
     consolidate_every: int | None = 64,
+    index_verify: str = "exact",
 ):
     """The end-to-end streaming ingest entrypoint: raw document
     stream → ``curate_stream``'s stateless annotate/gate/redact →
@@ -739,7 +740,16 @@ def curate_and_ingest_stream(
     exact verify remains the authority for everything it passes.
     The return value is then a :class:`SequentialStreamingDrain`
     (same ``start()/awaitTermination()`` shape) draining detector
-    then ingest, so hit state is complete before ingest consumes it."""
+    then ingest, so hit state is complete before ingest consumes it.
+    The hits tree is append-only across drains — an id-only narrow
+    scan per batch; stale hits are harmless (ids are unique, and the
+    anti-join only drops ids present in the current batch) but a
+    maintenance job may prune rows older than the detector TTL once
+    the ingest checkpoint has passed them.
+
+    ``index_verify`` is forwarded to ``run_ingest_cycle`` — pass
+    ``'estimate'`` to keep the persisted store index signature-sized
+    (see ``compact_corpus``)."""
     curated = curate_stream(
         stream,
         id_col=id_col,
@@ -777,6 +787,7 @@ def curate_and_ingest_stream(
             near_dup=near_dup,
             threshold=threshold,
             consolidate_every=consolidate_every,
+            index_verify=index_verify,
         )
 
     ingest_writer = (
