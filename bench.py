@@ -406,6 +406,26 @@ def main() -> None:
         cands.unpersist()
         return out
 
+    # star-contraction rounds on the 10× pairs (round 12): the
+    # escalation path's round count and wall time next to label
+    # propagation's (cc_rounds above) — measured, not argued. On the
+    # duplicate-amplified corpus clusters stay shallow, so label wins
+    # on constant factors; the star numbers are here so the crossover
+    # is visible the day diameter grows.
+    star_st: dict = {}
+    pairs10 = D.minhash_dedup(
+        tables_load(spark, amp_dir, "documents"), threshold=0.35
+    )
+    t0 = time.perf_counter()
+    D.connected_components_star(pairs10, stats=star_st).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    cc_stats["10x_star"] = {
+        "rounds": star_st.get("rounds"),
+        "edges": star_st.get("edges"),
+        "sec": round(time.perf_counter() - t0, 3),
+    }
+
     # q20 stage decomposition (round-11 verdict task 6): q20 grew 2.2×
     # over r04 while gaining five column families — time each family
     # separately (shared token_features input; 'base' carries the

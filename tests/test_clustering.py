@@ -85,6 +85,32 @@ def test_connected_components_star_sublinear_rounds_on_deep_path(spark):
     assert stats["rounds"] <= 10, stats
 
 
+def test_connected_components_deep_path_raises_and_auto_escalates(spark):
+    """A 30-link path exceeds label propagation's default 20-round
+    cap: the old code silently returned TRUNCATED (wrong) labels;
+    now it raises, and dedup_clusters(algorithm='auto') escalates to
+    star contraction and returns the correct components."""
+    import pytest
+
+    edges = [(i, i + 1) for i in range(1, 31)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs).collect()
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 32)], "doc_id long"
+    )
+    stats: dict = {}
+    got = {
+        r["doc_id"]: r["canonical_id"]
+        for r in dedup.dedup_clusters(
+            docs, pairs, algorithm="auto", stats=stats
+        ).collect()
+    }
+    assert got == {i: 1 for i in range(1, 32)}
+    assert stats.get("escalated_to_star") is True
+
+
 def test_dedup_clusters_star_algorithm(spark):
     """dedup_clusters(algorithm='star') equals the default label-
     propagation assignment on real minhash pairs."""

@@ -728,6 +728,30 @@ def test_compact_corpus_cluster_keep_one_vs_chain(spark):
     assert cluster == {11}, cluster       # C matches nothing kept
 
 
+def test_compact_corpus_cluster_mode_escalates_to_star(spark, monkeypatch):
+    """If label propagation hits its round cap inside a cluster-mode
+    compaction (a pathologically deep within-batch near-dup chain),
+    the compactor escalates to star contraction instead of crash-
+    looping the stream — same kept set."""
+    from timebox_spark.operators import dedup as DD
+
+    def boom(*a, **k):
+        raise RuntimeError("did not converge (simulated)")
+
+    monkeypatch.setattr(DD, "connected_components", boom)
+    b = spark.createDataFrame(
+        [(1, "first cycle document about rivers and meadows"),
+         (2, "first cycle document about rivers and meadows qq"),
+         (3, "a wholly different text regarding parquet metadata")],
+        "doc_id long, text string",
+    )
+    kept = {
+        r["doc_id"]
+        for r in ingest.compact_corpus(b, near_dup=True, keep="cluster").collect()
+    }
+    assert kept == {1, 3}, kept
+
+
 def test_corpus_index_save_load_survives_restart(spark, tmp_path):
     """Round-9 verdict task 2: the corpus index persists to parquet
     as (banded, HASHED sets — array<long>, signature-sized, never raw

@@ -669,6 +669,18 @@ def connected_components(
         labels = updated.drop("__changed")
         if changed == 0:
             break
+    else:
+        # round 12: silently returning truncated labels mislabels any
+        # cluster whose diameter exceeds the round cap — raise loudly;
+        # deep-diameter graphs belong on the contraction path
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            f"rounds (cluster diameter exceeds the cap) — use "
+            f"connected_components_star or dedup_clusters("
+            f"algorithm='star'/'auto')"
+        )
+    if stats is not None:
+        stats["converged"] = True
     return labels
 
 
@@ -785,15 +797,29 @@ def dedup_clusters(
     id (docs with no near-dup map to themselves). ``stats`` is passed
     through to the component algorithm; ``algorithm='label'`` (min-
     label propagation, O(diameter) rounds — right for the shallow
-    clusters near-dup graphs usually are) or ``'star'``
+    clusters near-dup graphs usually are), ``'star'``
     (:func:`connected_components_star`, O(log² n) rounds — right when
-    the stats diagnostic shows diameter growing with corpus size)."""
+    the stats diagnostic shows diameter growing with corpus size), or
+    ``'auto'`` — label propagation first, escalating to contraction
+    iff the round cap is hit (label propagation now RAISES instead of
+    silently returning truncated labels), so shallow graphs pay the
+    cheap path and a pathological plagiarism chain can no longer
+    mislabel."""
     if algorithm == "label":
         comp = connected_components(pairs, stats=stats)
     elif algorithm == "star":
         comp = connected_components_star(pairs, stats=stats)
+    elif algorithm == "auto":
+        try:
+            comp = connected_components(pairs, stats=stats)
+        except RuntimeError:
+            if stats is not None:
+                stats["escalated_to_star"] = True
+            comp = connected_components_star(pairs, stats=stats)
     else:
-        raise ValueError(f"algorithm must be 'label' or 'star', got {algorithm!r}")
+        raise ValueError(
+            f"algorithm must be 'label', 'star' or 'auto', got {algorithm!r}"
+        )
     return (
         df.select(F.col(id_col))
         .join(comp, df[id_col] == comp.node, "left")

@@ -656,7 +656,17 @@ def compact_corpus(
     if pairs.rdd.isEmpty():
         non_rep_ids = []
     else:
-        comp = connected_components(pairs)
+        try:
+            comp = connected_components(pairs)
+        except RuntimeError:
+            # a batch with a >cap-diameter near-dup chain must not
+            # crash-loop the stream — escalate to star contraction
+            # (identical labels, O(log² n) rounds)
+            from timebox_spark.operators.dedup import (
+                connected_components_star,
+            )
+
+            comp = connected_components_star(pairs)
         non_rep_ids = [
             r[0]
             for r in comp.filter(F.col("node") != F.col("component"))
