@@ -987,7 +987,9 @@ def test_corpus_index_versioned_atomic_publish(spark, tmp_path):
     assert got_crash == {1}
 
     # a real save supersedes (v=2 on top of the junk v=1) and prunes
-    v2 = DD.save_corpus_index(idx2, path)
+    # (keep_versions=1 here; the default 2 retains the previous
+    # generation so outstanding lazy loads keep working)
+    v2 = DD.save_corpus_index(idx2, path, keep_versions=1)
     assert v2 >= 1
     got2 = {r["doc_id"] for r in DD.load_corpus_index(spark, path)[0].collect()}
     assert got2 == {2}
@@ -1111,34 +1113,46 @@ def test_curate_and_ingest_stream_with_stream_near_dup(spark, tmp_path):
         "and columnar storage layouts with delta encoding schemes"
     )
     t0 = dt.datetime(2025, 1, 1, 12, 0, 0)
-    rows = [
+    batch1 = [
         (10, base, t0),
         (11, other, t0 + dt.timedelta(seconds=1)),
         (20, base + " qq", t0 + dt.timedelta(seconds=2)),  # near copy of 10
     ]
+    batch2 = [
+        (30, other + " zz", t0 + dt.timedelta(seconds=3)),  # near copy of 11
+        (31, "a wholly new third document concerning state "
+             "stores and watermark semantics in streams",
+         t0 + dt.timedelta(seconds=4)),
+    ]
     src = str(tmp_path / "nd_raw_docs")
-    spark.createDataFrame(
-        rows, "doc_id long, text string, ts timestamp"
-    ).coalesce(1).write.parquet(src)
+    for b in (batch1, batch2):
+        spark.createDataFrame(
+            b, "doc_id long, text string, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(src)
 
     stream = spark.readStream.schema(
         "doc_id long, text string, ts timestamp"
-    ).parquet(src)
+    ).option("maxFilesPerTrigger", 1).parquet(src)
     store = str(tmp_path / "nd_store")
     q = ingest.curate_and_ingest_stream(
         stream, store, str(tmp_path / "ck_nd_cai"),
         min_quality_q=0, min_tokens=6,
-        near_dup=False,          # compactor exact-only: it CANNOT drop 20
-        stream_near_dup=True,    # ...so only the detector's hit can
+        near_dup=False,          # compactor exact-only: it CANNOT drop 20/30
+        stream_near_dup=True,    # ...so only the detector's hits can
     ).start()
-    q.awaitTermination()
+    assert q.awaitTermination() is True
 
     kept = {
         r["doc_id"] for r in spark.read.parquet(f"{store}/corpus").collect()
     }
-    assert kept == {10, 11}, kept
+    assert kept == {10, 11, 31}, kept
     hits = spark.read.parquet(f"{store}/near_hits")
-    assert {r["doc_id"] for r in hits.collect()} == {20}
+    assert {r["doc_id"] for r in hits.collect()} == {20, 30}
+    # the post-drain fold bounded the hits tree to ONE batch dir
+    import os
+
+    dirs = [d for d in os.listdir(f"{store}/near_hits") if d.startswith("batch=")]
+    assert len(dirs) == 1, dirs
 
 
 def test_run_ingest_cycle_disk_state_and_replay(spark, tmp_path):

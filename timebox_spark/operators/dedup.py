@@ -641,14 +641,14 @@ def connected_components(
         stats["edges"] = edges.count()
         stats["changed_per_round"] = []
         stats["rounds"] = 0
-    for _ in range(max_iterations):
+    def one_round(lbls):
         neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
+            edges.join(lbls, edges.dst == lbls.node)
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
         updated = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            lbls.join(neighbor_min, lbls.node == neighbor_min.src, "left")
             .select(
                 "node",
                 F.least(
@@ -661,15 +661,26 @@ def connected_components(
         )
         updated = updated.localCheckpoint(eager=True)
         if stats is not None:
-            changed = updated.filter(F.col("__changed")).count()
-            stats["changed_per_round"].append(changed)
+            n_changed = updated.filter(F.col("__changed")).count()
+            stats["changed_per_round"].append(n_changed)
             stats["rounds"] += 1
         else:
-            changed = updated.filter(F.col("__changed")).limit(1).count()
-        labels = updated.drop("__changed")
+            n_changed = updated.filter(F.col("__changed")).limit(1).count()
+        return updated.drop("__changed"), n_changed
+
+    converged = False
+    for _ in range(max_iterations):
+        labels, changed = one_round(labels)
         if changed == 0:
+            converged = True
             break
-    else:
+    if not converged:
+        # the cap-th round may have made the FINAL propagation (a
+        # diameter-exactly-cap chain): one extra probe round
+        # distinguishes just-finished from truncated before raising
+        labels, changed = one_round(labels)
+        converged = changed == 0
+    if not converged:
         # round 12: silently returning truncated labels mislabels any
         # cluster whose diameter exceeds the round cap — raise loudly;
         # deep-diameter graphs belong on the contraction path
@@ -728,8 +739,9 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    prev_n = e.count()
     if stats is not None:
-        stats["edges"] = e.count()
+        stats["edges"] = prev_n
         stats["rounds"] = 0
         stats["edges_per_round"] = []
     for _ in range(max_iterations):
@@ -762,14 +774,14 @@ def connected_components_star(
             .distinct()
             .localCheckpoint(eager=True)
         )
+        n2 = e2.count()
         if stats is not None:
             stats["rounds"] += 1
-            stats["edges_per_round"].append(e2.count())
-        same_count = e2.count() == e.count()
-        if same_count and e2.exceptAll(e).limit(1).count() == 0:
+            stats["edges_per_round"].append(n2)
+        if n2 == prev_n and e2.exceptAll(e).limit(1).count() == 0:
             e = e2
             break
-        e = e2
+        e, prev_n = e2, n2
     else:
         raise RuntimeError(
             f"connected_components_star did not converge in "
@@ -1449,7 +1461,7 @@ def _complete_index_versions(fs, mk_path, path: str) -> list[int]:
 
 
 def save_corpus_index(
-    index: tuple[DataFrame, DataFrame], path: str, keep_versions: int = 1
+    index: tuple[DataFrame, DataFrame], path: str, keep_versions: int = 2
 ) -> int:
     """Persist a ``build_corpus_index`` pair so the streaming
     compactor survives driver restarts without re-scanning corpus
@@ -1461,8 +1473,14 @@ def save_corpus_index(
     the previous one, never a mixed-generation pairing (advisor
     round 11: the old flat layout overwrote banded and sets as two
     separate commits). Older complete versions beyond
-    ``keep_versions`` are pruned best-effort after publish. Returns
-    the published version number."""
+    ``keep_versions`` are pruned best-effort after publish —
+    ``keep_versions`` defaults to 2 so the load-then-save cycle a
+    compactor runs is safe: a LAZY DataFrame from
+    ``load_corpus_index`` still references the previous generation's
+    files until its plan executes, and pruning that generation under
+    it would fail the very verify join the index feeds; set 1 only
+    when no loaded plan can be outstanding. Returns the published
+    version number."""
     banded, sets = index
     fs, mk_path = _index_fs(banded, path)
     done = _complete_index_versions(fs, mk_path, path)

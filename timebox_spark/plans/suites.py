@@ -1971,7 +1971,30 @@ def q31_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_n=LQ._J_SHINGLE_N,
         threshold=LQ._J_THRESHOLD,
     )
-    comp_lp = dedup.connected_components(pairs)
+    # run BOTH component algorithms eagerly, then rebuild their label
+    # tables as local DataFrames and unpersist every per-round
+    # localCheckpoint RDD the loops created — the gating harness must
+    # not accumulate block-manager state across repeated suite runs
+    # (the production operator path, dedup_clusters, stays fully
+    # distributed; this collect is bounded by the near-dup candidate
+    # node count, tiny relative to the corpus at driver scales)
+    jp = spark.sparkContext._jsc.getPersistentRDDs()
+    before = set(jp.keySet().toArray())
+    try:
+        lp_rows = [
+            (r["node"], r["component"])
+            for r in dedup.connected_components(pairs).collect()
+        ]
+        star_rows = [
+            (r["node"], r["component"])
+            for r in dedup.connected_components_star(pairs).collect()
+        ]
+    finally:
+        jp = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in set(jp.keySet().toArray()) - before:
+            jp.get(rid).unpersist(False)
+    comp_lp = spark.createDataFrame(lp_rows, "node long, component long")
+    comp_star = spark.createDataFrame(star_rows, "node long, component long")
     clusters = (
         docs.select("doc_id")
         .join(comp_lp, docs["doc_id"] == comp_lp["node"], "left")
@@ -1993,7 +2016,6 @@ def q31_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     main = sized.join(reps, "canonical_id").select(
         "canonical_id", "cluster_size", "rep_id", "rep_score"
     )
-    comp_star = dedup.connected_components_star(pairs)
     agree = (
         comp_lp.join(
             comp_star.withColumnRenamed("component", "component_s"),

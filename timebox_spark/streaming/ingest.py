@@ -649,60 +649,99 @@ def compact_corpus(
     # carries no checkpoint lineage at all, matching chain mode's
     # leave-nothing-behind contract (asserted by the
     # getPersistentRDDs pytest).
+    # NOTE the snapshot-diff sweep assumes this is the only code
+    # persisting RDDs between the two snapshots — true for the
+    # single-compactor driver this is built for; a session running
+    # several concurrent cluster-mode compactions would need
+    # per-owner tracking instead
     spark = new_batch.sparkSession
     jpersist = spark.sparkContext._jsc.getPersistentRDDs()
     before = set(jpersist.keySet().toArray())
-    pairs = pairs.localCheckpoint(eager=True)
-    if pairs.rdd.isEmpty():
-        non_rep_ids = []
-    else:
-        try:
-            comp = connected_components(pairs)
-        except RuntimeError:
-            # a batch with a >cap-diameter near-dup chain must not
-            # crash-loop the stream — escalate to star contraction
-            # (identical labels, O(log² n) rounds)
-            from timebox_spark.operators.dedup import (
-                connected_components_star,
-            )
+    try:
+        pairs = pairs.localCheckpoint(eager=True)
+        if pairs.rdd.isEmpty():
+            non_rep_ids = []
+        else:
+            try:
+                comp = connected_components(pairs)
+            except RuntimeError:
+                # a batch with a >cap-diameter near-dup chain must not
+                # crash-loop the stream — escalate to star contraction
+                # (identical labels, O(log² n) rounds)
+                from timebox_spark.operators.dedup import (
+                    connected_components_star,
+                )
 
-            comp = connected_components_star(pairs)
-        non_rep_ids = [
-            r[0]
-            for r in comp.filter(F.col("node") != F.col("component"))
-            .select("node")
-            .collect()
-        ]
-    jpersist = spark.sparkContext._jsc.getPersistentRDDs()
-    for rid in set(jpersist.keySet().toArray()) - before:
-        jpersist.get(rid).unpersist(False)
+                comp = connected_components_star(pairs)
+            non_rep_ids = [
+                r[0]
+                for r in comp.filter(F.col("node") != F.col("component"))
+                .select("node")
+                .collect()
+            ]
+    finally:
+        # the sweep runs even when CC raises — the crash path must
+        # not be the one that leaks block-manager state
+        jpersist = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in set(jpersist.keySet().toArray()) - before:
+            jpersist.get(rid).unpersist(False)
     if not non_rep_ids:
         return remaining
+    # preserve the caller's id type (string/long/... all valid
+    # id_col types elsewhere in this function)
+    id_type = kept.schema[id_col].dataType
     dropped_df = spark.createDataFrame(
-        [(int(i),) for i in non_rep_ids], f"{id_col} long"
+        [(v,) for v in non_rep_ids],
+        T.StructType([T.StructField(id_col, id_type)]),
     )
     return remaining.join(F.broadcast(dropped_df), id_col, "left_anti")
 
 
 class SequentialStreamingDrain:
     """A drain-order wrapper over several UNSTARTED availableNow
-    writers: ``start()`` returns self, ``awaitTermination()`` starts
-    and drains each writer in order, so a consumer query (the ingest
+    writers: ``start()`` launches a driver-side thread that starts
+    and drains each writer IN ORDER, so a consumer query (the ingest
     sink anti-joining on detector hits) only runs after its producer
     (the hit detector) has fully drained the source. Mirrors the
     ``q = writer.start(); q.awaitTermination()`` call shape of a
-    single StreamingQuery."""
+    single StreamingQuery — and like one, ``start()`` alone is enough
+    for the work to happen; ``awaitTermination(timeout)`` blocks
+    until the whole chain drains (True) or the timeout elapses
+    (False, chain keeps running), re-raising any query failure.
+    ``on_complete`` (optional) runs after a fully successful drain —
+    the hook the ingest entrypoint uses for hits-tree maintenance."""
 
-    def __init__(self, writers):
+    def __init__(self, writers, on_complete=None):
         self._writers = list(writers)
+        self._on_complete = on_complete
+        self._thread = None
+        self._exc = None
+
+    def _run(self):
+        try:
+            for w in self._writers:
+                w.start().awaitTermination()
+            if self._on_complete is not None:
+                self._on_complete()
+        except BaseException as e:  # re-raised in awaitTermination
+            self._exc = e
 
     def start(self):
+        if self._thread is None:
+            import threading
+
+            self._thread = threading.Thread(
+                target=self._run, name="sequential-stream-drain", daemon=True
+            )
+            self._thread.start()
         return self
 
     def awaitTermination(self, timeout=None):
-        for w in self._writers:
-            w.start().awaitTermination()
-        return True
+        self.start()
+        self._thread.join(timeout)
+        if not self._thread.is_alive() and self._exc is not None:
+            raise self._exc
+        return not self._thread.is_alive()
 
 
 def curate_and_ingest_stream(
@@ -751,11 +790,12 @@ def curate_and_ingest_stream(
     The return value is then a :class:`SequentialStreamingDrain`
     (same ``start()/awaitTermination()`` shape) draining detector
     then ingest, so hit state is complete before ingest consumes it.
-    The hits tree is append-only across drains — an id-only narrow
-    scan per batch; stale hits are harmless (ids are unique, and the
-    anti-join only drops ids present in the current batch) but a
-    maintenance job may prune rows older than the detector TTL once
-    the ingest checkpoint has passed them.
+    The hits tree holds one ``batch=N`` dir per micro-batch during a
+    drain (idempotent overwrite under replay) and is FOLDED into a
+    single partition after each fully successful drain (the
+    ``on_complete`` hook), so its file count stays bounded across a
+    forever-stream; stale hit rows are harmless (ids are unique, and
+    the anti-join only drops ids present in the current batch).
 
     ``index_verify`` is forwarded to ``run_ingest_cycle`` — pass
     ``'estimate'`` to keep the persisted store index signature-sized
@@ -816,17 +856,58 @@ def curate_and_ingest_stream(
         min_est=nd_min_est,
         max_bucket=nd_max_bucket,
     )
+    def hits_sink(batch_df: DataFrame, batch_id: int) -> None:
+        # per-batch dirs (idempotent overwrite under replay), plain
+        # parquet tree — no _spark_metadata log, so the post-drain
+        # fold below can rewrite partitions without orphaning a sink
+        # transaction log
+        if batch_df.isEmpty():
+            return
+        batch_df.write.mode("overwrite").parquet(
+            f"{hits_path}/batch={batch_id}"
+        )
+
     hits_writer = (
-        hits.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", hits_path)
+        hits.writeStream.foreachBatch(hits_sink)
         .option("checkpointLocation", f"{checkpoint}_nd")
         .trigger(availableNow=True)
     )
-    return SequentialStreamingDrain([hits_writer, ingest_writer])
 
+    def fold_hits() -> None:
+        # after a fully successful drain, fold the accumulated
+        # batch=N dirs into one so the hits tree's file count stays
+        # bounded across drains (the ids themselves are append-only
+        # observability data; the per-batch scan reads ids only).
+        # Runs only post-success, so a crashed drain keeps every
+        # partition a replayed batch might need.
+        spark = stream.sparkSession
+        fs_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+        fs = fs_path(hits_path).getFileSystem(
+            spark.sparkContext._jsc.hadoopConfiguration()
+        )
+        if not fs.exists(fs_path(hits_path)):
+            return
+        ids = []
+        for st in fs.listStatus(fs_path(hits_path)):
+            name = st.getPath().getName()
+            if name.startswith("batch="):
+                try:
+                    ids.append(int(name[6:]))
+                except ValueError:
+                    pass
+        if len(ids) > 1:
+            _fold_partitions(
+                spark,
+                hits_path,
+                "batch",
+                max(ids),
+                f"{store_path}/_tmp_consolidate_hits/batch={max(ids)}",
+            )
+            fs.delete(fs_path(f"{store_path}/_tmp_consolidate_hits"), True)
 
-_INGEST_TREES = ("corpus", "fps", "banded", "sets")
+    return SequentialStreamingDrain(
+        [hits_writer, ingest_writer], on_complete=fold_hits
+    )
 
 
 def _store_tree_paths(store_path: str) -> dict[str, str]:
@@ -836,6 +917,65 @@ def _store_tree_paths(store_path: str) -> dict[str, str]:
         "banded": f"{store_path}/index/banded",
         "sets": f"{store_path}/index/sets",
     }
+
+
+def _fold_partitions(
+    spark: SparkSession,
+    tree_path: str,
+    part_col: str,
+    upto: int,
+    tmp: str,
+) -> None:
+    """Crash-safe fold of every ``{part_col}=N`` partition with
+    ``N <= upto`` under ``tree_path`` into one ``{part_col}={upto}``
+    partition. Resumable: the consolidated rows go to ``tmp`` first
+    and that write is SKIPPED when ``tmp`` already carries _SUCCESS,
+    so a rerun never re-derives from a tree it partially emptied;
+    then the old partition dirs are deleted and ``tmp`` is renamed in
+    (atomic dir rename, same filesystem by construction). The rename
+    result is CHECKED — Hadoop FileSystems report most failures by
+    returning false rather than throwing, and by that point the
+    source partitions are gone: proceeding silently would lose state,
+    while raising leaves ``tmp`` intact for the resumable rerun."""
+    from pyspark.errors import AnalysisException
+
+    fs_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    fs = fs_path(tree_path).getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    )
+    if not fs.exists(fs_path(tree_path)):
+        return
+    if not fs.exists(fs_path(f"{tmp}/_SUCCESS")):
+        try:
+            df = spark.read.parquet(tree_path)
+        except AnalysisException:
+            return
+        if part_col not in df.columns:
+            return
+        (
+            df.filter(F.col(part_col) <= upto)
+            .drop(part_col)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+    prefix = f"{part_col}="
+    for st in fs.listStatus(fs_path(tree_path)):
+        name = st.getPath().getName()
+        if not name.startswith(prefix):
+            continue
+        try:
+            n = int(name[len(prefix):])
+        except ValueError:
+            continue
+        if n <= upto:
+            fs.delete(st.getPath(), True)
+    target = f"{tree_path}/{prefix}{upto}"
+    if not fs.rename(fs_path(tmp), fs_path(target)):
+        raise IOError(
+            f"consolidation rename failed: {tmp} -> {target}; folded "
+            f"partitions were already removed — the consolidated data "
+            f"is intact in the tmp dir, rerun the consolidation"
+        )
 
 
 def consolidate_ingest_store(
@@ -867,39 +1007,14 @@ def consolidate_ingest_store(
     fs = fs_path(store_path).getFileSystem(
         spark.sparkContext._jsc.hadoopConfiguration()
     )
-    from pyspark.errors import AnalysisException
-
     for tree, tree_path in _store_tree_paths(store_path).items():
-        if not fs.exists(fs_path(tree_path)):
-            continue
-        tmp = f"{store_path}/_tmp_consolidate/{tree}/cycle={upto_cycle}"
-        if not fs.exists(fs_path(f"{tmp}/_SUCCESS")):
-            try:
-                df = spark.read.parquet(tree_path)
-            except AnalysisException:
-                continue
-            if "cycle" not in df.columns:
-                continue
-            (
-                df.filter(F.col("cycle") <= upto_cycle)
-                .drop("cycle")
-                .write.mode("overwrite")
-                .parquet(tmp)
-            )
-        # remove the folded partitions, then publish the consolidated
-        # one under the highest folded cycle label (reads filtering
-        # cycle < running_cycle keep seeing every folded row)
-        for st in fs.listStatus(fs_path(tree_path)):
-            name = st.getPath().getName()
-            if not name.startswith("cycle="):
-                continue
-            try:
-                n = int(name[6:])
-            except ValueError:
-                continue
-            if n <= upto_cycle:
-                fs.delete(st.getPath(), True)
-        fs.rename(fs_path(tmp), fs_path(f"{tree_path}/cycle={upto_cycle}"))
+        _fold_partitions(
+            spark,
+            tree_path,
+            "cycle",
+            upto_cycle,
+            f"{store_path}/_tmp_consolidate/{tree}/cycle={upto_cycle}",
+        )
     fs.delete(fs_path(f"{store_path}/_tmp_consolidate"), True)
 
 
