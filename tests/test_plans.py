@@ -746,6 +746,24 @@ def test_warc_ranged_reads_match_full_walk(spark, tmp_path):
     }
     assert got == {i: t for i, t in rows if i % 2 == 0}
 
+    # plain-WARC shards index at RECORD granularity (round 12):
+    # ranged reads over the record spans equal the full walk too
+    plain_path = str(tmp_path / "warc_ranged_plain")
+    warc.write_warc(df, plain_path, compress=False)
+    pidx = warc.index_warc_gz(spark, plain_path, on_error="raise")
+    pidx_rows = pidx.collect()
+    assert {r["doc_id"] for r in pidx_rows} == {i for i, _ in rows}
+    pranged = sorted(
+        map(tuple, warc.read_warc_ranges(spark, pidx, on_error="raise").collect())
+    )
+    pfull = sorted(
+        map(
+            tuple,
+            warc.read_warc(spark, plain_path, on_error="raise").collect(),
+        )
+    )
+    assert pranged == pfull
+
 
 def test_warc_malformed_records_skip_or_raise(spark, tmp_path):
     """Garbage in a real crawl must not abort the shard: a record

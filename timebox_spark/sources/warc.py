@@ -266,6 +266,18 @@ def _walk_records(
     of the stream (truncation), or non-UTF-8 payload — is skipped
     (rescanning from the next ``WARC/1.0`` marker after the bad
     header) or raised with its offset, per ``on_error``."""
+    for _off, _ln, doc_id, uri, payload in _walk_record_spans(blob, on_error):
+        yield doc_id, uri, payload
+
+
+def _walk_record_spans(
+    blob: bytes, on_error: str = "skip"
+) -> Iterator[tuple[int, int, int, str, str]]:
+    """Yield (offset, length, doc_id, target_uri, payload) per valid
+    record — the span runs from the record's ``WARC/1.0`` marker to
+    its payload end (trailing blank lines excluded; a ranged re-read
+    of exactly the span parses the record back, the walker never
+    needs the trailer). The index side of plain-WARC ranged reads."""
     pos, n = 0, len(blob)
     marker = b"WARC/1.0\r\n"
     while True:
@@ -317,7 +329,7 @@ def _walk_records(
             doc_id = int(uri.rsplit("/", 1)[-1]) if uri else -1
         except ValueError:
             doc_id = -1
-        yield doc_id, uri, payload
+        yield start, body_start + length - start, doc_id, uri, payload
         pos = body_start + length
         if pos >= n:
             return
@@ -371,14 +383,18 @@ WARC_INDEX_SCHEMA = StructType(
 def index_warc_gz(
     spark: SparkSession, path: str, on_error: str = "skip"
 ) -> DataFrame:
-    """CDX-style member index of a ``.warc.gz`` tree: one row per
-    gzip member — (shard path, compressed byte offset, compressed
-    length, doc_id, target_uri) — built distributed (one task per
-    shard, same ``binaryFile`` parallelism as ``read_warc``). This is
+    """CDX-style span index of a WARC tree: one row per retrievable
+    unit — (shard path, byte offset, byte length, doc_id, target_uri)
+    — built distributed (one task per shard, same ``binaryFile``
+    parallelism as ``read_warc``). For ``.warc.gz`` shards the unit
+    is the gzip MEMBER (compressed extent; doc_id/uri from its first
+    record — ``write_warc`` emits one record per member, the Common
+    Crawl shape); for plain ``.warc`` shards it is the RECORD
+    (marker-to-payload-end extent by Content-Length framing). This is
     the index Common Crawl publishes alongside its shards; with it,
-    ``read_warc_ranges`` inflates exactly the selected members by
-    byte range instead of walking whole shards (round-11 verdict
-    task 8 — the testable core of object-store ranged-GET ingest)."""
+    ``read_warc_ranges`` fetches exactly the selected spans by byte
+    range instead of walking whole shards (round-11 verdict task 8 —
+    the testable core of object-store ranged-GET ingest)."""
     if on_error not in ("skip", "raise"):
         raise ValueError(f"on_error must be 'skip' or 'raise', got {on_error!r}")
     from timebox_spark.session import ship_package
@@ -391,12 +407,16 @@ def index_warc_gz(
             rows = []
             for p, blob in zip(pdf["path"], pdf["content"]):
                 data = bytes(blob)
-                if data[:3] != _GZ_MAGIC:
-                    continue  # plain shards have no member ranges
-                for off, ln, member in _iter_member_spans(data, on_error):
-                    recs = list(_walk_records(member, on_error))
-                    did, uri = (recs[0][0], recs[0][1]) if recs else (-1, "")
-                    rows.append((p, off, ln, did, uri))
+                if data[:3] == _GZ_MAGIC:
+                    for off, ln, member in _iter_member_spans(data, on_error):
+                        recs = list(_walk_records(member, on_error))
+                        did, uri = (recs[0][0], recs[0][1]) if recs else (-1, "")
+                        rows.append((p, off, ln, did, uri))
+                else:
+                    for off, ln, did, uri, _payload in _walk_record_spans(
+                        data, on_error
+                    ):
+                        rows.append((p, off, ln, did, uri))
             yield pd.DataFrame(
                 rows,
                 columns=["path", "offset", "length", "doc_id", "target_uri"],
