@@ -159,6 +159,74 @@ HEADLINE = {
 }
 
 
+def _index_tier_fidelity(
+    spark, sf_dir: str, threshold: float = 0.35, num_perm: int = 32
+) -> dict:
+    """Round-12 verdict task 3: MEASURE what the estimate-verify index
+    tier costs in decision fidelity before picking the production
+    default. Over the documents table's own LSH band candidates (the
+    exact pair population the streaming compactor verifies), compare
+    the two tiers' pass/fail decisions at ``threshold``:
+
+    - false_drop: estimate agreement >= t but exact Jaccard < t — the
+      estimate tier would drop a doc the exact tier keeps;
+    - false_keep: estimate < t but exact >= t — a true near-dup the
+      estimate tier lets through (caught later only if re-checked).
+
+    Published in the bench tail line so the tier decision in SCALE.md
+    is backed by a number at the driver's own scale."""
+    from pyspark.sql import functions as F
+
+    from timebox_spark.operators import dedup as D
+
+    docs = tables_load(spark, sf_dir, "documents")
+    banded, sh = D.build_corpus_index(docs, num_perm=num_perm, verify="exact")
+    _, sig = D.build_corpus_index(docs, num_perm=num_perm, verify="estimate")
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size("sh_a").cast("double") + F.size("sh_b").cast("double") - inter
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda b: b)
+    ).cast("double")
+    joined = (
+        cand.join(sh.select(F.col("doc_id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("doc_id").alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")
+        .join(sig.select(F.col("doc_id").alias("id_a"), F.col("__sig").alias("sig_a")), "id_a")
+        .join(sig.select(F.col("doc_id").alias("id_b"), F.col("__sig").alias("sig_b")), "id_b")
+        .select(
+            (inter / union >= threshold).alias("exact_pass"),
+            (agree / F.lit(float(num_perm)) >= threshold).alias("est_pass"),
+        )
+    )
+    row = joined.agg(
+        F.count(F.lit(1)).alias("cand"),
+        F.sum(F.col("exact_pass").cast("long")).alias("exact"),
+        F.sum(F.col("est_pass").cast("long")).alias("est"),
+        F.sum(
+            (F.col("est_pass") & ~F.col("exact_pass")).cast("long")
+        ).alias("fd"),
+        F.sum(
+            (~F.col("est_pass") & F.col("exact_pass")).cast("long")
+        ).alias("fk"),
+    ).collect()[0]
+    return {
+        "candidates": row["cand"],
+        "exact_pass": row["exact"],
+        "est_pass": row["est"],
+        "false_drop": row["fd"],
+        "false_keep": row["fk"],
+        "threshold": threshold,
+    }
+
+
 def _stream_stress(spark, sf_dir: str) -> dict:
     """Drain the sliding-window rollup one source file per micro-batch
     and report batch count, peak/final state rows, and wall time. The
@@ -291,7 +359,11 @@ def main() -> None:
     # n=1 cold timing made the round-2 ">20% regression" bar
     # undecidable. (An inter-pass System.gc() was tried and measured
     # slightly WORSE on an idle machine; medians alone are the fix.)
-    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    # Default raised 3 → 5 (round-12 verdict task 6): r12 vs r11 swung
+    # ±7% on byte-identical code; more passes tighten the median and
+    # the published per-query stddev makes the remaining spread
+    # readable instead of argued.
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "5"))
     passes: list[dict[str, float]] = []
     load_per_pass: list[dict] = []
     for _ in range(n_passes):
@@ -305,6 +377,15 @@ def main() -> None:
 
     timings = {n: median([p[n] for p in passes]) for n in HEADLINE}
     warm_timings = passes[-1]  # steady-state pass, for continuity
+
+    def stddev(vals: list[float]) -> float:
+        m = sum(vals) / len(vals)
+        return round((sum((v - m) ** 2 for v in vals) / len(vals)) ** 0.5, 3)
+
+    # per-query spread across the measured passes (round-12 verdict
+    # task 6): published in the tail line so a round-over-round delta
+    # can be read against the same run's own noise floor
+    query_stddev = {n: stddev([p[n] for p in passes]) for n in HEADLINE}
 
     # scale-stress: the dedup/ANN/curation path again on a 10×
     # duplicate-amplified corpus (see plans/scale_stress.py) — the
@@ -453,6 +534,11 @@ def main() -> None:
         2,
     )
 
+    # estimate-vs-exact verify fidelity at the driver's scale (round-12
+    # verdict task 3) — the number behind the production index-tier
+    # default documented in SCALE.md
+    index_tier = _index_tier_fidelity(spark, sf_dir)
+
     # streaming stress: the q68 sliding-window rollup at the target SF
     # driven one file per micro-batch (9 batches instead of the driver
     # contract's availableNow few-batch drain), recording batch count
@@ -516,6 +602,8 @@ def main() -> None:
                 "q20_stages": q20_split,
                 "idle_waited_sec": idle_waited,
                 "cc_rounds": cc_stats,
+                "index_tier": index_tier,
+                "query_stddev": query_stddev,
                 "machine": {
                     "start": load_start,
                     "per_pass": load_per_pass,
@@ -529,6 +617,12 @@ def main() -> None:
         ),
         flush=True,
     )
+    # the tail line is what the driver's 2,000-char capture retains —
+    # EVERY load-bearing number lives here (round-12 verdict task 7:
+    # cc_rounds only existed in the detail line and was lost). queries
+    # = per-query MEDIANS over n_passes; query_stddev = the same run's
+    # noise floor (task 6 — round-over-round deltas are read against
+    # it); warm_queries stays detail-line-only to keep this line small.
     print(
         json.dumps(
             {
@@ -536,14 +630,23 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "query_stddev": query_stddev,
                 "warm_total": round(sum(warm_timings.values()), 3),
-                "warm_queries": warm_timings,
                 "pass_totals": [round(sum(p.values()), 3) for p in passes],
                 "contended": contended,
                 "scale10_ratio_minhash_uncached": minhash_split[
                     "stage_ratio"
                 ],
                 "q20_stages": q20_split,
+                "cc_rounds": {
+                    "1x_rounds": cc_stats.get("1x", {}).get("rounds"),
+                    "10x_rounds": cc_stats.get("10x", {}).get("rounds"),
+                    "10x_star_rounds": cc_stats.get("10x_star", {}).get(
+                        "rounds"
+                    ),
+                    "10x_star_sec": cc_stats.get("10x_star", {}).get("sec"),
+                },
+                "index_tier": index_tier,
                 "idle_waited_sec": idle_waited,
                 "sf": sf,
             }

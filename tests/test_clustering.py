@@ -109,6 +109,105 @@ def test_connected_components_deep_path_raises_and_auto_escalates(spark):
     }
     assert got == {i: 1 for i in range(1, 32)}
     assert stats.get("escalated_to_star") is True
+    # advisor round 12: the aborted label run's stats are re-namespaced
+    # under label_* so the star run's keys are never mixed with stale
+    # entries; the raise is the dedicated ConvergenceError type
+    assert "label_rounds" in stats and "label_changed_per_round" in stats
+    assert stats["rounds"] <= 10  # the star run's own round count
+    assert "edges_per_round" in stats
+    with pytest.raises(dedup.ConvergenceError):
+        dedup.connected_components(pairs).collect()
+
+
+def test_dedup_clusters_auto_does_not_mask_unrelated_runtimeerror(
+    spark, monkeypatch
+):
+    """advisor round 12: 'auto' escalates ONLY on ConvergenceError — an
+    unrelated RuntimeError from label propagation propagates instead of
+    silently triggering a star re-run that masks the real failure."""
+    import pytest
+
+    def boom(*a, **k):
+        raise RuntimeError("executor lost (simulated, NOT convergence)")
+
+    monkeypatch.setattr(dedup, "connected_components", boom)
+    docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="executor lost"):
+        dedup.dedup_clusters(docs, pairs, algorithm="auto").collect()
+
+
+def test_connected_components_owned_rdds_tracking(spark):
+    """Round-12 verdict task 5: owned_rdds records exactly the
+    checkpoint RDDs a CC call created, and unpersist_owned removes
+    exactly those — the per-owner replacement for the global
+    getPersistentRDDs snapshot diff."""
+    jsc = spark.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keySet().toArray())
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    owned: list = []
+    comp = dedup.connected_components(pairs, owned_rdds=owned)
+    got = {r["node"]: r["component"] for r in comp.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    assert owned, "no checkpoints recorded"
+    mid = set(jsc.getPersistentRDDs().keySet().toArray())
+    assert {r.id() for r in owned} <= mid - before
+    dedup.unpersist_owned(owned)
+    assert owned == []
+    after = set(jsc.getPersistentRDDs().keySet().toArray())
+    assert after - before == set(), after - before
+
+
+def test_concurrent_cluster_compactions_do_not_interfere(spark):
+    """Round-12 verdict task 5: two cluster-mode compactions running
+    concurrently in one session must each produce correct results and
+    leave no persistent RDDs — per-owner checkpoint tracking means
+    neither sweep can unpersist the other's live state (the old
+    global snapshot diff could)."""
+    import threading
+
+    from timebox_spark.streaming import ingest
+
+    jsc = spark.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keySet().toArray())
+    texts = {
+        "a": "the quick brown fox jumps over the lazy dog and keeps "
+             "running through the long meadow toward the river bank",
+        "b": "completely different subject matter about integer codecs "
+             "and columnar storage layouts with delta encoding schemes",
+    }
+    results: dict = {}
+    barrier = threading.Barrier(2)
+
+    def run(tag: str) -> None:
+        barrier.wait()
+        base = texts[tag]
+        # D ~ E within-batch pair + an independent doc: cluster mode
+        # must drop E (larger id) and keep D and the independent doc
+        b = spark.createDataFrame(
+            [(1, base), (2, base + " qq"), (3, "unrelated " + base[::-1])],
+            "doc_id long, text string",
+        )
+        for _ in range(3):  # repeat so the two loops interleave
+            kept = {
+                r["doc_id"]
+                for r in ingest.compact_corpus(
+                    b, near_dup=True, keep="cluster"
+                ).collect()
+            }
+            results.setdefault(tag, []).append(kept)
+
+    threads = [threading.Thread(target=run, args=(t,)) for t in ("a", "b")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results["a"] == [{1, 3}] * 3, results.get("a")
+    assert results["b"] == [{1, 3}] * 3, results.get("b")
+    after = set(jsc.getPersistentRDDs().keySet().toArray())
+    assert after - before == set(), after - before
 
 
 def test_dedup_clusters_star_algorithm(spark):

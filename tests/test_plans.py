@@ -875,3 +875,105 @@ def test_warc_payload_decode_failure_resumes_at_frame_boundary(
     assert 99 not in got
     with pytest.raises(Exception, match="alformed"):
         warc.read_warc(spark, str(d), on_error="raise").collect()
+
+
+def test_warc_ranged_reads_over_http(spark, tmp_path):
+    """Round-12 verdict task 4: read_warc_ranges over http:// paths
+    issues REAL ranged GETs (one per span) against a Range-capable
+    server and returns rows bit-identical to the full local walk —
+    the object-store ingest shape, not a stand-in. A server that
+    ignores the Range header fails loudly instead of silently
+    downloading whole shards."""
+    import http.server
+    import re as _re
+    import threading
+    from functools import partial
+
+    from timebox_spark.sources import warc
+
+    class RangeHandler(http.server.SimpleHTTPRequestHandler):
+        serve_ranges = True
+
+        def log_message(self, *a):  # keep pytest output clean
+            pass
+
+        def do_GET(self):
+            path = self.translate_path(self.path)
+            try:
+                with open(path, "rb") as f:
+                    data = f.read()
+            except OSError:
+                self.send_error(404)
+                return
+            rng = self.headers.get("Range")
+            if rng and self.serve_ranges:
+                m = _re.match(r"bytes=(\d+)-(\d+)$", rng)
+                lo, hi = int(m.group(1)), int(m.group(2))
+                chunk = data[lo : hi + 1]
+                self.send_response(206)
+                self.send_header(
+                    "Content-Range", f"bytes {lo}-{hi}/{len(data)}"
+                )
+            else:
+                chunk = data
+                self.send_response(200)
+            self.send_header("Content-Length", str(len(chunk)))
+            self.end_headers()
+            self.wfile.write(chunk)
+
+    class NoRangeHandler(RangeHandler):
+        serve_ranges = False
+
+    rows = [(i, f"http ranged doc {i} with bödy {i * 13}") for i in range(7)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(2)
+    shard_dir = str(tmp_path / "warc_http")
+    warc.write_warc(df, shard_dir, compress=True)
+    full = sorted(
+        map(tuple, warc.read_warc(spark, shard_dir, on_error="raise").collect())
+    )
+
+    def serve(handler):
+        srv = http.server.ThreadingHTTPServer(
+            ("127.0.0.1", 0), partial(handler, directory=str(tmp_path))
+        )
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        return srv
+
+    srv = serve(RangeHandler)
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        idx = warc.index_warc_gz(spark, shard_dir, on_error="raise")
+        prefix = f"file:{tmp_path}"
+        http_ranges = [
+            (
+                base + r["path"][len(prefix):],
+                r["offset"],
+                r["length"],
+            )
+            for r in idx.collect()
+        ]
+        assert all(p.startswith(f"{base}/warc_http/") for p, _, _ in http_ranges)
+        ranged = sorted(
+            map(
+                tuple,
+                warc.read_warc_ranges(
+                    spark, http_ranges, on_error="raise"
+                ).collect(),
+            )
+        )
+        assert ranged == full
+    finally:
+        srv.shutdown()
+
+    # a Range-ignoring server (200 + whole file) must raise, not
+    # silently degrade to full-shard downloads
+    srv2 = serve(NoRangeHandler)
+    try:
+        base2 = f"http://127.0.0.1:{srv2.server_address[1]}"
+        bad = [
+            (base2 + p[len(base):], o, ln) for p, o, ln in http_ranges[:1]
+        ]
+        with pytest.raises(Exception, match="206"):
+            warc.read_warc_ranges(spark, bad, on_error="raise").collect()
+    finally:
+        srv2.shutdown()

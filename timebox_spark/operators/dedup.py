@@ -18,6 +18,39 @@ from timebox_spark.operators.text import TOKEN_RE
 from timebox_spark.session import ensure_parallelism
 
 
+class ConvergenceError(RuntimeError):
+    """An iterative dedup algorithm hit its round cap without
+    converging. A dedicated type (advisor round 12) so escalation
+    paths — ``dedup_clusters(algorithm='auto')``, the streaming
+    compactor — catch exactly this and never mask an unrelated
+    RuntimeError behind a silent re-run."""
+
+
+def _tracked_local_checkpoint(df: DataFrame, owned: list | None) -> DataFrame:
+    """``df.localCheckpoint(eager=True)``, recording the checkpointed
+    JVM RDD in ``owned`` (when given) so the CALLER can unpersist
+    exactly the blocks it created — per-owner tracking instead of the
+    global getPersistentRDDs snapshot diff, which assumed a single
+    persister per driver (round-12 verdict task 5: two concurrent
+    cluster-mode compactions would sweep each other's state). The
+    checkpointed plan is a LogicalRDD, so the exact RDD handle is
+    readable off the analyzed plan; unpersist only after every action
+    that consumes ``df`` has run (local checkpoints sever lineage —
+    the blocks cannot be recomputed)."""
+    out = df.localCheckpoint(eager=True)
+    if owned is not None:
+        owned.append(out._jdf.queryExecution().analyzed().rdd())
+    return out
+
+
+def unpersist_owned(owned: list) -> None:
+    """Unpersist (non-blocking) every RDD ``_tracked_local_checkpoint``
+    recorded in ``owned`` and clear the list. Safe to call twice."""
+    for r in owned:
+        r.unpersist(False)
+    owned.clear()
+
+
 # ---------------------------------------------------------------- exact
 
 def normalize_text(col="text"):
@@ -603,6 +636,7 @@ def connected_components(
     id_b: str = "id_b",
     max_iterations: int = 20,
     stats: dict | None = None,
+    owned_rdds: list | None = None,
 ) -> DataFrame:
     """Connected components over near-dup pairs → duplicate clusters.
 
@@ -626,6 +660,13 @@ def connected_components(
     labels per round instead of the limit(1) any-change probe, so it
     costs one extra aggregate per round; leave stats=None on the
     hot path.
+
+    ``owned_rdds`` (a list, appended in place) collects the JVM RDD
+    handle of every local checkpoint this call creates, so a
+    long-running caller can unpersist exactly its own blocks
+    (``unpersist_owned``) after consuming the result — including the
+    FINAL labels' checkpoint, so only unpersist after the dependent
+    action ran.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -659,7 +700,7 @@ def connected_components(
                 ),
             )
         )
-        updated = updated.localCheckpoint(eager=True)
+        updated = _tracked_local_checkpoint(updated, owned_rdds)
         if stats is not None:
             n_changed = updated.filter(F.col("__changed")).count()
             stats["changed_per_round"].append(n_changed)
@@ -684,7 +725,7 @@ def connected_components(
         # round 12: silently returning truncated labels mislabels any
         # cluster whose diameter exceeds the round cap — raise loudly;
         # deep-diameter graphs belong on the contraction path
-        raise RuntimeError(
+        raise ConvergenceError(
             f"connected_components did not converge in {max_iterations} "
             f"rounds (cluster diameter exceeds the cap) — use "
             f"connected_components_star or dedup_clusters("
@@ -701,6 +742,7 @@ def connected_components_star(
     id_b: str = "id_b",
     max_iterations: int = 50,
     stats: dict | None = None,
+    owned_rdds: list | None = None,
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star
     contraction (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii,
@@ -727,17 +769,18 @@ def connected_components_star(
     (pinned by tests on paths/cliques/random graphs), so the two are
     drop-in interchangeable (``dedup_clusters(algorithm='star')``).
     Like label propagation, each round localCheckpoints to cut
-    lineage; callers in long-lived drivers clean checkpoint state the
-    way ``streaming.ingest.compact_corpus`` does."""
-    e = (
+    lineage; ``owned_rdds`` records the checkpointed RDD handles so a
+    long-lived caller (``streaming.ingest.compact_corpus``) unpersists
+    exactly its own blocks after consuming the result."""
+    e = _tracked_local_checkpoint(
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .select(
             F.greatest("a", "b").alias("child"),
             F.least("a", "b").alias("parent"),
         )
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        owned_rdds,
     )
     prev_n = e.count()
     if stats is not None:
@@ -767,12 +810,12 @@ def connected_components_star(
         # (and itself) at the minimum of that neighborhood
         m2 = e1.groupBy("child").agg(F.min("parent").alias("m"))
         joined = e1.join(m2, "child")
-        e2 = (
+        e2 = _tracked_local_checkpoint(
             joined.filter(F.col("parent") != F.col("m"))
             .select(F.col("parent").alias("child"), F.col("m").alias("parent"))
             .union(joined.select("child", F.col("m").alias("parent")))
-            .distinct()
-            .localCheckpoint(eager=True)
+            .distinct(),
+            owned_rdds,
         )
         n2 = e2.count()
         if stats is not None:
@@ -783,7 +826,7 @@ def connected_components_star(
             break
         e, prev_n = e2, n2
     else:
-        raise RuntimeError(
+        raise ConvergenceError(
             f"connected_components_star did not converge in "
             f"{max_iterations} rounds"
         )
@@ -813,10 +856,14 @@ def dedup_clusters(
     (:func:`connected_components_star`, O(log² n) rounds — right when
     the stats diagnostic shows diameter growing with corpus size), or
     ``'auto'`` — label propagation first, escalating to contraction
-    iff the round cap is hit (label propagation now RAISES instead of
-    silently returning truncated labels), so shallow graphs pay the
-    cheap path and a pathological plagiarism chain can no longer
-    mislabel."""
+    iff the round cap is hit (label propagation RAISES
+    :class:`ConvergenceError` instead of silently returning truncated
+    labels — only that exact type triggers escalation, an unrelated
+    RuntimeError propagates), so shallow graphs pay the cheap path and
+    a pathological plagiarism chain can no longer mislabel. On
+    escalation the aborted label run's stats entries are re-namespaced
+    under ``label_*`` so the star run's keys are never mixed with
+    stale ones."""
     if algorithm == "label":
         comp = connected_components(pairs, stats=stats)
     elif algorithm == "star":
@@ -824,9 +871,12 @@ def dedup_clusters(
     elif algorithm == "auto":
         try:
             comp = connected_components(pairs, stats=stats)
-        except RuntimeError:
+        except ConvergenceError:
             if stats is not None:
                 stats["escalated_to_star"] = True
+                for k in ("rounds", "changed_per_round", "edges"):
+                    if k in stats:
+                        stats[f"label_{k}"] = stats.pop(k)
             comp = connected_components_star(pairs, stats=stats)
     else:
         raise ValueError(
@@ -1480,15 +1530,68 @@ def save_corpus_index(
     files until its plan executes, and pruning that generation under
     it would fail the very verify join the index feeds; set 1 only
     when no loaded plan can be outstanding. Returns the published
-    version number."""
+    version number.
+
+    WRITER-FENCED (advisor round 12): single-writer use (one
+    compactor per store) is the supported contract, and a violating
+    concurrent save now fails LOUDLY instead of silently interleaving
+    — each save writes into a uuid-suffixed staging dir (so two
+    savers never share partial-write paths) carrying a writer token
+    file, publishes via one rename to ``v=N``, and verifies the
+    published generation holds exactly its own token afterwards. On
+    HDFS/S3A the loser's rename to the existing ``v=N`` returns false
+    and raises pre-publish; on the local filesystem (where Hadoop's
+    rename MERGES into an existing directory and returns true) the
+    token check catches the merge post-publish and raises with
+    remediation instructions. A crashed save can leave an inert
+    ``_staging_*`` dir behind; it is invisible to loads and safe to
+    delete."""
+    import uuid
+
     banded, sets = index
     fs, mk_path = _index_fs(banded, path)
     done = _complete_index_versions(fs, mk_path, path)
     new = (done[-1] + 1) if done else 0
+    token = f"_writer_{uuid.uuid4().hex}"
+    staging = f"{path}/_staging_{token}"
+    target = f"{path}/v={new}"
     # write sets first, banded last — completeness is checked on both
     # markers so order only matters for partial-write debuggability
-    sets.write.mode("overwrite").parquet(f"{path}/v={new}/sets")
-    banded.write.mode("overwrite").parquet(f"{path}/v={new}/banded")
+    sets.write.mode("overwrite").parquet(f"{staging}/sets")
+    banded.write.mode("overwrite").parquet(f"{staging}/banded")
+    fs.create(mk_path(f"{staging}/{token}"), True).close()
+    # an existing target that is INCOMPLETE (missing either _SUCCESS)
+    # is crash junk from a pre-fencing writer, never a concurrent
+    # publish — a renamed generation is always complete because its
+    # markers were written in staging before the rename. Supersede it.
+    if fs.exists(mk_path(target)) and not (
+        fs.exists(mk_path(f"{target}/banded/_SUCCESS"))
+        and fs.exists(mk_path(f"{target}/sets/_SUCCESS"))
+    ):
+        fs.delete(mk_path(target), True)
+    lost = fs.exists(mk_path(target)) or not fs.rename(
+        mk_path(staging), mk_path(target)
+    )
+    if lost:
+        # a concurrent saver published v=N first (or the FS refused)
+        fs.delete(mk_path(staging), True)
+        raise IOError(
+            f"save_corpus_index lost the publish race for {target} — "
+            f"another writer committed this generation; re-run to "
+            f"publish v={new + 1}"
+        )
+    tokens = [
+        st.getPath().getName()
+        for st in fs.listStatus(mk_path(target))
+        if st.getPath().getName().startswith("_writer_")
+    ]
+    if tokens != [token]:
+        raise IOError(
+            f"save_corpus_index publish race detected at {target}: "
+            f"writer tokens {tokens} — the local-filesystem rename "
+            f"merged two concurrent saves into one generation. Delete "
+            f"{target} and re-run ONE saver (single-writer contract)."
+        )
     # the just-published generation counts toward keep_versions
     keep = max(1, keep_versions)
     for old in (done + [new])[:-keep]:

@@ -1977,22 +1977,26 @@ def q31_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # not accumulate block-manager state across repeated suite runs
     # (the production operator path, dedup_clusters, stays fully
     # distributed; this collect is bounded by the near-dup candidate
-    # node count, tiny relative to the corpus at driver scales)
-    jp = spark.sparkContext._jsc.getPersistentRDDs()
-    before = set(jp.keySet().toArray())
+    # node count, tiny relative to the corpus at driver scales).
+    # PER-OWNER tracking (round-12 verdict task 5): the loops record
+    # exactly the checkpoint RDDs they created, so a concurrent
+    # compactor in the same session is never swept by this harness.
+    owned: list = []
     try:
         lp_rows = [
             (r["node"], r["component"])
-            for r in dedup.connected_components(pairs).collect()
+            for r in dedup.connected_components(
+                pairs, owned_rdds=owned
+            ).collect()
         ]
         star_rows = [
             (r["node"], r["component"])
-            for r in dedup.connected_components_star(pairs).collect()
+            for r in dedup.connected_components_star(
+                pairs, owned_rdds=owned
+            ).collect()
         ]
     finally:
-        jp = spark.sparkContext._jsc.getPersistentRDDs()
-        for rid in set(jp.keySet().toArray()) - before:
-            jp.get(rid).unpersist(False)
+        dedup.unpersist_owned(owned)
     comp_lp = spark.createDataFrame(lp_rows, "node long, component long")
     comp_star = spark.createDataFrame(star_rows, "node long, component long")
     clusters = (
@@ -2539,8 +2543,18 @@ def q68_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus=app1n, near_dup=True, threshold=_KEEP1_THRESHOLD,
         num_perm=_MH_NUM_PERM, bands=_KEEP1_BANDS,
     )
+    # scratch-backed distributed drop (round-12 verdict task 2): the
+    # driver-gated cluster path runs with ZERO id collects — dropped
+    # ids go through this parquet scratch, which the returned plan
+    # reads lazily, so it is NOT deleted here (per-(sf_dir, pid) tag:
+    # deterministic reruns overwrite, concurrent processes never race)
     keep1 = compact_digest(
-        ingest.compact_corpus(bk1, keep="cluster", **keep1_kw),
+        ingest.compact_corpus(
+            bk1,
+            keep="cluster",
+            scratch_path=f"/tmp/timebox_spark_q68_keep1_scratch_{tag}",
+            **keep1_kw,
+        ),
         "cluster",
         "keep1",
     ).unionByName(

@@ -425,10 +425,40 @@ def index_warc_gz(
     return files.mapInPandas(parse, WARC_INDEX_SCHEMA)
 
 
+def http_range_fetch(path: str, offset: int, length: int) -> bytes:
+    """Fetch ``length`` bytes at ``offset`` from an http(s) URL with a
+    single ranged GET (``Range: bytes=o-(o+n-1)``) — the object-store
+    request shape of CDX-indexed Common Crawl ingest. Module-level so
+    it pickles into executor tasks. Raises if the server answers 200
+    instead of 206 (it ignored the Range header: silently downloading
+    the WHOLE shard would defeat the point of ranged reads) or
+    returns the wrong byte count."""
+    from urllib.request import Request, urlopen
+
+    req = Request(
+        path, headers={"Range": f"bytes={offset}-{offset + length - 1}"}
+    )
+    with urlopen(req, timeout=60) as resp:
+        if resp.status != 206:
+            raise IOError(
+                f"{path}: server returned {resp.status}, not 206 Partial "
+                f"Content — it ignored the Range header; ranged reads "
+                f"need a Range-capable server"
+            )
+        data = resp.read()
+    if len(data) != length:
+        raise IOError(
+            f"{path}: ranged GET returned {len(data)} bytes, "
+            f"expected {length} (offset {offset})"
+        )
+    return data
+
+
 def read_warc_ranges(
     spark: SparkSession,
     ranges: DataFrame | list[tuple[str, int, int]],
     on_error: str = "skip",
+    fetch=None,
 ) -> DataFrame:
     """Ranged WARC reads: inflate SINGLE ``.warc.gz`` members by
     (path, offset, length) — the member-per-record gzip layout exists
@@ -438,11 +468,19 @@ def read_warc_ranges(
     full-shard download. ``ranges`` is an ``index_warc_gz``-shaped
     DataFrame (extra columns ignored) or a plain list of (path,
     offset, length) tuples; work is distributed over its partitions,
-    each task seek-reading only its spans (at scale the ``open``/
-    ``seek`` below becomes the object store's range request — the
-    framing, inflation and record walk are identical). Rows come back
-    as (doc_id, target_uri, text), bit-identical to the full
-    ``read_warc`` walk of the same members."""
+    each task fetching only its spans. Rows come back as (doc_id,
+    target_uri, text), bit-identical to the full ``read_warc`` walk
+    of the same members.
+
+    Span bytes are obtained per path scheme (round-12 verdict
+    task 4): ``http(s)://`` paths issue ONE ranged GET per span
+    (:func:`http_range_fetch` — the real object-store ingest shape,
+    pytest-pinned against a localhost Range server); anything else
+    opens the local/DFS file once per shard and seek-reads spans in
+    offset order. ``fetch`` overrides both: a PICKLABLE module-level
+    callable ``(path, offset, length) -> bytes`` — the plug point for
+    a cloud SDK client (S3 GetObject with Range, GCS media download),
+    authenticated sessions, or retry/coalescing policies."""
     if on_error not in ("skip", "raise"):
         raise ValueError(f"on_error must be 'skip' or 'raise', got {on_error!r}")
     from timebox_spark.session import ship_package
@@ -461,17 +499,26 @@ def read_warc_ranges(
 
         for pdf in batches:
             rows = []
-            # group by shard so each file opens once per batch, spans
-            # read in offset order (sequential-friendly on disk, and
-            # coalescing-friendly for a future ranged-GET backend)
+            # group by shard so a local file opens once per batch and
+            # spans are read in offset order (sequential-friendly on
+            # disk, coalescing-friendly over HTTP)
             for p, grp in pdf.groupby("path", sort=False):
+                spans = (
+                    grp[["offset", "length"]]
+                    .sort_values("offset")
+                    .itertuples(index=False)
+                )
+                if fetch is not None or p.startswith(("http://", "https://")):
+                    f_ = fetch if fetch is not None else http_range_fetch
+                    blobs = (f_(p, int(o), int(ln)) for o, ln in spans)
+                    for data in blobs:
+                        if data[:3] == _GZ_MAGIC:
+                            data = b"".join(_inflate_members(data, on_error))
+                        rows.extend(_walk_records(data, on_error))
+                    continue
                 local = unquote(urlparse(p).path) if "://" in p or p.startswith("file:") else p
                 with open(local, "rb") as f:
-                    for off, ln in (
-                        grp[["offset", "length"]]
-                        .sort_values("offset")
-                        .itertuples(index=False)
-                    ):
+                    for off, ln in spans:
                         f.seek(int(off))
                         data = f.read(int(ln))
                         if data[:3] == _GZ_MAGIC:
