@@ -160,28 +160,41 @@ HEADLINE = {
 
 
 def _index_tier_fidelity(
-    spark, sf_dir: str, threshold: float = 0.35, num_perm: int = 32
+    spark,
+    sf_dir: str,
+    threshold: float = 0.35,
+    num_perm: int = 32,
+    bands: int = 8,
 ) -> dict:
     """Round-12 verdict task 3: MEASURE what the estimate-verify index
     tier costs in decision fidelity before picking the production
     default. Over the documents table's own LSH band candidates (the
     exact pair population the streaming compactor verifies), compare
-    the two tiers' pass/fail decisions at ``threshold``:
+    pass/fail decisions at ``threshold`` for three verifiers: exact
+    hashed-shingle Jaccard (the authority), RAW signature agreement,
+    and the shipped DEBIASED agreement (one fully-agreeing band
+    excluded — a candidate exists because one band collided, so raw
+    agreement is conditioned upward):
 
-    - false_drop: estimate agreement >= t but exact Jaccard < t — the
-      estimate tier would drop a doc the exact tier keeps;
-    - false_keep: estimate < t but exact >= t — a true near-dup the
-      estimate tier lets through (caught later only if re-checked).
+    - false_drop (fd): estimate >= t but exact < t — the tier drops a
+      doc exact keeps;
+    - false_keep (fk): estimate < t but exact >= t — a true near-dup
+      let through.
 
     Published in the bench tail line so the tier decision in SCALE.md
-    is backed by a number at the driver's own scale."""
+    is backed by numbers at the driver's own scale."""
     from pyspark.sql import functions as F
 
     from timebox_spark.operators import dedup as D
 
+    r = num_perm // bands
     docs = tables_load(spark, sf_dir, "documents")
-    banded, sh = D.build_corpus_index(docs, num_perm=num_perm, verify="exact")
-    _, sig = D.build_corpus_index(docs, num_perm=num_perm, verify="estimate")
+    banded, sh = D.build_corpus_index(
+        docs, num_perm=num_perm, bands=bands, verify="exact"
+    )
+    _, sig = D.build_corpus_index(
+        docs, num_perm=num_perm, bands=bands, verify="estimate"
+    )
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "key"])
@@ -193,9 +206,18 @@ def _index_tier_fidelity(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size("sh_a").cast("double") + F.size("sh_b").cast("double") - inter
-    agree = F.size(
-        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda b: b)
-    ).cast("double")
+    eq = F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int"))
+    agree = F.aggregate(eq, F.lit(0), lambda a, x: a + x).cast("double")
+    full_band = F.exists(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda j: F.aggregate(
+            F.slice(eq, j * r + 1, r), F.lit(0), lambda a, x: a + x
+        )
+        == r,
+    )
+    adj = F.when(full_band, agree - r).otherwise(agree) / F.when(
+        full_band, F.lit(float(num_perm - r))
+    ).otherwise(F.lit(float(num_perm)))
     joined = (
         cand.join(sh.select(F.col("doc_id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
         .join(sh.select(F.col("doc_id").alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")
@@ -203,26 +225,29 @@ def _index_tier_fidelity(
         .join(sig.select(F.col("doc_id").alias("id_b"), F.col("__sig").alias("sig_b")), "id_b")
         .select(
             (inter / union >= threshold).alias("exact_pass"),
-            (agree / F.lit(float(num_perm)) >= threshold).alias("est_pass"),
+            (agree / F.lit(float(num_perm)) >= threshold).alias("raw_pass"),
+            (adj >= threshold).alias("adj_pass"),
         )
     )
     row = joined.agg(
         F.count(F.lit(1)).alias("cand"),
         F.sum(F.col("exact_pass").cast("long")).alias("exact"),
-        F.sum(F.col("est_pass").cast("long")).alias("est"),
-        F.sum(
-            (F.col("est_pass") & ~F.col("exact_pass")).cast("long")
-        ).alias("fd"),
-        F.sum(
-            (~F.col("est_pass") & F.col("exact_pass")).cast("long")
-        ).alias("fk"),
+        F.sum(F.col("raw_pass").cast("long")).alias("raw"),
+        F.sum(F.col("adj_pass").cast("long")).alias("adj"),
+        F.sum((F.col("raw_pass") & ~F.col("exact_pass")).cast("long")).alias("raw_fd"),
+        F.sum((~F.col("raw_pass") & F.col("exact_pass")).cast("long")).alias("raw_fk"),
+        F.sum((F.col("adj_pass") & ~F.col("exact_pass")).cast("long")).alias("adj_fd"),
+        F.sum((~F.col("adj_pass") & F.col("exact_pass")).cast("long")).alias("adj_fk"),
     ).collect()[0]
     return {
         "candidates": row["cand"],
         "exact_pass": row["exact"],
-        "est_pass": row["est"],
-        "false_drop": row["fd"],
-        "false_keep": row["fk"],
+        "raw_pass": row["raw"],
+        "raw_fd": row["raw_fd"],
+        "raw_fk": row["raw_fk"],
+        "adj_pass": row["adj"],
+        "adj_fd": row["adj_fd"],
+        "adj_fk": row["adj_fk"],
         "threshold": threshold,
     }
 

@@ -2848,14 +2848,33 @@ FROM (
 """
 
 
-def _mh_agree(num: int = _MH_NUM_PERM) -> str:
-    """Signature-agreement Jaccard estimate between sig rows aliased
-    ``da`` and ``db`` (the fraction of equal MinHash components) —
-    the DuckDB mirror of compact_corpus(verify='estimate')."""
+def _mh_agree(num: int = _MH_NUM_PERM, bands: int = _MH_BANDS) -> str:
+    """DEBIASED signature-agreement Jaccard estimate between sig rows
+    aliased ``da`` and ``db`` — the DuckDB mirror of
+    compact_corpus(verify='estimate') (round 13): a banded candidate
+    exists BECAUSE one band's r consecutive positions agreed, so raw
+    agreement is conditioned upward; when any band fully agrees, that
+    band's r positions are excluded and the fraction runs over the
+    remaining num-r (an unbiased sample given the pair's true
+    Jaccard — measured at sf0.1: false drops 4,933 → 811 of 40,105
+    candidates, false keeps 0 either way)."""
+    r = num // bands
     terms = " + ".join(
         f"CASE WHEN da.h{i} = db.h{i} THEN 1 ELSE 0 END" for i in range(num)
     )
-    return f"CAST(({terms}) AS DOUBLE) / {num}"
+    band_full = " OR ".join(
+        "("
+        + " AND ".join(
+            f"da.h{j * r + k} = db.h{j * r + k}" for k in range(r)
+        )
+        + ")"
+        for j in range(bands)
+    )
+    fb = f"CASE WHEN {band_full} THEN 1 ELSE 0 END"
+    return (
+        f"(CAST(({terms}) - {r} * ({fb}) AS DOUBLE)"
+        f" / ({num} - {r} * ({fb})))"
+    )
 
 
 def _q68_compact_est_sql() -> str:

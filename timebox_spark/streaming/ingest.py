@@ -517,10 +517,12 @@ def compact_corpus(
 
     ``verify`` selects the candidate-verification tier (round-11
     verdict task 3): ``'exact'`` (default) verifies at hashed-shingle
-    Jaccard >= ``threshold``; ``'estimate'`` verifies at MinHash
-    signature AGREEMENT >= ``threshold`` (the unbiased Jaccard
-    estimator) so the persisted index stays truly signature-sized —
-    num_perm longs per doc regardless of text length. When
+    Jaccard >= ``threshold``; ``'estimate'`` verifies at DEBIASED
+    MinHash signature agreement >= ``threshold`` (one fully-agreeing
+    band excluded — see the round-13 measurement in the sim
+    expression below) so the persisted index stays truly
+    signature-sized — num_perm longs per doc regardless of text
+    length. When
     ``corpus_index`` is provided its verify-table shape must match
     (``__sh`` for exact, ``__sig`` for estimate) — mismatches raise
     rather than silently comparing different representations.
@@ -624,20 +626,42 @@ def compact_corpus(
         # signature agreement: positionwise equality over the aligned
         # num_perm MinHash values (zip_with genuinely takes a
         # two-parameter lambda — unlike transform/filter, where two
-        # params mean (element, index))
-        agree = F.size(
-            F.filter(
-                F.zip_with("sh_a", "sh_b", lambda x, y: x == y),
-                lambda b: b,
+        # params mean (element, index)). DEBIASED over the banded
+        # candidates (round 13, measured at sf0.1): a candidate pair
+        # exists BECAUSE one band's r positions agreed, so raw
+        # agreement is conditioned upward — raw >= 0.35 passed 5,189
+        # of 40,105 band candidates where exact Jaccard passed 256
+        # (4,933 false drops). Excluding ONE fully-agreeing band
+        # (positions independent given j, so the remaining n-r are an
+        # unbiased sample) cut false drops to 811 with false keeps
+        # still 0. The estimator is agree-over-(n-r) when any band
+        # fully agrees, else agree-over-n.
+        r_rows = num_perm // bands
+        eq = F.zip_with("sh_a", "sh_b", lambda x, y: (x == y).cast("int"))
+        agree = F.aggregate(eq, F.lit(0), lambda a, x: a + x).cast("double")
+        full_band = F.exists(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda j: F.aggregate(
+                F.slice(eq, j * r_rows + 1, r_rows),
+                F.lit(0),
+                lambda a, x: a + x,
             )
-        ).cast("double")
+            == r_rows,
+        )
+        adj_agree = F.when(full_band, agree - r_rows).otherwise(agree)
+        adj_n = F.when(
+            full_band, F.lit(float(num_perm - r_rows))
+        ).otherwise(F.lit(float(num_perm)))
         # signature LENGTHS must agree (advisor round 12): an index
         # persisted with a different num_perm would otherwise
         # null-pad through zip_with and silently compute an
         # inconsistent agreement fraction — assert_true throws at
-        # execution on the first mismatched pair instead
+        # execution on the first mismatched pair instead (the eager
+        # num_perm probe above catches persisted indexes; this guards
+        # any other mixed-width pairing)
         sizes_ok = F.assert_true(
-            F.size("sh_a") == F.size("sh_b"),
+            (F.size("sh_a") == F.size("sh_b"))
+            & (F.size("sh_a") == num_perm),
             F.lit(
                 "estimate-verify signature length mismatch: the "
                 "corpus_index was built with a different num_perm "
@@ -645,9 +669,7 @@ def compact_corpus(
                 "num_perm"
             ),
         )
-        sim = F.when(
-            sizes_ok.isNull(), agree / F.size("sh_a").cast("double")
-        )
+        sim = F.when(sizes_ok.isNull(), adj_agree / adj_n)
     else:
         inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
         union = (
