@@ -2572,7 +2572,9 @@ def q68_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # order by construction, so the DuckDB oracle re-derives every
     # (doc, matched, per-band) hit from the same md5 signature family
     # — which bands fired (v1), and the exact signature agreement
-    # (v2 = Σ est·32). Single availableNow batch: in-batch (ts, id)
+    # (v2 = Σ est·28 — est is the round-13 band-excluded agreement
+    # over num_perm − r positions, so est·(num_perm − r) recovers the
+    # integer agree count exactly). Single availableNow batch: in-batch (ts, id)
     # ordering makes the state semantics equal the global order the
     # SQL mirrors (cross-batch state is pytest-covered).
     nh_orig = d2.select(
@@ -2606,7 +2608,10 @@ def q68_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("band").cast("long").alias("v1"),
-            F.sum(F.round(F.col("est") * 32).cast("long")).alias("v2"),
+            F.sum(
+                F.round(F.col("est") * (_MH_NUM_PERM - _MH_NUM_PERM // _MH_BANDS))
+                .cast("long")
+            ).alias("v2"),
         )
         .select(
             F.lit("near_hits").alias("member"),
@@ -2637,7 +2642,10 @@ def q68_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("band").cast("long").alias("v1"),
-            F.sum(F.round(F.col("est") * 32).cast("long")).alias("v2"),
+            F.sum(
+                F.round(F.col("est") * (_MH_NUM_PERM - _MH_NUM_PERM // _MH_BANDS))
+                .cast("long")
+            ).alias("v2"),
         )
         .select(
             F.lit("near_cap").alias("member"),
@@ -3061,19 +3069,38 @@ FROM (
 """
 
 
+def _agree_excl_band(band_col: str) -> str:
+    """Band-excluded (DEBIASED, round 13) signature-agreement count
+    between sig rows aliased ``sa``/``sb``: the positions of the
+    colliding band named by ``band_col`` are excluded — they agree by
+    construction of the bucket key, so counting them conditions the
+    estimate upward (the same correction
+    ``near_dup_hits_stream`` applies in-kernel)."""
+    r = _MH_NUM_PERM // _MH_BANDS
+    cases = []
+    for j in range(_MH_BANDS):
+        terms = " + ".join(
+            f"(sa.h{i} = sb.h{i})::INT"
+            for i in range(_MH_NUM_PERM)
+            if not (j * r <= i < (j + 1) * r)
+        )
+        cases.append(f"WHEN {j} THEN ({terms})")
+    return f"(CASE {band_col} {' '.join(cases)} END)"
+
+
 def _q68_near_hits_sql() -> str:
     """Oracle for the in-stream near-dup detector
     (ingest.near_dup_hits_stream): re-derives the portable MinHash
     signatures and band table over the SAME planted-copy construction
     (``_mh_ctes`` — identical md5 family), then for every banded doc
-    the best EARLIER-arrival bucket-mate (signature agreement desc,
-    id asc — arrival order IS id order by construction) and keeps
-    hits whose agreement reaches min_est·num_perm. The digest pins
-    which bands fired and the exact agreement per (doc, matched)."""
-    agree = " + ".join(
-        f"(sa.h{i} = sb.h{i})::INT" for i in range(_MH_NUM_PERM)
-    )
-    min_agree = int(_MH_NUM_PERM * 0.5)
+    the best EARLIER-arrival bucket-mate (band-excluded agreement
+    desc, id asc — arrival order IS id order by construction) and
+    keeps hits whose DEBIASED agreement (the colliding band's
+    positions excluded, mirroring the kernel) reaches
+    min_est·(num_perm − r). The digest pins which bands fired and the
+    exact band-excluded agreement per (doc, matched)."""
+    agree = _agree_excl_band("a.band")
+    min_agree = 0.5 * (_MH_NUM_PERM - _MH_NUM_PERM // _MH_BANDS)
     return f"""
 SELECT 'near_hits' AS member,
        CAST(id_b AS VARCHAR) || ':' || CAST(id_a AS VARCHAR) AS k,
@@ -3111,12 +3138,11 @@ def _q68_near_cap_sql() -> str:
     bucket stores only its FIRST arrival (min doc_id — arrival order
     is id order by construction), every later bucket-mate is checked
     against exactly that signature, and a hit emits (doc, band,
-    first_id, agreement). SQL-expressible precisely because the cap
-    removes the order-dependent bucket growth."""
-    agree = " + ".join(
-        f"(sa.h{i} = sb.h{i})::INT" for i in range(_MH_NUM_PERM)
-    )
-    min_agree = int(_MH_NUM_PERM * 0.5)
+    first_id, band-excluded agreement — the same round-13 debias as
+    'near_hits'). SQL-expressible precisely because the cap removes
+    the order-dependent bucket growth."""
+    agree = _agree_excl_band("b.band")
+    min_agree = 0.5 * (_MH_NUM_PERM - _MH_NUM_PERM // _MH_BANDS)
     return f"""
 SELECT 'near_cap' AS member,
        CAST(id_b AS VARCHAR) || ':' || CAST(id_a AS VARCHAR) AS k,

@@ -871,10 +871,12 @@ def curate_and_ingest_stream(
     micro-batch on the DISTINCT hit ids before ``run_ingest_cycle``
     — a same-window near copy never reaches the corpus store, not
     even transiently. Hits are signature-ESTIMATE verified
-    (``nd_min_est`` MinHash agreement), so a flagged doc may have
-    exact Jaccard below ``threshold``: the detector is a cheap
-    pre-gate (bounded state via ``nd_max_bucket``); the compactor's
-    exact verify remains the authority for everything it passes.
+    (``nd_min_est`` = DEBIASED MinHash agreement, the bucket's own
+    band excluded — see ``near_dup_hits_stream``), so a flagged doc
+    may still have exact Jaccard below ``threshold`` (estimator
+    variance): the detector is a cheap pre-gate (bounded state via
+    ``nd_max_bucket``); the compactor's exact verify remains the
+    authority for everything it passes.
     The return value is then a :class:`SequentialStreamingDrain`
     (same ``start()/awaitTermination()`` shape) draining detector
     then ingest, so hit state is complete before ingest consumes it.
@@ -1341,9 +1343,18 @@ def near_dup_hits_stream(
     (band, key) via ``applyInPandasWithState``: a group holds the
     signatures seen in its LSH bucket within the TTL, so state is
     O(active buckets), each bucket tiny by LSH construction. A doc
-    whose full-signature agreement with any EARLIER doc in the bucket
-    (batch order: event time, then id) reaches ``min_est`` — the
-    unbiased MinHash Jaccard estimate — emits a hit row
+    whose signature agreement with any EARLIER doc in the bucket
+    (batch order: event time, then id) reaches ``min_est`` emits a
+    hit row. The agreement is DEBIASED (round 13): two docs share a
+    bucket precisely because the bucket's own band's r positions
+    agreed (the bucket key is the md5 of those values), so raw
+    full-signature agreement is conditioned upward by r/num_perm —
+    the kernel excludes the bucket's own band and estimates over the
+    remaining num_perm − r positions, which are independent of the
+    collision event, making ``min_est`` an (unbiased-estimator)
+    true-Jaccard threshold rather than an inflated one. With
+    ``bands=1`` there is nothing to exclude and the raw agreement is
+    used.
     (doc_id, band, matched_id, est, ts) — ts is the arriving doc's
     event time, so downstream retention/observability can age hit
     rows without re-deriving arrival order. Event-time timeout evicts
@@ -1427,6 +1438,12 @@ def near_dup_hits_stream(
         ids, stored = state.get if state.exists else ([], [])
         ids = list(ids)
         band = int(key[0])
+        # debias mask: agreement is estimated over the positions
+        # OUTSIDE this bucket's own band (those r positions agree by
+        # construction of the bucket key — see the docstring)
+        mask = np.ones(num_perm, dtype=bool)
+        if bands > 1:
+            mask[band * r : (band + 1) * r] = False
         rows = pd.concat(list(pdfs), ignore_index=True)
         if not len(rows):
             return
@@ -1451,10 +1468,11 @@ def near_dup_hits_stream(
         for k in range(len(rows)):
             sig = row_sigs[k]
             if n:
-                # vectorized agreement against the whole bucket state;
-                # tie rule = (est desc, matched id asc), mirrored by
-                # the q68 oracle's (agree DESC, doc_id ASC) rank
-                ests = (mat[:n] == sig).mean(axis=1)
+                # vectorized DEBIASED agreement against the whole
+                # bucket state (own band masked out); tie rule =
+                # (est desc, matched id asc), mirrored by the q68
+                # oracle's (band-excluded agree DESC, doc_id ASC) rank
+                ests = (mat[:n][:, mask] == sig[mask]).mean(axis=1)
                 best = float(ests.max())
                 if best >= min_est:
                     hits_id.append(int(row_ids[k]))
