@@ -170,3 +170,84 @@ def test_histogram_quantiles_random_histograms(spark):
                 if cum >= rank:
                     assert got[(period, p)] == (rank, 2**b - 1, cum)
                     break
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    """Round 13: bloom_build/bloom_probe — every built value probes
+    maybe_present (NO false negatives, the property the exact-dedup
+    pre-gate's correctness rests on); disjoint values mostly probe
+    absent at the design fpr; and bloom_merge of per-part sketches
+    equals the sketch of the union bit-for-bit."""
+    from timebox_spark.operators import sketches as SK
+
+    m, k = 1 << 16, 5
+    vals = spark.range(0, 500).selectExpr(
+        "id", "md5(CAST(id AS STRING)) AS v"
+    )
+    ins = vals.filter("id % 2 = 0")
+    bloom = SK.bloom_build(ins.select("v"), "v", m, k)
+    probe = {
+        r["id"]: r["maybe_present"]
+        for r in SK.bloom_probe(vals, "id", "v", bloom, m, k).collect()
+    }
+    members = {i for i in range(0, 500, 2)}
+    assert all(probe[i] for i in members), "false negative!"
+    non = [i for i in range(1, 500, 2)]
+    fp = sum(1 for i in non if probe[i])
+    # 250 docs in 65536 bits ≈ 262 bits/doc → fpr ≈ (1-e^-kn/m)^k ~ 2e-9
+    assert fp <= 2, fp
+
+    # merge(part sketches) == sketch(union)
+    b1 = SK.bloom_build(ins.filter("id < 250").select("v"), "v", m, k)
+    b2 = SK.bloom_build(ins.filter("id >= 250").select("v"), "v", m, k)
+    merged = {
+        (r["word"], r["bits"])
+        for r in SK.bloom_merge(b1.unionByName(b2)).collect()
+    }
+    whole = {(r["word"], r["bits"]) for r in bloom.collect()}
+    assert merged == whole
+
+    # probing with the WRONG k has no no-false-negative guarantee —
+    # the (m, k) pairing is part of the sketch's identity; spot-check
+    # that the probe helper itself is deterministic across runs
+    again = {
+        r["id"]: r["maybe_present"]
+        for r in SK.bloom_probe(vals, "id", "v", bloom, m, k).collect()
+    }
+    assert again == probe
+
+
+def test_incremental_exact_dedup_bloom_gate_identical(spark):
+    """The broadcast Bloom pre-gate changes the PLAN, never the
+    result: incremental_exact_dedup with corpus_bloom equals the
+    gate-less run on a batch containing corpus dups, in-batch dups
+    and fresh docs."""
+    from timebox_spark.operators import dedup as DD
+    from timebox_spark.operators import sketches as SK
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha document body one"), (2, "beta document body two")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha document body one"),   # corpus dup
+            (11, "gamma fresh body"),          # fresh
+            (12, "gamma fresh body"),          # in-batch dup of 11
+            (13, "delta another fresh body"),  # fresh
+        ],
+        "doc_id long, text string",
+    )
+    m, k = 1 << 14, 5
+    bloom = SK.bloom_build(DD.corpus_fingerprints(corpus), "__fp", m, k)
+    plain = {
+        r["doc_id"]
+        for r in DD.incremental_exact_dedup(batch, corpus).collect()
+    }
+    gated = {
+        r["doc_id"]
+        for r in DD.incremental_exact_dedup(
+            batch, corpus, corpus_bloom=bloom, bloom_m=m, bloom_k=k
+        ).collect()
+    }
+    assert gated == plain == {11, 13}

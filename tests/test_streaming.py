@@ -1646,3 +1646,121 @@ def test_save_corpus_index_publish_race_fails_loudly(
         r["doc_id"] for r in DD.load_corpus_index(spark, path)[0].collect()
     }
     assert got == {2}
+
+
+def test_run_ingest_cycle_bloom_gate_state_and_results(spark, tmp_path):
+    """Round 13: run_ingest_cycle(bloom_m=...) maintains the fifth
+    state tree {store}/bloom (per-cycle mergeable word/bits rows) and
+    produces a corpus bit-identical to the gate-less store across
+    cycles containing corpus dups, in-batch dups and fresh docs."""
+    import os
+
+    cycles = {
+        0: [(10, "alpha document body one"), (11, "beta document two")],
+        1: [(20, "alpha document body one"),   # corpus dup -> dropped
+            (21, "gamma fresh body three"),
+            (22, "gamma fresh body three")],   # in-batch dup -> dropped
+        2: [(30, "beta document two"),         # corpus dup -> dropped
+            (31, "delta final body four")],
+    }
+
+    def run(store, **kw):
+        for cid, rows in cycles.items():
+            ingest.run_ingest_cycle(
+                spark.createDataFrame(rows, "doc_id long, text string"),
+                store, cid, near_dup=False, **kw,
+            )
+        return {
+            r["doc_id"]
+            for r in spark.read.parquet(f"{store}/corpus").collect()
+        }
+
+    plain = run(str(tmp_path / "plain_store"))
+    bstore = str(tmp_path / "bloom_store")
+    gated = run(bstore, bloom_m=1 << 14, bloom_k=5)
+    assert gated == plain == {10, 11, 21, 31}
+    # the bloom tree exists with one partition per cycle, rows merge
+    # to the sketch of the whole corpus
+    dirs = sorted(
+        d for d in os.listdir(f"{bstore}/bloom") if d.startswith("cycle=")
+    )
+    assert dirs == ["cycle=0", "cycle=1", "cycle=2"], dirs
+    from timebox_spark.operators import dedup as DD
+    from timebox_spark.operators import sketches as SK
+
+    merged = {
+        (r["word"], r["bits"])
+        for r in SK.bloom_merge(
+            spark.read.parquet(f"{bstore}/bloom").drop("cycle")
+        ).collect()
+    }
+    corpus_now = spark.read.parquet(f"{bstore}/corpus")
+    whole = {
+        (r["word"], r["bits"])
+        for r in SK.bloom_build(
+            DD.corpus_fingerprints(corpus_now), "__fp", 1 << 14, 5
+        ).collect()
+    }
+    assert merged == whole
+
+
+def test_fold_history_retention_prunes_old_rows(spark, tmp_path):
+    """Round 13: fold_near_dup_hits(retention_ms=...) prunes history
+    rows older than (max event time − retention) during the
+    consolidation rebuild — history ROW count becomes rate×retention
+    bounded on a forever-stream — while rows inside the horizon
+    survive bit-identical. Without retention every row is kept."""
+    import datetime as dt
+    import os
+
+    t0 = dt.datetime(2025, 1, 1, 12, 0, 0)
+    schema = (
+        "doc_id long, band int, matched_id long, est double, "
+        "ts timestamp"
+    )
+    n_dirs = ingest._HISTORY_FOLD_DIRS + 2
+
+    def stage(store):
+        hot = f"{store}/near_hits"
+        for b in range(n_dirs):
+            # first half of the dirs: old hits (days before t_max);
+            # second half: recent (within the last hour)
+            ts = (
+                t0 - dt.timedelta(days=5)
+                if b < n_dirs // 2
+                else t0 + dt.timedelta(minutes=b)
+            )
+            spark.createDataFrame(
+                [(1000 + b, 0, 1, 0.9, ts)], schema
+            ).coalesce(1).write.parquet(f"{hot}/batch={b}")
+
+    keep_store = str(tmp_path / "keep_store")
+    stage(keep_store)
+    ingest.fold_near_dup_hits(spark, keep_store)
+    kept_all = {
+        r["doc_id"]
+        for r in spark.read.parquet(
+            f"{keep_store}/near_hits_history"
+        ).collect()
+    }
+    assert kept_all == {1000 + b for b in range(n_dirs)}
+
+    ret_store = str(tmp_path / "ret_store")
+    stage(ret_store)
+    ingest.fold_near_dup_hits(
+        spark, ret_store, retention_ms=24 * 3600 * 1000
+    )
+    kept = {
+        r["doc_id"]
+        for r in spark.read.parquet(
+            f"{ret_store}/near_hits_history"
+        ).collect()
+    }
+    assert kept == {1000 + b for b in range(n_dirs // 2, n_dirs)}, kept
+    assert len(
+        [
+            d
+            for d in os.listdir(f"{ret_store}/near_hits_history")
+            if d.startswith("batch=")
+        ]
+    ) == 1

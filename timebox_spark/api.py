@@ -197,3 +197,20 @@ class CurationAPI:
         from timebox_spark.sources.warc import read_warc_ranges
 
         return read_warc_ranges(self.spark, ranges, **kw)
+
+    def bloom(self, df: DataFrame, col: str, **kw) -> DataFrame:
+        """Mergeable Bloom membership sketch of ``df[col]`` —
+        (word, bits) rows; the broadcast pre-gate ``compact`` /
+        ``run_ingest_cycle(bloom_m=...)`` use to skip the O(corpus)
+        fingerprint anti-join for definitely-new docs
+        (operators/sketches.py)."""
+        from timebox_spark.operators.sketches import bloom_build
+
+        return bloom_build(df, col, **kw)
+
+    def bloom_probe(self, df: DataFrame, id_col, col, bloom, **kw) -> DataFrame:
+        """(id, maybe_present) membership probe — no false negatives
+        under the sketch's (m_bits, k)."""
+        from timebox_spark.operators.sketches import bloom_probe
+
+        return bloom_probe(df, id_col, col, bloom, **kw)

@@ -1760,6 +1760,9 @@ def incremental_exact_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     corpus_fps: DataFrame | None = None,
+    corpus_bloom: DataFrame | None = None,
+    bloom_m: int = 1 << 20,
+    bloom_k: int = 5,
 ) -> DataFrame:
     """Incremental ingest dedup: rows of ``new_batch`` whose
     normalized-text fingerprint appears nowhere in the existing
@@ -1772,14 +1775,44 @@ def incremental_exact_dedup(
     construction). Pass ``corpus_fps`` (a persisted
     ``corpus_fingerprints`` table) to make the corpus side that
     narrow column scan for real — ``corpus`` text is then never
-    touched."""
+    touched.
+
+    ``corpus_bloom`` (round 13) adds the BROADCAST pre-gate for the
+    100 TB steady state: the corpus-sided anti-join cannot broadcast
+    (fps is the big side — LeftAnti builds on the right), so without
+    it EVERY cycle shuffles O(corpus) fingerprints. With a
+    ``sketches.bloom_build`` sketch of the corpus fps (same
+    ``bloom_m``/``bloom_k``), batch rows whose probe is negative are
+    DEFINITELY new (Bloom has no false negatives) and bypass the join
+    entirely; only the maybe-present subset — true dups plus the
+    sketch's false-positive rate of the batch — pays the fps
+    anti-join, and when that subset is empty the join subplan's scan
+    is over an empty left side. Results are bit-identical to the
+    gate-less path (pytest-pinned); the sketch is exact-mergeable
+    across cycles (``bloom_merge``) so it is maintained incrementally
+    like fps."""
     fp = F.md5(F.encode(normalize_text(text_col), "UTF-8"))
     batch_fp = new_batch.withColumn("__fp", fp)
     if corpus_fps is not None:
         corpus_fp = corpus_fps.select("__fp").distinct()
     else:
         corpus_fp = corpus.select(fp.alias("__fp")).distinct()
-    fresh = batch_fp.join(corpus_fp, "__fp", "left_anti")
+    if corpus_bloom is not None:
+        from timebox_spark.operators.sketches import bloom_probe
+
+        probe = bloom_probe(
+            batch_fp, id_col, "__fp", corpus_bloom, bloom_m, bloom_k
+        )
+        gated = batch_fp.join(probe, id_col)
+        definite_new = gated.filter(~F.col("maybe_present")).drop(
+            "maybe_present"
+        )
+        maybe = gated.filter(F.col("maybe_present")).drop("maybe_present")
+        fresh = definite_new.unionByName(
+            maybe.join(corpus_fp, "__fp", "left_anti")
+        )
+    else:
+        fresh = batch_fp.join(corpus_fp, "__fp", "left_anti")
     w = Window.partitionBy("__fp").orderBy(id_col)
     return (
         fresh.withColumn("__rn", F.row_number().over(w))

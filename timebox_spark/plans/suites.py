@@ -723,6 +723,8 @@ SELECT 'tokid_bpe', k, n FROM ({_TOKID_BPE_SEQ_SQL})
 _INCR_MOD = 3  # batch = doc_id % 3 == 0, corpus = the rest
 _LINE_TOKENS = 8  # pseudo-line width for the single-line corpus
 _SPAN_WK = 8  # ExactSubstr window: 8 tokens fires on this corpus
+_BLOOM_M = 1 << 18  # bloom bits for the 'bloom' member (shared w/ SQL)
+_BLOOM_K = 5  # bloom hash count
 
 
 def q23_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -787,11 +789,53 @@ def q23_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_spans") * F.lit(1 << 20) + F.col("n_tokens")).alias("c"),
         F.col("kept_fp").alias("h"),
     )
+    # 'bloom' rows (round 13): the mergeable Bloom membership sketch
+    # (sketches.bloom_build/bloom_probe) over the SAME corpus/batch
+    # split — one row per maybe-present probe (c = 1 iff the doc's fp
+    # truly is a corpus member, so the member count AND the exact
+    # false-positive set are both driver-hashed), plus a counts row.
+    # This is the broadcast pre-gate incremental_exact_dedup /
+    # run_ingest_cycle(bloom_m=...) use to skip the O(corpus) fps
+    # anti-join for definitely-new docs.
+    from timebox_spark.operators import sketches as SK
+
+    cfps = dedup.corpus_fingerprints(corpus)
+    bloom_tbl = SK.bloom_build(cfps, "__fp", _BLOOM_M, _BLOOM_K)
+    all_fps = docs.select(
+        "doc_id",
+        F.md5(F.encode(dedup.normalize_text("text"), "UTF-8")).alias("__fp"),
+    )
+    bprobe = SK.bloom_probe(
+        all_fps, "doc_id", "__fp", bloom_tbl, _BLOOM_M, _BLOOM_K
+    )
+    truth = all_fps.join(
+        cfps.distinct().withColumn("__in", F.lit(1)), "__fp", "left"
+    ).select("doc_id", F.coalesce("__in", F.lit(0)).alias("__tm"))
+    bj = bprobe.join(truth, "doc_id")
+    bloom_rows = bj.filter(F.col("maybe_present")).select(
+        F.lit("bloom").alias("member"),
+        F.col("doc_id").alias("a"),
+        F.lit(1).cast("long").alias("b"),
+        F.col("__tm").cast("long").alias("c"),
+        F.lit("").alias("h"),
+    )
+    bloom_counts = bj.agg(
+        F.count(F.lit(1)).alias("a"),
+        F.sum(F.col("maybe_present").cast("long")).alias("b"),
+        F.sum(
+            (F.col("maybe_present") & (F.col("__tm") == 0)).cast("long")
+        ).alias("c"),
+    ).select(
+        F.lit("bloom_counts").alias("member"), "a", "b", "c",
+        F.lit("").alias("h"),
+    )
     return (
         stats.unionByName(incr)
         .unionByName(counts)
         .unionByName(lines)
         .unionByName(spans)
+        .unionByName(bloom_rows)
+        .unionByName(bloom_counts)
     )
 
 
@@ -857,6 +901,7 @@ FROM th LEFT JOIN re ON re.doc_id = th.doc_id
 
 def _q23_suite_sql() -> str:
     t = _LINE_TOKENS
+    m, k = _BLOOM_M, _BLOOM_K
     return f"""
 WITH fpt AS (SELECT doc_id, md5({LQ._NORM}) AS fp FROM documents),
 per AS (SELECT fp, count(*) AS n FROM fpt GROUP BY fp),
@@ -898,6 +943,34 @@ ld AS (
   SELECT tt.doc_id, tt.n_lines, coalesce(r.n_kept, 0) AS n_kept,
          coalesce(r.kept_fp, md5('')) AS kept_fp
   FROM ltot tt LEFT JOIN lre r ON r.doc_id = tt.doc_id
+),
+bl_ks AS (SELECT unnest(range({k})) AS i),
+bl_w AS (
+  SELECT p // 32 AS word,
+         bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits
+  FROM (
+    SELECT ('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || fp), 1, 8))::BIGINT
+             % {m} AS p
+    FROM corpus, bl_ks
+  ) GROUP BY 1
+),
+bl_pr AS (
+  SELECT f.doc_id,
+         ('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || f.fp), 1, 8))::BIGINT
+           % {m} AS p
+  FROM fpt f, bl_ks
+),
+bl_hit AS (
+  SELECT doc_id,
+         min(CASE WHEN w.bits IS NOT NULL
+                   AND (w.bits & (1::BIGINT << CAST(pr.p % 32 AS INT))) <> 0
+             THEN 1 ELSE 0 END) AS maybe
+  FROM bl_pr pr LEFT JOIN bl_w w ON pr.p // 32 = w.word
+  GROUP BY doc_id
+),
+bl_tm AS (
+  SELECT f.doc_id, CASE WHEN c.fp IS NULL THEN 0 ELSE 1 END AS tm
+  FROM fpt f LEFT JOIN corpus c ON f.fp = c.fp
 )
 SELECT 'stats' AS member, CAST(sum(n) AS BIGINT) AS a,
        CAST(count(*) AS BIGINT) AS b, CAST(sum(n - 1) AS BIGINT) AS c,
@@ -916,6 +989,16 @@ UNION ALL
 SELECT 'lines', doc_id, n_lines, n_kept, kept_fp FROM ld
 UNION ALL
 SELECT 'spans', a, b, c, h FROM ({_q23_spans_sql()})
+UNION ALL
+SELECT 'bloom', h.doc_id, CAST(1 AS BIGINT), CAST(t.tm AS BIGINT), ''
+FROM bl_hit h JOIN bl_tm t USING (doc_id) WHERE h.maybe = 1
+UNION ALL
+SELECT 'bloom_counts',
+       (SELECT CAST(count(*) AS BIGINT) FROM bl_hit),
+       (SELECT CAST(sum(maybe) AS BIGINT) FROM bl_hit),
+       (SELECT CAST(count(*) AS BIGINT) FROM bl_hit h
+        JOIN bl_tm t USING (doc_id) WHERE h.maybe = 1 AND t.tm = 0),
+       ''
 """
 
 

@@ -451,6 +451,9 @@ def compact_corpus(
     keep: str = "chain",
     verify: str = "exact",
     scratch_path: str | None = None,
+    corpus_bloom: DataFrame | None = None,
+    bloom_m: int = 1 << 20,
+    bloom_k: int = 5,
 ) -> DataFrame:
     """The batch half of the ingest lambda split ``curate_stream``
     documents: given the rows a streaming window accumulated
@@ -554,7 +557,16 @@ def compact_corpus(
     if corpus is None:
         corpus = new_batch.limit(0)
     kept = incremental_exact_dedup(
-        new_batch, corpus, id_col, text_col, corpus_fps=corpus_fps
+        new_batch,
+        corpus,
+        id_col,
+        text_col,
+        corpus_fps=corpus_fps,
+        # broadcast Bloom pre-gate: definitely-new batch rows bypass
+        # the O(corpus) fps anti-join (see incremental_exact_dedup)
+        corpus_bloom=corpus_bloom,
+        bloom_m=bloom_m,
+        bloom_k=bloom_k,
     )
     if not near_dup:
         return kept
@@ -849,6 +861,7 @@ def curate_and_ingest_stream(
     nd_min_est: float = 0.5,
     nd_watermark: str = "1 hour",
     nd_max_bucket: int | None = 256,
+    nd_hits_retention_ms: int | None = None,
     consolidate_every: int | None = 64,
     index_verify: str = "exact",
 ):
@@ -892,7 +905,10 @@ def curate_and_ingest_stream(
     drain is sufficient: ids are unique and detector and ingest drain
     the SAME source files per drain, so a doc's hit is always
     recorded in the drain that would ingest it. History rows are kept
-    forever (append-only observability) but sit on no hot path.
+    forever by default (append-only observability, off every hot
+    path); ``nd_hits_retention_ms`` prunes rows older than that
+    event-time horizon during history consolidation, bounding history
+    ROW count on a forever-stream (see ``fold_near_dup_hits``).
 
     ``index_verify`` is forwarded to ``run_ingest_cycle`` — pass
     ``'estimate'`` to keep the persisted store index signature-sized
@@ -976,7 +992,12 @@ def curate_and_ingest_stream(
 
     return SequentialStreamingDrain(
         [hits_writer, ingest_writer],
-        on_complete=lambda: fold_near_dup_hits(stream.sparkSession, store_path),
+        on_complete=lambda: fold_near_dup_hits(
+            stream.sparkSession,
+            store_path,
+            ts_col=ts_col,
+            retention_ms=nd_hits_retention_ms,
+        ),
     )
 
 
@@ -995,7 +1016,12 @@ def _batch_dir_ids(fs, fs_path, root: str) -> list[int]:
     return out
 
 
-def fold_near_dup_hits(spark: SparkSession, store_path: str) -> None:
+def fold_near_dup_hits(
+    spark: SparkSession,
+    store_path: str,
+    ts_col: str = "ts",
+    retention_ms: int | None = None,
+) -> None:
     """Post-drain maintenance of the in-stream near-dup hit trees
     (``curate_and_ingest_stream``'s ``on_complete``; module-level so
     the crash-recovery pytest drives it directly). Only runs after a
@@ -1020,9 +1046,18 @@ def fold_near_dup_hits(spark: SparkSession, store_path: str) -> None:
         This is what bounds the ingest sink's per-micro-batch
         anti-join scan to the CURRENT drain (round-12 ``weak``).
     (c) Consolidate history once it exceeds ``_HISTORY_FOLD_DIRS``
-        dirs, so its file count stays bounded on a forever-stream
-        (rows are kept: append-only observability data, off every
-        hot path)."""
+        dirs, so its file count stays bounded on a forever-stream.
+        Rows are kept by default (append-only observability data,
+        off every hot path); ``retention_ms`` additionally prunes
+        rows whose event time ``ts_col`` is older than the history's
+        max event time minus the retention, DURING the fold rebuild —
+        safe because hit ids are unique (a pruned hit can never be
+        consulted again; it is pure record-keeping), and applied in
+        the rebuild so a resumed crashed fold keeps its original
+        attempt's cut. With retention set, history ROW count is
+        bounded by stream rate × retention instead of stream
+        lifetime — the knob a forever-stream sets
+        (``curate_and_ingest_stream(nd_hits_retention_ms=...)``)."""
     hits_path = f"{store_path}/near_hits"
     history_path = f"{store_path}/near_hits_history"
     tmp_root = f"{store_path}/_tmp_consolidate_hits"
@@ -1052,8 +1087,26 @@ def fold_near_dup_hits(spark: SparkSession, store_path: str) -> None:
     hist = _batch_dir_ids(fs, fs_path, history_path)
     if len(hist) > _HISTORY_FOLD_DIRS:
         m = max(hist)
+        flt = None
+        if retention_ms is not None:
+            mx = (
+                spark.read.parquet(history_path)
+                .agg(F.max(ts_col).alias("mx"))
+                .collect()[0]["mx"]
+            )
+            if mx is not None:
+                import datetime as _dt
+
+                flt = F.col(ts_col) >= F.lit(
+                    mx - _dt.timedelta(milliseconds=retention_ms)
+                )
         _fold_partitions(
-            spark, history_path, "batch", m, f"{tmp_root}/batch={m}"
+            spark,
+            history_path,
+            "batch",
+            m,
+            f"{tmp_root}/batch={m}",
+            row_filter=flt,
         )
 
 
@@ -1063,6 +1116,11 @@ def _store_tree_paths(store_path: str) -> dict[str, str]:
         "fps": f"{store_path}/fps",
         "banded": f"{store_path}/index/banded",
         "sets": f"{store_path}/index/sets",
+        # Bloom membership sketch of fps (round 13) — only written
+        # when run_ingest_cycle(bloom_m=...) enables the pre-gate;
+        # consolidation folds it like the others (rows merge at read
+        # time via bit_or, so folded duplicates of a word are fine)
+        "bloom": f"{store_path}/bloom",
     }
 
 
@@ -1072,6 +1130,7 @@ def _fold_partitions(
     part_col: str,
     upto: int,
     tmp: str,
+    row_filter=None,
 ) -> None:
     """Crash-safe fold of every ``{part_col}=N`` partition with
     ``N <= upto`` under ``tree_path`` into one ``{part_col}={upto}``
@@ -1104,12 +1163,13 @@ def _fold_partitions(
             return
         if part_col not in df.columns:
             return
-        (
-            df.filter(F.col(part_col) <= upto)
-            .drop(part_col)
-            .write.mode("overwrite")
-            .parquet(tmp)
-        )
+        folded = df.filter(F.col(part_col) <= upto).drop(part_col)
+        if row_filter is not None:
+            # retention pruning happens IN the rebuild, so a resumed
+            # fold (tmp already complete) keeps the rows its original
+            # attempt kept — never a second, different cut
+            folded = folded.filter(row_filter)
+        folded.write.mode("overwrite").parquet(tmp)
     prefix = f"{part_col}="
     if fs.exists(fs_path(tree_path)):
         for st in fs.listStatus(fs_path(tree_path)):
@@ -1187,6 +1247,8 @@ def run_ingest_cycle(
     index_verify: str = "exact",
     consolidate_every: int | None = None,
     keep: str = "chain",
+    bloom_m: int | None = None,
+    bloom_k: int = 5,
 ) -> int:
     """One steady-state compaction cycle against ON-DISK corpus state
     — the production composition the per-DataFrame pieces build up
@@ -1224,7 +1286,20 @@ def run_ingest_cycle(
     ``keep='cluster'`` the connected-components drop stays DISTRIBUTED
     — the dropped ids go through ``{store_path}/_scratch/cycle={id}``
     on the store's own filesystem (zero driver-side collect), removed
-    after the cycle's corpus partition commits."""
+    after the cycle's corpus partition commits.
+
+    ``bloom_m`` (round 13) enables the broadcast Bloom pre-gate for
+    the exact-dedup side: a fifth state tree ``{store}/bloom`` holds
+    the per-cycle (word, bits) membership sketch of fps
+    (``sketches.bloom_build`` at ``bloom_m`` bits / ``bloom_k``
+    hashes), merged at read time by ``bloom_merge`` (exact — Bloom
+    union loses nothing) and consolidated like the other trees.
+    Definitely-new batch rows then bypass the O(corpus) fps anti-join
+    (see ``dedup.incremental_exact_dedup``) — the join that otherwise
+    shuffles the full fingerprint tree every cycle at 100 TB. Kept
+    results are bit-identical with or without the gate; size m to the
+    expected corpus (~10 bits/doc for 1% fpr) and keep it under the
+    broadcast budget."""
     from pyspark.errors import AnalysisException
 
     from timebox_spark.operators.dedup import (
@@ -1250,6 +1325,13 @@ def run_ingest_cycle(
         return df.filter(F.col("cycle") < cycle_id).drop("cycle")
 
     fps = read_prior("fps")
+    bloom = None
+    if bloom_m is not None:
+        from timebox_spark.operators.sketches import bloom_merge
+
+        prior_bloom = read_prior("bloom")
+        if prior_bloom is not None:
+            bloom = bloom_merge(prior_bloom)
     banded = read_prior("banded") if near_dup else None
     sets = read_prior("sets") if near_dup else None
     # a missing index on a near_dup cycle (first cycle, or exact-only
@@ -1278,6 +1360,9 @@ def run_ingest_cycle(
         keep=keep,
         verify=index_verify,
         scratch_path=scratch,
+        corpus_bloom=bloom,
+        bloom_m=bloom_m if bloom_m is not None else 1 << 20,
+        bloom_k=bloom_k,
     )
 
     cyc = f"cycle={cycle_id}"
@@ -1296,6 +1381,15 @@ def run_ingest_cycle(
     corpus_fingerprints(kept_disk, text_col).write.mode(
         "overwrite"
     ).parquet(f"{paths['fps']}/{cyc}")
+    if bloom_m is not None:
+        from timebox_spark.operators.sketches import bloom_build
+
+        bloom_build(
+            corpus_fingerprints(kept_disk, text_col),
+            "__fp",
+            bloom_m,
+            bloom_k,
+        ).write.mode("overwrite").parquet(f"{paths['bloom']}/{cyc}")
     if near_dup:
         nb, ns = build_corpus_index(
             kept_disk, id_col, text_col, num_perm, bands, shingle_n,
