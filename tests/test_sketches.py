@@ -207,9 +207,21 @@ def test_bloom_no_false_negatives_and_merge(spark):
     whole = {(r["word"], r["bits"]) for r in bloom.collect()}
     assert merged == whole
 
-    # probing with the WRONG k has no no-false-negative guarantee —
-    # the (m, k) pairing is part of the sketch's identity; spot-check
-    # that the probe helper itself is deterministic across runs
+    # probing with the WRONG (m, k) has no no-false-negative guarantee
+    # — a dup would bypass exact dedup as 'definitely new' — so the
+    # sketch carries its parameters as sentinel rows and a mismatched
+    # probe/merge RAISES instead of silently corrupting results
+    import pytest
+
+    with pytest.raises(ValueError, match="m_bits"):
+        SK.bloom_probe(vals, "id", "v", bloom, m * 2, k)
+    with pytest.raises(ValueError, match="m_bits"):
+        SK.bloom_probe(vals, "id", "v", bloom, m, k + 1)
+    other_geom = SK.bloom_build(ins.select("v"), "v", m * 2, k)
+    with pytest.raises(ValueError, match="geometries"):
+        SK.bloom_merge(bloom.unionByName(other_geom))
+
+    # determinism across runs
     again = {
         r["id"]: r["maybe_present"]
         for r in SK.bloom_probe(vals, "id", "v", bloom, m, k).collect()

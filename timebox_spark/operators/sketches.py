@@ -163,12 +163,24 @@ def bloom_build(
 
     Sizing (standard formulas): m ≈ −n·ln(fpr)/ln²2, k ≈ (m/n)·ln 2 —
     1%% fpr costs ~9.6 bits/doc (~120 MB per 10⁸ docs: broadcastable;
-    at 10⁹ docs prefer sharding or the plain fingerprint join)."""
+    at 10⁹ docs prefer sharding or the plain fingerprint join).
+
+    The sketch CARRIES its (m_bits, k) as sentinel rows (word −1 / −2
+    — real words are >= 0): probing or merging a persisted sketch
+    with mismatched parameters would silently break the
+    no-false-negative guarantee — a duplicate would bypass the
+    dedup's exact join as 'definitely new' — so ``bloom_probe`` and
+    ``bloom_merge`` validate the sentinels and raise instead (same
+    defect class as the estimate-index num_perm guard)."""
     from timebox_spark.operators.dedup import _md5_u32
 
     pos = [
         (_md5_u32(F.col(col), str(i)) % F.lit(m_bits)) for i in range(k)
     ]
+    spark = df.sparkSession
+    sentinels = spark.createDataFrame(
+        [(-1, int(m_bits)), (-2, int(k))], "word int, bits long"
+    )
     return (
         df.select(F.explode(F.array(*pos)).alias("p"))
         .select(
@@ -179,13 +191,51 @@ def bloom_build(
         )
         .groupBy("word")
         .agg(F.bit_or("m").alias("bits"))
+        .unionByName(sentinels)
     )
+
+
+def _bloom_check_params(bloom: DataFrame, m_bits: int, k: int, ctx: str):
+    """Validate a sketch's embedded (m_bits, k) sentinels against the
+    caller's parameters — a tiny 2-row collect; absent sentinels
+    (a pre-round-13 or hand-built sketch) pass silently."""
+    rows = {
+        r["word"]: r["bits"]
+        for r in bloom.filter(F.col("word") < 0).distinct().collect()
+    }
+    got_m, got_k = rows.get(-1), rows.get(-2)
+    if (got_m is not None and got_m != m_bits) or (
+        got_k is not None and got_k != k
+    ):
+        raise ValueError(
+            f"{ctx}: sketch was built with (m_bits={got_m}, k={got_k}) "
+            f"but the call uses (m_bits={m_bits}, k={k}) — a mismatch "
+            f"silently breaks the no-false-negative guarantee (a dup "
+            f"would bypass exact dedup as 'definitely new'); pass the "
+            f"build-time parameters"
+        )
 
 
 def bloom_merge(blooms: DataFrame) -> DataFrame:
     """Union of Bloom sketches built with the SAME (m_bits, k): OR the
     words together. Exact (Bloom union loses nothing), so per-cycle
-    sketch partitions merge at read time without a rebuild."""
+    sketch partitions merge at read time without a rebuild. Mixed
+    parameters RAISE: the input's sentinel rows must agree (OR-ing
+    bitsets of different geometries is silent corruption)."""
+    bad = (
+        blooms.filter(F.col("word") < 0)
+        .groupBy("word")
+        .agg(F.count_distinct("bits").alias("n"))
+        .filter(F.col("n") > 1)
+        .limit(1)
+        .count()
+    )
+    if bad:
+        raise ValueError(
+            "bloom_merge: inputs carry conflicting (m_bits, k) "
+            "sentinels — sketches of different geometries cannot be "
+            "merged; rebuild with one parameter set"
+        )
     return blooms.groupBy("word").agg(F.bit_or("bits").alias("bits"))
 
 
@@ -203,9 +253,13 @@ def bloom_probe(
     value that was built in always probes true), false positives at
     the sketch's design rate. The sketch is broadcast and the probe
     rows fan out k-fold map-side; the only shuffle is the
-    probe-side-sized groupBy back to one row per id."""
+    probe-side-sized groupBy back to one row per id. The sketch's
+    embedded (m_bits, k) sentinels are validated against the call's —
+    a mismatch raises instead of silently losing the no-false-negative
+    guarantee."""
     from timebox_spark.operators.dedup import _md5_u32
 
+    _bloom_check_params(bloom, m_bits, k, "bloom_probe")
     pos = [
         (_md5_u32(F.col(col), str(i)) % F.lit(m_bits)) for i in range(k)
     ]
