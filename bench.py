@@ -187,7 +187,6 @@ def _index_tier_fidelity(
 
     from timebox_spark.operators import dedup as D
 
-    r = num_perm // bands
     docs = tables_load(spark, sf_dir, "documents")
     banded, sh = D.build_corpus_index(
         docs, num_perm=num_perm, bands=bands, verify="exact"
@@ -206,18 +205,14 @@ def _index_tier_fidelity(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size("sh_a").cast("double") + F.size("sh_b").cast("double") - inter
+    # raw agreement for the raw_* columns; the debiased estimator is
+    # the SHIPPED one (dedup.debiased_agreement), not a local copy —
+    # these published numbers must measure exactly what
+    # compact_corpus(verify='estimate') runs
     eq = F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int"))
     agree = F.aggregate(eq, F.lit(0), lambda a, x: a + x).cast("double")
-    full_band = F.exists(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda j: F.aggregate(
-            F.slice(eq, j * r + 1, r), F.lit(0), lambda a, x: a + x
-        )
-        == r,
-    )
-    adj = F.when(full_band, agree - r).otherwise(agree) / F.when(
-        full_band, F.lit(float(num_perm - r))
-    ).otherwise(F.lit(float(num_perm)))
+    adj_agree, adj_n = D.debiased_agreement("sig_a", "sig_b", num_perm, bands)
+    adj = adj_agree / adj_n
     joined = (
         cand.join(sh.select(F.col("doc_id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
         .join(sh.select(F.col("doc_id").alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")

@@ -909,6 +909,9 @@ def test_warc_ranged_reads_over_http(spark, tmp_path):
             if rng and self.serve_ranges:
                 m = _re.match(r"bytes=(\d+)-(\d+)$", rng)
                 lo, hi = int(m.group(1)), int(m.group(2))
+                if lo >= len(data):  # real servers 416 past EOF
+                    self.send_error(416)
+                    return
                 chunk = data[lo : hi + 1]
                 self.send_response(206)
                 self.send_header(
@@ -962,11 +965,31 @@ def test_warc_ranged_reads_over_http(spark, tmp_path):
             )
         )
         assert ranged == full
+
+        # a STALE index span (offset past EOF -> 416) under
+        # on_error='skip' drops that span and keeps the rest — the
+        # same degradation the local backend gives (review round 13);
+        # under 'raise' it propagates
+        stale = http_ranges + [
+            (http_ranges[0][0], 10_000_000, 1024)
+        ]
+        skipped = sorted(
+            map(
+                tuple,
+                warc.read_warc_ranges(
+                    spark, stale, on_error="skip"
+                ).collect(),
+            )
+        )
+        assert skipped == full
+        with pytest.raises(Exception, match="416"):
+            warc.read_warc_ranges(spark, stale, on_error="raise").collect()
     finally:
         srv.shutdown()
 
-    # a Range-ignoring server (200 + whole file) must raise, not
-    # silently degrade to full-shard downloads
+    # a Range-ignoring server (200 + whole file) must raise EVEN under
+    # on_error='skip': it is a systemic misconfiguration — skipping
+    # every span would silently return an empty result
     srv2 = serve(NoRangeHandler)
     try:
         base2 = f"http://127.0.0.1:{srv2.server_address[1]}"
@@ -975,5 +998,7 @@ def test_warc_ranged_reads_over_http(spark, tmp_path):
         ]
         with pytest.raises(Exception, match="206"):
             warc.read_warc_ranges(spark, bad, on_error="raise").collect()
+        with pytest.raises(Exception, match="206"):
+            warc.read_warc_ranges(spark, bad, on_error="skip").collect()
     finally:
         srv2.shutdown()

@@ -247,6 +247,7 @@ def test_incremental_exact_dedup_bloom_gate_identical(spark):
             (11, "gamma fresh body"),          # fresh
             (12, "gamma fresh body"),          # in-batch dup of 11
             (13, "delta another fresh body"),  # fresh
+            (14, None),                        # NULL text: fp NULL, kept
         ],
         "doc_id long, text string",
     )
@@ -262,4 +263,6 @@ def test_incremental_exact_dedup_bloom_gate_identical(spark):
             batch, corpus, corpus_bloom=bloom, bloom_m=m, bloom_k=k
         ).collect()
     }
-    assert gated == plain == {11, 13}
+    # NULL text never matches the corpus anti-join, so both paths keep
+    # it (review round 13: the id-keyed gate silently dropped it)
+    assert gated == plain == {11, 13, 14}

@@ -1764,3 +1764,51 @@ def test_fold_history_retention_prunes_old_rows(spark, tmp_path):
             if d.startswith("batch=")
         ]
     ) == 1
+
+
+def test_run_ingest_cycle_bloom_backfills_uncovered_cycles(
+    spark, tmp_path
+):
+    """Review round 13: enabling the Bloom gate on a store whose fps
+    tree already has cycles the bloom tree lacks must NOT re-admit
+    duplicates from the uncovered cycles — run_ingest_cycle backfills
+    the missing sketch partitions from the narrow fps tree before
+    trusting a negative probe."""
+    import os
+
+    store = str(tmp_path / "bf_store")
+    # cycles 0 and 1 run WITHOUT the gate: fps exists, bloom doesn't
+    ingest.run_ingest_cycle(
+        spark.createDataFrame(
+            [(10, "alpha document body one")], "doc_id long, text string"
+        ),
+        store, 0, near_dup=False,
+    )
+    ingest.run_ingest_cycle(
+        spark.createDataFrame(
+            [(11, "beta document body two")], "doc_id long, text string"
+        ),
+        store, 1, near_dup=False,
+    )
+    assert not os.path.exists(f"{store}/bloom")
+    # cycle 2 enables the gate AND carries a dup of the cycle-0 doc:
+    # without backfill the sketch would not cover cycle 0, the dup
+    # would probe 'definitely new' and be silently re-admitted
+    n = ingest.run_ingest_cycle(
+        spark.createDataFrame(
+            [(20, "alpha document body one"),
+             (21, "gamma wholly fresh body")],
+            "doc_id long, text string",
+        ),
+        store, 2, near_dup=False, bloom_m=1 << 14,
+    )
+    assert n == 1
+    kept = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{store}/corpus").collect()
+    }
+    assert kept == {10, 11, 21}, kept
+    dirs = sorted(
+        d for d in os.listdir(f"{store}/bloom") if d.startswith("cycle=")
+    )
+    assert dirs == ["cycle=0", "cycle=1", "cycle=2"], dirs

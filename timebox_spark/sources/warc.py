@@ -425,6 +425,14 @@ def index_warc_gz(
     return files.mapInPandas(parse, WARC_INDEX_SCHEMA)
 
 
+class RangeUnsupportedError(IOError):
+    """The server answered a ranged GET with 200 (full body) instead
+    of 206 — a SYSTEMIC misconfiguration, not per-record garbage:
+    every span would re-download its whole shard, so
+    ``read_warc_ranges`` raises this even under ``on_error='skip'``
+    (skipping would silently return an empty result)."""
+
+
 def http_range_fetch(path: str, offset: int, length: int) -> bytes:
     """Fetch ``length`` bytes at ``offset`` from an http(s) URL with a
     single ranged GET (``Range: bytes=o-(o+n-1)``) — the object-store
@@ -440,7 +448,7 @@ def http_range_fetch(path: str, offset: int, length: int) -> bytes:
     )
     with urlopen(req, timeout=60) as resp:
         if resp.status != 206:
-            raise IOError(
+            raise RangeUnsupportedError(
                 f"{path}: server returned {resp.status}, not 206 Partial "
                 f"Content — it ignored the Range header; ranged reads "
                 f"need a Range-capable server"
@@ -510,14 +518,32 @@ def read_warc_ranges(
                 )
                 if fetch is not None or p.startswith(("http://", "https://")):
                     f_ = fetch if fetch is not None else http_range_fetch
-                    blobs = (f_(p, int(o), int(ln)) for o, ln in spans)
-                    for data in blobs:
+                    for o, ln in spans:
+                        # fetch failures honor on_error like the
+                        # record walk does (review round 13): a stale
+                        # index offset 416s over HTTP where the local
+                        # backend reads short garbage and skips — the
+                        # two backends must degrade identically
+                        try:
+                            data = f_(p, int(o), int(ln))
+                        except RangeUnsupportedError:
+                            raise  # systemic — loud even under skip
+                        except OSError:
+                            if on_error == "raise":
+                                raise
+                            continue
                         if data[:3] == _GZ_MAGIC:
                             data = b"".join(_inflate_members(data, on_error))
                         rows.extend(_walk_records(data, on_error))
                     continue
                 local = unquote(urlparse(p).path) if "://" in p or p.startswith("file:") else p
-                with open(local, "rb") as f:
+                try:
+                    f = open(local, "rb")
+                except OSError:
+                    if on_error == "raise":
+                        raise
+                    continue  # shard vanished since indexing — skip it
+                with f:
                     for off, ln in spans:
                         f.seek(int(off))
                         data = f.read(int(ln))

@@ -635,35 +635,16 @@ def compact_corpus(
         F.col(id_col).alias("id_b"), F.col(vcol).alias("sh_b")
     )
     if verify == "estimate":
-        # signature agreement: positionwise equality over the aligned
-        # num_perm MinHash values (zip_with genuinely takes a
-        # two-parameter lambda — unlike transform/filter, where two
-        # params mean (element, index)). DEBIASED over the banded
-        # candidates (round 13, measured at sf0.1): a candidate pair
-        # exists BECAUSE one band's r positions agreed, so raw
-        # agreement is conditioned upward — raw >= 0.35 passed 5,189
-        # of 40,105 band candidates where exact Jaccard passed 256
-        # (4,933 false drops). Excluding ONE fully-agreeing band
-        # (positions independent given j, so the remaining n-r are an
-        # unbiased sample) cut false drops to 811 with false keeps
-        # still 0. The estimator is agree-over-(n-r) when any band
-        # fully agrees, else agree-over-n.
-        r_rows = num_perm // bands
-        eq = F.zip_with("sh_a", "sh_b", lambda x, y: (x == y).cast("int"))
-        agree = F.aggregate(eq, F.lit(0), lambda a, x: a + x).cast("double")
-        full_band = F.exists(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda j: F.aggregate(
-                F.slice(eq, j * r_rows + 1, r_rows),
-                F.lit(0),
-                lambda a, x: a + x,
-            )
-            == r_rows,
+        # DEBIASED signature agreement over the banded candidates —
+        # dedup.debiased_agreement is the ONE definition shared with
+        # bench's published index_tier fidelity (measurement and
+        # rationale live on its docstring). zip_with inside genuinely
+        # takes a two-parameter lambda, unlike transform/filter.
+        from timebox_spark.operators.dedup import debiased_agreement
+
+        adj_agree, adj_n = debiased_agreement(
+            "sh_a", "sh_b", num_perm, bands
         )
-        adj_agree = F.when(full_band, agree - r_rows).otherwise(agree)
-        adj_n = F.when(
-            full_band, F.lit(float(num_perm - r_rows))
-        ).otherwise(F.lit(float(num_perm)))
         # signature LENGTHS must agree (advisor round 12): an index
         # persisted with a different num_perm would otherwise
         # null-pad through zip_with and silently compute an
@@ -1001,16 +982,17 @@ def curate_and_ingest_stream(
     )
 
 
-def _batch_dir_ids(fs, fs_path, root: str) -> list[int]:
-    """The N values of ``batch=N`` child dirs under ``root``."""
+def _part_dir_ids(fs, fs_path, root: str, part_col: str = "batch") -> list[int]:
+    """The N values of ``{part_col}=N`` child dirs under ``root``."""
     if not fs.exists(fs_path(root)):
         return []
+    prefix = f"{part_col}="
     out = []
     for st in fs.listStatus(fs_path(root)):
         name = st.getPath().getName()
-        if name.startswith("batch="):
+        if name.startswith(prefix):
             try:
-                out.append(int(name[6:]))
+                out.append(int(name[len(prefix):]))
             except ValueError:
                 pass
     return out
@@ -1065,13 +1047,13 @@ def fold_near_dup_hits(
     fs = fs_path(store_path).getFileSystem(
         spark.sparkContext._jsc.hadoopConfiguration()
     )
-    for m in _batch_dir_ids(fs, fs_path, tmp_root):
+    for m in _part_dir_ids(fs, fs_path, tmp_root):
         tmp = f"{tmp_root}/batch={m}"
         if fs.exists(fs_path(f"{tmp}/_SUCCESS")):
             _fold_partitions(spark, history_path, "batch", m, tmp)
         else:
             fs.delete(fs_path(tmp), True)
-    for n in sorted(_batch_dir_ids(fs, fs_path, hits_path)):
+    for n in sorted(_part_dir_ids(fs, fs_path, hits_path)):
         src, dst = f"{hits_path}/batch={n}", f"{history_path}/batch={n}"
         if fs.exists(fs_path(dst)):
             # duplicate of a dir a crashed prior fold already moved
@@ -1084,22 +1066,34 @@ def fold_near_dup_hits(
                 f"hits-history move failed: {src} -> {dst}; the hot "
                 f"tree still holds the rows — rerun the fold"
             )
-    hist = _batch_dir_ids(fs, fs_path, history_path)
+    hist = _part_dir_ids(fs, fs_path, history_path)
     if len(hist) > _HISTORY_FOLD_DIRS:
         m = max(hist)
         flt = None
         if retention_ms is not None:
-            mx = (
-                spark.read.parquet(history_path)
-                .agg(F.max(ts_col).alias("mx"))
-                .collect()[0]["mx"]
+            # mergeSchema: old-layout dirs may predate the ts column;
+            # such rows read ts as NULL and are KEPT (age unknown —
+            # never silently purged), and when NO dir carries ts the
+            # retention is skipped rather than thrown (review round
+            # 13). The aggregate is a second scan over the (dir-count
+            # bounded) tree — inherent: a max can't be filtered by in
+            # its own pass.
+            hist_df = spark.read.option("mergeSchema", "true").parquet(
+                history_path
             )
-            if mx is not None:
-                import datetime as _dt
+            if ts_col in hist_df.columns:
+                mx = hist_df.agg(F.max(ts_col).alias("mx")).collect()[0][
+                    "mx"
+                ]
+                if mx is not None:
+                    import datetime as _dt
 
-                flt = F.col(ts_col) >= F.lit(
-                    mx - _dt.timedelta(milliseconds=retention_ms)
-                )
+                    flt = F.col(ts_col).isNull() | (
+                        F.col(ts_col)
+                        >= F.lit(
+                            mx - _dt.timedelta(milliseconds=retention_ms)
+                        )
+                    )
         _fold_partitions(
             spark,
             history_path,
@@ -1107,6 +1101,7 @@ def fold_near_dup_hits(
             m,
             f"{tmp_root}/batch={m}",
             row_filter=flt,
+            merge_schema=flt is not None,
         )
 
 
@@ -1131,6 +1126,7 @@ def _fold_partitions(
     upto: int,
     tmp: str,
     row_filter=None,
+    merge_schema: bool = False,
 ) -> None:
     """Crash-safe fold of every ``{part_col}=N`` partition with
     ``N <= upto`` under ``tree_path`` into one ``{part_col}={upto}``
@@ -1158,7 +1154,10 @@ def _fold_partitions(
         if not fs.exists(fs_path(tree_path)):
             return
         try:
-            df = spark.read.parquet(tree_path)
+            reader = spark.read
+            if merge_schema:
+                reader = reader.option("mergeSchema", "true")
+            df = reader.parquet(tree_path)
         except AnalysisException:
             return
         if part_col not in df.columns:
@@ -1327,8 +1326,41 @@ def run_ingest_cycle(
     fps = read_prior("fps")
     bloom = None
     if bloom_m is not None:
-        from timebox_spark.operators.sketches import bloom_merge
+        from timebox_spark.operators.sketches import bloom_build, bloom_merge
 
+        # COVERAGE check (review round 13): the gate is only sound if
+        # the sketch covers every fps cycle — a bloom tree missing
+        # some cycles (gate enabled on an existing store, earlier
+        # cycles run with bloom_m=None, or a crash between the fps
+        # and bloom writes of an un-replayed cycle) would probe
+        # negative for a fingerprint that lives only in an uncovered
+        # cycle and silently re-admit the exact duplicate. Backfill
+        # missing cycles from the narrow fps partitions (deterministic
+        # and idempotent; cycles < cycle_id can no longer replay, so
+        # writing their sketch partitions is safe).
+        fs_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+        fs = fs_path(store_path).getFileSystem(
+            spark.sparkContext._jsc.hadoopConfiguration()
+        )
+        fps_cycles = {
+            n
+            for n in _part_dir_ids(fs, fs_path, paths["fps"], "cycle")
+            if n < cycle_id
+        }
+        bloom_cycles = {
+            n
+            for n in _part_dir_ids(fs, fs_path, paths["bloom"], "cycle")
+            if n < cycle_id
+        }
+        for mcyc in sorted(fps_cycles - bloom_cycles):
+            bloom_build(
+                spark.read.parquet(f"{paths['fps']}/cycle={mcyc}"),
+                "__fp",
+                bloom_m,
+                bloom_k,
+            ).write.mode("overwrite").parquet(
+                f"{paths['bloom']}/cycle={mcyc}"
+            )
         prior_bloom = read_prior("bloom")
         if prior_bloom is not None:
             bloom = bloom_merge(prior_bloom)
