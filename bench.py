@@ -247,6 +247,116 @@ def _index_tier_fidelity(
     }
 
 
+def _bloom_gate_stats(spark, sf_dir: str, k: int = 5) -> dict:
+    """Round-14 verdict task 2: the numbers behind the streaming
+    entrypoint's Bloom pre-gate DEFAULT (on, m = 2^24). Measures, at
+    the driver's scale, over an 80/20 corpus/batch split of the
+    documents table:
+
+    - build_sec / merge_sec: per-cycle sketch maintenance at the
+      default m (bloom_build of the corpus fps persisted like the
+      store tree; bloom_merge of two per-cycle halves — the read-time
+      op every gated cycle pays);
+    - fpr_default_m / fpr_sized_10bpd: REALIZED false-positive rate
+      over fingerprints provably absent from the corpus (exact
+      anti-join), at the default m (expected ~0 — the default is
+      deliberately oversized at this sf) and at a 10-bits/doc
+      right-sized sketch (the design-rate behavior a full-size corpus
+      would see);
+    - gated_sec / ungated_sec: one incremental_exact_dedup cycle with
+      and without the gate (same fps table, noop sink) — the round-14
+      shuffle-free gated plan vs the plain fps anti-join."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from timebox_spark.operators import dedup as D
+    from timebox_spark.operators import sketches as SK
+
+    m_default = 1 << 24  # curate_and_ingest_stream's default
+    docs = tables_load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    tmp = tempfile.mkdtemp(prefix="timebox_bench_bloom_")
+    out: dict = {"m_default": m_default, "k": k}
+    try:
+        D.corpus_fingerprints(corpus).write.mode("overwrite").parquet(
+            f"{tmp}/fps"
+        )
+        fps = spark.read.parquet(f"{tmp}/fps")
+        n_corpus = fps.distinct().count()
+        out["n_corpus_fps"] = n_corpus
+
+        t0 = time.perf_counter()
+        SK.bloom_build(fps, "__fp", m_default, k).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/bloom/cycle=0")
+        out["build_sec"] = round(time.perf_counter() - t0, 3)
+
+        # merge cost: two per-cycle sketches OR-folded at read time
+        halves = [
+            fps.filter(F.pmod(F.xxhash64("__fp"), F.lit(2)) == i)
+            for i in (0, 1)
+        ]
+        for i, h in enumerate(halves):
+            SK.bloom_build(h, "__fp", m_default, k).write.mode(
+                "overwrite"
+            ).parquet(f"{tmp}/bloom2/cycle={i}")
+        t0 = time.perf_counter()
+        merged = SK.bloom_merge(spark.read.parquet(f"{tmp}/bloom2"))
+        merged.write.mode("overwrite").format("noop").save()
+        out["merge_sec"] = round(time.perf_counter() - t0, 3)
+
+        # realized fpr over provably-novel fingerprints
+        novel = (
+            D.corpus_fingerprints(batch)
+            .distinct()
+            .join(fps, "__fp", "left_anti")
+        )
+        out["n_probe"] = novel.count()
+
+        def fpr(sketch, m) -> float:
+            row = (
+                SK.bloom_probe(novel, "__fp", "__fp", sketch, m, k)
+                .agg(
+                    F.avg(F.col("maybe_present").cast("double")).alias("r")
+                )
+                .collect()[0]
+            )
+            return round(float(row["r"] or 0.0), 5)
+
+        out["fpr_default_m"] = fpr(
+            spark.read.parquet(f"{tmp}/bloom/cycle=0"), m_default
+        )
+        m10 = 1 << max(4, (10 * max(n_corpus, 1) - 1).bit_length())
+        SK.bloom_build(fps, "__fp", m10, k).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/bloom10")
+        out["m_sized_10bpd"] = m10
+        out["fpr_sized_10bpd"] = fpr(spark.read.parquet(f"{tmp}/bloom10"), m10)
+
+        sketch = spark.read.parquet(f"{tmp}/bloom/cycle=0")
+        t0 = time.perf_counter()
+        D.incremental_exact_dedup(
+            batch,
+            corpus,
+            corpus_fps=fps,
+            corpus_bloom=sketch,
+            bloom_m=m_default,
+            bloom_k=k,
+        ).write.mode("overwrite").format("noop").save()
+        out["gated_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        D.incremental_exact_dedup(
+            batch, corpus, corpus_fps=fps
+        ).write.mode("overwrite").format("noop").save()
+        out["ungated_sec"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def _stream_stress(spark, sf_dir: str) -> dict:
     """Drain the sliding-window rollup one source file per micro-batch
     and report batch count, peak/final state rows, and wall time. The
@@ -479,7 +589,7 @@ def main() -> None:
     # k(k−1)/2 pairs), so verify-stage growth is inherent to emitting
     # all pairs, not a blocking failure; the sig stage is the one
     # that must stay ~linear.
-    def minhash_stages(d: str) -> dict[str, float]:
+    def minhash_stages(d: str, prefilter_counts: bool = False) -> dict[str, float]:
         from timebox_spark.operators import dedup as D
 
         # the headline/scale q25 runs persist the same (canonicalized)
@@ -503,6 +613,18 @@ def main() -> None:
         verified.write.mode("overwrite").format("noop").save()
         out["verify"] = round(time.perf_counter() - t0, 3)
         out["n_candidates"] = cands.count()
+        if prefilter_counts:
+            # round-14 verdict tasks 3/8: the estimate prefilter's
+            # verify-side candidate counts, debiased (shipped) vs raw
+            # (pre-round-14), at the shipped margin (0.25 below the
+            # 0.35 threshold) and right at the threshold — the
+            # published payoff of the debias is the admitted-count drop
+            for label, min_est in (("margin25", 0.10), ("at_t", 0.35)):
+                for mode, bands_arg in (("", 8), ("_raw", None)):
+                    out[f"prefilter_{label}{mode}"] = D.minhash_estimate_filter(
+                        cands, combined, num_hashes=32,
+                        min_estimate=min_est, bands=bands_arg,
+                    ).count()
         combined.unpersist()
         cands.unpersist()
         return out
@@ -542,7 +664,10 @@ def main() -> None:
 
     q20_split = q20_stage_timings(sf_dir)
 
-    minhash_split = {"1x": minhash_stages(sf_dir), "10x": minhash_stages(amp_dir)}
+    minhash_split = {
+        "1x": minhash_stages(sf_dir, prefilter_counts=True),
+        "10x": minhash_stages(amp_dir),
+    }
     # the honest 10× ratio: both sides uncached (clearCache above).
     # scale10_ratio's q25 entry compares a CACHE-ASSISTED 1× median
     # (q25's persist makes later passes cache hits) against a fresh
@@ -558,6 +683,10 @@ def main() -> None:
     # verdict task 3) — the number behind the production index-tier
     # default documented in SCALE.md
     index_tier = _index_tier_fidelity(spark, sf_dir)
+
+    # Bloom-gate cost/fidelity at the driver's scale (round-14 task 2)
+    # — the numbers behind curate_and_ingest_stream's gate-on default
+    bloom_gate = _bloom_gate_stats(spark, sf_dir)
 
     # streaming stress: the q68 sliding-window rollup at the target SF
     # driven one file per micro-batch (9 batches instead of the driver
@@ -623,6 +752,7 @@ def main() -> None:
                 "idle_waited_sec": idle_waited,
                 "cc_rounds": cc_stats,
                 "index_tier": index_tier,
+                "bloom_gate": bloom_gate,
                 "query_stddev": query_stddev,
                 "machine": {
                     "start": load_start,
@@ -667,6 +797,12 @@ def main() -> None:
                     "10x_star_sec": cc_stats.get("10x_star", {}).get("sec"),
                 },
                 "index_tier": index_tier,
+                "bloom_gate": bloom_gate,
+                "q25_candidates": {
+                    k: v
+                    for k, v in minhash_split["1x"].items()
+                    if k == "n_candidates" or k.startswith("prefilter_")
+                },
                 "idle_waited_sec": idle_waited,
                 "sf": sf,
             }

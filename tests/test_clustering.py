@@ -638,3 +638,55 @@ def test_exact_span_dedup_rejects_million_window_docs(spark):
     )
     with pytest.raises(Exception, match="token windows"):
         dedup.exact_span_dedup(df, k=k).collect()
+
+
+def test_minhash_estimate_filter_debiased_matches_recompute(spark):
+    """Round-14 verdict task 3: with ``bands`` passed, the prefilter's
+    estimate is the DEBIASED agreement (one fully-agreeing band of
+    r = num_hashes/bands consecutive positions excluded) — pinned
+    against a Python recompute over the actual signatures, and never
+    above the raw estimate (the debias only removes the selection
+    bias that conditioned raw agreement upward)."""
+    docs = load(spark, SF_SMOKE, "documents")
+    num_hashes, bands = 32, 8
+    r = num_hashes // bands
+    combined = dedup.minhash_signatures(docs, emit_sets=True)
+    cands = dedup.minhash_lsh_candidates(combined, bands=bands)
+    raw = {
+        (x["id_a"], x["id_b"]): x["jaccard_est"]
+        for x in dedup.minhash_estimate_filter(
+            cands, combined, num_hashes=num_hashes
+        ).collect()
+    }
+    deb = {
+        (x["id_a"], x["id_b"]): x["jaccard_est"]
+        for x in dedup.minhash_estimate_filter(
+            cands, combined, num_hashes=num_hashes, bands=bands
+        ).collect()
+    }
+    assert set(raw) == set(deb) and raw  # min_estimate=0: same pairs
+    sigs = {
+        x["doc_id"]: [x[f"mh_{i}"] for i in range(num_hashes)]
+        for x in combined.select(
+            "doc_id", *[f"mh_{i}" for i in range(num_hashes)]
+        ).collect()
+    }
+    for (a, b), est in deb.items():
+        eq = [int(x == y) for x, y in zip(sigs[a], sigs[b])]
+        agree = sum(eq)
+        full_band = any(
+            sum(eq[j * r : (j + 1) * r]) == r for j in range(bands)
+        )
+        expect = (
+            (agree - r) / (num_hashes - r) if full_band
+            else agree / num_hashes
+        )
+        assert abs(est - expect) < 1e-9, (a, b, est, expect)
+        assert est <= raw[(a, b)] + 1e-9
+    # at a real threshold the debiased prefilter admits a SUBSET of
+    # the raw one (strictly fewer on this corpus — the verify-stage
+    # saving the debias exists for)
+    t = 0.35
+    raw_adm = {p for p, e in raw.items() if e >= t}
+    deb_adm = {p for p, e in deb.items() if e >= t}
+    assert deb_adm <= raw_adm and len(deb_adm) < len(raw_adm)

@@ -266,3 +266,194 @@ def test_incremental_exact_dedup_bloom_gate_identical(spark):
     # NULL text never matches the corpus anti-join, so both paths keep
     # it (review round 13: the id-keyed gate silently dropped it)
     assert gated == plain == {11, 13, 14}
+
+
+def _plan_paths_to_leaves(node):
+    """All root→leaf node paths of a JVM physical plan tree."""
+    kids = node.children()
+    if kids.size() == 0:
+        return [[node]]
+    out = []
+    for i in range(kids.size()):
+        for sub in _plan_paths_to_leaves(kids.apply(i)):
+            out.append([node] + sub)
+    return out
+
+
+def _leaf_scan_paths(leaf) -> str:
+    """The root paths of a FileSourceScanExec leaf (its toString
+    truncates long locations at spark.sql.maxMetadataStringLength, so
+    pytest tmp dirs never survive it)."""
+    try:
+        rp = leaf.relation().location().rootPaths()
+        return " ".join(rp.apply(i).toString() for i in range(rp.size()))
+    except Exception:
+        return ""
+
+
+def _fps_scan_join_segments(df, path_fragment):
+    """For each parquet scan leaf whose root path carries
+    ``path_fragment``, the node-name list from the leaf up to (and
+    including) the first join above it."""
+    plan = df._jdf.queryExecution().executedPlan()
+    segs = []
+    for path in _plan_paths_to_leaves(plan):
+        leaf = path[-1]
+        if path_fragment not in _leaf_scan_paths(leaf):
+            continue
+        seg = []
+        for node in reversed(path):  # leaf → root
+            seg.append(node.nodeName())
+            if "Join" in node.nodeName():
+                break
+        segs.append(seg)
+    return segs
+
+
+def test_bloom_gated_dedup_never_shuffles_fps_scan(spark, tmp_path):
+    """Round-14 verdict task 1 (the round-13 `weak`): with the Bloom
+    gate on, the fingerprint tree must be the STREAMED side of a
+    broadcast semi-join — map-only, no Exchange between the fps scan
+    and its join at any corpus size. The gate-less path (the
+    contrast) sort-merge/shuffles that same scan."""
+    from timebox_spark.operators import dedup as DD
+    from timebox_spark.operators import sketches as SK
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus doc body {i}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    fps_dir = str(tmp_path / "r14_fps_tree")
+    bloom_dir = str(tmp_path / "r14_bloom_tree")
+    DD.corpus_fingerprints(corpus).write.mode("overwrite").parquet(fps_dir)
+    fps = spark.read.parquet(fps_dir)
+    m, k = 1 << 14, 5
+    SK.bloom_build(fps, "__fp", m, k).write.mode("overwrite").parquet(
+        bloom_dir
+    )
+    bloom = spark.read.parquet(bloom_dir)
+    batch = spark.createDataFrame(
+        [(100, "corpus doc body 3"), (101, "fresh body")],
+        "doc_id long, text string",
+    )
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        gated = DD.incremental_exact_dedup(
+            batch, corpus, corpus_fps=fps, corpus_bloom=bloom,
+            bloom_m=m, bloom_k=k,
+        )
+        segs = [
+            s
+            for s in _fps_scan_join_segments(gated, "r14_fps_tree")
+            if "Join" in s[-1]
+        ]
+        assert segs, "no fps scan found under a join in the gated plan"
+        for seg in segs:
+            assert not any(n == "Exchange" for n in seg), seg
+            assert "BroadcastHashJoin" in seg[-1], seg
+        # contrast: the gate-less plan DOES shuffle the fps scan (the
+        # anti-join builds on the right) — proves the walker sees
+        # exchanges when they exist
+        plain = DD.incremental_exact_dedup(batch, corpus, corpus_fps=fps)
+        plain_segs = _fps_scan_join_segments(plain, "r14_fps_tree")
+        assert plain_segs
+        assert any(
+            any(n == "Exchange" for n in seg) for seg in plain_segs
+        ), plain_segs
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # and the results are still identical
+    assert {r["doc_id"] for r in gated.collect()} == {
+        r["doc_id"]
+        for r in DD.incremental_exact_dedup(
+            batch, corpus, corpus_fps=fps
+        ).collect()
+    } == {101}
+
+
+def test_bloom_probe_duplicate_word_rows_keep_no_false_negatives(spark):
+    """Advisor round 13 (medium): a sketch with multiple rows per word
+    — a raw union of per-cycle sketches, or a consolidated tree read
+    without bloom_merge — must still probe every true member present:
+    the probe defensively re-aggregates per word (bit_or) before the
+    join, so partial-bit duplicate rows can't turn min(hit) false."""
+    from timebox_spark.operators import sketches as SK
+
+    m, k = 1 << 14, 5
+    vals = spark.range(0, 200).selectExpr(
+        "id", "md5(CAST(id AS STRING)) AS v"
+    )
+    # two per-cycle sketches over DIFFERENT members, raw-unioned (no
+    # bloom_merge): words colliding across cycles now have two rows,
+    # each with only its own cycle's bits
+    b1 = SK.bloom_build(vals.filter("id < 100").select("v"), "v", m, k)
+    b2 = SK.bloom_build(vals.filter("id >= 100").select("v"), "v", m, k)
+    raw_union = b1.unionByName(b2)
+    probe = {
+        r["id"]: r["maybe_present"]
+        for r in SK.bloom_probe(vals, "id", "v", raw_union, m, k).collect()
+    }
+    missing = [i for i in range(200) if not probe[i]]
+    assert not missing, f"false negatives through duplicate rows: {missing}"
+
+
+def test_bloom_probe_conflicting_sentinels_raise(spark):
+    """A raw union of different-geometry sketches carries conflicting
+    sentinel rows — the probe must raise, not pick one (the old 2-row
+    collect kept whichever row came last)."""
+    import pytest
+
+    from timebox_spark.operators import sketches as SK
+
+    m, k = 1 << 14, 5
+    vals = spark.range(0, 50).selectExpr("id", "md5(CAST(id AS STRING)) AS v")
+    b1 = SK.bloom_build(vals.select("v"), "v", m, k)
+    b2 = SK.bloom_build(vals.select("v"), "v", m * 2, k)
+    with pytest.raises(ValueError, match="CONFLICTING"):
+        SK.bloom_probe(vals, "id", "v", b1.unionByName(b2), m, k)
+
+
+def test_bloom_broadcast_budget_raises_and_dedup_falls_back(
+    spark, monkeypatch
+):
+    """Round-14 verdict task 5: an over-budget sketch raises
+    BloomBroadcastBudgetError with sharding advice BEFORE the
+    broadcast; incremental_exact_dedup degrades to the plain
+    fingerprint anti-join (identical results) with a warning instead
+    of dying mid-stream."""
+    import warnings
+
+    import pytest
+
+    from timebox_spark.operators import dedup as DD
+    from timebox_spark.operators import sketches as SK
+
+    m, k = 1 << 14, 5
+    corpus = spark.createDataFrame(
+        [(1, "alpha body"), (2, "beta body")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(10, "alpha body"), (11, "fresh body")], "doc_id long, text string"
+    )
+    bloom = SK.bloom_build(DD.corpus_fingerprints(corpus), "__fp", m, k)
+    vals = corpus.selectExpr("doc_id AS id", "md5(text) AS v")
+    with pytest.raises(SK.BloomBroadcastBudgetError, match="shard"):
+        SK.bloom_probe(vals, "id", "v", bloom, m, k, max_broadcast_bytes=8)
+    # the module default budget is read at call time, so shrinking it
+    # makes the gated dedup hit the budget through its own bloom_probe
+    monkeypatch.setattr(SK, "BLOOM_BROADCAST_BUDGET_BYTES", 8)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        gated = {
+            r["doc_id"]
+            for r in DD.incremental_exact_dedup(
+                batch, corpus, corpus_bloom=bloom, bloom_m=m, bloom_k=k
+            ).collect()
+        }
+    assert any("pre-gate disabled" in str(w.message) for w in rec)
+    monkeypatch.setattr(SK, "BLOOM_BROADCAST_BUDGET_BYTES", 1 << 30)
+    plain = {
+        r["doc_id"]
+        for r in DD.incremental_exact_dedup(batch, corpus).collect()
+    }
+    assert gated == plain == {11}

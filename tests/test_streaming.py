@@ -1812,3 +1812,100 @@ def test_run_ingest_cycle_bloom_backfills_uncovered_cycles(
         d for d in os.listdir(f"{store}/bloom") if d.startswith("cycle=")
     )
     assert dirs == ["cycle=0", "cycle=1", "cycle=2"], dirs
+
+def test_curate_and_ingest_stream_forwards_gate_and_keep(spark, tmp_path):
+    """Round-14 verdict task 2: the production entrypoint forwards
+    ``bloom_m``/``bloom_k``/``keep`` to ``run_ingest_cycle`` — the
+    Bloom tree is maintained per cycle at the CALLER's geometry, the
+    cluster-keep drop routes through the store's _scratch (cleaned up
+    post-commit), and the kept corpus matches the default-path run."""
+    import os
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps "
+        "running through the long meadow toward the river bank"
+    )
+    other = (
+        "completely different subject matter about integer codecs "
+        "and columnar storage layouts with delta encoding schemes"
+    )
+    batch1 = [(10, base, "en"), (11, other, "en")]
+    batch2 = [(20, base + " qq", "en"),   # near dup of 10
+              (21, other, "en"),          # exact dup of 11
+              (22, "a wholly new third document concerning state "
+                   "stores and watermark semantics in streams", "en")]
+    src = str(tmp_path / "fw_raw_docs")
+    for b in (batch1, batch2):
+        spark.createDataFrame(
+            b, "doc_id long, text string, lang string"
+        ).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, text string, lang string"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    store = str(tmp_path / "fw_store")
+    m = 1 << 16
+    q = ingest.curate_and_ingest_stream(
+        stream, store, str(tmp_path / "ck_fw"),
+        min_quality_q=0, min_tokens=6,
+        keep="cluster", bloom_m=m, bloom_k=5,
+    ).start()
+    q.awaitTermination()
+    kept = {
+        r["doc_id"] for r in spark.read.parquet(f"{store}/corpus").collect()
+    }
+    assert kept == {10, 11, 22}, kept
+    # the gate's state tree exists, carries the caller's geometry
+    # sentinels, and covers every fps cycle
+    bloom = spark.read.parquet(f"{store}/bloom")
+    sent = {
+        r["word"]: r["bits"]
+        for r in bloom.filter("word < 0").distinct().collect()
+    }
+    assert sent == {-1: m, -2: 5}
+    fps_cycles = {
+        d for d in os.listdir(f"{store}/fps") if d.startswith("cycle=")
+    }
+    bloom_cycles = {
+        d for d in os.listdir(f"{store}/bloom") if d.startswith("cycle=")
+    }
+    assert fps_cycles == bloom_cycles and fps_cycles
+    # cluster-keep scratch dirs are deleted post-commit
+    assert not os.path.isdir(f"{store}/_scratch") or not os.listdir(
+        f"{store}/_scratch"
+    )
+
+
+def test_estimate_verify_warns_on_high_variance_at_call_site(spark):
+    """Round-14 verdict task 6: verify='estimate' at the measured
+    high-variance configuration (num_perm=32 → se ≈ 0.09 at t=0.35)
+    warns AT THE CALL SITE, naming the sf0.1 over-drop; a num_perm
+    that brings se under the documented bound stays quiet."""
+    import warnings
+
+    from timebox_spark.operators import dedup as DD
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha document body about rivers and meadows")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, "beta document body about codecs and layouts")],
+        "doc_id long, text string",
+    )
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        ingest.compact_corpus(
+            batch, corpus, near_dup=True, verify="estimate",
+            threshold=0.35, num_perm=32, bands=8,
+        )
+    msgs = [str(w.message) for w in rec if "standard error" in str(w.message)]
+    assert msgs and "811 of 40,105" in msgs[0], msgs
+    # the bound itself: se(32, 8) over, se(256, 8) under
+    assert DD.warn_estimate_tier_variance(0.35, 256, 8) < DD.ESTIMATE_TIER_SE_BOUND
+    with warnings.catch_warnings(record=True) as rec2:
+        warnings.simplefilter("always")
+        ingest.compact_corpus(
+            batch, corpus, near_dup=True, verify="estimate",
+            threshold=0.35, num_perm=256, bands=8,
+        )
+    assert not [w for w in rec2 if "standard error" in str(w.message)]

@@ -371,26 +371,34 @@ def minhash_estimate_filter(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     min_estimate: float = 0.0,
+    bands: int | None = None,
 ) -> DataFrame:
     """Estimated Jaccard per candidate pair from signature agreement
     (the fraction of equal MinHash components is an unbiased Jaccard
     estimator). Used to discard low-similarity candidates before the
     exact shingle-set verify — a cheap long-comparison per hash vs an
-    array intersection per pair."""
-    a = sigs.select(
-        F.col(id_col).alias("id_a"),
-        *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(num_hashes)],
-    )
-    b = sigs.select(
-        F.col(id_col).alias("id_b"),
-        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(num_hashes)],
-    )
+    array intersection per pair.
+
+    ``bands`` (round 14): when the pairs came out of LSH banding over
+    these same signatures, pass the banding's band count so the
+    estimate is DEBIASED (``debiased_agreement`` — the one definition
+    shared with the compactor's estimate verify and bench's
+    index_tier block): a banded candidate exists BECAUSE one band's
+    positions agreed, so raw agreement is conditioned upward and the
+    prefilter admits ~6× the candidates it should (measured sf0.1 /
+    threshold 0.35: 5,189 raw vs 1,067 debiased of 40,105), paying
+    exact verification on junk pairs. Leave ``None`` for pairs from
+    any other source — debiasing non-banded pairs would bias DOWN."""
+    sig_arr = F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)])
+    a = sigs.select(F.col(id_col).alias("id_a"), sig_arr.alias("__sig_a"))
+    b = sigs.select(F.col(id_col).alias("id_b"), sig_arr.alias("__sig_b"))
     joined = pairs.join(a, "id_a").join(b, "id_b")
-    agree = sum(
-        (F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0) for i in range(num_hashes)),
-        start=F.lit(0),
+    # bands=None → debiased_agreement's bands<=1 branch IS raw
+    # agreement over all num_hashes positions (nothing to exclude)
+    adj_agree, adj_n = debiased_agreement(
+        "__sig_a", "__sig_b", num_hashes, bands or 1
     )
-    est = agree / F.lit(float(num_hashes))
+    est = adj_agree / adj_n
     return joined.withColumn("jaccard_est", est).filter(
         F.col("jaccard_est") >= min_estimate
     ).select("id_a", "id_b", "jaccard_est")
@@ -448,9 +456,14 @@ def minhash_dedup(
     ).persist()
     cands = minhash_lsh_candidates(combined, id_col, num_hashes, bands)
     if estimate_margin is not None:
+        # bands passed through: these candidates ARE banded, so the
+        # prefilter must use the debiased estimator (round 14 — raw
+        # agreement admitted ~6× the candidates, all paying exact
+        # verification downstream)
         cands = minhash_estimate_filter(
             cands, combined, id_col, num_hashes,
             min_estimate=max(0.0, threshold - estimate_margin),
+            bands=bands,
         ).select("id_a", "id_b")
     return jaccard_verify(
         df, cands, id_col, text_col, shingle_n, threshold, sets_source=combined
@@ -1436,6 +1449,48 @@ def debiased_agreement(sig_a, sig_b, num_perm: int, bands: int):
     return adj_agree, adj_n
 
 
+# Threshold-adjacent standard error above which the estimate verify
+# tier warns at the call site (round-14 verdict task 6). The debiased
+# estimator's variance is ~ t(1−t)/(num_perm − r); at the measured
+# sf0.1 configuration (num_perm=32, bands=8, t=0.35 ⇒ se ≈ 0.090) it
+# over-dropped 3× vs exact (811 vs 256 of 40,105 banded candidates,
+# BENCH_r13 index_tier) — borderline pairs flip at roughly the se
+# rate, so callers above this bound should see the number, not find
+# it in SCALE.md after the fact.
+ESTIMATE_TIER_SE_BOUND = 0.05
+
+
+def warn_estimate_tier_variance(
+    threshold: float, num_perm: int, bands: int
+) -> float:
+    """Emit a UserWarning when ``verify='estimate'`` at these
+    parameters has threshold-adjacent standard error above
+    ``ESTIMATE_TIER_SE_BOUND`` — called by the estimate-verify call
+    sites (``streaming.ingest.compact_corpus``) so the measured sf0.1
+    over-drop is visible where the tier is chosen, not only in
+    SCALE.md. Returns the computed se (pytest hook)."""
+    r = num_perm // bands if bands > 1 else 0
+    n = max(num_perm - r, 1)
+    se = (threshold * (1.0 - threshold) / n) ** 0.5
+    if se > ESTIMATE_TIER_SE_BOUND:
+        import warnings
+
+        warnings.warn(
+            f"verify='estimate' at num_perm={num_perm}, bands={bands}, "
+            f"threshold={threshold} has threshold-adjacent standard "
+            f"error ≈ {se:.3f} (> {ESTIMATE_TIER_SE_BOUND}): borderline "
+            f"pairs flip at roughly that rate — measured at sf0.1 "
+            f"(num_perm=32, t=0.35) the debiased estimate falsely "
+            f"dropped 811 of 40,105 banded candidates where exact "
+            f"dropped 256 (3× over-drop, 0 false keeps). Raise "
+            f"num_perm, or keep verify='exact' where near-threshold "
+            f"precision matters (SCALE.md, index-tier notes).",
+            UserWarning,
+            stacklevel=3,
+        )
+    return se
+
+
 SHINGLE_HASH_SALT = "sh"
 
 
@@ -1819,21 +1874,32 @@ def incremental_exact_dedup(
     ``sketches.bloom_build`` sketch of the corpus fps (same
     ``bloom_m``/``bloom_k``), batch rows whose probe is negative are
     DEFINITELY new (Bloom has no false negatives) and bypass the join
-    entirely; only the maybe-present subset — true dups plus the
-    sketch's false-positive rate of the batch — pays the fps
-    anti-join, and when that subset is empty the join subplan's scan
-    is over an empty left side. Results are bit-identical to the
-    gate-less path (pytest-pinned); the sketch is exact-mergeable
-    across cycles (``bloom_merge``) so it is maintained incrementally
-    like fps."""
+    entirely; the maybe-present subset — true dups plus the sketch's
+    false-positive rate of the batch — resolves through a
+    SHUFFLE-FREE pair of broadcast joins (round 14): the fps tree is
+    the STREAMED side of a semi-join against the broadcast maybe-set
+    (map-only at any corpus size), and the anti-join that classifies
+    the maybe rows builds on the broadcast semi-join output, which is
+    batch-bounded even when the sketch saturates. The whole gated
+    cycle therefore never shuffles the fingerprint tree — the
+    plan-level pytest pins no Exchange above the fps scan. Results
+    are bit-identical to the gate-less path (pytest-pinned); the
+    sketch is exact-mergeable across cycles (``bloom_merge``) so it
+    is maintained incrementally like fps, and an over-budget sketch
+    (``sketches.BloomBroadcastBudgetError``) degrades to the plain
+    anti-join with a warning rather than OOMing the driver."""
     fp = F.md5(F.encode(normalize_text(text_col), "UTF-8"))
     batch_fp = new_batch.withColumn("__fp", fp)
     if corpus_fps is not None:
-        corpus_fp = corpus_fps.select("__fp").distinct()
+        corpus_fp_raw = corpus_fps.select("__fp")
     else:
-        corpus_fp = corpus.select(fp.alias("__fp")).distinct()
+        corpus_fp_raw = corpus.select(fp.alias("__fp"))
+    probe = None
     if corpus_bloom is not None:
-        from timebox_spark.operators.sketches import bloom_probe
+        from timebox_spark.operators.sketches import (
+            BloomBroadcastBudgetError,
+            bloom_probe,
+        )
 
         # probe DISTINCT fingerprints (not ids): smaller probe side,
         # and NULL-fp rows (NULL text) or NULL ids never ride through
@@ -1846,18 +1912,55 @@ def incremental_exact_dedup(
             batch_fp.select("__fp").filter(F.col("__fp").isNotNull())
             .distinct()
         )
-        probe = bloom_probe(
-            fps_only, "__fp", "__fp", corpus_bloom, bloom_m, bloom_k
-        )
+        try:
+            probe = bloom_probe(
+                fps_only, "__fp", "__fp", corpus_bloom, bloom_m, bloom_k
+            )
+        except BloomBroadcastBudgetError as e:
+            # over-budget sketch: degrade to the plain fps anti-join
+            # (identical results, the pre-gate's only job is cost)
+            # instead of OOMing the driver mid-stream — loudly, so the
+            # operator re-sizes or shards the sketch
+            import warnings
+
+            warnings.warn(
+                f"incremental_exact_dedup: Bloom pre-gate disabled for "
+                f"this cycle — {e}",
+                UserWarning,
+                stacklevel=2,
+            )
+            probe = None
+    if probe is not None:
         gated = batch_fp.join(probe, "__fp", "left")
         mp = F.coalesce(F.col("maybe_present"), F.lit(False))
         definite_new = gated.filter(~mp).drop("maybe_present")
         maybe = gated.filter(mp).drop("maybe_present")
+        # shuffle-FREE corpus side (round-14, the round-13 `weak`):
+        # maybe.join(corpus_fp, left_anti) built on the RIGHT, so any
+        # non-empty maybe set still shuffled the ENTIRE fingerprint
+        # tree (~160 GB/cycle at 10^10 docs). The maybe set is small
+        # by construction (true dups + sketch fpr of the batch), so
+        # invert the build sides with two broadcasts: (a) fps ⋉
+        # broadcast(maybe fps) — fps is the STREAMED side, map-only,
+        # zero shuffle at any corpus size; (b) maybe ⋈̸
+        # broadcast(present) — present ⊆ maybe's fps, batch-bounded
+        # even when the sketch saturates (fpr → 1 degrades cost to
+        # the batch size, never to the corpus). distinct() AFTER the
+        # semi-join so its exchange moves the maybe-sized output, not
+        # the tree (kept-doc fps are unique anyway; this guards a
+        # caller-supplied corpus_fps with duplicates).
+        maybe_fps = probe.filter(F.col("maybe_present")).select("__fp")
+        present = (
+            corpus_fp_raw.join(F.broadcast(maybe_fps), "__fp", "left_semi")
+            .distinct()
+        )
         fresh = definite_new.unionByName(
-            maybe.join(corpus_fp, "__fp", "left_anti")
+            maybe.join(F.broadcast(present), "__fp", "left_anti")
         )
     else:
-        fresh = batch_fp.join(corpus_fp, "__fp", "left_anti")
+        fresh = batch_fp.join(
+            corpus_fp_raw.distinct(), "__fp", "left_anti"
+        )
     w = Window.partitionBy("__fp").orderBy(id_col)
     return (
         fresh.withColumn("__rn", F.row_number().over(w))

@@ -195,15 +195,54 @@ def bloom_build(
     )
 
 
-def _bloom_check_params(bloom: DataFrame, m_bits: int, k: int, ctx: str):
-    """Validate a sketch's embedded (m_bits, k) sentinels against the
-    caller's parameters — a tiny 2-row collect; absent sentinels
-    (a pre-round-13 or hand-built sketch) pass silently."""
-    rows = {
-        r["word"]: r["bits"]
-        for r in bloom.filter(F.col("word") < 0).distinct().collect()
-    }
-    got_m, got_k = rows.get(-1), rows.get(-2)
+# Broadcast budget for bloom_probe (round-14 verdict task 5): the
+# sketch is broadcast to every executor, so a caller sizing m_bits for
+# 10^10 docs must get a RAISE with sharding advice, not a driver OOM.
+# ~20 bytes/row covers the (int word, long bits) data plus JVM row
+# overhead; 1 GiB keeps the probe well under Spark's 8 GB broadcast
+# hard limit and typical driver headroom. Module-level (read at call
+# time) so deployments — and the budget pytest — can adjust it.
+BLOOM_BROADCAST_BUDGET_BYTES = 1 << 30
+_BLOOM_ROW_BYTES = 20
+
+
+class BloomBroadcastBudgetError(ValueError):
+    """The sketch's estimated broadcast size exceeds the budget —
+    raised by ``bloom_probe`` BEFORE attempting the broadcast (the
+    alternative is a silent driver/executor OOM at exactly the corpus
+    size the gate was meant to serve).
+    ``dedup.incremental_exact_dedup`` catches this and falls back to
+    the plain fingerprint anti-join (logged via ``warnings``)."""
+
+
+def _bloom_stats(bloom: DataFrame, m_bits: int, k: int, ctx: str) -> int:
+    """One-scan validation of a sketch before probing: (a) embedded
+    (m_bits, k) sentinels must match the caller's — absent sentinels
+    (a pre-round-13 or hand-built sketch) pass silently, CONFLICTING
+    sentinels (a raw union of different-geometry sketches) raise;
+    (b) returns the distinct-word count for the broadcast budget
+    check. Replaces the old 2-row sentinel collect, which hid
+    conflicts (dict comprehension kept the last row) and couldn't
+    size the broadcast."""
+    row = bloom.agg(
+        F.count_distinct("word").alias("n_words"),
+        F.count_distinct(
+            F.when(F.col("word") == -1, F.col("bits"))
+        ).alias("n_m"),
+        F.count_distinct(
+            F.when(F.col("word") == -2, F.col("bits"))
+        ).alias("n_k"),
+        F.max(F.when(F.col("word") == -1, F.col("bits"))).alias("m"),
+        F.max(F.when(F.col("word") == -2, F.col("bits"))).alias("k"),
+    ).collect()[0]
+    if row["n_m"] > 1 or row["n_k"] > 1:
+        raise ValueError(
+            f"{ctx}: sketch carries CONFLICTING (m_bits, k) sentinel "
+            f"rows — it is a raw union of sketches built with "
+            f"different geometries; merge same-geometry sketches with "
+            f"bloom_merge (which raises on this) and rebuild otherwise"
+        )
+    got_m, got_k = row["m"], row["k"]
     if (got_m is not None and got_m != m_bits) or (
         got_k is not None and got_k != k
     ):
@@ -214,6 +253,7 @@ def _bloom_check_params(bloom: DataFrame, m_bits: int, k: int, ctx: str):
             f"would bypass exact dedup as 'definitely new'); pass the "
             f"build-time parameters"
         )
+    return int(row["n_words"])
 
 
 def bloom_merge(blooms: DataFrame) -> DataFrame:
@@ -246,6 +286,7 @@ def bloom_probe(
     bloom: DataFrame,
     m_bits: int = 1 << 20,
     k: int = 5,
+    max_broadcast_bytes: int | None = None,
 ) -> DataFrame:
     """(id_col, maybe_present) membership probe against a
     ``bloom_build`` sketch with the SAME (m_bits, k): maybe_present is
@@ -255,11 +296,50 @@ def bloom_probe(
     rows fan out k-fold map-side; the only shuffle is the
     probe-side-sized groupBy back to one row per id. The sketch's
     embedded (m_bits, k) sentinels are validated against the call's —
-    a mismatch raises instead of silently losing the no-false-negative
-    guarantee."""
+    a mismatch (or a raw union of conflicting-geometry sketches)
+    raises instead of silently losing the no-false-negative
+    guarantee.
+
+    The sketch is defensively re-aggregated per word (``bit_or``)
+    before the broadcast join (advisor round 13): a sketch with
+    MULTIPLE rows per word — a raw union of per-cycle sketches, or a
+    consolidated tree read without ``bloom_merge`` — would otherwise
+    fan the left join out per duplicate row, and ``min(hit)`` would
+    require the bit set in EVERY copy: a true member could probe
+    ``maybe_present=false`` and bypass exact dedup as definitely new.
+    Sentinel rows are idempotent under ``bit_or`` once the conflict
+    check above has passed (same geometry ⇒ identical sentinel bits).
+
+    ``max_broadcast_bytes`` (default: module-level
+    ``BLOOM_BROADCAST_BUDGET_BYTES``, 1 GiB) bounds the estimated
+    broadcast size (distinct words × ~20 B, counted in the same
+    validation scan): above it the probe raises
+    :class:`BloomBroadcastBudgetError` with sharding advice BEFORE
+    the broadcast is attempted — a sketch sized for 10¹⁰ docs must
+    fail loudly, not OOM the driver. Callers that can degrade
+    gracefully (``dedup.incremental_exact_dedup``) catch it and fall
+    back to the plain fingerprint join."""
     from timebox_spark.operators.dedup import _md5_u32
 
-    _bloom_check_params(bloom, m_bits, k, "bloom_probe")
+    n_words = _bloom_stats(bloom, m_bits, k, "bloom_probe")
+    budget = (
+        BLOOM_BROADCAST_BUDGET_BYTES
+        if max_broadcast_bytes is None
+        else max_broadcast_bytes
+    )
+    est_bytes = n_words * _BLOOM_ROW_BYTES
+    if est_bytes > budget:
+        raise BloomBroadcastBudgetError(
+            f"bloom_probe: sketch holds {n_words} words ≈ {est_bytes} "
+            f"bytes broadcast, over the {budget}-byte budget — at this "
+            f"corpus scale shard the sketch (partition fingerprints by "
+            f"a stable prefix, one independent sketch per shard, probe "
+            f"each batch row against its own shard's sketch) or use "
+            f"the plain fingerprint anti-join; raise "
+            f"max_broadcast_bytes only with matching driver/executor "
+            f"memory headroom"
+        )
+    bloom = bloom.groupBy("word").agg(F.bit_or("bits").alias("bits"))
     pos = [
         (_md5_u32(F.col(col), str(i)) % F.lit(m_bits)) for i in range(k)
     ]

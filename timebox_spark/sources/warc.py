@@ -433,33 +433,111 @@ class RangeUnsupportedError(IOError):
     (skipping would silently return an empty result)."""
 
 
-def http_range_fetch(path: str, offset: int, length: int) -> bytes:
+# Retryable-failure policy for http_range_fetch (module-level so the
+# defaults are deployment-tunable and the flaky-server pytest can
+# shrink the backoff): transient server/network faults retry with
+# exponential backoff; 429/503 honor Retry-After (capped — a hostile
+# or misconfigured header must not park an executor task for hours).
+_HTTP_RETRY_STATUSES = frozenset({429, 500, 502, 503, 504})
+_HTTP_RETRIES = 4
+_HTTP_BACKOFF_S = 0.25
+_HTTP_RETRY_AFTER_CAP_S = 30.0
+
+
+def http_range_fetch(
+    path: str,
+    offset: int,
+    length: int,
+    retries: int | None = None,
+    backoff_s: float | None = None,
+) -> bytes:
     """Fetch ``length`` bytes at ``offset`` from an http(s) URL with a
     single ranged GET (``Range: bytes=o-(o+n-1)``) — the object-store
     request shape of CDX-indexed Common Crawl ingest. Module-level so
     it pickles into executor tasks. Raises if the server answers 200
     instead of 206 (it ignored the Range header: silently downloading
     the WHOLE shard would defeat the point of ranged reads) or
-    returns the wrong byte count."""
+    returns the wrong byte count.
+
+    TRANSIENT failures retry (round 14 — a single 5xx previously
+    killed the span under ``on_error='raise'`` or silently skipped it
+    under ``'skip'``): up to ``retries`` attempts on 429/5xx/timeouts/
+    connection faults with exponential backoff (``backoff_s`` · 2ⁱ),
+    honoring ``Retry-After`` on 429/503 (capped at
+    ``_HTTP_RETRY_AFTER_CAP_S``). Non-retryable statuses (404, 416 —
+    a stale index offset) propagate immediately so ``on_error``
+    semantics match the local backend's; 200-instead-of-206 raises
+    :class:`RangeUnsupportedError` without retry (systemic, not
+    transient)."""
+    import socket
+    import time as _time
+    from urllib.error import HTTPError, URLError
     from urllib.request import Request, urlopen
 
-    req = Request(
-        path, headers={"Range": f"bytes={offset}-{offset + length - 1}"}
-    )
-    with urlopen(req, timeout=60) as resp:
-        if resp.status != 206:
-            raise RangeUnsupportedError(
-                f"{path}: server returned {resp.status}, not 206 Partial "
-                f"Content — it ignored the Range header; ranged reads "
-                f"need a Range-capable server"
+    n_retries = _HTTP_RETRIES if retries is None else retries
+    backoff = _HTTP_BACKOFF_S if backoff_s is None else backoff_s
+    attempt = 0
+    while True:
+        try:
+            req = Request(
+                path,
+                headers={"Range": f"bytes={offset}-{offset + length - 1}"},
             )
-        data = resp.read()
-    if len(data) != length:
-        raise IOError(
-            f"{path}: ranged GET returned {len(data)} bytes, "
-            f"expected {length} (offset {offset})"
-        )
-    return data
+            with urlopen(req, timeout=60) as resp:
+                if resp.status != 206:
+                    raise RangeUnsupportedError(
+                        f"{path}: server returned {resp.status}, not 206 "
+                        f"Partial Content — it ignored the Range header; "
+                        f"ranged reads need a Range-capable server"
+                    )
+                data = resp.read()
+            if len(data) != length:
+                raise IOError(
+                    f"{path}: ranged GET returned {len(data)} bytes, "
+                    f"expected {length} (offset {offset})"
+                )
+            return data
+        except HTTPError as e:
+            if e.code not in _HTTP_RETRY_STATUSES or attempt >= n_retries:
+                raise
+            retry_after = e.headers.get("Retry-After") if e.headers else None
+            e.close()
+            try:
+                wait = min(float(retry_after), _HTTP_RETRY_AFTER_CAP_S)
+            except (TypeError, ValueError):
+                wait = backoff * (2.0 ** attempt)
+        except (URLError, socket.timeout, ConnectionError) as e:
+            # URLError wraps DNS/refused/timeout; a URLError whose
+            # reason is our own RangeUnsupportedError never occurs
+            # (raised outside urlopen), so everything here is network
+            if attempt >= n_retries:
+                raise
+            wait = backoff * (2.0 ** attempt)
+        attempt += 1
+        if wait > 0:
+            _time.sleep(wait)
+
+
+def _coalesce_spans(
+    spans, gap: int
+) -> list[tuple[int, int, list[tuple[int, int]]]]:
+    """Group (offset, length) spans — pre-sorted by offset — into
+    fetch groups: spans whose gap to the running group's end is
+    <= ``gap`` bytes share one ranged GET, sliced client-side.
+    Returns [(group_offset, group_length, [(offset, length), ...])].
+    Overlapping spans merge too (group end is the running max)."""
+    groups: list[tuple[int, int, list[tuple[int, int]]]] = []
+    end = -1
+    for o, ln in spans:
+        o, ln = int(o), int(ln)
+        if groups and o <= end + gap:
+            groups[-1][2].append((o, ln))
+            end = max(end, o + ln)
+            groups[-1] = (groups[-1][0], end - groups[-1][0], groups[-1][2])
+        else:
+            end = o + ln
+            groups.append((o, ln, [(o, ln)]))
+    return groups
 
 
 def read_warc_ranges(
@@ -467,6 +545,7 @@ def read_warc_ranges(
     ranges: DataFrame | list[tuple[str, int, int]],
     on_error: str = "skip",
     fetch=None,
+    coalesce_gap: int = 65536,
 ) -> DataFrame:
     """Ranged WARC reads: inflate SINGLE ``.warc.gz`` members by
     (path, offset, length) — the member-per-record gzip layout exists
@@ -481,14 +560,27 @@ def read_warc_ranges(
     of the same members.
 
     Span bytes are obtained per path scheme (round-12 verdict
-    task 4): ``http(s)://`` paths issue ONE ranged GET per span
-    (:func:`http_range_fetch` — the real object-store ingest shape,
-    pytest-pinned against a localhost Range server); anything else
-    opens the local/DFS file once per shard and seek-reads spans in
-    offset order. ``fetch`` overrides both: a PICKLABLE module-level
-    callable ``(path, offset, length) -> bytes`` — the plug point for
-    a cloud SDK client (S3 GetObject with Range, GCS media download),
-    authenticated sessions, or retry/coalescing policies."""
+    task 4): ``http(s)://`` paths issue ranged GETs
+    (:func:`http_range_fetch` — the real object-store ingest shape
+    with bounded retry/backoff, pytest-pinned against localhost
+    Range/flaky servers); anything else opens the local/DFS file once
+    per shard and seek-reads spans in offset order. ``fetch``
+    overrides both: a PICKLABLE module-level callable ``(path,
+    offset, length) -> bytes`` — the plug point for a cloud SDK
+    client (S3 GetObject with Range, GCS media download) or
+    authenticated sessions.
+
+    ``coalesce_gap`` (round 14): CDX span lists are adjacency-heavy —
+    consecutive selected records often abut byte-for-byte — so spans
+    within ``coalesce_gap`` bytes of each other share ONE ranged GET,
+    sliced client-side (64 KiB default: one extra gap download is far
+    cheaper than an object-store round trip). Applies to the
+    fetch/HTTP path; if a COALESCED GET fails (e.g. a stale index
+    offset 416s the merged range), the group degrades to per-span
+    fetches so one bad span never takes down its neighbors —
+    ``on_error`` semantics stay identical to the uncoalesced walk.
+    ``coalesce_gap=0`` still merges exactly-abutting spans; pass a
+    negative value to disable."""
     if on_error not in ("skip", "raise"):
         raise ValueError(f"on_error must be 'skip' or 'raise', got {on_error!r}")
     from timebox_spark.session import ship_package
@@ -518,23 +610,55 @@ def read_warc_ranges(
                 )
                 if fetch is not None or p.startswith(("http://", "https://")):
                     f_ = fetch if fetch is not None else http_range_fetch
-                    for o, ln in spans:
+
+                    def one_span(o: int, ln: int) -> bytes | None:
                         # fetch failures honor on_error like the
                         # record walk does (review round 13): a stale
                         # index offset 416s over HTTP where the local
                         # backend reads short garbage and skips — the
                         # two backends must degrade identically
                         try:
-                            data = f_(p, int(o), int(ln))
+                            return f_(p, o, ln)
                         except RangeUnsupportedError:
                             raise  # systemic — loud even under skip
                         except OSError:
                             if on_error == "raise":
                                 raise
-                            continue
-                        if data[:3] == _GZ_MAGIC:
-                            data = b"".join(_inflate_members(data, on_error))
-                        rows.extend(_walk_records(data, on_error))
+                            return None
+
+                    for go, gln, members in _coalesce_spans(
+                        spans, coalesce_gap
+                    ):
+                        if len(members) > 1:
+                            # one GET for the whole group; a failure
+                            # (stale offset 416s the merged range)
+                            # degrades to per-span fetches so one bad
+                            # span never drops its neighbors
+                            try:
+                                blob = f_(p, go, gln)
+                            except RangeUnsupportedError:
+                                raise
+                            except OSError:
+                                blob = None
+                            if blob is not None:
+                                datas = [
+                                    blob[o - go : o - go + ln]
+                                    for o, ln in members
+                                ]
+                            else:
+                                datas = [
+                                    one_span(o, ln) for o, ln in members
+                                ]
+                        else:
+                            datas = [one_span(*members[0])]
+                        for data in datas:
+                            if data is None:
+                                continue
+                            if data[:3] == _GZ_MAGIC:
+                                data = b"".join(
+                                    _inflate_members(data, on_error)
+                                )
+                            rows.extend(_walk_records(data, on_error))
                     continue
                 local = unquote(urlparse(p).path) if "://" in p or p.startswith("file:") else p
                 try:

