@@ -1,0 +1,158 @@
+"""URL curation operators (operators/urls.py): canonicalization
+golden cases, URL-level dedup, domain blocklist — plus the
+cross-engine guarantee that the DuckDB renderer (the q54 'url_*'
+oracle) produces byte-identical canonical strings."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from timebox_spark.operators import urls as U
+
+CASES = [
+    # (raw, canonical, host, registrable domain)
+    (
+        "HTTP://WWW.Ex-Site.COM:80/A/b//?utm_source=x&Page=2&gclid=G1#f",
+        "http://ex-site.com/A/b?Page=2",
+        "ex-site.com",
+        "ex-site.com",
+    ),
+    # only the LEADING www. is stripped; :443 is https' default
+    (
+        "https://Sub.WWW.example.org:443/",
+        "https://sub.www.example.org/",
+        "sub.www.example.org",
+        "example.org",
+    ),
+    # non-default port kept; tracking-only query removed entirely
+    (
+        "https://example.org:8080/path/?ref=tw",
+        "https://example.org:8080/path",
+        "example.org",
+        "example.org",
+    ),
+    # empty path becomes '/'; all params tracking
+    ("http://example.com?utm_a=1&utm_b=2", "http://example.com/",
+     "example.com", "example.com"),
+    # tracking param in the MIDDLE: separators repaired
+    ("http://example.com/x?a=1&ref=y&b=2", "http://example.com/x?a=1&b=2",
+     "example.com", "example.com"),
+    # non-URL passes through untouched (host/domain empty)
+    ("not a url at all", "not a url at all", "", ""),
+    # foreign scheme: no default-port rule, port kept
+    ("ftp://Files.Example.NET:21/Dir/", "ftp://files.example.net:21/Dir",
+     "files.example.net", "example.net"),
+    # path case PRESERVED (case-significant on real servers)
+    ("http://EXAMPLE.com/Case/Path?Q=UP", "http://example.com/Case/Path?Q=UP",
+     "example.com", "example.com"),
+]
+
+
+def test_canonicalize_url_golden_cases(spark):
+    df = spark.createDataFrame(
+        [(i, c[0]) for i, c in enumerate(CASES)], "i long, url string"
+    )
+    rows = {
+        r["i"]: (r["c"], r["h"], r["d"])
+        for r in df.select(
+            "i",
+            U.canonicalize_url("url").alias("c"),
+            U.url_host("url").alias("h"),
+            U.registrable_domain(U.url_host("url")).alias("d"),
+        ).collect()
+    }
+    for i, (raw, canon, host, dom) in enumerate(CASES):
+        assert rows[i] == (canon, host, dom), (raw, rows[i])
+
+
+def test_duckdb_renderer_matches_spark_bit_for_bit(spark):
+    """The oracle-side SQL is rendered from the same regex constants —
+    this is the property the q54 'url_canon' member gates at sf0.01;
+    pinned here directly over the adversarial golden cases."""
+    import duckdb
+
+    df = spark.createDataFrame(
+        [(i, c[0]) for i, c in enumerate(CASES)], "i long, url string"
+    )
+    srows = {
+        r["i"]: (r["c"], r["h"])
+        for r in df.select(
+            "i",
+            U.canonicalize_url("url").alias("c"),
+            U.url_host("url").alias("h"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    vals = ", ".join(
+        f"({i}, '{c[0]}')" for i, c in enumerate(CASES)
+    )
+    drows = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            f"SELECT i, {U.duckdb_canonical_sql('url')}, "
+            f"{U.duckdb_canonical_host_sql('url')} "
+            f"FROM (VALUES {vals}) v(i, url)"
+        ).fetchall()
+    }
+    assert srows == drows
+
+
+def test_url_dedup_keeps_smallest_id_per_canonical(spark):
+    rows = [
+        (3, "http://www.a.com/x/?utm_source=1"),
+        (1, "HTTP://A.COM:80/x"),          # same canonical as 3 — kept
+        (2, "http://a.com/x?page=2"),       # different (real param)
+        (9, "https://b.org/"),
+        (8, "https://b.org"),               # same canonical as 9 — kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {
+        r["canonical_url"]: (r["doc_id"], r["n_dups"])
+        for r in U.url_dedup(df).collect()
+    }
+    assert out == {
+        "http://a.com/x": (1, 2),
+        "http://a.com/x?page=2": (2, 1),
+        "https://b.org/": (8, 2),
+    }
+
+
+def test_domain_blocklist_literal_and_broadcast_paths_agree(spark):
+    rows = [
+        (1, "http://good.example.com/a"),
+        (2, "https://Tracker.SPAM77.com/x"),   # blocked (subdomain)
+        (3, "http://spam77.com/y"),            # blocked (apex)
+        (4, "http://notspam77.com/z"),         # NOT blocked (different apex)
+        (5, "https://x.ads3.net:8443/q"),      # blocked
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    blocked = ["SPAM77.com", "ads3.net"]
+    lit_kept = {
+        r["doc_id"]
+        for r in U.domain_blocklist_filter(df, "url", blocked).collect()
+    }
+    # force the broadcast-join path with max_literal=0
+    join_kept = {
+        r["doc_id"]
+        for r in U.domain_blocklist_filter(
+            df, "url", blocked, max_literal=0
+        ).collect()
+    }
+    assert lit_kept == join_kept == {1, 4}
+
+
+def test_url_ops_are_map_only_expressions(spark):
+    """Scale guard: canonicalization is a pure column expression — a
+    10-row plan has no Exchange, no UDF eval, no Python."""
+    df = spark.range(10).selectExpr(
+        "id", "concat('http://www.h', CAST(id AS STRING), '.com/p?utm_x=1') AS url"
+    )
+    plan = (
+        df.select(U.canonicalize_url("url"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert bad not in plan

@@ -214,3 +214,23 @@ class CurationAPI:
         from timebox_spark.operators.sketches import bloom_probe
 
         return bloom_probe(df, id_col, col, bloom, **kw)
+
+    def canonical_urls(self, df: DataFrame, url_col: str = "url") -> DataFrame:
+        """Attach the canonical form of a URL column (fragment/default
+        port/www./tracking params stripped — operators/urls.py)."""
+        from timebox_spark.operators.urls import canonicalize_url
+
+        return df.withColumn("canonical_url", canonicalize_url(url_col))
+
+    def dedup_urls(self, df: DataFrame, **kw) -> DataFrame:
+        """One row per canonical URL (smallest id wins) with the
+        group's n_dups — the pre-text crawl dedup tier."""
+        from timebox_spark.operators.urls import url_dedup
+
+        return url_dedup(df, **kw)
+
+    def block_domains(self, df: DataFrame, blocked, **kw) -> DataFrame:
+        """Drop rows whose registrable domain is blocklisted."""
+        from timebox_spark.operators.urls import domain_blocklist_filter
+
+        return domain_blocklist_filter(df, blocked=blocked, **kw)

@@ -3350,6 +3350,135 @@ def _bucketed_member(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Synthetic-but-messy URL per document (round 14 — the documents table
+# carries no URL column, so the URL members derive one deterministically
+# from doc_id, the q30-multimodal convention): ONE SQL string valid in
+# BOTH engines (Spark F.expr and DuckDB inline), exercising every
+# canonicalization rule — mixed-case scheme/host, leading WWW., default
+# vs explicit ports, trailing slashes, utm_/gclid/ref tracking params
+# (varying per doc so RAW urls are distinct while canonical urls
+# collide), fragments, and two blocklisted domains.
+_SYNTH_URL_SQL = (
+    "CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END || '://' || "
+    "CASE WHEN doc_id % 10 = 7 THEN 'Tracker.SPAM77.com' "
+    "WHEN doc_id % 10 = 8 THEN 'x.ADS3.net' "
+    "ELSE CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END || 'news-' || "
+    "CAST(doc_id % 4 AS STRING) || '.ExAmple.COM' END || "
+    "CASE WHEN doc_id % 5 = 0 THEN "
+    "CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END "
+    "WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END || "
+    "'/Stories/item-' || CAST(doc_id % 30 AS STRING) || "
+    "CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END || "
+    "'?utm_source=feed' || CAST(doc_id % 13 AS STRING) || "
+    "CASE WHEN doc_id % 6 = 0 THEN '&gclid=G' || CAST(doc_id AS STRING) "
+    "ELSE '' END || "
+    "'&page=' || CAST(doc_id % 2 AS STRING) || "
+    "CASE WHEN doc_id % 6 = 1 THEN '&ref=tw' ELSE '' END || "
+    "CASE WHEN doc_id % 3 = 1 THEN '#sec-' || CAST(doc_id AS STRING) "
+    "ELSE '' END"
+)
+_URL_BLOCKLIST = ("spam77.com", "ads3.net")
+
+
+def _url_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-curation members of the q54 suite (operators/urls.py):
+
+    - 'url_canon' rows: per doc, the md5-u32 digest + length of the
+      CANONICAL url — pins the exact canonical string per doc against
+      the oracle's independently-rendered canonicalization;
+    - 'url_dedup' rows: one per canonical-url group (kept = smallest
+      doc_id, n_tokens = group size) — raw urls are all distinct by
+      construction, so any dedup here is canonicalization working;
+    - 'url_block:*' rows: per-blocklisted-domain doc counts plus the
+      kept count after `domain_blocklist_filter`."""
+    from timebox_spark.operators import urls as U
+    from timebox_spark.operators.dedup import _md5_u32
+
+    raw = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("url", F.expr(_SYNTH_URL_SQL))
+    )
+    curl = U.canonicalize_url("url")
+    m1 = raw.select(
+        F.col("doc_id"),
+        F.lit("url_canon").alias("lang_pred"),
+        _md5_u32(curl).alias("quality_q"),
+        F.length(curl).cast("long").alias("n_tokens"),
+        F.lit("url").alias("split"),
+    )
+    kept = U.url_dedup(raw, "url", "doc_id")
+    m2 = kept.select(
+        F.col("doc_id"),
+        F.lit("url_dedup").alias("lang_pred"),
+        _md5_u32(F.col("canonical_url")).alias("quality_q"),
+        F.col("n_dups").cast("long").alias("n_tokens"),
+        F.lit("url").alias("split"),
+    )
+    dom = U.registrable_domain(U.url_host("url"))
+    m3 = (
+        raw.withColumn("__dom", dom)
+        .filter(F.col("__dom").isin(list(_URL_BLOCKLIST)))
+        .groupBy("__dom")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit(-2000).cast("long").alias("doc_id"),
+            F.concat(F.lit("url_block:"), F.col("__dom")).alias("lang_pred"),
+            F.col("n").cast("long").alias("quality_q"),
+            F.lit(0).cast("long").alias("n_tokens"),
+            F.lit("url").alias("split"),
+        )
+    )
+    m4 = (
+        U.domain_blocklist_filter(raw, "url", _URL_BLOCKLIST)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit(-2000).cast("long").alias("doc_id"),
+            F.lit("url_block:kept").alias("lang_pred"),
+            F.col("n").cast("long").alias("quality_q"),
+            F.lit(0).cast("long").alias("n_tokens"),
+            F.lit("url").alias("split"),
+        )
+    )
+    return m1.unionByName(m2).unionByName(m3).unionByName(m4)
+
+
+def _url_members_sql() -> str:
+    """DuckDB oracle for the URL members — the canonicalization SQL is
+    RENDERED from the same regex constants the Spark operators use
+    (urls.duckdb_canonical_sql), so the comparison is bit-for-bit."""
+    from timebox_spark.operators import urls as U
+
+    canon = U.duckdb_canonical_sql("url")
+    host = U.duckdb_canonical_host_sql("url")
+    dom = U.duckdb_registrable_domain_sql("host")
+    bl = ", ".join(f"'{b}'" for b in _URL_BLOCKLIST)
+    return f"""
+SELECT * FROM (
+WITH u AS (SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents),
+c AS (SELECT doc_id, {canon} AS curl, {host} AS host FROM u),
+d AS (SELECT doc_id, curl, {dom} AS dom FROM c)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, 'url_canon' AS lang_pred,
+       ('0x' || substr(md5(curl), 1, 8))::BIGINT AS quality_q,
+       CAST(length(curl) AS BIGINT) AS n_tokens, 'url' AS split
+FROM d
+UNION ALL
+SELECT CAST(min(doc_id) AS BIGINT), 'url_dedup',
+       ('0x' || substr(md5(curl), 1, 8))::BIGINT,
+       CAST(count(*) AS BIGINT), 'url'
+FROM d GROUP BY curl
+UNION ALL
+SELECT CAST(-2000 AS BIGINT), 'url_block:' || dom,
+       CAST(count(*) AS BIGINT), CAST(0 AS BIGINT), 'url'
+FROM d WHERE dom IN ({bl}) GROUP BY dom
+UNION ALL
+SELECT CAST(-2000 AS BIGINT), 'url_block:kept',
+       CAST(count(*) AS BIGINT), CAST(0 AS BIGINT), 'url'
+FROM d WHERE dom NOT IN ({bl})
+)
+"""
+
+
 def q54_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q54 curated-corpus rows + two promoted compositions (round-6
     verdict task 7):
@@ -3402,7 +3531,12 @@ def q54_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("n_tokens"),
         F.lit("card").alias("split"),
     )
-    return base.unionByName(man_rows).unionByName(card)
+    return (
+        base.unionByName(man_rows)
+        .unionByName(card)
+        # round 14: URL canonicalization / dedup / blocklist members
+        .unionByName(_url_members(spark, sf_dir))
+    )
 
 
 def _q54_manifest_sql() -> str:
@@ -3473,6 +3607,8 @@ UNION ALL
 SELECT * FROM ({_q54_manifest_sql()})
 UNION ALL
 {_q54_card_sql()}
+UNION ALL
+{_url_members_sql()}
 """
 
 
