@@ -1,0 +1,131 @@
+"""Fixed-point PageRank (operators/graphs.py): exact cross-engine
+parity with the DuckDB renderer, dangling-mass handling, degenerate
+inputs, and the overflow precondition. The driver-facing gate is the
+q31 'pagerank' member (plans/suites.py), which runs the same operator
+over the synthetic doc_id link graph."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from timebox_spark.operators import graphs as G
+from timebox_spark.operators.dedup import unpersist_owned
+
+
+def _duck_ranks(edges, iterations, **kw):
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE e(src BIGINT, dst BIGINT)")
+        con.executemany("INSERT INTO e VALUES (?, ?)", edges)
+        sql = G.duckdb_pagerank_sql(
+            "SELECT src, dst FROM e", iterations=iterations, **kw
+        )
+        return sorted(con.execute(sql).fetchall())
+    finally:
+        con.close()
+
+
+def _spark_ranks(spark, edges, iterations, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    owned: list = []
+    try:
+        pr = G.pagerank(df, iterations=iterations, owned_rdds=owned, **kw)
+        return sorted((r["node"], r["rank"]) for r in pr.collect())
+    finally:
+        unpersist_owned(owned)
+
+
+def test_pagerank_matches_duckdb_bitforbit(spark):
+    """Hubs, cycles, a self-loop, and dangling nodes (dst values 13..16
+    never appear as src): every rank tick must match the oracle —
+    integer fixed point is order-independent, so any divergence is a
+    real semantics bug, not float noise."""
+    edges = sorted(
+        {(i % 13, (i * 31 + j) % 17) for i in range(100) for j in (1, 2)}
+    )
+    edges.append((5, 5))  # self-loop
+    s = _spark_ranks(spark, edges, 6)
+    d = _duck_ranks(edges, 6)
+    assert s == d
+    # mass conservation modulo floor leakage: total only ever shrinks,
+    # by less than (n_edges + n_nodes) ticks per iteration
+    total = sum(r for _, r in s)
+    n = len(s)
+    assert total <= n * G.RANK_UNIT
+    assert n * G.RANK_UNIT - total < 6 * (len(edges) + n)
+
+
+def test_pagerank_dangling_mass_redistributed(spark):
+    """Two nodes, one edge a→b: b is dangling. Without redistribution
+    b's rank would sink to the teleport floor and a would never
+    recover mass; with it, a receives b's damped mass back every
+    round. Pin exact values vs the oracle AND the qualitative shape
+    (a's rank stays well above the teleport floor)."""
+    edges = [(0, 1)]
+    s = _spark_ranks(spark, edges, 8)
+    d = _duck_ranks(edges, 8)
+    assert s == d
+    ranks = dict(s)
+    floor = (G.RANK_UNIT * 3) // 20
+    assert ranks[0] > floor * 2  # fed by the dangling pot
+    assert ranks[1] > ranks[0]  # b gets a's whole out-flow + pot
+
+
+def test_pagerank_zero_iterations_and_empty(spark):
+    assert _spark_ranks(spark, [(1, 2)], 0) == [
+        (1, G.RANK_UNIT),
+        (2, G.RANK_UNIT),
+    ]
+    empty = spark.createDataFrame([], "src long, dst long")
+    owned: list = []
+    try:
+        assert G.pagerank(empty, iterations=3, owned_rdds=owned).count() == 0
+    finally:
+        unpersist_owned(owned)
+
+
+def test_pagerank_overflow_precondition_raises(spark):
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="overflow"):
+        G.pagerank(df, iterations=1, unit=2**62)
+
+
+def test_pagerank_string_nodes(spark):
+    """Node type is generic — domain-ranking uses registrable domains
+    as string nodes."""
+    edges = [("a.com", "b.com"), ("b.com", "a.com"), ("a.com", "c.com")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    owned: list = []
+    try:
+        ranks = {
+            r["node"]: r["rank"]
+            for r in G.pagerank(df, iterations=5, owned_rdds=owned).collect()
+        }
+    finally:
+        unpersist_owned(owned)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e(src VARCHAR, dst VARCHAR)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", edges)
+    d = dict(
+        con.execute(
+            G.duckdb_pagerank_sql("SELECT src, dst FROM e", iterations=5)
+        ).fetchall()
+    )
+    con.close()
+    assert ranks == d
+    assert ranks["a.com"] > ranks["c.com"]  # two in-links beat one
+
+
+def test_pagerank_parallel_edges_are_multigraph(spark):
+    """Parallel edges each contribute (documented); dedup first for
+    simple-graph semantics — the two must differ on this graph, and
+    each must match its own oracle."""
+    edges = [(0, 1), (0, 1), (0, 2)]
+    multi = _spark_ranks(spark, edges, 4)
+    assert multi == _duck_ranks(edges, 4)
+    simple_edges = sorted(set(edges))
+    simple = _spark_ranks(spark, simple_edges, 4)
+    assert simple == _duck_ranks(simple_edges, 4)
+    assert dict(multi)[1] > dict(simple)[1]

@@ -418,9 +418,9 @@ def test_bloom_broadcast_budget_raises_and_dedup_falls_back(
 ):
     """Round-14 verdict task 5: an over-budget sketch raises
     BloomBroadcastBudgetError with sharding advice BEFORE the
-    broadcast; incremental_exact_dedup degrades to the plain
-    fingerprint anti-join (identical results) with a warning instead
-    of dying mid-stream."""
+    broadcast; incremental_exact_dedup KEEPS the gate but degrades to
+    the shuffle-probe strategy (identical results) with a warning
+    instead of dying mid-stream."""
     import warnings
 
     import pytest
@@ -450,10 +450,132 @@ def test_bloom_broadcast_budget_raises_and_dedup_falls_back(
                 batch, corpus, corpus_bloom=bloom, bloom_m=m, bloom_k=k
             ).collect()
         }
-    assert any("pre-gate disabled" in str(w.message) for w in rec)
+    assert any("shuffle-probe" in str(w.message) for w in rec)
     monkeypatch.setattr(SK, "BLOOM_BROADCAST_BUDGET_BYTES", 1 << 30)
     plain = {
         r["doc_id"]
         for r in DD.incremental_exact_dedup(batch, corpus).collect()
     }
     assert gated == plain == {11}
+
+
+def test_bloom_probe_shuffle_strategy_identical(spark):
+    """Round 14: the past-broadcast-scale probe path — 'shuffle' (no
+    hint, no budget) must return bit-identical maybe_present flags to
+    'broadcast', and 'auto' must pick it over the budget instead of
+    raising."""
+    from timebox_spark.operators import sketches as SK
+
+    m, k = 1 << 14, 5
+    built = spark.range(0, 200).selectExpr(
+        "md5(CAST(id AS STRING)) AS v"
+    )
+    bloom = SK.bloom_build(built, "v", m, k)
+    probe = spark.range(0, 400).selectExpr(
+        "id", "md5(CAST(id AS STRING)) AS v"
+    )
+    b = {
+        r["id"]: r["maybe_present"]
+        for r in SK.bloom_probe(probe, "id", "v", bloom, m, k).collect()
+    }
+    s = {
+        r["id"]: r["maybe_present"]
+        for r in SK.bloom_probe(
+            probe, "id", "v", bloom, m, k, strategy="shuffle"
+        ).collect()
+    }
+    assert b == s
+    assert all(b[i] for i in range(200))  # no false negatives
+    # 'auto' over an 8-byte budget: no raise, same answers
+    a = {
+        r["id"]: r["maybe_present"]
+        for r in SK.bloom_probe(
+            probe, "id", "v", bloom, m, k,
+            max_broadcast_bytes=8, strategy="auto",
+        ).collect()
+    }
+    assert a == b
+    import pytest
+
+    with pytest.raises(ValueError, match="strategy"):
+        SK.bloom_probe(probe, "id", "v", bloom, m, k, strategy="nope")
+
+
+# ------------------------------------------------------- count-min
+
+def _cms_fixture(spark, width=64, depth=3):
+    from timebox_spark.operators import sketches as SK
+
+    vals = [(i, f"dom{i % 37}.com") for i in range(1000)] + [(9999, None)]
+    df = spark.createDataFrame(vals, "id long, v string")
+    return SK, df, SK.cms_build(df, "v", width=width, depth=depth)
+
+
+def test_cms_never_undercounts_and_absent_is_zero(spark):
+    SK, df, cms = _cms_fixture(spark)
+    probe = spark.createDataFrame(
+        [(k, f"dom{k}.com") for k in range(40)] + [(100, "absent.net")],
+        "id long, v string",
+    )
+    est = {
+        r["id"]: r["est_count"]
+        for r in SK.cms_query(probe, "id", "v", cms, 64, 3).collect()
+    }
+    true = {k: (1000 + 36 - k) // 37 if k < 37 else 0 for k in range(40)}
+    for k in range(40):
+        assert est[k] >= true[k], (k, est[k], true[k])
+    assert est[100] >= 0  # absent value can only over-count
+
+
+def test_cms_merge_equals_whole_and_mixed_geometry_raises(spark):
+    import pytest
+
+    SK, df, cms = _cms_fixture(spark)
+    whole = sorted(
+        (r["row"], r["idx"], r["cnt"])
+        for r in cms.collect()
+        if r["row"] >= 0
+    )
+    h1 = SK.cms_build(df.filter("id < 500"), "v", width=64, depth=3)
+    h2 = SK.cms_build(df.filter("id >= 500"), "v", width=64, depth=3)
+    merged = sorted(
+        (r["row"], r["idx"], r["cnt"])
+        for r in SK.cms_merge(h1.unionByName(h2)).collect()
+        if r["row"] >= 0
+    )
+    assert merged == whole
+    other = SK.cms_build(df, "v", width=128, depth=3)
+    with pytest.raises(ValueError, match="conflicting"):
+        SK.cms_merge(h1.unionByName(other))
+    with pytest.raises(ValueError, match="CONFLICTING"):
+        SK.cms_query(df, "id", "v", h1.unionByName(other), 64, 3)
+    with pytest.raises(ValueError, match="geometry|built with"):
+        SK.cms_query(df, "id", "v", cms, 128, 3)
+
+
+def test_cms_query_defensive_on_raw_union(spark):
+    """A raw union of per-cycle sketches (no cms_merge) must estimate
+    as if merged — cms_query re-aggregates cells with SUM before the
+    join (the bloom advisor-finding pattern, sum-flavored)."""
+    SK, df, cms = _cms_fixture(spark)
+    h1 = SK.cms_build(df.filter("id < 500"), "v", width=64, depth=3)
+    h2 = SK.cms_build(df.filter("id >= 500"), "v", width=64, depth=3)
+    probe = spark.createDataFrame([(0, "dom0.com")], "id long, v string")
+    merged_est = SK.cms_query(probe, "id", "v", cms, 64, 3).collect()[0][
+        "est_count"
+    ]
+    raw_est = SK.cms_query(
+        probe, "id", "v", h1.unionByName(h2), 64, 3
+    ).collect()[0]["est_count"]
+    assert raw_est == merged_est
+
+
+def test_cms_heavy_hitters_gate(spark):
+    SK, df, cms = _cms_fixture(spark)
+    cands = spark.createDataFrame(
+        [(k, f"dom{k}.com") for k in range(50)], "id long, v string"
+    )
+    hh = SK.cms_heavy_hitters(cands, "id", "v", cms, 20, 64, 3)
+    ids = {r["id"] for r in hh.collect()}
+    # every true heavy hitter (true count 27-28 >= 20) must survive
+    assert set(range(37)) <= ids

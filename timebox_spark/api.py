@@ -234,3 +234,42 @@ class CurationAPI:
         from timebox_spark.operators.urls import domain_blocklist_filter
 
         return domain_blocklist_filter(df, blocked=blocked, **kw)
+
+    def rank_graph(self, edges: DataFrame, **kw) -> DataFrame:
+        """Exact fixed-point PageRank over a link graph — (node, rank)
+        BIGINT ticks after a fixed iteration count (operators/
+        graphs.py): the domain-ranking tier of a crawl-curation
+        pipeline. Pass owned_rdds=[] to reclaim the per-iteration
+        checkpoints after consuming the result."""
+        from timebox_spark.operators.graphs import pagerank
+
+        return pagerank(edges, **kw)
+
+    def count_sketch(self, df: DataFrame, col: str, **kw) -> DataFrame:
+        """Mergeable count-min frequency sketch of a column
+        (sketches.cms_build) — persist per cycle, cms_merge to any
+        horizon, probe with frequencies()."""
+        from timebox_spark.operators.sketches import cms_build
+
+        return cms_build(df, col, **kw)
+
+    def frequencies(
+        self, df: DataFrame, id_col: str, col: str, cms: DataFrame, **kw
+    ) -> DataFrame:
+        """(id, est_count) frequency estimates against a count-min
+        sketch — never under-counts (sketches.cms_query)."""
+        from timebox_spark.operators.sketches import cms_query
+
+        return cms_query(df, id_col, col, cms, **kw)
+
+    def heavy_hitters(
+        self, candidates: DataFrame, id_col: str, col: str,
+        cms: DataFrame, min_count: int, **kw
+    ) -> DataFrame:
+        """Candidates whose sketched frequency reaches min_count —
+        no false negatives (sketches.cms_heavy_hitters)."""
+        from timebox_spark.operators.sketches import cms_heavy_hitters
+
+        return cms_heavy_hitters(
+            candidates, id_col, col, cms, min_count, **kw
+        )

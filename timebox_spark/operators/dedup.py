@@ -1886,8 +1886,10 @@ def incremental_exact_dedup(
     are bit-identical to the gate-less path (pytest-pinned); the
     sketch is exact-mergeable across cycles (``bloom_merge``) so it
     is maintained incrementally like fps, and an over-budget sketch
-    (``sketches.BloomBroadcastBudgetError``) degrades to the plain
-    anti-join with a warning rather than OOMing the driver."""
+    (``sketches.BloomBroadcastBudgetError``) degrades to the
+    SHUFFLE-probe strategy with a warning — the gate survives past
+    broadcast scale (the sketch side is ~bits/32 narrow rows, far
+    below the fps tree) instead of OOMing the driver."""
     fp = F.md5(F.encode(normalize_text(text_col), "UTF-8"))
     batch_fp = new_batch.withColumn("__fp", fp)
     if corpus_fps is not None:
@@ -1917,19 +1919,25 @@ def incremental_exact_dedup(
                 fps_only, "__fp", "__fp", corpus_bloom, bloom_m, bloom_k
             )
         except BloomBroadcastBudgetError as e:
-            # over-budget sketch: degrade to the plain fps anti-join
-            # (identical results, the pre-gate's only job is cost)
-            # instead of OOMing the driver mid-stream — loudly, so the
-            # operator re-sizes or shards the sketch
+            # over-budget sketch: KEEP the gate but probe via the
+            # shuffle strategy (round 14) — identical probe results,
+            # no broadcast; the sketch side is ~bits/32 narrow rows,
+            # strictly smaller than the fingerprint tree the gate
+            # exists to avoid shuffling. Loud anyway, so the operator
+            # re-sizes or shards the sketch deliberately.
             import warnings
 
             warnings.warn(
-                f"incremental_exact_dedup: Bloom pre-gate disabled for "
-                f"this cycle — {e}",
+                f"incremental_exact_dedup: Bloom pre-gate over the "
+                f"broadcast budget — degrading to the shuffle-probe "
+                f"strategy for this cycle ({e})",
                 UserWarning,
                 stacklevel=2,
             )
-            probe = None
+            probe = bloom_probe(
+                fps_only, "__fp", "__fp", corpus_bloom, bloom_m,
+                bloom_k, strategy="shuffle",
+            )
     if probe is not None:
         gated = batch_fp.join(probe, "__fp", "left")
         mp = F.coalesce(F.col("maybe_present"), F.lit(False))

@@ -287,6 +287,7 @@ def bloom_probe(
     m_bits: int = 1 << 20,
     k: int = 5,
     max_broadcast_bytes: int | None = None,
+    strategy: str = "broadcast",
 ) -> DataFrame:
     """(id_col, maybe_present) membership probe against a
     ``bloom_build`` sketch with the SAME (m_bits, k): maybe_present is
@@ -318,9 +319,28 @@ def bloom_probe(
     the broadcast is attempted — a sketch sized for 10¹⁰ docs must
     fail loudly, not OOM the driver. Callers that can degrade
     gracefully (``dedup.incremental_exact_dedup``) catch it and fall
-    back to the plain fingerprint join."""
+    back to the SHUFFLE strategy below.
+
+    ``strategy`` (round 14 — the past-broadcast-scale path):
+
+    - ``'broadcast'`` (default): budget-checked broadcast hash join —
+      zero shuffle on either side, the right call while the sketch
+      fits executor memory;
+    - ``'shuffle'``: NO broadcast hint and NO budget — a plain join
+      the optimizer plans freely (AQE still broadcasts a small
+      sketch; an over-budget one becomes a shuffled hash join whose
+      sketch side is ~word-count rows ≈ bits/32 — at 10 bits/doc
+      that is ~docs/3 narrow rows, strictly smaller than the full
+      fingerprint tree the gate replaces). Results are identical to
+      'broadcast' bit-for-bit;
+    - ``'auto'``: 'broadcast' within budget, else 'shuffle'."""
     from timebox_spark.operators.dedup import _md5_u32
 
+    if strategy not in ("broadcast", "shuffle", "auto"):
+        raise ValueError(
+            f"bloom_probe: unknown strategy {strategy!r} — expected "
+            f"'broadcast', 'shuffle', or 'auto'"
+        )
     n_words = _bloom_stats(bloom, m_bits, k, "bloom_probe")
     budget = (
         BLOOM_BROADCAST_BUDGET_BYTES
@@ -328,13 +348,16 @@ def bloom_probe(
         else max_broadcast_bytes
     )
     est_bytes = n_words * _BLOOM_ROW_BYTES
-    if est_bytes > budget:
+    if strategy == "auto":
+        strategy = "shuffle" if est_bytes > budget else "broadcast"
+    if strategy == "broadcast" and est_bytes > budget:
         raise BloomBroadcastBudgetError(
             f"bloom_probe: sketch holds {n_words} words ≈ {est_bytes} "
-            f"bytes broadcast, over the {budget}-byte budget — at this "
-            f"corpus scale shard the sketch (partition fingerprints by "
+            f"bytes broadcast, over the {budget}-byte budget — pass "
+            f"strategy='shuffle' (or 'auto') to probe without the "
+            f"broadcast, shard the sketch (partition fingerprints by "
             f"a stable prefix, one independent sketch per shard, probe "
-            f"each batch row against its own shard's sketch) or use "
+            f"each batch row against its own shard's sketch), or use "
             f"the plain fingerprint anti-join; raise "
             f"max_broadcast_bytes only with matching driver/executor "
             f"memory headroom"
@@ -355,9 +378,227 @@ def bloom_probe(
     hit = (
         F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("m")) != 0
     ).cast("int")
+    sketch_side = F.broadcast(bloom) if strategy == "broadcast" else bloom
     return (
-        p.join(F.broadcast(bloom), "word", "left")
+        p.join(sketch_side, "word", "left")
         .groupBy(id_col)
         .agg(F.min(hit).alias("__mp"))
         .select(id_col, (F.col("__mp") == 1).alias("maybe_present"))
     )
+
+
+# ------------------------------------------------------- Count-min
+
+# CMS defaults + the hash-salt prefix (shared with the q57 'cms'
+# oracle renderer in plans/suites.py — repo convention: both engines
+# derive positions from the same constants).
+CMS_WIDTH = 512
+CMS_DEPTH = 4
+CMS_SALT = "cms"
+
+
+def _cms_stats(cms: DataFrame, width: int, depth: int, ctx: str) -> int:
+    """One-scan sentinel validation for a count-min sketch (the
+    bloom _bloom_stats pattern): conflicting embedded (width, depth)
+    sentinels raise (a raw union of different geometries), a mismatch
+    with the caller's parameters raises (wrong-width positions silently
+    under-count), absent sentinels pass. Returns the data-row count
+    for the broadcast budget check."""
+    row = cms.agg(
+        F.count(F.when(F.col("row") >= 0, 1)).alias("n_rows"),
+        F.count_distinct(
+            F.when(F.col("row") == -1, F.col("cnt"))
+        ).alias("n_w"),
+        F.count_distinct(
+            F.when(F.col("row") == -2, F.col("cnt"))
+        ).alias("n_d"),
+        F.max(F.when(F.col("row") == -1, F.col("cnt"))).alias("w"),
+        F.max(F.when(F.col("row") == -2, F.col("cnt"))).alias("d"),
+    ).collect()[0]
+    if row["n_w"] > 1 or row["n_d"] > 1:
+        raise ValueError(
+            f"{ctx}: sketch carries CONFLICTING (width, depth) "
+            f"sentinels — it is a raw union of sketches built with "
+            f"different geometries; counters of different widths hash "
+            f"to different cells and cannot be combined — rebuild with "
+            f"one parameter set"
+        )
+    got_w, got_d = row["w"], row["d"]
+    if (got_w is not None and got_w != width) or (
+        got_d is not None and got_d != depth
+    ):
+        raise ValueError(
+            f"{ctx}: sketch was built with (width={got_w}, "
+            f"depth={got_d}) but the call uses (width={width}, "
+            f"depth={depth}) — mismatched geometry silently corrupts "
+            f"estimates; pass the build-time parameters"
+        )
+    return int(row["n_rows"])
+
+
+def cms_build(
+    df: DataFrame,
+    col: str,
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+) -> DataFrame:
+    """Count-min sketch of ``df[col]`` frequencies as a MERGEABLE
+    (row int, idx int, cnt long) counter table — the fixed-size
+    frequency summary a 100 TB pipeline persists per ingest
+    cycle/day so later "how often has this domain/token appeared so
+    far?" probes never rescan history: merging cycles is a plain SUM
+    (``cms_merge``), and a probe (``cms_query``) broadcasts the
+    ≤ depth·width-row sketch. Estimates NEVER under-count (est ≥
+    true count always); over-count is bounded by 2eN/width with
+    probability 1−(1/2)^depth — the classic CMS guarantee.
+
+    Hash family: idx_j(v) = md5(f"{CMS_SALT}{j}|" + v) first 8 hex as
+    int, mod width (``dedup._md5_u32``) — deterministic and
+    SQL-expressible, so the q57 'cms' oracle re-derives every counter
+    exactly. Integer counts ⇒ the sketch is identical on any engine
+    and partitioning. NULL values are skipped (not counted); probe
+    NULLs estimate 0.
+
+    The sketch carries (width, depth) as sentinel rows (row −1 / −2,
+    idx 0 — real rows are >= 0): ``cms_merge`` and ``cms_query``
+    validate them and raise on mismatch, the same silent-geometry
+    failure class as the Bloom gate's."""
+    from timebox_spark.operators.dedup import _md5_u32
+
+    spark = df.sparkSession
+    sentinels = spark.createDataFrame(
+        [(-1, 0, int(width)), (-2, 0, int(depth))],
+        "row int, idx int, cnt long",
+    )
+    cells = [
+        F.struct(
+            F.lit(j).cast("int").alias("row"),
+            (_md5_u32(F.col(col), f"{CMS_SALT}{j}") % F.lit(width))
+            .cast("int")
+            .alias("idx"),
+        )
+        for j in range(depth)
+    ]
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(F.explode(F.array(*cells)).alias("c"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.idx").alias("idx"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .unionByName(sentinels)
+    )
+
+
+def cms_merge(sketches: DataFrame) -> DataFrame:
+    """Sum of count-min sketches built with the SAME (width, depth):
+    counters add cell-wise (CMS merge is exact — the merged sketch
+    equals the sketch of the concatenated data). Mixed geometries
+    RAISE via the sentinel check. Sentinel rows are deduplicated, not
+    summed (they are metadata, not counters)."""
+    bad = (
+        sketches.filter(F.col("row") < 0)
+        .groupBy("row")
+        .agg(F.count_distinct("cnt").alias("n"))
+        .filter(F.col("n") > 1)
+        .limit(1)
+        .count()
+    )
+    if bad:
+        raise ValueError(
+            "cms_merge: inputs carry conflicting (width, depth) "
+            "sentinels — sketches of different geometries cannot be "
+            "summed; rebuild with one parameter set"
+        )
+    data = (
+        sketches.filter(F.col("row") >= 0)
+        .groupBy("row", "idx")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return data.unionByName(
+        sketches.filter(F.col("row") < 0).distinct()
+    )
+
+
+def cms_query(
+    df: DataFrame,
+    id_col: str,
+    col: str,
+    cms: DataFrame,
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+    max_broadcast_bytes: int | None = None,
+) -> DataFrame:
+    """(id_col, est_count) frequency estimates for ``df[col]`` against
+    a ``cms_build`` sketch with the SAME (width, depth):
+    est = min over the depth rows of the addressed counters (missing
+    cell ⇒ 0). Never under-counts a value the sketch ingested. The
+    sketch is defensively re-aggregated per cell (SUM — duplicate
+    cell rows from a raw union of per-cycle sketches merge exactly,
+    ``cms_merge`` semantics) and broadcast; probe rows fan out
+    depth-fold map-side, and the only shuffle is the probe-sized
+    groupBy back to one row per id. Geometry sentinels are validated
+    against the call's; the broadcast budget is enforced like
+    ``bloom_probe``'s (:class:`BloomBroadcastBudgetError` — a sketch
+    is depth·width cells, so this only fires on degenerate widths)."""
+    from timebox_spark.operators.dedup import _md5_u32
+
+    n_rows = _cms_stats(cms, width, depth, "cms_query")
+    budget = (
+        BLOOM_BROADCAST_BUDGET_BYTES
+        if max_broadcast_bytes is None
+        else max_broadcast_bytes
+    )
+    est_bytes = n_rows * 24
+    if est_bytes > budget:
+        raise BloomBroadcastBudgetError(
+            f"cms_query: sketch holds {n_rows} cells ≈ {est_bytes} "
+            f"bytes broadcast, over the {budget}-byte budget — use a "
+            f"smaller width or raise max_broadcast_bytes with matching "
+            f"executor memory headroom"
+        )
+    cmsd = (
+        cms.filter(F.col("row") >= 0)
+        .groupBy("row", "idx")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    cells = [
+        F.struct(
+            F.lit(j).cast("int").alias("row"),
+            (_md5_u32(F.col(col), f"{CMS_SALT}{j}") % F.lit(width))
+            .cast("int")
+            .alias("idx"),
+        )
+        for j in range(depth)
+    ]
+    p = df.select(F.col(id_col), F.explode(F.array(*cells)).alias("c")).select(
+        id_col, F.col("c.row").alias("row"), F.col("c.idx").alias("idx")
+    )
+    return (
+        p.join(F.broadcast(cmsd), ["row", "idx"], "left")
+        .groupBy(id_col)
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias(
+                "est_count"
+            )
+        )
+    )
+
+
+def cms_heavy_hitters(
+    candidates: DataFrame,
+    id_col: str,
+    col: str,
+    cms: DataFrame,
+    min_count: int,
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+) -> DataFrame:
+    """Candidates whose CMS-estimated frequency reaches ``min_count``
+    — the heavy-hitter gate over a SMALL candidate set (this batch's
+    distinct domains/tokens) against the merged historical sketch.
+    No false negatives (est ≥ true): every true heavy hitter among
+    the candidates survives; false positives at the sketch's
+    over-count rate are the caller's exact-verify problem (the Bloom
+    gate's contract shape)."""
+    return cms_query(
+        candidates, id_col, col, cms, width=width, depth=depth
+    ).filter(F.col("est_count") >= int(min_count))

@@ -2030,6 +2030,44 @@ SELECT doc_id, frame_idx, n_bytes, head_hex, byte_sum_mod FROM ({_vfp_ham_sql()}
 """
 
 
+# Deterministic synthetic link graph for the q31 'pagerank' member
+# (documents carry no hrefs, the _SYNTH_URL_SQL convention): nodes are
+# small residues so the graph has hubs, cycles, self-loops AND
+# dangling nodes (dst-mod 97 > src-mod 89 ⇒ residues 89..96 never emit
+# an edge). One SQL fragment valid in BOTH engines.
+_PR_SRC_MOD = 89
+_PR_DST_MOD = 97
+_PR_MULT = 31
+_PR_FANOUT = 3
+_PR_ITER = 6
+_PR_EDGES_SQL = " UNION ".join(
+    f"SELECT DISTINCT doc_id % {_PR_SRC_MOD} AS src, "
+    f"(doc_id * {_PR_MULT} + {j}) % {_PR_DST_MOD} AS dst FROM documents"
+    for j in range(1, _PR_FANOUT + 1)
+)
+
+
+def _pr_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The link graph, DataFrame-side — same constants as
+    ``_PR_EDGES_SQL`` (repo oracle convention)."""
+    return (
+        load(spark, sf_dir, "documents")
+        .select(
+            (F.col("doc_id") % _PR_SRC_MOD).alias("src"),
+            F.explode(
+                F.array(
+                    *[
+                        (F.col("doc_id") * _PR_MULT + F.lit(j))
+                        % _PR_DST_MOD
+                        for j in range(1, _PR_FANOUT + 1)
+                    ]
+                )
+            ).alias("dst"),
+        )
+        .distinct()
+    )
+
+
 def q31_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster resolution with a full oracle: blocked n-gram
     Jaccard pairs (the q24 pair set — SQL-expressible) fed through
@@ -2044,7 +2082,18 @@ def q31_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     label-propagation labels EXACTLY over every node, rep_score = the
     labeled node count (re-derived by the oracle from the recursive
     CTE). A single disagreeing node flips the flag to 0 and the
-    driver hash mismatches."""
+    driver hash mismatches.
+
+    Round 14: 'pagerank' rows (canonical_id = −1000 − node) gate the
+    fixed-point integer PageRank (operators/graphs.py) over a
+    deterministic link graph derived from doc_id (src/dst moduli and
+    fanout in the _PR_* constants below; src-mod < dst-mod guarantees
+    DANGLING nodes, exercising the redistribution term):
+    cluster_size = the exact BIGINT rank after _PR_ITER iterations,
+    rep_score = the node's out-degree. The oracle re-runs the SAME
+    integer power iteration as unrolled MATERIALIZED CTEs
+    (graphs.duckdb_pagerank_sql, same constants), so a single tick of
+    rank drift anywhere hash-mismatches."""
     docs = load(spark, sf_dir, "documents").withColumn(
         "len_bucket", F.floor(F.length("text") / LQ._J_BUCKET).cast("long")
     )
@@ -2127,7 +2176,55 @@ def q31_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_nodes").cast("long").alias("rep_score"),
         )
     )
-    return main.unionByName(agree)
+    # round-14 'pagerank' member: exact integer ranks over the synthetic
+    # link graph. The rank/degree tables are O(_PR_DST_MOD) rows — the
+    # collect is bounded by the node-residue space, not the corpus —
+    # and rebuilt as local frames so the suite's repeated runs never
+    # accumulate the loop's localCheckpoint blocks (the q31 lp/star
+    # harness pattern above).
+    from timebox_spark.operators import graphs as G
+
+    edges = _pr_edges(spark, sf_dir)
+    owned_pr: list = []
+    try:
+        pr_rows = [
+            (r["node"], r["rank"])
+            for r in G.pagerank(
+                edges, iterations=_PR_ITER, owned_rdds=owned_pr
+            ).collect()
+        ]
+    finally:
+        dedup.unpersist_owned(owned_pr)
+    deg_rows = {
+        r["src"]: r["deg"] for r in G.out_degrees(edges).collect()
+    }
+    pr_member = spark.createDataFrame(
+        [
+            (-1000 - int(n), int(rank), -2, int(deg_rows.get(n, 0)))
+            for n, rank in pr_rows
+        ],
+        "canonical_id long, cluster_size long, rep_id long, rep_score long",
+    )
+    return main.unionByName(agree).unionByName(pr_member)
+
+
+def _q31_pagerank_sql() -> str:
+    """Oracle for the q31 'pagerank' member: the unrolled integer
+    power iteration (graphs.duckdb_pagerank_sql) over the same edge
+    SQL, left-joined to out-degrees."""
+    from timebox_spark.operators import graphs as G
+
+    pr = G.duckdb_pagerank_sql(_PR_EDGES_SQL, iterations=_PR_ITER)
+    return f"""
+SELECT CAST(-1000 - pr.node AS BIGINT) AS canonical_id,
+       CAST(pr.rank AS BIGINT) AS cluster_size,
+       CAST(-2 AS BIGINT) AS rep_id,
+       CAST(COALESCE(dg.deg, 0) AS BIGINT) AS rep_score
+FROM ({pr}) pr
+LEFT JOIN (
+  SELECT src, count(*) AS deg FROM ({_PR_EDGES_SQL}) GROUP BY src
+) dg ON pr.node = dg.src
+"""
 
 
 _Q31_SQL = f"""
@@ -2161,6 +2258,9 @@ FROM sized s JOIN rep r USING (canonical_id)
 UNION ALL
 SELECT CAST(-1 AS BIGINT), CAST(1 AS BIGINT), CAST(-1 AS BIGINT),
        (SELECT CAST(count(*) AS BIGINT) FROM comp)
+UNION ALL
+SELECT canonical_id, cluster_size, rep_id, rep_score
+FROM ({_q31_pagerank_sql()})
 """
 
 
@@ -4102,12 +4202,34 @@ FROM ({Q.ORACLE_SQL['q53_conditional_suite']})
 """
 
 
+# q57 count-min members (round 14): sketch events.user_id frequencies.
+# Width deliberately below the distinct-user count so real collisions
+# exercise the min-over-rows estimate; the probe set is a deterministic
+# ~1% residue slice of users; the heavy-hitter gate uses a fixed
+# min_count. All re-derived exactly by the oracle (_cms_sql) from the
+# same constants + sketches.CMS_SALT hash family.
+_CMS_W = 256
+_CMS_D = 4
+_CMS_PROBE_MOD = 97
+_CMS_PROBE_RES = 3
+_CMS_HH_MIN = 10
+
+
 def q57_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlation matrix + per-series linear trend from exact moments
     + the deterministic log2-histogram quantile sketch
     (sketches.log2_histogram / histogram_quantiles): 'qhist' rows pin
     the exact per-month sketch itself, 'qest' rows pin the rank
-    arithmetic, bucket selection, and guaranteed-bound estimate."""
+    arithmetic, bucket selection, and guaranteed-bound estimate.
+
+    Round 14 adds the count-min sketch family (sketches.cms_*):
+    'cms' rows pin every counter cell of the user_id frequency sketch
+    (built as two half-sketches MERGED with cms_merge, so the merge
+    path is what the oracle checks); 'cmsq' rows pin the min-over-rows
+    estimate AND the exact count per probed user (m2_q = est − true,
+    the sketch's signed over-count — never negative by the CMS
+    guarantee); the 'cmshh' row pins the heavy-hitter gate
+    (survivor count + summed estimates at min_count)."""
     from timebox_spark.operators import sketches as SK
 
     corr = Q.q57_corr_matrix(spark, sf_dir).select(
@@ -4143,7 +4265,117 @@ def q57_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est_hi").alias("m1_q"),
         F.col("cum").alias("m2_q"),
     )
-    return corr.unionByName(trend).unionByName(qhist).unionByName(qest)
+    ev = load(spark, sf_dir, "events")
+    # build via the MERGE path: two disjoint half-sketches summed —
+    # exactness of cms_merge is part of what the oracle pins
+    h1 = SK.cms_build(
+        ev.filter(F.col("event_id") % 2 == 0), "user_id",
+        width=_CMS_W, depth=_CMS_D,
+    )
+    h2 = SK.cms_build(
+        ev.filter(F.col("event_id") % 2 == 1), "user_id",
+        width=_CMS_W, depth=_CMS_D,
+    )
+    cms = SK.cms_merge(h1.unionByName(h2))
+    cms_rows = cms.filter(F.col("row") >= 0).select(
+        F.lit("cms").alias("chk"),
+        F.col("row").cast("string").alias("ka"),
+        F.col("idx").cast("string").alias("kb"),
+        F.col("cnt").alias("n"),
+        F.lit(_CMS_W).cast("long").alias("m1_q"),
+        F.lit(_CMS_D).cast("long").alias("m2_q"),
+    )
+    probe = (
+        ev.filter(
+            F.col("user_id") % _CMS_PROBE_MOD == _CMS_PROBE_RES
+        )
+        .select("user_id")
+        .distinct()
+    )
+    est = SK.cms_query(
+        probe, "user_id", "user_id", cms, width=_CMS_W, depth=_CMS_D
+    )
+    true_cnt = ev.filter(F.col("user_id").isNotNull()).groupBy(
+        "user_id"
+    ).agg(F.count(F.lit(1)).alias("true_cnt"))
+    qrows = est.join(true_cnt, "user_id").select(
+        F.lit("cmsq").alias("chk"),
+        F.col("user_id").cast("string").alias("ka"),
+        F.lit("").alias("kb"),
+        F.col("est_count").alias("n"),
+        F.col("true_cnt").alias("m1_q"),
+        (F.col("est_count") - F.col("true_cnt")).alias("m2_q"),
+    )
+    hh = SK.cms_heavy_hitters(
+        probe, "user_id", "user_id", cms, _CMS_HH_MIN,
+        width=_CMS_W, depth=_CMS_D,
+    ).agg(
+        F.count(F.lit(1)).alias("n_hh"),
+        F.coalesce(F.sum("est_count"), F.lit(0).cast("long")).alias(
+            "sum_est"
+        ),
+    ).select(
+        F.lit("cmshh").alias("chk"),
+        F.lit("").alias("ka"),
+        F.lit("").alias("kb"),
+        F.col("n_hh").alias("n"),
+        F.col("sum_est").alias("m1_q"),
+        F.lit(_CMS_HH_MIN).cast("long").alias("m2_q"),
+    )
+    return (
+        corr.unionByName(trend)
+        .unionByName(qhist)
+        .unionByName(qest)
+        .unionByName(cms_rows)
+        .unionByName(qrows)
+        .unionByName(hh)
+    )
+
+
+def _cms_sql() -> str:
+    """DuckDB oracle for the q57 count-min members: every counter
+    cell, probe estimate, and the heavy-hitter gate re-derived from
+    the same (width, depth, salt) constants as sketches.cms_build —
+    the md5-u32 hash family is identical by construction."""
+    from timebox_spark.operators import sketches as SK
+
+    js = " UNION ALL ".join(f"SELECT {j} AS j" for j in range(_CMS_D))
+    h = (
+        f"('0x' || substr(md5('{SK.CMS_SALT}' || j || '|' || "
+        f"CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % {_CMS_W}"
+    )
+    return f"""
+WITH b AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+js AS (SELECT j FROM ({js})),
+cms AS (
+  SELECT j AS row, CAST({h} AS INT) AS idx, CAST(count(*) AS BIGINT) AS cnt
+  FROM b CROSS JOIN js GROUP BY 1, 2
+),
+probe AS (
+  SELECT DISTINCT user_id FROM b
+  WHERE user_id % {_CMS_PROBE_MOD} = {_CMS_PROBE_RES}
+),
+est AS (
+  SELECT p.user_id,
+         CAST(min(COALESCE(c.cnt, 0)) AS BIGINT) AS est_count
+  FROM (SELECT user_id, j, CAST({h} AS INT) AS idx
+        FROM probe CROSS JOIN js) p
+  LEFT JOIN cms c ON c.row = p.j AND c.idx = p.idx
+  GROUP BY p.user_id
+),
+tru AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1)
+SELECT 'cms' AS chk, CAST(row AS VARCHAR) AS ka, CAST(idx AS VARCHAR) AS kb,
+       cnt AS n, CAST({_CMS_W} AS BIGINT) AS m1_q, CAST({_CMS_D} AS BIGINT) AS m2_q
+FROM cms
+UNION ALL
+SELECT 'cmsq', CAST(est.user_id AS VARCHAR), '', est_count, c, est_count - c
+FROM est JOIN tru ON est.user_id = tru.user_id
+UNION ALL
+SELECT 'cmshh', '', '', CAST(count(*) AS BIGINT),
+       CAST(COALESCE(sum(est_count), 0) AS BIGINT),
+       CAST({_CMS_HH_MIN} AS BIGINT)
+FROM est WHERE est_count >= {_CMS_HH_MIN}
+"""
 
 
 def _qsketch_sql() -> str:
@@ -4205,6 +4437,10 @@ FROM ({Q.ORACLE_SQL['q62_linear_trend']})
 UNION ALL
 SELECT chk, ka, kb, n, m1_q, m2_q FROM (
 {_qsketch_sql()}
+)
+UNION ALL
+SELECT chk, ka, kb, n, m1_q, m2_q FROM (
+{_cms_sql()}
 )
 """
 
