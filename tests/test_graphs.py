@@ -129,3 +129,71 @@ def test_pagerank_parallel_edges_are_multigraph(spark):
     simple = _spark_ranks(spark, simple_edges, 4)
     assert simple == _duck_ranks(simple_edges, 4)
     assert dict(multi)[1] > dict(simple)[1]
+
+
+def test_pagerank_weighted_matches_duckdb_and_semantics(spark):
+    """Weighted edges split out-flow proportionally: 0→1 with w=3 and
+    0→2 with w=1 must rank 1 above 2; exact ticks match the weighted
+    oracle; and an all-ones weight column reproduces the unweighted
+    result exactly."""
+    edges = [(0, 1, 3), (0, 2, 1), (1, 0, 1), (2, 0, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long, w int")
+    owned: list = []
+    try:
+        ranks = dict(
+            (r["node"], r["rank"])
+            for r in G.pagerank(
+                df, iterations=5, weight="w", owned_rdds=owned
+            ).collect()
+        )
+    finally:
+        unpersist_owned(owned)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e(src BIGINT, dst BIGINT, w INT)")
+    con.executemany("INSERT INTO e VALUES (?, ?, ?)", edges)
+    d = dict(
+        con.execute(
+            G.duckdb_pagerank_sql(
+                "SELECT src, dst, w FROM e", iterations=5, weighted=True
+            )
+        ).fetchall()
+    )
+    con.close()
+    assert ranks == {k: int(v) for k, v in d.items()}
+    assert ranks[1] > ranks[2]
+    ones = df.withColumn("w", F.lit(1))
+    owned2: list = []
+    try:
+        w1 = dict(
+            (r["node"], r["rank"])
+            for r in G.pagerank(
+                ones, iterations=5, weight="w", owned_rdds=owned2
+            ).collect()
+        )
+        uw = dict(
+            (r["node"], r["rank"])
+            for r in G.pagerank(
+                ones, iterations=5, owned_rdds=owned2
+            ).collect()
+        )
+    finally:
+        unpersist_owned(owned2)
+    assert w1 == uw
+
+
+def test_pagerank_weight_validation(spark):
+    df = spark.createDataFrame(
+        [(0, 1, 0), (1, 0, 2)], "src long, dst long, w int"
+    )
+    with pytest.raises(ValueError, match="non-positive"):
+        G.pagerank(df, iterations=1, weight="w")
+    fdf = spark.createDataFrame(
+        [(0, 1, 1.5)], "src long, dst long, w double"
+    )
+    with pytest.raises(ValueError, match="INTEGERS"):
+        G.pagerank(fdf, iterations=1, weight="w")
+    ndf = spark.createDataFrame(
+        [(0, 1, None), (1, 0, 2)], "src long, dst long, w int"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        G.pagerank(ndf, iterations=1, weight="w")

@@ -1909,3 +1909,159 @@ def test_estimate_verify_warns_on_high_variance_at_call_site(spark):
             threshold=0.35, num_perm=256, bands=8,
         )
     assert not [w for w in rec2 if "standard error" in str(w.message)]
+
+
+def test_run_ingest_cycle_cms_tree_merge_equals_whole(spark, tmp_path):
+    """Round 14: run_ingest_cycle(cms_col=...) maintains the sixth
+    state tree {store}/cms; the per-cycle sketches merged equal the
+    sketch of the WHOLE kept corpus (cms merge is exact), so
+    corpus-horizon frequency queries never rescan text."""
+    import os
+
+    from timebox_spark.operators import sketches as SK
+
+    cycles = {
+        0: [(10, "alpha document body one", "web"),
+            (11, "beta document two", "books")],
+        1: [(20, "alpha document body one", "web"),   # corpus dup
+            (21, "gamma fresh body three", "web")],
+        2: [(30, "delta final body four", "books")],
+    }
+    store = str(tmp_path / "cms_store")
+    for cid, rows in cycles.items():
+        ingest.run_ingest_cycle(
+            spark.createDataFrame(
+                rows, "doc_id long, text string, source string"
+            ),
+            store, cid, near_dup=False,
+            cms_col="source", cms_width=64, cms_depth=3,
+        )
+    dirs = sorted(
+        d for d in os.listdir(f"{store}/cms") if d.startswith("cycle=")
+    )
+    assert dirs == ["cycle=0", "cycle=1", "cycle=2"], dirs
+    merged = ingest.read_store_cms(spark, store)
+    whole = SK.cms_build(
+        spark.read.parquet(f"{store}/corpus").select("source"),
+        "source", width=64, depth=3,
+    )
+    mcells = sorted(
+        (r["row"], r["idx"], r["cnt"])
+        for r in merged.collect() if r["row"] >= 0
+    )
+    wcells = sorted(
+        (r["row"], r["idx"], r["cnt"])
+        for r in whole.collect() if r["row"] >= 0
+    )
+    assert mcells == wcells
+    probe = spark.createDataFrame(
+        [(1, "web"), (2, "books"), (3, "absent")], "id long, v string"
+    )
+    est = {
+        r["id"]: r["est_count"]
+        for r in SK.cms_query(
+            probe, "id", "v", merged, width=64, depth=3
+        ).collect()
+    }
+    assert est[1] >= 2 and est[2] >= 2 and est[3] >= 0
+
+
+def test_run_ingest_cycle_cms_backfills_uncovered_cycles(spark, tmp_path):
+    """Enabling cms_col on an EXISTING store must backfill the
+    sketch for prior cycles from the corpus partitions — a partial
+    tree would silently under-count, voiding est >= true."""
+    import os
+
+    from timebox_spark.operators import sketches as SK
+
+    store = str(tmp_path / "cms_backfill_store")
+    ingest.run_ingest_cycle(
+        spark.createDataFrame(
+            [(10, "alpha one", "web"), (11, "beta two", "web")],
+            "doc_id long, text string, source string",
+        ),
+        store, 0, near_dup=False,  # stats NOT enabled
+    )
+    assert not os.path.isdir(f"{store}/cms")
+    ingest.run_ingest_cycle(
+        spark.createDataFrame(
+            [(20, "gamma three", "books")],
+            "doc_id long, text string, source string",
+        ),
+        store, 1, near_dup=False,
+        cms_col="source", cms_width=64, cms_depth=3,
+    )
+    dirs = sorted(
+        d for d in os.listdir(f"{store}/cms") if d.startswith("cycle=")
+    )
+    assert dirs == ["cycle=0", "cycle=1"], dirs
+    merged = ingest.read_store_cms(spark, store)
+    probe = spark.createDataFrame([(1, "web")], "id long, v string")
+    est = SK.cms_query(probe, "id", "v", merged, 64, 3).collect()[0][
+        "est_count"
+    ]
+    assert est >= 2  # covers the backfilled cycle-0 rows
+
+
+def test_read_store_cms_raises_when_absent(spark, tmp_path):
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        ingest.read_store_cms(spark, str(tmp_path / "no_store"))
+
+
+def test_curate_and_ingest_stream_forwards_cms(spark, tmp_path):
+    """The entrypoint carries cms_col through curation (carry_cols)
+    and the sink keeps it through run_ingest_cycle — the cms tree
+    reflects kept docs only (gated docs never counted)."""
+    import pyspark.sql.types as T
+
+    from timebox_spark.operators import sketches as SK
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps "
+        "running through the long meadow toward the river bank"
+    )
+    other = (
+        "completely different subject matter about integer codecs "
+        "and columnar storage layouts with delta encoding schemes"
+    )
+    rows = [(10, base, "web"), (11, other, "books"),
+            (12, "short", "web")]  # gated: too few tokens
+    src = str(tmp_path / "raw_docs_cms")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(src)
+    store = str(tmp_path / "store_cms")
+    q = ingest.curate_and_ingest_stream(
+        stream, store, str(tmp_path / "ck_cms"),
+        min_quality_q=0, min_tokens=6, near_dup=False,
+        cms_col="source", cms_width=64, cms_depth=3,
+    ).start()
+    q.awaitTermination()
+    kept = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{store}/corpus").collect()
+    }
+    assert kept == {10, 11}, kept
+    merged = ingest.read_store_cms(spark, store)
+    probe = spark.createDataFrame(
+        [(1, "web"), (2, "books")], "id long, v string"
+    )
+    est = {
+        r["id"]: r["est_count"]
+        for r in SK.cms_query(probe, "id", "v", merged, 64, 3).collect()
+    }
+    # doc 12 was gated: 'web' counts exactly once among kept docs
+    # (est can only over-count via hash collisions, absent at this
+    # fill factor with 2 values in a 64x3 sketch)
+    assert est[1] == 1 and est[2] == 1, est

@@ -273,3 +273,11 @@ class CurationAPI:
         return cms_heavy_hitters(
             candidates, id_col, col, cms, min_count, **kw
         )
+
+    def corpus_frequencies(self, store_path: str, **kw) -> DataFrame:
+        """The merged count-min sketch of an ingest store's cms tree
+        (streaming.ingest.read_store_cms) — corpus-horizon frequency /
+        heavy-hitter queries without rescanning corpus text."""
+        from timebox_spark.streaming.ingest import read_store_cms
+
+        return read_store_cms(self.spark, store_path, **kw)

@@ -57,6 +57,7 @@ def pagerank(
     damping_num: int = DAMPING_NUM,
     damping_den: int = DAMPING_DEN,
     unit: int = RANK_UNIT,
+    weight: str | None = None,
     owned_rdds: list | None = None,
 ) -> DataFrame:
     """Fixed-point PageRank: returns (node, rank) after exactly
@@ -74,8 +75,17 @@ def pagerank(
     - every node's new rank = ``(unit·(dd−dn)) DIV dd`` (the teleport
       term) + dangling share + incoming contributions.
 
+    ``weight`` names an edge column of POSITIVE INTEGERS (e.g. link
+    counts between domains — the aggregated form of a multigraph):
+    the out-flow splits proportionally, each edge contributing
+    ``(rank_s · dn · w) DIV (dd · W_s)`` with W_s the source's weight
+    sum. Unweighted is exactly the weighted form at w = 1. Weights
+    are validated up front (loud raise on NULL/< 1; the column must
+    already be an integral type — fractional weights should be
+    pre-scaled to integers by the caller, preserving exactness).
+
     Nodes = distinct(src) ∪ distinct(dst); parallel edges contribute
-    once EACH (weighted-multigraph semantics — dedup first for simple
+    once EACH (multigraph semantics — dedup first for simple
     graphs); self-loops are ordinary edges. Deterministic on any
     engine/partitioning: integer sums are exact and floor division is
     defined, so the DuckDB oracle (``duckdb_pagerank_sql``) matches
@@ -83,11 +93,11 @@ def pagerank(
 
     Overflow is checked loudly up front: the theoretical rank bound is
     total mass n_nodes·unit, and the hottest intermediate is
-    ``rank·dn``, so n_nodes·unit·dn must stay under 2^63 (at the
-    default unit=1e9 that allows ~5·10^8 nodes — far above any
-    domain-graph cardinality; pass a smaller ``unit`` for document
-    graphs beyond that). ANSI mode would also throw mid-iteration, but
-    the precondition names the fix.
+    ``rank·dn·w``, so n_nodes·unit·dn·max_w must stay under 2^63 (at
+    the default unit=1e9 that allows ~5·10^8 unweighted nodes — far
+    above any domain-graph cardinality; pass a smaller ``unit`` for
+    document graphs or heavy weights beyond that). ANSI mode would
+    also throw mid-iteration, but the precondition names the fix.
 
     ``owned_rdds``: pass a list to receive the localCheckpoint RDD
     handles for per-owner cleanup (``dedup.unpersist_owned``) after
@@ -98,13 +108,27 @@ def pagerank(
 
     if iterations < 0:
         raise ValueError("pagerank: iterations must be >= 0")
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    w_col = F.col(weight) if weight is not None else F.lit(1)
+    e = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        w_col.cast("long").alias("w"),
+    )
+    if weight is not None:
+        wtype = dict(edges.dtypes).get(weight, "")
+        if wtype not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"pagerank: weight column {weight!r} has type {wtype} "
+                f"— weights must be positive INTEGERS (pre-scale "
+                f"fractional weights; float arithmetic would break the "
+                f"exact fixed-point guarantee)"
+            )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    deg = out_degrees(e, "src")
+    deg = e.groupBy("src").agg(F.sum("w").alias("wsum"))
     # edges+degree is re-scanned every iteration — checkpoint ONCE so
     # each round reads materialized blocks, not the derivation.
     edges_deg = _tracked_local_checkpoint(
@@ -118,11 +142,26 @@ def pagerank(
     n_nodes = nodes.count()
     if n_nodes == 0:
         return nodes.select("node", F.lit(0).cast("long").alias("rank"))
-    if n_nodes * unit > (2**63 - 1) // max(damping_num, 1):
+    wrow = e.agg(
+        F.min("w").alias("min_w"), F.max("w").alias("max_w")
+    ).collect()[0]
+    min_w = wrow["min_w"] if wrow["min_w"] is not None else 1
+    max_w = wrow["max_w"] if wrow["max_w"] is not None else 1
+    if weight is not None and (
+        min_w < 1 or e.filter(F.col("w").isNull()).limit(1).count()
+    ):
         raise ValueError(
-            f"pagerank: n_nodes·unit·damping_num = "
-            f"{n_nodes}·{unit}·{damping_num} would overflow BIGINT — "
-            f"pass a smaller unit (rank resolution) for this graph size"
+            f"pagerank: weight column {weight!r} carries NULL or "
+            f"non-positive values (min {min_w}) — weights must be "
+            f">= 1 (a zero/negative out-flow is undefined; drop or "
+            f"clamp such edges first)"
+        )
+    if n_nodes * unit > (2**63 - 1) // max(damping_num * max_w, 1):
+        raise ValueError(
+            f"pagerank: n_nodes·unit·damping_num·max_w = "
+            f"{n_nodes}·{unit}·{damping_num}·{max_w} would overflow "
+            f"BIGINT — pass a smaller unit (rank resolution) for this "
+            f"graph/weight size"
         )
     base = (unit * (damping_den - damping_num)) // damping_den
     ranks = nodes.select(
@@ -136,7 +175,7 @@ def pagerank(
             .select(
                 F.col("dst").alias("node"),
                 F.expr(
-                    f"(rank * {damping_num}) DIV ({damping_den} * deg)"
+                    f"(rank * {damping_num} * w) DIV ({damping_den} * wsum)"
                 ).alias("c"),
             )
             .groupBy("node")
@@ -177,6 +216,7 @@ def duckdb_pagerank_sql(
     damping_num: int = DAMPING_NUM,
     damping_den: int = DAMPING_DEN,
     unit: int = RANK_UNIT,
+    weighted: bool = False,
 ) -> str:
     """DuckDB oracle for :func:`pagerank`, UNROLLED as one
     MATERIALIZED CTE per iteration (the q68 lesson: DuckDB inlines
@@ -184,15 +224,17 @@ def duckdb_pagerank_sql(
     quadratic; AS MATERIALIZED pins each round to run once). The SQL
     is rendered from the SAME constants as the Spark loop — repo
     oracle convention — so ranks compare bit-for-bit. ``edges_sql``
-    must select columns (src, dst). ``//`` is DuckDB floor division,
-    matching Spark's DIV on the non-negative operands used here.
-    Yields SELECT (node, rank)."""
+    must select columns (src, dst) — plus an integer weight column
+    ``w`` when ``weighted=True`` (the unweighted form is w = 1).
+    ``//`` is DuckDB floor division, matching Spark's DIV on the
+    non-negative operands used here. Yields SELECT (node, rank)."""
     dn, dd = damping_num, damping_den
     base = (unit * (dd - dn)) // dd
+    w_sel = "w" if weighted else "1 AS w"
     parts = [
-        f"__e AS MATERIALIZED (SELECT src, dst FROM ({edges_sql}))",
-        "__deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM __e GROUP BY src)",
-        "__ed AS MATERIALIZED (SELECT e.src, e.dst, d.deg FROM __e e JOIN __deg d ON e.src = d.src)",
+        f"__e AS MATERIALIZED (SELECT src, dst, {w_sel} FROM ({edges_sql}))",
+        "__deg AS MATERIALIZED (SELECT src, SUM(w) AS wsum FROM __e GROUP BY src)",
+        "__ed AS MATERIALIZED (SELECT e.src, e.dst, e.w, d.wsum FROM __e e JOIN __deg d ON e.src = d.src)",
         "__nodes AS MATERIALIZED (SELECT DISTINCT node FROM "
         "(SELECT src AS node FROM __e UNION SELECT dst FROM __e))",
         "__n AS MATERIALIZED (SELECT count(*) AS cnt FROM __nodes)",
@@ -206,7 +248,7 @@ def duckdb_pagerank_sql(
          CAST({base} AS BIGINT) + d.share + COALESCE(c.in_sum, 0) AS rank
   FROM __nodes n
   LEFT JOIN (
-    SELECT e.dst AS node, SUM((p.rank * {dn}) // ({dd} * e.deg)) AS in_sum
+    SELECT e.dst AS node, SUM((p.rank * {dn} * e.w) // ({dd} * e.wsum)) AS in_sum
     FROM __ed e JOIN {p} p ON e.src = p.node
     GROUP BY e.dst
   ) c ON n.node = c.node

@@ -862,6 +862,9 @@ def curate_and_ingest_stream(
     keep: str = "chain",
     bloom_m: int | None = 1 << 24,
     bloom_k: int = 5,
+    cms_col: str | None = None,
+    cms_width: int = 1024,
+    cms_depth: int = 4,
 ):
     """The end-to-end streaming ingest entrypoint: raw document
     stream → ``curate_stream``'s stateless annotate/gate/redact →
@@ -932,7 +935,16 @@ def curate_and_ingest_stream(
     round-14 notes). Size ``bloom_m`` ≈ 10 bits per expected corpus
     doc to hold the design fpr; ``bloom_m=None`` disables the gate.
     ``keep='cluster'`` routes the within-batch drop through
-    ``{store}/_scratch`` (distributed, zero collect)."""
+    ``{store}/_scratch`` (distributed, zero collect).
+
+    ``cms_col``/``cms_width``/``cms_depth`` (round 14) forward the
+    count-min stats tree: the named input column (e.g. ``source``)
+    is carried through curation and sketched per cycle into
+    ``{store}/cms`` — corpus-horizon frequency / heavy-hitter queries
+    without a corpus rescan (``read_store_cms``)."""
+    carry: tuple[str, ...] = (ts_col,) if stream_near_dup else ()
+    if cms_col is not None and cms_col not in (id_col, text_col):
+        carry = carry + (cms_col,)
     curated = curate_stream(
         stream,
         id_col=id_col,
@@ -941,14 +953,17 @@ def curate_and_ingest_stream(
         min_quality_q=min_quality_q,
         min_tokens=min_tokens,
         classifier_min_score=classifier_min_score,
-        carry_cols=(ts_col,) if stream_near_dup else (),
+        carry_cols=carry,
     )
     hits_path = f"{store_path}/near_hits"
+    batch_cols = [id_col, text_col]
+    if cms_col is not None and cms_col not in batch_cols:
+        batch_cols.append(cms_col)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        batch = batch_df.select(id_col, text_col)
+        batch = batch_df.select(*batch_cols)
         if stream_near_dup:
             from pyspark.errors import AnalysisException
 
@@ -978,6 +993,9 @@ def curate_and_ingest_stream(
             keep=keep,
             bloom_m=bloom_m,
             bloom_k=bloom_k,
+            cms_col=cms_col,
+            cms_width=cms_width,
+            cms_depth=cms_depth,
         )
 
     ingest_writer = (
@@ -1164,6 +1182,11 @@ def _store_tree_paths(store_path: str) -> dict[str, str]:
         # consolidation folds it like the others (rows merge at read
         # time via bit_or, so folded duplicates of a word are fine)
         "bloom": f"{store_path}/bloom",
+        # count-min frequency sketch of a kept-row column (round 14)
+        # — only written when run_ingest_cycle(cms_col=...) is set;
+        # folded duplicates of a cell are fine (reads re-SUM via
+        # cms_merge / cms_query's defensive aggregation)
+        "cms": f"{store_path}/cms",
     }
 
 
@@ -1280,6 +1303,28 @@ def consolidate_ingest_store(
     fs.delete(fs_path(f"{store_path}/_tmp_consolidate"), True)
 
 
+def read_store_cms(
+    spark: SparkSession, store_path: str, upto_cycle: int | None = None
+) -> DataFrame:
+    """The merged count-min sketch of an ingest store's ``{store}/cms``
+    tree (``run_ingest_cycle(cms_col=...)``): per-cycle sketches
+    summed cell-wise by ``cms_merge`` — exact, so the result equals
+    the sketch of the whole kept corpus. Feed it to
+    ``sketches.cms_query`` / ``cms_heavy_hitters`` with the build-time
+    (width, depth); the embedded sentinels raise on a mismatch.
+    ``upto_cycle`` bounds the horizon (cycles <= it); default is the
+    whole tree. Raises if the tree does not exist (stats were never
+    enabled) — an empty answer would read as 'frequency 0 for
+    everything', the silent under-count the structure forbids."""
+    from timebox_spark.operators.sketches import cms_merge
+
+    paths = _store_tree_paths(store_path)
+    df = spark.read.parquet(paths["cms"])  # AnalysisException if absent
+    if upto_cycle is not None and "cycle" in df.columns:
+        df = df.filter(F.col("cycle") <= upto_cycle)
+    return cms_merge(df.drop("cycle"))
+
+
 def run_ingest_cycle(
     new_batch: DataFrame,
     store_path: str,
@@ -1296,6 +1341,9 @@ def run_ingest_cycle(
     keep: str = "chain",
     bloom_m: int | None = None,
     bloom_k: int = 5,
+    cms_col: str | None = None,
+    cms_width: int = 1024,
+    cms_depth: int = 4,
 ) -> int:
     """One steady-state compaction cycle against ON-DISK corpus state
     — the production composition the per-DataFrame pieces build up
@@ -1346,7 +1394,20 @@ def run_ingest_cycle(
     shuffles the full fingerprint tree every cycle at 100 TB. Kept
     results are bit-identical with or without the gate; size m to the
     expected corpus (~10 bits/doc for 1% fpr) and keep it under the
-    broadcast budget."""
+    broadcast budget.
+
+    ``cms_col`` (round 14) maintains a sixth state tree
+    ``{store}/cms``: the per-cycle count-min frequency sketch
+    (``sketches.cms_build`` at ``cms_width`` × ``cms_depth``) of the
+    named KEPT-row column — typically the source or registrable
+    domain — so "how often has this domain appeared in the corpus so
+    far?" is answerable at ANY time from O(cells) rows via
+    ``read_store_cms`` + ``cms_query``/``cms_heavy_hitters``, never
+    by rescanning corpus text. Coverage is backfilled like the Bloom
+    tree's (a sketch tree missing cycles would silently UNDER-count,
+    voiding the est ≥ true guarantee); consolidation folds it with
+    the other trees (duplicate cells re-SUM exactly at read time).
+    Purely observational — kept results are unaffected."""
     from pyspark.errors import AnalysisException
 
     from timebox_spark.operators.dedup import (
@@ -1412,6 +1473,40 @@ def run_ingest_cycle(
         prior_bloom = read_prior("bloom")
         if prior_bloom is not None:
             bloom = bloom_merge(prior_bloom)
+    if cms_col is not None:
+        from timebox_spark.operators.sketches import cms_build
+
+        # COVERAGE backfill, the bloom-tree rule: a cms tree missing
+        # some corpus cycles (stats enabled on an existing store, or
+        # a crash between the corpus and cms writes) would silently
+        # UNDER-count — the one failure the structure promises away.
+        # Rebuild missing cycles from the corpus partitions; parquet
+        # column pruning reads only cms_col, never the text.
+        fs_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+        fs = fs_path(store_path).getFileSystem(
+            spark.sparkContext._jsc.hadoopConfiguration()
+        )
+        corpus_cycles = {
+            n
+            for n in _part_dir_ids(fs, fs_path, paths["corpus"], "cycle")
+            if n < cycle_id
+        }
+        cms_cycles = {
+            n
+            for n in _part_dir_ids(fs, fs_path, paths["cms"], "cycle")
+            if n < cycle_id
+        }
+        for mcyc in sorted(corpus_cycles - cms_cycles):
+            cms_build(
+                spark.read.parquet(
+                    f"{paths['corpus']}/cycle={mcyc}"
+                ).select(cms_col),
+                cms_col,
+                cms_width,
+                cms_depth,
+            ).write.mode("overwrite").parquet(
+                f"{paths['cms']}/cycle={mcyc}"
+            )
     banded = read_prior("banded") if near_dup else None
     sets = read_prior("sets") if near_dup else None
     # a missing index on a near_dup cycle (first cycle, or exact-only
@@ -1470,6 +1565,12 @@ def run_ingest_cycle(
             bloom_m,
             bloom_k,
         ).write.mode("overwrite").parquet(f"{paths['bloom']}/{cyc}")
+    if cms_col is not None:
+        from timebox_spark.operators.sketches import cms_build
+
+        cms_build(
+            kept_disk.select(cms_col), cms_col, cms_width, cms_depth
+        ).write.mode("overwrite").parquet(f"{paths['cms']}/{cyc}")
     if near_dup:
         nb, ns = build_corpus_index(
             kept_disk, id_col, text_col, num_perm, bands, shingle_n,
