@@ -124,6 +124,7 @@ def test_domain_blocklist_literal_and_broadcast_paths_agree(spark):
         (3, "http://spam77.com/y"),            # blocked (apex)
         (4, "http://notspam77.com/z"),         # NOT blocked (different apex)
         (5, "https://x.ads3.net:8443/q"),      # blocked
+        (6, None),                             # NULL url: KEPT, both paths
     ]
     df = spark.createDataFrame(rows, "doc_id long, url string")
     blocked = ["SPAM77.com", "ads3.net"]
@@ -138,7 +139,10 @@ def test_domain_blocklist_literal_and_broadcast_paths_agree(spark):
             df, "url", blocked, max_literal=0
         ).collect()
     }
-    assert lit_kept == join_kept == {1, 4}
+    # NULL must not flip outcome with blocklist SIZE (round-14 review:
+    # ~isin on a NULL domain evaluates NULL and filter() dropped it,
+    # while the anti-join path kept it)
+    assert lit_kept == join_kept == {1, 4, 6}
 
 
 def test_url_ops_are_map_only_expressions(spark):

@@ -1853,6 +1853,7 @@ def incremental_exact_dedup(
     corpus_bloom: DataFrame | None = None,
     bloom_m: int = 1 << 20,
     bloom_k: int = 5,
+    owned_rdds: list | None = None,
 ) -> DataFrame:
     """Incremental ingest dedup: rows of ``new_batch`` whose
     normalized-text fingerprint appears nowhere in the existing
@@ -1889,7 +1890,17 @@ def incremental_exact_dedup(
     (``sketches.BloomBroadcastBudgetError``) degrades to the
     SHUFFLE-probe strategy with a warning — the gate survives past
     broadcast scale (the sketch side is ~bits/32 narrow rows, far
-    below the fps tree) instead of OOMing the driver."""
+    below the fps tree) instead of OOMing the driver.
+
+    ``owned_rdds`` (round-14 review): the gated plan references the
+    probe result twice, and Spark does not reuse the exchange (the
+    maybe_present filters push down differently per branch — measured
+    ReusedExchange=0) — pass a list to localCheckpoint the
+    batch-bounded probe ONCE, tracked for per-owner cleanup
+    (``unpersist_owned``) after the result has been fully consumed.
+    Without it the probe subplan (batch md5 fan-out + two small
+    shuffles) evaluates per reference — correct, just duplicated
+    map-side work."""
     fp = F.md5(F.encode(normalize_text(text_col), "UTF-8"))
     batch_fp = new_batch.withColumn("__fp", fp)
     if corpus_fps is not None:
@@ -1939,10 +1950,11 @@ def incremental_exact_dedup(
                 bloom_k, strategy="shuffle",
             )
     if probe is not None:
-        gated = batch_fp.join(probe, "__fp", "left")
-        mp = F.coalesce(F.col("maybe_present"), F.lit(False))
-        definite_new = gated.filter(~mp).drop("maybe_present")
-        maybe = gated.filter(mp).drop("maybe_present")
+        if owned_rdds is not None:
+            # the probe result is referenced by two plan branches and
+            # the exchanges are NOT reused (filters differentiate the
+            # subtrees) — materialize the batch-bounded probe once
+            probe = _tracked_local_checkpoint(probe, owned_rdds)
         # shuffle-FREE corpus side (round-14, the round-13 `weak`):
         # maybe.join(corpus_fp, left_anti) built on the RIGHT, so any
         # non-empty maybe set still shuffled the ENTIRE fingerprint
@@ -1950,20 +1962,32 @@ def incremental_exact_dedup(
         # by construction (true dups + sketch fpr of the batch), so
         # invert the build sides with two broadcasts: (a) fps ⋉
         # broadcast(maybe fps) — fps is the STREAMED side, map-only,
-        # zero shuffle at any corpus size; (b) maybe ⋈̸
-        # broadcast(present) — present ⊆ maybe's fps, batch-bounded
-        # even when the sketch saturates (fpr → 1 degrades cost to
-        # the batch size, never to the corpus). distinct() AFTER the
+        # zero shuffle at any corpus size; (b) one broadcast left
+        # join of the gated batch against the present set with a
+        # keep-filter — present ⊆ maybe's fps, batch-bounded even
+        # when the sketch saturates (fpr → 1 degrades cost to the
+        # batch size, never to the corpus). distinct() AFTER the
         # semi-join so its exchange moves the maybe-sized output, not
         # the tree (kept-doc fps are unique anyway; this guards a
-        # caller-supplied corpus_fps with duplicates).
+        # caller-supplied corpus_fps with duplicates). Single-pass
+        # shape (round-14 review): the old definite/maybe split +
+        # anti-join union referenced the probe THREE times; this
+        # references it twice (once via gated, once via maybe_fps).
         maybe_fps = probe.filter(F.col("maybe_present")).select("__fp")
         present = (
             corpus_fp_raw.join(F.broadcast(maybe_fps), "__fp", "left_semi")
             .distinct()
         )
-        fresh = definite_new.unionByName(
-            maybe.join(F.broadcast(present), "__fp", "left_anti")
+        gated = batch_fp.join(probe, "__fp", "left")
+        mp = F.coalesce(F.col("maybe_present"), F.lit(False))
+        fresh = (
+            gated.join(
+                F.broadcast(present.withColumn("__in_corpus", F.lit(True))),
+                "__fp",
+                "left",
+            )
+            .filter(~mp | F.col("__in_corpus").isNull())
+            .drop("maybe_present", "__in_corpus")
         )
     else:
         fresh = batch_fp.join(

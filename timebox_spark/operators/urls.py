@@ -148,13 +148,18 @@ def domain_blocklist_filter(
     """Drop rows whose canonical host's registrable domain is in
     ``blocked`` (lowercased). Small lists become a literal ``isin``
     (pure map-side filter); larger ones a broadcast LEFT ANTI join —
-    either way zero data-sized shuffle."""
+    either way zero data-sized shuffle. A NULL url (or one with no
+    extractable domain) is KEPT on both paths: the anti-join keeps it
+    naturally (NULL never matches a join key), and the isin path
+    keeps it explicitly — ``~isin`` alone evaluates NULL and filter()
+    would silently drop the row, flipping the outcome with blocklist
+    SIZE (round-14 review)."""
     dom = registrable_domain(url_host(url_col))
     norm = [b.lower() for b in blocked]
     if not norm:
         return df
     if len(norm) <= max_literal:
-        return df.filter(~dom.isin(norm))
+        return df.filter(dom.isNull() | ~dom.isin(norm))
     bl = df.sparkSession.createDataFrame(
         [(b,) for b in norm], "__dom string"
     )

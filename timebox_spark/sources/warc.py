@@ -469,6 +469,7 @@ def http_range_fetch(
     semantics match the local backend's; 200-instead-of-206 raises
     :class:`RangeUnsupportedError` without retry (systemic, not
     transient)."""
+    import http.client
     import socket
     import time as _time
     from urllib.error import HTTPError, URLError
@@ -492,11 +493,16 @@ def http_range_fetch(
                     )
                 data = resp.read()
             if len(data) != length:
-                raise IOError(
-                    f"{path}: ranged GET returned {len(data)} bytes, "
-                    f"expected {length} (offset {offset})"
-                )
-            return data
+                # a truncated body is as transient as a dropped
+                # connection (round-14 review) — retry it too
+                if attempt >= n_retries:
+                    raise IOError(
+                        f"{path}: ranged GET returned {len(data)} bytes, "
+                        f"expected {length} (offset {offset})"
+                    )
+                wait = backoff * (2.0 ** attempt)
+            else:
+                return data
         except HTTPError as e:
             if e.code not in _HTTP_RETRY_STATUSES or attempt >= n_retries:
                 raise
@@ -506,10 +512,18 @@ def http_range_fetch(
                 wait = min(float(retry_after), _HTTP_RETRY_AFTER_CAP_S)
             except (TypeError, ValueError):
                 wait = backoff * (2.0 ** attempt)
-        except (URLError, socket.timeout, ConnectionError) as e:
-            # URLError wraps DNS/refused/timeout; a URLError whose
+        except (
+            URLError,
+            socket.timeout,
+            ConnectionError,
+            http.client.HTTPException,
+        ) as e:
+            # URLError wraps DNS/refused/timeout; HTTPException covers
+            # the mid-body faults urlopen does NOT wrap —
+            # IncompleteRead from resp.read(), BadStatusLine,
+            # RemoteDisconnected (round-14 review). A URLError whose
             # reason is our own RangeUnsupportedError never occurs
-            # (raised outside urlopen), so everything here is network
+            # (raised outside urlopen), so everything here is network.
             if attempt >= n_retries:
                 raise
             wait = backoff * (2.0 ** attempt)
@@ -595,6 +609,7 @@ def read_warc_ranges(
         rdf = ranges.select("path", "offset", "length")
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import http.client as _http
         from urllib.parse import unquote, urlparse
 
         for pdf in batches:
@@ -621,7 +636,11 @@ def read_warc_ranges(
                             return f_(p, o, ln)
                         except RangeUnsupportedError:
                             raise  # systemic — loud even under skip
-                        except OSError:
+                        except (OSError, _http.client.HTTPException):
+                            # HTTPException: a mid-body fault that
+                            # exhausted http_range_fetch's retries
+                            # (IncompleteRead etc.) — same skip
+                            # semantics as any other per-span failure
                             if on_error == "raise":
                                 raise
                             return None
@@ -638,7 +657,7 @@ def read_warc_ranges(
                                 blob = f_(p, go, gln)
                             except RangeUnsupportedError:
                                 raise
-                            except OSError:
+                            except (OSError, _http.client.HTTPException):
                                 blob = None
                             if blob is not None:
                                 datas = [

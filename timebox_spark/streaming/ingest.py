@@ -454,6 +454,7 @@ def compact_corpus(
     corpus_bloom: DataFrame | None = None,
     bloom_m: int = 1 << 20,
     bloom_k: int = 5,
+    exact_owned_rdds: list | None = None,
 ) -> DataFrame:
     """The batch half of the ingest lambda split ``curate_stream``
     documents: given the rows a streaming window accumulated
@@ -577,6 +578,12 @@ def compact_corpus(
         corpus_bloom=corpus_bloom,
         bloom_m=bloom_m,
         bloom_k=bloom_k,
+        # probe materialization (round-14 review): ONLY when the
+        # caller owns the lifecycle — the returned plan then carries
+        # the probe checkpoint's lineage, and the owner unpersists
+        # after fully consuming it (run_ingest_cycle does, after its
+        # corpus partition commits)
+        owned_rdds=exact_owned_rdds,
     )
     if not near_dup:
         return kept
@@ -943,7 +950,12 @@ def curate_and_ingest_stream(
     ``{store}/cms`` — corpus-horizon frequency / heavy-hitter queries
     without a corpus rescan (``read_store_cms``)."""
     carry: tuple[str, ...] = (ts_col,) if stream_near_dup else ()
-    if cms_col is not None and cms_col not in (id_col, text_col):
+    if cms_col is not None and cms_col not in (id_col, text_col) and (
+        cms_col not in carry
+    ):
+        # the containment checks matter: cms_col == ts_col (sketching
+        # event-time buckets) would otherwise carry the column twice
+        # and the sink's select would die on AMBIGUOUS_REFERENCE
         carry = carry + (cms_col,)
     curated = curate_stream(
         stream,
@@ -1169,6 +1181,39 @@ def fold_near_dup_hits(
             # rows forever (NULL ts is never pruned)
             merge_schema=True,
         )
+
+
+def _backfill_tree(
+    spark: SparkSession,
+    store_path: str,
+    src_path: str,
+    dst_path: str,
+    cycle_id: int,
+    build_fn,
+) -> None:
+    """COVERAGE backfill shared by the sketch state trees (round-14
+    review: the bloom and cms blocks were hand-mirrored copies): every
+    ``cycle=N`` (N < cycle_id) present under ``src_path`` but missing
+    under ``dst_path`` is rebuilt by ``build_fn(partition_df)`` and
+    written to the dst partition. Deterministic and idempotent;
+    cycles < cycle_id can no longer replay, so writing them is safe.
+    A sketch tree missing source cycles would otherwise probe/count
+    as if those rows never existed — the silent failure both sketches
+    exist to prevent."""
+    fs_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    fs = fs_path(store_path).getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    )
+    src_cycles = {
+        n for n in _part_dir_ids(fs, fs_path, src_path, "cycle") if n < cycle_id
+    }
+    dst_cycles = {
+        n for n in _part_dir_ids(fs, fs_path, dst_path, "cycle") if n < cycle_id
+    }
+    for mcyc in sorted(src_cycles - dst_cycles):
+        build_fn(
+            spark.read.parquet(f"{src_path}/cycle={mcyc}")
+        ).write.mode("overwrite").parquet(f"{dst_path}/cycle={mcyc}")
 
 
 def _store_tree_paths(store_path: str) -> dict[str, str]:
@@ -1443,70 +1488,65 @@ def run_ingest_cycle(
         # cycles run with bloom_m=None, or a crash between the fps
         # and bloom writes of an un-replayed cycle) would probe
         # negative for a fingerprint that lives only in an uncovered
-        # cycle and silently re-admit the exact duplicate. Backfill
-        # missing cycles from the narrow fps partitions (deterministic
-        # and idempotent; cycles < cycle_id can no longer replay, so
-        # writing their sketch partitions is safe).
-        fs_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
-        fs = fs_path(store_path).getFileSystem(
-            spark.sparkContext._jsc.hadoopConfiguration()
+        # cycle and silently re-admit the exact duplicate.
+        _backfill_tree(
+            spark, store_path, paths["fps"], paths["bloom"], cycle_id,
+            lambda df: bloom_build(df, "__fp", bloom_m, bloom_k),
         )
-        fps_cycles = {
-            n
-            for n in _part_dir_ids(fs, fs_path, paths["fps"], "cycle")
-            if n < cycle_id
-        }
-        bloom_cycles = {
-            n
-            for n in _part_dir_ids(fs, fs_path, paths["bloom"], "cycle")
-            if n < cycle_id
-        }
-        for mcyc in sorted(fps_cycles - bloom_cycles):
-            bloom_build(
-                spark.read.parquet(f"{paths['fps']}/cycle={mcyc}"),
-                "__fp",
-                bloom_m,
-                bloom_k,
-            ).write.mode("overwrite").parquet(
-                f"{paths['bloom']}/cycle={mcyc}"
-            )
         prior_bloom = read_prior("bloom")
         if prior_bloom is not None:
             bloom = bloom_merge(prior_bloom)
     if cms_col is not None:
-        from timebox_spark.operators.sketches import cms_build
+        import warnings
+
+        from timebox_spark.operators.sketches import _cms_stats, cms_build
+
+        # GEOMETRY check every cycle (round-14 review): the bloom
+        # tree is implicitly validated because bloom_merge reads it
+        # each cycle, but nothing reads the cms tree during ingest —
+        # a mid-stream cms_width/depth change would silently write
+        # mixed-geometry partitions poisoning the whole tree. The
+        # sentinel scan raises on the FIRST mismatched cycle instead.
+        prior_cms = read_prior("cms")
+        if prior_cms is not None:
+            _cms_stats(
+                prior_cms, cms_width, cms_depth,
+                "run_ingest_cycle(cms_col=...)",
+            )
+
+        def _cms_from_corpus(df: DataFrame) -> DataFrame:
+            # a pre-cms corpus cycle may predate the column entirely
+            # (store built before stats were enabled with a narrower
+            # batch schema): its rows are honestly uncountable — write
+            # the empty-but-sentineled sketch as the coverage marker
+            # and say so, instead of wedging every subsequent cycle on
+            # an unresolved-column error (round-14 review).
+            if cms_col in df.columns:
+                return cms_build(
+                    df.select(cms_col), cms_col, cms_width, cms_depth
+                )
+            warnings.warn(
+                f"run_ingest_cycle: corpus partition lacks the "
+                f"{cms_col!r} column (written before cms stats were "
+                f"enabled) — its rows cannot be frequency-counted; "
+                f"writing an empty sketch partition so coverage "
+                f"tracking stays consistent",
+                UserWarning,
+                stacklevel=3,
+            )
+            empty = df.sparkSession.createDataFrame(
+                [], f"`{cms_col}` string"
+            )
+            return cms_build(empty, cms_col, cms_width, cms_depth)
 
         # COVERAGE backfill, the bloom-tree rule: a cms tree missing
-        # some corpus cycles (stats enabled on an existing store, or
-        # a crash between the corpus and cms writes) would silently
-        # UNDER-count — the one failure the structure promises away.
-        # Rebuild missing cycles from the corpus partitions; parquet
-        # column pruning reads only cms_col, never the text.
-        fs_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
-        fs = fs_path(store_path).getFileSystem(
-            spark.sparkContext._jsc.hadoopConfiguration()
+        # some corpus cycles would silently UNDER-count — the one
+        # failure the structure promises away. Parquet column pruning
+        # reads only cms_col off the corpus partitions, never text.
+        _backfill_tree(
+            spark, store_path, paths["corpus"], paths["cms"], cycle_id,
+            _cms_from_corpus,
         )
-        corpus_cycles = {
-            n
-            for n in _part_dir_ids(fs, fs_path, paths["corpus"], "cycle")
-            if n < cycle_id
-        }
-        cms_cycles = {
-            n
-            for n in _part_dir_ids(fs, fs_path, paths["cms"], "cycle")
-            if n < cycle_id
-        }
-        for mcyc in sorted(corpus_cycles - cms_cycles):
-            cms_build(
-                spark.read.parquet(
-                    f"{paths['corpus']}/cycle={mcyc}"
-                ).select(cms_col),
-                cms_col,
-                cms_width,
-                cms_depth,
-            ).write.mode("overwrite").parquet(
-                f"{paths['cms']}/cycle={mcyc}"
-            )
     banded = read_prior("banded") if near_dup else None
     sets = read_prior("sets") if near_dup else None
     # a missing index on a near_dup cycle (first cycle, or exact-only
@@ -1520,28 +1560,40 @@ def run_ingest_cycle(
     scratch = (
         f"{store_path}/_scratch/cycle={cycle_id}" if keep == "cluster" else None
     )
-    kept = compact_corpus(
-        new_batch,
-        corpus=None,
-        id_col=id_col,
-        text_col=text_col,
-        near_dup=near_dup,
-        threshold=threshold,
-        num_perm=num_perm,
-        bands=bands,
-        shingle_n=shingle_n,
-        corpus_index=(banded, sets) if near_dup else None,
-        corpus_fps=fps,
-        keep=keep,
-        verify=index_verify,
-        scratch_path=scratch,
-        corpus_bloom=bloom,
-        bloom_m=bloom_m if bloom_m is not None else 1 << 20,
-        bloom_k=bloom_k,
-    )
+    # own the gated-probe checkpoint for this cycle (round-14 review:
+    # without materialization the probe subplan evaluates per plan
+    # branch); unpersisted right after the corpus partition commits —
+    # the fps/index/sketch derivations below re-read the committed
+    # partition, never the kept plan
+    from timebox_spark.operators.dedup import unpersist_owned
 
-    cyc = f"cycle={cycle_id}"
-    kept.write.mode("overwrite").parquet(f"{paths['corpus']}/{cyc}")
+    exact_owned: list = []
+    try:
+        kept = compact_corpus(
+            new_batch,
+            corpus=None,
+            id_col=id_col,
+            text_col=text_col,
+            near_dup=near_dup,
+            threshold=threshold,
+            num_perm=num_perm,
+            bands=bands,
+            shingle_n=shingle_n,
+            corpus_index=(banded, sets) if near_dup else None,
+            corpus_fps=fps,
+            keep=keep,
+            verify=index_verify,
+            scratch_path=scratch,
+            corpus_bloom=bloom,
+            bloom_m=bloom_m if bloom_m is not None else 1 << 20,
+            bloom_k=bloom_k,
+            exact_owned_rdds=exact_owned,
+        )
+
+        cyc = f"cycle={cycle_id}"
+        kept.write.mode("overwrite").parquet(f"{paths['corpus']}/{cyc}")
+    finally:
+        unpersist_owned(exact_owned)
     if scratch is not None:
         # the corpus partition is committed — the dropped-id scratch
         # the kept plan read is no longer referenced by anything
