@@ -1168,3 +1168,54 @@ def test_warc_http_retry_backoff_and_span_coalescing(spark, tmp_path):
         assert len(req_log) == 1 + len(stale), req_log
     finally:
         srv.shutdown()
+
+
+def test_http_range_fetch_retries_incomplete_read(tmp_path):
+    """Round-14 review: a connection dropped MID-BODY raises
+    http.client.IncompleteRead (an HTTPException urlopen does not
+    wrap) — http_range_fetch must retry it like any other transient
+    network fault, and succeed when the next attempt completes."""
+    import http.server
+    import threading
+
+    from timebox_spark.sources import warc
+
+    payload = b"x" * 4096
+    dropped_once: list[str] = []
+
+    class DropMidBodyHandler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            rng = self.headers.get("Range") or ""
+            lo, hi = (int(x) for x in rng.removeprefix("bytes=").split("-"))
+            chunk = payload[lo : hi + 1]
+            self.send_response(206)
+            self.send_header(
+                "Content-Range", f"bytes {lo}-{hi}/{len(payload)}"
+            )
+            self.send_header("Content-Length", str(len(chunk)))
+            self.end_headers()
+            if rng not in dropped_once:
+                dropped_once.append(rng)
+                # advertise the full length but send half and slam the
+                # connection -> client's resp.read() raises
+                # IncompleteRead
+                self.wfile.write(chunk[: len(chunk) // 2])
+                self.wfile.flush()
+                self.connection.close()
+                return
+            self.wfile.write(chunk)
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), DropMidBodyHandler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/anything"
+        data = warc.http_range_fetch(url, 100, 200, backoff_s=0.0)
+        assert data == payload[100:300]
+        assert len(dropped_once) == 1  # exactly one retry happened
+    finally:
+        srv.shutdown()
+        srv.server_close()

@@ -493,16 +493,16 @@ def http_range_fetch(
                     )
                 data = resp.read()
             if len(data) != length:
-                # a truncated body is as transient as a dropped
-                # connection (round-14 review) — retry it too
-                if attempt >= n_retries:
-                    raise IOError(
-                        f"{path}: ranged GET returned {len(data)} bytes, "
-                        f"expected {length} (offset {offset})"
-                    )
-                wait = backoff * (2.0 ** attempt)
-            else:
-                return data
+                # a CLEANLY completed short body is a stale/overlong
+                # range (the server clamped to EOF) — permanent, so no
+                # retry: the caller's per-span fallback handles it.
+                # Transient mid-body truncation raises IncompleteRead
+                # instead, retried below as an HTTPException.
+                raise IOError(
+                    f"{path}: ranged GET returned {len(data)} bytes, "
+                    f"expected {length} (offset {offset})"
+                )
+            return data
         except HTTPError as e:
             if e.code not in _HTTP_RETRY_STATUSES or attempt >= n_retries:
                 raise
@@ -636,7 +636,7 @@ def read_warc_ranges(
                             return f_(p, o, ln)
                         except RangeUnsupportedError:
                             raise  # systemic — loud even under skip
-                        except (OSError, _http.client.HTTPException):
+                        except (OSError, _http.HTTPException):
                             # HTTPException: a mid-body fault that
                             # exhausted http_range_fetch's retries
                             # (IncompleteRead etc.) — same skip
@@ -657,7 +657,7 @@ def read_warc_ranges(
                                 blob = f_(p, go, gln)
                             except RangeUnsupportedError:
                                 raise
-                            except (OSError, _http.client.HTTPException):
+                            except (OSError, _http.HTTPException):
                                 blob = None
                             if blob is not None:
                                 datas = [
