@@ -679,6 +679,49 @@ def main() -> None:
         2,
     )
 
+    # PageRank iteration cost at 1× and 10× docs (round 14): the graph
+    # derives deterministically from doc_id (3 successors per doc over
+    # a doc-count-sized node space — edges ∝ docs), 6 fixed-point
+    # rounds; the ratio shows the per-iteration join+agg scaling with
+    # the edge list, the localCheckpoint latency being the 1× floor
+    def pagerank_timing(d: str) -> dict:
+        from timebox_spark.operators import graphs as G
+        from timebox_spark.operators.dedup import unpersist_owned
+
+        docs = tables_load(spark, d, "documents").select("doc_id")
+        n_docs = docs.count()
+        mod = max(n_docs, 17)
+        edges = docs.select(
+            (F.col("doc_id") % mod).alias("src"),
+            F.explode(
+                F.array(
+                    *[
+                        (F.col("doc_id") * 31 + F.lit(j)) % mod
+                        for j in (1, 2, 3)
+                    ]
+                )
+            ).alias("dst"),
+        )
+        owned: list = []
+        t0 = time.perf_counter()
+        try:
+            G.pagerank(edges, iterations=6, owned_rdds=owned).write.mode(
+                "overwrite"
+            ).format("noop").save()
+        finally:
+            unpersist_owned(owned)
+        return {"sec": round(time.perf_counter() - t0, 3), "docs": n_docs}
+
+    pagerank_stats = {
+        "1x": pagerank_timing(sf_dir),
+        "10x": pagerank_timing(amp_dir),
+    }
+    pagerank_stats["ratio"] = round(
+        pagerank_stats["10x"]["sec"]
+        / max(pagerank_stats["1x"]["sec"], 1e-9),
+        2,
+    )
+
     # estimate-vs-exact verify fidelity at the driver's scale (round-12
     # verdict task 3) — the number behind the production index-tier
     # default documented in SCALE.md
@@ -751,6 +794,7 @@ def main() -> None:
                 "q20_stages": q20_split,
                 "idle_waited_sec": idle_waited,
                 "cc_rounds": cc_stats,
+                "pagerank": pagerank_stats,
                 "index_tier": index_tier,
                 "bloom_gate": bloom_gate,
                 "query_stddev": query_stddev,
@@ -796,6 +840,7 @@ def main() -> None:
                     ),
                     "10x_star_sec": cc_stats.get("10x_star", {}).get("sec"),
                 },
+                "pagerank": pagerank_stats,
                 "index_tier": index_tier,
                 "bloom_gate": bloom_gate,
                 "q25_candidates": {

@@ -197,3 +197,58 @@ def test_pagerank_weight_validation(spark):
     )
     with pytest.raises(ValueError, match="NULL"):
         G.pagerank(ndf, iterations=1, weight="w")
+
+
+def test_personalized_pagerank_matches_duckdb_and_concentrates(spark):
+    """Seeded teleport: mass flows only to the seed set and its link
+    neighborhood — exact parity with the seeded oracle, higher rank
+    near the seed than far from it, and an off-graph seed node still
+    appears in the output."""
+    edges = sorted(
+        {(i % 13, (i * 31 + j) % 17) for i in range(100) for j in (1, 2)}
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(3,), (99,)], "node long")  # 99: off-graph
+    owned: list = []
+    try:
+        pr = dict(
+            (r["node"], r["rank"])
+            for r in G.pagerank(
+                df, iterations=6, seeds=seeds, owned_rdds=owned
+            ).collect()
+        )
+    finally:
+        unpersist_owned(owned)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e(src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", edges)
+    d = dict(
+        con.execute(
+            G.duckdb_pagerank_sql(
+                "SELECT src, dst FROM e",
+                iterations=6,
+                seeds_sql="SELECT 3 AS node UNION ALL SELECT 99",
+            )
+        ).fetchall()
+    )
+    con.close()
+    assert pr == {k: int(v) for k, v in d.items()}
+    assert 99 in pr  # off-graph seed participates
+    # seed 3's direct successors outrank nodes with no path advantage
+    succ = {t for s, t in edges if s == 3}
+    non_succ_non_seed = [
+        n for n in pr
+        if n not in succ and n not in (3, 99) and n >= 13  # dangling tier
+    ]
+    assert min(pr[t] for t in succ) > max(
+        (pr[n] for n in non_succ_non_seed), default=-1
+    ) or not non_succ_non_seed
+    # total mass stays bounded by the uniform initial mass
+    assert sum(pr.values()) <= len(pr) * G.RANK_UNIT
+
+
+def test_personalized_pagerank_empty_seeds_raise(spark):
+    df = spark.createDataFrame([(0, 1)], "src long, dst long")
+    empty = spark.createDataFrame([], "node long")
+    with pytest.raises(ValueError, match="empty seed set"):
+        G.pagerank(df, iterations=1, seeds=empty)

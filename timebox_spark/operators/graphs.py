@@ -58,6 +58,7 @@ def pagerank(
     damping_den: int = DAMPING_DEN,
     unit: int = RANK_UNIT,
     weight: str | None = None,
+    seeds: DataFrame | None = None,
     owned_rdds: list | None = None,
 ) -> DataFrame:
     """Fixed-point PageRank: returns (node, rank) after exactly
@@ -83,6 +84,17 @@ def pagerank(
     are validated up front (loud raise on NULL/< 1; the column must
     already be an integral type — fractional weights should be
     pre-scaled to integers by the caller, preserving exactness).
+
+    ``seeds`` switches to PERSONALIZED PageRank — the topic-focused
+    curation variant (rank domains by proximity to a trusted seed
+    set): a one-column DataFrame of seed nodes; the per-round
+    teleport mass ``(n_nodes·unit·(dd−dn)) DIV dd`` and the dangling
+    pot then flow ONLY to seeds, split evenly (integer DIV n_seeds),
+    so mass concentrates on the seeds' link neighborhoods and
+    unreachable nodes decay toward 0. Seed nodes absent from the
+    edge list still participate (added to the node set); an empty
+    seed set raises. The uniform path is untouched — its arithmetic
+    (and oracle) stays bit-identical.
 
     Nodes = distinct(src) ∪ distinct(dst); parallel edges contribute
     once EACH (multigraph semantics — dedup first for simple
@@ -128,6 +140,13 @@ def pagerank(
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
     )
+    seeds_df = None
+    if seeds is not None:
+        seeds_df = seeds.select(
+            F.col(seeds.columns[0]).alias("node")
+        ).distinct()
+        # seed nodes outside the edge list still receive teleport mass
+        nodes = nodes.unionByName(seeds_df).distinct()
     deg = e.groupBy("src").agg(F.sum("w").alias("wsum"))
     # edges+degree is re-scanned every iteration — checkpoint ONCE so
     # each round reads materialized blocks, not the derivation.
@@ -167,10 +186,27 @@ def pagerank(
     ranks = nodes.select(
         "node", F.lit(int(unit)).cast("long").alias("rank")
     )
-    for _ in range(iterations):
-        contrib = (
+    if seeds_df is not None:
+        flagged = _tracked_local_checkpoint(
+            nodes.join(
+                seeds_df.withColumn("__seed", F.lit(True)), "node", "left"
+            ),
+            owned_rdds,
+        )
+        n_seeds = flagged.filter(F.col("__seed")).count()
+        if n_seeds == 0:
+            raise ValueError(
+                "pagerank: seeds produced an empty seed set — "
+                "personalized teleport mass has nowhere to go"
+            )
+        # whole-graph teleport mass, split over the seeds only
+        ts = ((n_nodes * unit * (damping_den - damping_num))
+              // damping_den) // n_seeds
+
+    def _contrib(r):
+        return (
             edges_deg.join(
-                ranks.select(F.col("node").alias("src"), "rank"), "src"
+                r.select(F.col("node").alias("src"), "rank"), "src"
             )
             .select(
                 F.col("dst").alias("node"),
@@ -181,9 +217,11 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("in_sum"))
         )
+
+    def _pot(r, divisor):
         # pot/n via double would lose exactness past 2^53 — use DIV.
-        pot = (
-            ranks.join(dangling, "node", "left_semi")
+        return (
+            r.join(dangling, "node", "left_semi")
             .agg(
                 F.coalesce(
                     F.sum(
@@ -192,21 +230,41 @@ def pagerank(
                     F.lit(0).cast("long"),
                 ).alias("pot")
             )
-            .select(F.expr(f"pot DIV {n_nodes}").alias("share"))
+            .select(F.expr(f"pot DIV {divisor}").alias("share"))
         )
-        ranks = _tracked_local_checkpoint(
-            nodes.join(contrib, "node", "left")
-            .crossJoin(F.broadcast(pot))  # 1-row scalar, repo convention
-            .select(
-                "node",
-                (
-                    F.lit(int(base)).cast("long")
-                    + F.col("share")
-                    + F.coalesce(F.col("in_sum"), F.lit(0).cast("long"))
-                ).alias("rank"),
-            ),
-            owned_rdds,
-        )
+
+    for _ in range(iterations):
+        if seeds_df is None:
+            ranks = _tracked_local_checkpoint(
+                nodes.join(_contrib(ranks), "node", "left")
+                # 1-row scalar, repo convention
+                .crossJoin(F.broadcast(_pot(ranks, n_nodes)))
+                .select(
+                    "node",
+                    (
+                        F.lit(int(base)).cast("long")
+                        + F.col("share")
+                        + F.coalesce(F.col("in_sum"), F.lit(0).cast("long"))
+                    ).alias("rank"),
+                ),
+                owned_rdds,
+            )
+        else:
+            ranks = _tracked_local_checkpoint(
+                flagged.join(_contrib(ranks), "node", "left")
+                .crossJoin(F.broadcast(_pot(ranks, n_seeds)))
+                .select(
+                    "node",
+                    (
+                        F.when(
+                            F.col("__seed"),
+                            F.lit(int(ts)).cast("long") + F.col("share"),
+                        ).otherwise(F.lit(0).cast("long"))
+                        + F.coalesce(F.col("in_sum"), F.lit(0).cast("long"))
+                    ).alias("rank"),
+                ),
+                owned_rdds,
+            )
     return ranks
 
 
@@ -217,6 +275,7 @@ def duckdb_pagerank_sql(
     damping_den: int = DAMPING_DEN,
     unit: int = RANK_UNIT,
     weighted: bool = False,
+    seeds_sql: str | None = None,
 ) -> str:
     """DuckDB oracle for :func:`pagerank`, UNROLLED as one
     MATERIALIZED CTE per iteration (the q68 lesson: DuckDB inlines
@@ -226,27 +285,63 @@ def duckdb_pagerank_sql(
     oracle convention — so ranks compare bit-for-bit. ``edges_sql``
     must select columns (src, dst) — plus an integer weight column
     ``w`` when ``weighted=True`` (the unweighted form is w = 1).
-    ``//`` is DuckDB floor division, matching Spark's DIV on the
-    non-negative operands used here. Yields SELECT (node, rank)."""
+    ``seeds_sql`` (one column ``node``) renders the PERSONALIZED
+    variant: teleport mass and dangling pot flow only to seeds,
+    ``// n_seeds``. ``//`` is DuckDB floor division, matching Spark's
+    DIV on the non-negative operands used here. Yields SELECT
+    (node, rank)."""
     dn, dd = damping_num, damping_den
     base = (unit * (dd - dn)) // dd
     w_sel = "w" if weighted else "1 AS w"
+    node_src = (
+        "SELECT src AS node FROM __e UNION SELECT dst FROM __e"
+        if seeds_sql is None
+        else "SELECT src AS node FROM __e UNION SELECT dst FROM __e "
+        "UNION SELECT node FROM __seeds"
+    )
     parts = [
         f"__e AS MATERIALIZED (SELECT src, dst, {w_sel} FROM ({edges_sql}))",
         "__deg AS MATERIALIZED (SELECT src, SUM(w) AS wsum FROM __e GROUP BY src)",
         "__ed AS MATERIALIZED (SELECT e.src, e.dst, e.w, d.wsum FROM __e e JOIN __deg d ON e.src = d.src)",
-        "__nodes AS MATERIALIZED (SELECT DISTINCT node FROM "
-        "(SELECT src AS node FROM __e UNION SELECT dst FROM __e))",
+    ]
+    if seeds_sql is not None:
+        parts.append(
+            f"__seeds AS MATERIALIZED (SELECT DISTINCT node FROM ({seeds_sql}))"
+        )
+    parts += [
+        f"__nodes AS MATERIALIZED (SELECT DISTINCT node FROM ({node_src}))",
         "__n AS MATERIALIZED (SELECT count(*) AS cnt FROM __nodes)",
         f"__pr0 AS MATERIALIZED (SELECT node, CAST({unit} AS BIGINT) AS rank FROM __nodes)",
     ]
+    if seeds_sql is not None:
+        parts.append(
+            "__ns AS MATERIALIZED (SELECT count(*) AS cnt FROM __seeds)"
+        )
+        # whole-graph teleport mass split over seeds, all integer
+        parts.append(
+            f"__ts AS MATERIALIZED (SELECT "
+            f"(((SELECT cnt FROM __n) * {unit} * {dd - dn}) // {dd}) "
+            f"// (SELECT cnt FROM __ns) AS ts)"
+        )
+        rank_expr = (
+            "CASE WHEN s.node IS NOT NULL THEN "
+            "(SELECT ts FROM __ts) + d.share ELSE 0 END "
+            "+ COALESCE(c.in_sum, 0)"
+        )
+        seed_join = "LEFT JOIN __seeds s ON n.node = s.node"
+        pot_div = "(SELECT cnt FROM __ns)"
+    else:
+        rank_expr = f"CAST({base} AS BIGINT) + d.share + COALESCE(c.in_sum, 0)"
+        seed_join = ""
+        pot_div = "(SELECT cnt FROM __n)"
     for i in range(1, iterations + 1):
         p = f"__pr{i - 1}"
         parts.append(
             f"""__pr{i} AS MATERIALIZED (
   SELECT n.node,
-         CAST({base} AS BIGINT) + d.share + COALESCE(c.in_sum, 0) AS rank
+         {rank_expr} AS rank
   FROM __nodes n
+  {seed_join}
   LEFT JOIN (
     SELECT e.dst AS node, SUM((p.rank * {dn} * e.w) // ({dd} * e.wsum)) AS in_sum
     FROM __ed e JOIN {p} p ON e.src = p.node
@@ -254,7 +349,7 @@ def duckdb_pagerank_sql(
   ) c ON n.node = c.node
   CROSS JOIN (
     SELECT COALESCE(SUM((p.rank * {dn}) // {dd}), 0)
-           // (SELECT cnt FROM __n) AS share
+           // {pot_div} AS share
     FROM {p} p ANTI JOIN __deg g ON p.node = g.src
   ) d
 )"""
