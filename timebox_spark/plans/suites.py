@@ -2045,6 +2045,13 @@ _PR_EDGES_SQL = " UNION ".join(
     f"(doc_id * {_PR_MULT} + {j}) % {_PR_DST_MOD} AS dst FROM documents"
     for j in range(1, _PR_FANOUT + 1)
 )
+# weighted/seeded variants (round 14): same edge set with a derived
+# integer weight, and a fixed literal seed set; fewer iterations —
+# the variants pin the teleport/weight arithmetic, not convergence
+_PR_W_SQL = f"SELECT src, dst, 1 + (src + dst) % 5 AS w FROM ({_PR_EDGES_SQL})"
+_PR_ITER_VAR = 4
+_PR_SEEDS = tuple(range(0, _PR_DST_MOD, 10))
+_PR_SEEDS_SQL = " UNION ALL ".join(f"SELECT {s} AS node" for s in _PR_SEEDS)
 
 
 def _pr_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2185,6 +2192,10 @@ def q31_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from timebox_spark.operators import graphs as G
 
     edges = _pr_edges(spark, sf_dir)
+    wedges = edges.withColumn(
+        "w", (1 + (F.col("src") + F.col("dst")) % 5).cast("int")
+    )
+    seeds = spark.createDataFrame([(int(s),) for s in _PR_SEEDS], "node long")
     owned_pr: list = []
     try:
         pr_rows = [
@@ -2193,15 +2204,46 @@ def q31_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 edges, iterations=_PR_ITER, owned_rdds=owned_pr
             ).collect()
         ]
+        # weighted variant (round 14): out-flow split by 1+(src+dst)%5
+        prw_rows = [
+            (r["node"], r["rank"])
+            for r in G.pagerank(
+                wedges, iterations=_PR_ITER_VAR, weight="w",
+                owned_rdds=owned_pr,
+            ).collect()
+        ]
+        # personalized variant: teleport/pot to the fixed seed set
+        prp_rows = [
+            (r["node"], r["rank"])
+            for r in G.pagerank(
+                edges, iterations=_PR_ITER_VAR, seeds=seeds,
+                owned_rdds=owned_pr,
+            ).collect()
+        ]
     finally:
         dedup.unpersist_owned(owned_pr)
     deg_rows = {
         r["src"]: r["deg"] for r in G.out_degrees(edges).collect()
     }
+    wsum_rows = {
+        r["src"]: r["ws"]
+        for r in wedges.groupBy("src")
+        .agg(F.sum("w").alias("ws"))
+        .collect()
+    }
+    seed_set = set(_PR_SEEDS)
     pr_member = spark.createDataFrame(
         [
             (-1000 - int(n), int(rank), -2, int(deg_rows.get(n, 0)))
             for n, rank in pr_rows
+        ]
+        + [
+            (-3000 - int(n), int(rank), -3, int(wsum_rows.get(n, 0)))
+            for n, rank in prw_rows
+        ]
+        + [
+            (-5000 - int(n), int(rank), -5, int(int(n) in seed_set))
+            for n, rank in prp_rows
         ],
         "canonical_id long, cluster_size long, rep_id long, rep_score long",
     )
@@ -2209,12 +2251,20 @@ def q31_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q31_pagerank_sql() -> str:
-    """Oracle for the q31 'pagerank' member: the unrolled integer
-    power iteration (graphs.duckdb_pagerank_sql) over the same edge
-    SQL, left-joined to out-degrees."""
+    """Oracle for the q31 'pagerank'/'pagerank_w'/'pagerank_p'
+    members: the unrolled integer power iteration
+    (graphs.duckdb_pagerank_sql) over the same edge SQL — uniform
+    (joined to out-degrees), weighted (joined to weight sums), and
+    personalized (joined to the seed flag)."""
     from timebox_spark.operators import graphs as G
 
     pr = G.duckdb_pagerank_sql(_PR_EDGES_SQL, iterations=_PR_ITER)
+    prw = G.duckdb_pagerank_sql(
+        _PR_W_SQL, iterations=_PR_ITER_VAR, weighted=True
+    )
+    prp = G.duckdb_pagerank_sql(
+        _PR_EDGES_SQL, iterations=_PR_ITER_VAR, seeds_sql=_PR_SEEDS_SQL
+    )
     return f"""
 SELECT CAST(-1000 - pr.node AS BIGINT) AS canonical_id,
        CAST(pr.rank AS BIGINT) AS cluster_size,
@@ -2224,6 +2274,22 @@ FROM ({pr}) pr
 LEFT JOIN (
   SELECT src, count(*) AS deg FROM ({_PR_EDGES_SQL}) GROUP BY src
 ) dg ON pr.node = dg.src
+UNION ALL
+SELECT CAST(-3000 - pr.node AS BIGINT),
+       CAST(pr.rank AS BIGINT),
+       CAST(-3 AS BIGINT),
+       CAST(COALESCE(ws.ws, 0) AS BIGINT)
+FROM ({prw}) pr
+LEFT JOIN (
+  SELECT src, SUM(w) AS ws FROM ({_PR_W_SQL}) GROUP BY src
+) ws ON pr.node = ws.src
+UNION ALL
+SELECT CAST(-5000 - pr.node AS BIGINT),
+       CAST(pr.rank AS BIGINT),
+       CAST(-5 AS BIGINT),
+       CAST(CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS BIGINT)
+FROM ({prp}) pr
+LEFT JOIN ({_PR_SEEDS_SQL}) s ON pr.node = s.node
 """
 
 
