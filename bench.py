@@ -685,6 +685,8 @@ def main() -> None:
     # rounds; the ratio shows the per-iteration join+agg scaling with
     # the edge list, the localCheckpoint latency being the 1× floor
     def pagerank_timing(d: str) -> dict:
+        from pyspark.sql import functions as F
+
         from timebox_spark.operators import graphs as G
         from timebox_spark.operators.dedup import unpersist_owned
 
