@@ -252,3 +252,33 @@ def test_personalized_pagerank_empty_seeds_raise(spark):
     empty = spark.createDataFrame([], "node long")
     with pytest.raises(ValueError, match="empty seed set"):
         G.pagerank(df, iterations=1, seeds=empty)
+
+
+def test_personalized_pagerank_null_seed_and_empty_graph_raise(spark):
+    """Round-14 review: a NULL seed must raise (it would join nothing
+    yet add a phantom node), and the empty-seed raise must fire even
+    when the edge list is ALSO empty (the empty-graph early return
+    used to preempt it)."""
+    df = spark.createDataFrame([(0, 1)], "src long, dst long")
+    null_seeds = spark.createDataFrame([(None,), (1,)], "node long")
+    with pytest.raises(ValueError, match="NULL"):
+        G.pagerank(df, iterations=1, seeds=null_seeds)
+    empty_edges = spark.createDataFrame([], "src long, dst long")
+    empty_seeds = spark.createDataFrame([], "node long")
+    with pytest.raises(ValueError, match="empty seed set"):
+        G.pagerank(empty_edges, iterations=1, seeds=empty_seeds)
+    # seeds-nonempty / edges-empty still works: seeds ARE the graph
+    owned: list = []
+    try:
+        lone = dict(
+            (r["node"], r["rank"])
+            for r in G.pagerank(
+                empty_edges,
+                iterations=2,
+                seeds=spark.createDataFrame([(7,)], "node long"),
+                owned_rdds=owned,
+            ).collect()
+        )
+    finally:
+        unpersist_owned(owned)
+    assert set(lone) == {7} and lone[7] > 0

@@ -141,10 +141,27 @@ def pagerank(
         .distinct()
     )
     seeds_df = None
+    n_seeds = 0
     if seeds is not None:
         seeds_df = seeds.select(
             F.col(seeds.columns[0]).alias("node")
         ).distinct()
+        # loud validation, the weight-column rule (round-14 review): a
+        # NULL seed would join nothing (excluded from n_seeds) yet add
+        # a phantom NULL node feeding the dangling pot — and diverge
+        # from an oracle whose count(*) includes it
+        if seeds_df.filter(F.col("node").isNull()).limit(1).count():
+            raise ValueError(
+                "pagerank: seeds contain NULL — a NULL seed receives "
+                "no teleport mass and adds a phantom node; drop NULLs "
+                "before seeding"
+            )
+        n_seeds = seeds_df.count()
+        if n_seeds == 0:
+            raise ValueError(
+                "pagerank: seeds produced an empty seed set — "
+                "personalized teleport mass has nowhere to go"
+            )
         # seed nodes outside the edge list still receive teleport mass
         nodes = nodes.unionByName(seeds_df).distinct()
     deg = e.groupBy("src").agg(F.sum("w").alias("wsum"))
@@ -193,13 +210,9 @@ def pagerank(
             ),
             owned_rdds,
         )
-        n_seeds = flagged.filter(F.col("__seed")).count()
-        if n_seeds == 0:
-            raise ValueError(
-                "pagerank: seeds produced an empty seed set — "
-                "personalized teleport mass has nowhere to go"
-            )
         # whole-graph teleport mass, split over the seeds only
+        # (n_seeds counted and validated up front, before the empty-
+        # graph early return — round-14 review)
         ts = ((n_nodes * unit * (damping_den - damping_num))
               // damping_den) // n_seeds
 
