@@ -4,6 +4,7 @@ contract is bounded relative error vs the exact aggregates."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMOKE
@@ -579,3 +580,211 @@ def test_cms_heavy_hitters_gate(spark):
     ids = {r["id"] for r in hh.collect()}
     # every true heavy hitter (true count 27-28 >= 20) must survive
     assert set(range(37)) <= ids
+
+
+# ----------------------------------------------- round 15: pruned fps scan
+
+
+def _fps_scan_leaf(df, path_fragment):
+    """The FileSourceScanExec leaf over the fps tree (by root path) in
+    df's EXECUTED plan, or None."""
+    plan = df._jdf.queryExecution().executedPlan()
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        if "FileSourceScan" in node.getClass().getSimpleName():
+            if path_fragment in _leaf_scan_paths(node):
+                return node
+        kids = node.children()
+        for i in range(kids.size()):
+            stack.append(kids.apply(i))
+        # dive through WholeStageCodegen/InputAdapter wrappers too
+        try:
+            inner = node.child()
+            stack.append(inner)
+        except Exception:
+            pass
+    return None
+
+
+def _write_prunable_fps_tree(spark, corpus, path, binary):
+    """A production-layout fps tree: sorted by __fp, many small row
+    groups so row-group stats pruning is observable at test size."""
+    from timebox_spark.operators import dedup as DD
+
+    fps = DD.corpus_fingerprints(corpus)
+    if binary:
+        fps = fps.select(F.unhex("__fp").alias("__fp"))
+    (
+        fps.repartitionByRange(2, "__fp")
+        .sortWithinPartitions("__fp")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 16 * 1024)
+        .parquet(path)
+    )
+
+
+@pytest.mark.parametrize("binary", [False, True])
+def test_gated_dedup_prunes_fps_scan(spark, tmp_path, binary):
+    """Round-15 verdict task 1 (the round-14 `weak`): with the gate on
+    and a batch-bounded maybe set, the fps scan must carry a pushed
+    In/EqualTo predicate on __fp and surface only the row groups that
+    can contain a maybe fingerprint — O(batch) IO, not O(corpus)."""
+    from timebox_spark.operators import dedup as DD
+    from timebox_spark.operators import sketches as SK
+
+    n = 20_000
+    corpus = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("corpus doc body "), F.col("id")).alias("text"),
+    )
+    tag = "bin" if binary else "hex"
+    fps_dir = str(tmp_path / f"r15_fps_{tag}")
+    _write_prunable_fps_tree(spark, corpus, fps_dir, binary)
+    fps = spark.read.parquet(fps_dir)
+    assert dict(fps.dtypes)["__fp"] == ("binary" if binary else "string")
+    m, k = 1 << 16, 5
+    # the sketch ALWAYS hashes hex (what the batch probes with)
+    hexfps = fps.select(F.lower(F.hex("__fp")).alias("__fp")) if binary else fps
+    bloom = SK.bloom_build(hexfps, "__fp", m, k)
+    batch = spark.createDataFrame(
+        [(100_000, "corpus doc body 3"), (100_001, "fresh body")],
+        "doc_id long, text string",
+    )
+    # AQE wraps stages in AdaptiveSparkPlanExec whose children() the
+    # walker can't descend (round-14 test convention: walk non-AQE)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        gated = DD.incremental_exact_dedup(
+            batch, corpus, corpus_fps=fps, corpus_bloom=bloom,
+            bloom_m=m, bloom_k=k,
+        )
+        assert {r["doc_id"] for r in gated.collect()} == {100_001}
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    leaf = _fps_scan_leaf(gated, f"r15_fps_{tag}")
+    assert leaf is not None, "fps scan not found in gated plan"
+    pushed = str(leaf.metadata().apply("PushedFilters"))
+    assert "__fp" in pushed and ("In(" in pushed or "EqualTo(" in pushed), pushed
+    scanned = leaf.metrics().apply("numOutputRows").value()
+    # the tree has 20k fingerprints in ~16KiB row groups; a 1-2 value
+    # maybe set must surface a handful of row groups, not the corpus
+    assert scanned < n // 4, f"fps scan surfaced {scanned} of {n} rows"
+
+
+def test_gated_dedup_binary_tree_matches_string_tree(spark, tmp_path):
+    """The 16-byte-binary fps tree is a pure storage change: gated and
+    gate-less results over binary and legacy hex trees are identical,
+    including against a hex-era bloom sketch."""
+    from timebox_spark.operators import dedup as DD
+    from timebox_spark.operators import sketches as SK
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus doc body {i}") for i in range(80)],
+        "doc_id long, text string",
+    )
+    p_hex = str(tmp_path / "r15_eq_hex")
+    p_bin = str(tmp_path / "r15_eq_bin")
+    _write_prunable_fps_tree(spark, corpus, p_hex, binary=False)
+    _write_prunable_fps_tree(spark, corpus, p_bin, binary=True)
+    fps_hex = spark.read.parquet(p_hex)
+    fps_bin = spark.read.parquet(p_bin)
+    m, k = 1 << 14, 5
+    bloom = SK.bloom_build(fps_hex, "__fp", m, k)
+    batch = spark.createDataFrame(
+        [(900, "corpus doc body 7"), (901, "novel a"), (902, "novel a"),
+         (903, "corpus doc body 41"), (904, "novel b")],
+        "doc_id long, text string",
+    )
+    want = {901, 904}
+    for fps in (fps_hex, fps_bin):
+        got_gated = {
+            r["doc_id"]
+            for r in DD.incremental_exact_dedup(
+                batch, corpus, corpus_fps=fps, corpus_bloom=bloom,
+                bloom_m=m, bloom_k=k,
+            ).collect()
+        }
+        got_plain = {
+            r["doc_id"]
+            for r in DD.incremental_exact_dedup(
+                batch, corpus, corpus_fps=fps
+            ).collect()
+        }
+        assert got_gated == got_plain == want
+
+
+def test_gated_dedup_maybe_overflow_falls_back_identical(spark, tmp_path, monkeypatch):
+    """A maybe set past FPS_PRUNE_ISIN_MAX (saturated sketch) must fall
+    back to the round-14 broadcast semi-join — same results, on both
+    tree types."""
+    from timebox_spark.operators import dedup as DD
+    from timebox_spark.operators import sketches as SK
+
+    monkeypatch.setattr(DD, "FPS_PRUNE_ISIN_MAX", 1)
+    corpus = spark.createDataFrame(
+        [(i, f"corpus doc body {i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    for binary in (False, True):
+        p = str(tmp_path / f"r15_ovf_{binary}")
+        _write_prunable_fps_tree(spark, corpus, p, binary)
+        fps = spark.read.parquet(p)
+        m, k = 1 << 14, 5
+        hexfps = (
+            fps.select(F.lower(F.hex("__fp")).alias("__fp")) if binary else fps
+        )
+        bloom = SK.bloom_build(hexfps, "__fp", m, k)
+        batch = spark.createDataFrame(
+            [(500, "corpus doc body 1"), (501, "corpus doc body 2"),
+             (502, "corpus doc body 3"), (503, "brand new")],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]
+            for r in DD.incremental_exact_dedup(
+                batch, corpus, corpus_fps=fps, corpus_bloom=bloom,
+                bloom_m=m, bloom_k=k,
+            ).collect()
+        }
+        assert got == {503}, (binary, got)
+
+
+def test_incremental_dedup_null_text_keep_one_pinned(spark, tmp_path):
+    """Round-15 verdict task 7: NULL-text rows share a NULL
+    fingerprint — they never match the corpus, and exactly ONE per
+    batch survives (smallest id), identically on the gated and
+    gate-less paths (matches batch exact_dedup, where groupBy also
+    pools NULL fingerprints)."""
+    from timebox_spark.operators import dedup as DD
+    from timebox_spark.operators import sketches as SK
+
+    corpus = spark.createDataFrame(
+        [(1, "corpus doc body"), (2, None)], "doc_id long, text string"
+    )
+    p = str(tmp_path / "r15_null_fps")
+    _write_prunable_fps_tree(spark, corpus, p, binary=True)
+    fps = spark.read.parquet(p)
+    m, k = 1 << 14, 5
+    bloom = SK.bloom_build(
+        fps.select(F.lower(F.hex("__fp")).alias("__fp")), "__fp", m, k
+    )
+    batch = spark.createDataFrame(
+        [(10, None), (11, None), (12, "fresh"), (13, "corpus doc body")],
+        "doc_id long, text string",
+    )
+    want = {10, 12}  # one NULL survivor (smallest id) + the fresh doc
+    gated = {
+        r["doc_id"]
+        for r in DD.incremental_exact_dedup(
+            batch, corpus, corpus_fps=fps, corpus_bloom=bloom,
+            bloom_m=m, bloom_k=k,
+        ).collect()
+    }
+    plain = {
+        r["doc_id"]
+        for r in DD.incremental_exact_dedup(
+            batch, corpus, corpus_fps=fps
+        ).collect()
+    }
+    assert gated == plain == want

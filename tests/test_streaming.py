@@ -2065,3 +2065,105 @@ def test_curate_and_ingest_stream_forwards_cms(spark, tmp_path):
     # (est can only over-count via hash collisions, absent at this
     # fill factor with 2 values in a 64x3 sketch)
     assert est[1] == 1 and est[2] == 1, est
+
+
+def test_fps_tree_binary_sorted_and_legacy_migration(spark, tmp_path):
+    """Round-15 verdict task 1, storage half: new stores write the fps
+    tree as SORTED 16-byte binary; a legacy hex-string store keeps its
+    type across cycles (a mixed-type tree cannot be read under one
+    schema) until consolidation migrates every partition to binary at
+    once — after which cycles write binary and the gate (bloom built
+    over hex ALWAYS) still drops known duplicates."""
+    from timebox_spark.operators import dedup as DD
+
+    def batch(cid, texts):
+        return spark.createDataFrame(
+            [(cid * 100 + j, t) for j, t in enumerate(texts)],
+            "doc_id long, text string",
+        )
+
+    # --- new store: binary from cycle 0
+    new_store = str(tmp_path / "r15_new_store")
+    ingest.run_ingest_cycle(
+        batch(0, ["alpha body", "beta body"]), new_store, 0, near_dup=False
+    )
+    fps = spark.read.parquet(f"{new_store}/fps")
+    assert dict(fps.dtypes)["__fp"] == "binary"
+
+    # --- legacy store: plant a hex-string cycle 0 by hand (what a
+    # pre-round-15 build wrote), then run cycles with the new code
+    old_store = str(tmp_path / "r15_old_store")
+    b0 = batch(0, ["alpha body", "beta body"])
+    b0.write.mode("overwrite").parquet(f"{old_store}/corpus/cycle=0")
+    DD.corpus_fingerprints(b0).write.mode("overwrite").parquet(
+        f"{old_store}/fps/cycle=0"
+    )
+    m = 1 << 14
+    ingest.run_ingest_cycle(
+        batch(1, ["alpha body", "gamma body"]), old_store, 1,
+        near_dup=False, bloom_m=m,
+    )
+    fps = spark.read.parquet(f"{old_store}/fps")
+    assert dict(fps.dtypes)["__fp"] == "string"  # stays single-typed
+    kept1 = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{old_store}/corpus/cycle=1").collect()
+    }
+    assert kept1 == {101}, kept1  # alpha body deduped against cycle 0
+
+    # consolidation migrates the WHOLE tree to binary in one rewrite
+    ingest.consolidate_ingest_store(spark, old_store, 1)
+    fps = spark.read.parquet(f"{old_store}/fps")
+    assert dict(fps.dtypes)["__fp"] == "binary"
+    assert fps.count() == 3
+    # binary fps re-hexed equal the md5s of the kept texts
+    hexes = {
+        r["__fp"]
+        for r in fps.select(
+            F.lower(F.hex("__fp")).alias("__fp")
+        ).collect()
+    }
+    corpus = spark.read.parquet(f"{old_store}/corpus")
+    want = {
+        r["h"]
+        for r in corpus.select(
+            F.md5(F.encode(DD.normalize_text("text"), "UTF-8")).alias("h")
+        ).collect()
+    }
+    assert hexes == want
+
+    # post-migration cycle: binary tree + bloom backfill (the sketch
+    # tree only covers cycle>=1; cycle 0's partition is backfilled
+    # from the now-binary fps tree via the hex conversion) — known
+    # dups from BOTH eras still drop, fresh docs survive
+    ingest.run_ingest_cycle(
+        batch(2, ["alpha body", "gamma body", "delta body"]),
+        old_store, 2, near_dup=False, bloom_m=m,
+    )
+    kept2 = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{old_store}/corpus/cycle=2").collect()
+    }
+    assert kept2 == {202}, kept2
+    fps = spark.read.parquet(f"{old_store}/fps")
+    assert dict(fps.dtypes)["__fp"] == "binary"
+
+
+def test_pagerank_validation_raise_leaks_no_blocks(spark):
+    """Round-15 advisor: pagerank localCheckpoints edges/nodes/dangling
+    eagerly BEFORE the weight/overflow validations — a raise with
+    owned_rdds=None must unpersist the internally tracked blocks, not
+    leak them for the session lifetime."""
+    import pytest
+
+    from timebox_spark.operators import graphs as G
+
+    sc = spark.sparkContext
+    edges = spark.createDataFrame(
+        [("a", "b", 0), ("b", "a", 1)], "src string, dst string, w int"
+    )
+    before = sc._jsc.sc().getPersistentRDDs().size()
+    with pytest.raises(ValueError, match="weights must be"):
+        G.pagerank(edges, weight="w", iterations=2)
+    after = sc._jsc.sc().getPersistentRDDs().size()
+    assert after == before, (before, after)

@@ -1844,6 +1844,31 @@ def corpus_fingerprints(
     )
 
 
+# Collected-maybe-set cap for the pruned fps scan (round 15): at or
+# below it the batch's maybe-present fingerprints are collected and
+# pushed INTO the fps parquet scan as an In predicate, so row-group
+# stats skip everything but the handful of groups that can contain a
+# match; above it (a saturated sketch — fpr → 1 makes the maybe set
+# batch-sized) the broadcast semi-join fallback keeps the shuffle-free
+# round-14 plan. The bytes collected are the same bytes the broadcast
+# was already shipping.
+FPS_PRUNE_ISIN_MAX = 2048
+# Spark expands an In predicate to OR-of-Eq for the parquet pushdown
+# only below spark.sql.parquet.pushdown.inFilterThreshold (default
+# 10); at/above it the pushed filter degrades to a min/max RANGE,
+# which prunes nothing on uniformly distributed fingerprints
+# (measured: 20 random values → 89% of a sorted tree still read; the
+# same values OR-expanded → only the containing row groups). Raised
+# past FPS_PRUNE_ISIN_MAX wherever the pruned path plans.
+_FPS_IN_FILTER_THRESHOLD = 4096
+
+
+def _fp_hex(col) -> F.Column:
+    """Binary fingerprint → the lowercase hex string ``F.md5``
+    produces (the probe/bloom representation)."""
+    return F.lower(F.hex(col))
+
+
 def incremental_exact_dedup(
     new_batch: DataFrame,
     corpus: DataFrame,
@@ -1883,7 +1908,17 @@ def incremental_exact_dedup(
     the maybe rows builds on the broadcast semi-join output, which is
     batch-bounded even when the sketch saturates. The whole gated
     cycle therefore never shuffles the fingerprint tree — the
-    plan-level pytest pins no Exchange above the fps scan. Results
+    plan-level pytest pins no Exchange above the fps scan. Round 15
+    goes further: the maybe set (≤ ``FPS_PRUNE_ISIN_MAX`` rows) is
+    collected and pushed INTO the fps scan as an In predicate, so on
+    a tree written sorted by ``__fp`` (run_ingest_cycle does) parquet
+    row-group stats skip all but the ~|maybe| row groups that can
+    contain a match — per-cycle fps IO is O(batch), not O(corpus).
+    This makes the gated path EAGER (one bounded collect of what was
+    already being broadcast). A persisted tree may store ``__fp`` as
+    16-byte binary (half the bytes); both representations are
+    accepted, and all comparisons happen in md5's hex-string form
+    after the scan-level filter. Results
     are bit-identical to the gate-less path (pytest-pinned); the
     sketch is exact-mergeable across cycles (``bloom_merge``) so it
     is maintained incrementally like fps, and an over-budget sketch
@@ -1903,10 +1938,19 @@ def incremental_exact_dedup(
     map-side work."""
     fp = F.md5(F.encode(normalize_text(text_col), "UTF-8"))
     batch_fp = new_batch.withColumn("__fp", fp)
+    # round 15: a persisted fps tree may store the fingerprint as
+    # 16-byte BINARY (half the hex string's bytes — run_ingest_cycle
+    # writes binary for new stores, consolidation migrates legacy
+    # ones); everything downstream compares in the hex-string
+    # representation the probe/bloom side uses, so the binary tree is
+    # converted AFTER its scan filter — the pruning predicate must hit
+    # the stored column to reach parquet
     if corpus_fps is not None:
         corpus_fp_raw = corpus_fps.select("__fp")
+        fp_binary = dict(corpus_fp_raw.dtypes)["__fp"] == "binary"
     else:
         corpus_fp_raw = corpus.select(fp.alias("__fp"))
+        fp_binary = False
     probe = None
     if corpus_bloom is not None:
         from timebox_spark.operators.sketches import (
@@ -1974,10 +2018,61 @@ def incremental_exact_dedup(
         # anti-join union referenced the probe THREE times; this
         # references it twice (once via gated, once via maybe_fps).
         maybe_fps = probe.filter(F.col("maybe_present")).select("__fp")
-        present = (
-            corpus_fp_raw.join(F.broadcast(maybe_fps), "__fp", "left_semi")
-            .distinct()
-        )
+        # PRUNED fps scan (round 15, the round-14 `weak`): the
+        # round-14 semi-join was shuffle-free but still READ the
+        # whole fingerprint tree every cycle — a broadcast semi-join
+        # pushes no value predicate into the scan. The maybe set is
+        # batch-bounded by construction (true dups + the sketch's fpr
+        # of the batch) and was ALREADY being broadcast, so collecting
+        # it moves the same bytes; pushed back in as an In predicate,
+        # parquet row-group stats + column index skip every row group
+        # that cannot contain a match (the tree is written sorted by
+        # __fp, so a fingerprint lands in ~1 group). Past the cap —
+        # a saturated sketch — fall back to the round-14 broadcast
+        # semi-join: still shuffle-free, scan unpruned.
+        maybe_rows = maybe_fps.limit(FPS_PRUNE_ISIN_MAX + 1).collect()
+        if len(maybe_rows) <= FPS_PRUNE_ISIN_MAX:
+            maybe_vals = [r["__fp"] for r in maybe_rows]
+            # OR-of-Eq expansion for the parquet pushdown needs the
+            # threshold above the list size (see _FPS_IN_FILTER
+            # _THRESHOLD) — planning-time conf, idempotent
+            new_batch.sparkSession.conf.set(
+                "spark.sql.parquet.pushdown.inFilterThreshold",
+                str(_FPS_IN_FILTER_THRESHOLD),
+            )
+            if not maybe_vals:
+                present = corpus_fp_raw.filter(F.lit(False)).select(
+                    (_fp_hex("__fp") if fp_binary else F.col("__fp")).alias("__fp")
+                )
+            else:
+                vals = (
+                    [bytes.fromhex(v) for v in maybe_vals]
+                    if fp_binary
+                    else maybe_vals
+                )
+                # NO distinct here: it would put an Exchange between
+                # the fps scan and its join (the plan pytest pins that
+                # segment exchange-free). A tree with duplicate rows
+                # per fingerprint (caller-supplied; run_ingest_cycle's
+                # trees are unique by construction) fans the left join
+                # below out per duplicate, and the keep-one window
+                # collapses the identical copies — same result, the
+                # broadcast grows by the duplicate multiplicity only.
+                present = corpus_fp_raw.filter(
+                    F.col("__fp").isin(vals)
+                ).select(
+                    (_fp_hex("__fp") if fp_binary else F.col("__fp")).alias("__fp")
+                )
+        else:
+            src, key = corpus_fp_raw, maybe_fps
+            if fp_binary:
+                # semi-join in the stored 16-byte type (narrower
+                # stream), hex only the survivors
+                key = maybe_fps.select(F.unhex("__fp").alias("__fp"))
+            present = src.join(F.broadcast(key), "__fp", "left_semi")
+            if fp_binary:
+                present = present.select(_fp_hex("__fp").alias("__fp"))
+            present = present.distinct()
         gated = batch_fp.join(probe, "__fp", "left")
         mp = F.coalesce(F.col("maybe_present"), F.lit(False))
         fresh = (
@@ -1990,9 +2085,22 @@ def incremental_exact_dedup(
             .drop("maybe_present", "__in_corpus")
         )
     else:
-        fresh = batch_fp.join(
-            corpus_fp_raw.distinct(), "__fp", "left_anti"
-        )
+        corpus_keys = corpus_fp_raw.distinct()
+        if fp_binary:
+            # distinct in the stored 16-byte type (narrower shuffle),
+            # hex the survivors for the anti-join key
+            corpus_keys = corpus_keys.select(_fp_hex("__fp").alias("__fp"))
+        fresh = batch_fp.join(corpus_keys, "__fp", "left_anti")
+    # NULL-text semantics (round-15, pinned): every NULL-text (or
+    # NULL after normalization? no — md5 of the empty string is a
+    # value; only a NULL text column) row has __fp NULL, which (a)
+    # never matches the corpus — NULL equals nothing in the anti-join,
+    # and the gated path's probe drops NULLs then classifies them
+    # definitely-new — and (b) shares ONE window partition below, so
+    # exactly one NULL-text row per batch survives (smallest id).
+    # This matches batch exact_dedup, where groupBy also makes all
+    # NULL fingerprints one group. Pinned by a pytest asserting gated
+    # and gate-less paths identical on NULL-text fixtures.
     w = Window.partitionBy("__fp").orderBy(id_col)
     return (
         fresh.withColumn("__rn", F.row_number().over(w))

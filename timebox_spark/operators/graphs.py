@@ -60,6 +60,8 @@ def pagerank(
     weight: str | None = None,
     seeds: DataFrame | None = None,
     owned_rdds: list | None = None,
+    residuals: list | None = None,
+    tol_ticks: int | None = None,
 ) -> DataFrame:
     """Fixed-point PageRank: returns (node, rank) after exactly
     ``iterations`` power-iteration rounds, with rank a BIGINT in
@@ -115,11 +117,63 @@ def pagerank(
     handles for per-owner cleanup (``dedup.unpersist_owned``) after
     the RESULT has been consumed — the returned frame is itself a
     checkpoint, so unpersisting before the final action loses it.
+
+    ``residuals`` (round-15 verdict task 4 — the convergence signal):
+    pass a list to receive, per completed round, the INTEGER L1 rank
+    delta ``Σ|rank_i − rank_{i−1}|`` in ticks — exact (integer sums
+    are order-independent), monotone-decaying in practice, and the
+    number an operator reads to pick ``iterations`` for a new graph
+    instead of guessing. Costs one O(nodes) join+agg per round, only
+    when requested. ``tol_ticks`` adds EARLY EXIT: the loop stops
+    after the first round whose delta is ≤ ``tol_ticks`` (that
+    round's ranks are returned; ``iterations`` stays the hard cap —
+    if the cap is hit first, the last residual tells the caller
+    whether the run converged or was truncated, the CLAUDE.md
+    final-probe rule applied to a tolerance). The driver's q31
+    members pass neither, so their fixed-N oracle arithmetic is
+    untouched.
     """
-    from timebox_spark.operators.dedup import _tracked_local_checkpoint
+    from timebox_spark.operators.dedup import (
+        _tracked_local_checkpoint,
+        unpersist_owned,
+    )
 
     if iterations < 0:
         raise ValueError("pagerank: iterations must be >= 0")
+    # leak guard (round-15 advisor): validations below (weight
+    # values, overflow bound) run AFTER the eager checkpoints — with
+    # owned_rdds=None a raise would leak the persisted blocks for the
+    # session lifetime. Track internally and unpersist on ANY raise
+    # when no caller owns the lifecycle; callers that do own it
+    # unpersist in their own finally.
+    _own = owned_rdds if owned_rdds is not None else []
+    try:
+        return _pagerank_body(
+            edges, src, dst, iterations, damping_num, damping_den,
+            unit, weight, seeds, _own, residuals, tol_ticks,
+        )
+    except BaseException:
+        if owned_rdds is None:
+            unpersist_owned(_own)
+        raise
+
+
+def _pagerank_body(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    iterations: int,
+    damping_num: int,
+    damping_den: int,
+    unit: int,
+    weight: str | None,
+    seeds: DataFrame | None,
+    owned_rdds: list,
+    residuals: list | None = None,
+    tol_ticks: int | None = None,
+) -> DataFrame:
+    from timebox_spark.operators.dedup import _tracked_local_checkpoint
+
     w_col = F.col(weight) if weight is not None else F.lit(1)
     e = edges.select(
         F.col(src).alias("src"),
@@ -246,7 +300,9 @@ def pagerank(
             .select(F.expr(f"pot DIV {divisor}").alias("share"))
         )
 
+    track = residuals is not None or tol_ticks is not None
     for _ in range(iterations):
+        prev = ranks
         if seeds_df is None:
             ranks = _tracked_local_checkpoint(
                 nodes.join(_contrib(ranks), "node", "left")
@@ -278,6 +334,30 @@ def pagerank(
                 ),
                 owned_rdds,
             )
+        if track:
+            # exact integer L1 delta — both sides are checkpoints, so
+            # this is one O(nodes) join+agg, no lineage growth; the
+            # node sets are identical by construction (both derive
+            # from `nodes`), so an inner join loses nothing
+            delta = (
+                ranks.join(
+                    prev.select(
+                        "node", F.col("rank").alias("__prev")
+                    ),
+                    "node",
+                )
+                .agg(
+                    F.coalesce(
+                        F.sum(F.abs(F.col("rank") - F.col("__prev"))),
+                        F.lit(0).cast("long"),
+                    ).alias("d")
+                )
+                .collect()[0]["d"]
+            )
+            if residuals is not None:
+                residuals.append(int(delta))
+            if tol_ticks is not None and delta <= tol_ticks:
+                break
     return ranks
 
 

@@ -547,10 +547,15 @@ def cms_query(
         if max_broadcast_bytes is None
         else max_broadcast_bytes
     )
-    est_bytes = n_rows * 24
+    # budget the frame actually broadcast (round-15 advisor): cmsd is
+    # the re-aggregated sketch, bounded by depth·width cells — a tall
+    # raw union of thousands of per-cycle sketches must not spuriously
+    # raise for a broadcast that collapses to that bound
+    est_bytes = min(n_rows, depth * width) * 24
     if est_bytes > budget:
         raise BloomBroadcastBudgetError(
-            f"cms_query: sketch holds {n_rows} cells ≈ {est_bytes} "
+            f"cms_query: sketch holds {min(n_rows, depth * width)} "
+            f"post-aggregation cells ≈ {est_bytes} "
             f"bytes broadcast, over the {budget}-byte budget — use a "
             f"smaller width or raise max_broadcast_bytes with matching "
             f"executor memory headroom"

@@ -4333,13 +4333,19 @@ def q57_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev = load(spark, sf_dir, "events")
     # build via the MERGE path: two disjoint half-sketches summed —
-    # exactness of cms_merge is part of what the oracle pins
+    # exactness of cms_merge is part of what the oracle pins. The
+    # split is NULL-SAFE (round-15 advisor): `event_id % 2 == 0`
+    # would silently drop NULL-event_id rows from BOTH halves while
+    # the oracle's base counts every non-null user_id — the exact
+    # NULL-predicate divergence class CLAUDE.md pins. coalesce routes
+    # NULL event_ids into half 0, so h1 ∪ h2 is a partition of ev.
+    _half = F.coalesce(F.col("event_id"), F.lit(0)) % 2
     h1 = SK.cms_build(
-        ev.filter(F.col("event_id") % 2 == 0), "user_id",
+        ev.filter(_half == 0), "user_id",
         width=_CMS_W, depth=_CMS_D,
     )
     h2 = SK.cms_build(
-        ev.filter(F.col("event_id") % 2 == 1), "user_id",
+        ev.filter(_half == 1), "user_id",
         width=_CMS_W, depth=_CMS_D,
     )
     cms = SK.cms_merge(h1.unionByName(h2))

@@ -30,6 +30,14 @@ RUNTIME_CONFS = {
     # large Arrow batches: per-batch Python/Arrow overhead amortizes
     # and vectorized loops run longer between transfers
     "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+    # parquet pushes In as row-group-prunable OR-of-Eq only below this
+    # threshold; at/above it the pushed filter degrades to min/max —
+    # useless on uniform keys (fingerprints, domain hashes). Raised
+    # past dedup.FPS_PRUNE_ISIN_MAX so the gated exact-dedup's pruned
+    # fps scan and the ≤64-value blocklist isin actually skip row
+    # groups (measured round 15: 50 pushed values read 31% of a
+    # sorted tree OR-expanded vs ~100% as a range).
+    "spark.sql.parquet.pushdown.inFilterThreshold": "4096",
 }
 
 
@@ -133,6 +141,9 @@ def get_spark(
         # UTC), not TIMESTAMP_NTZ — one timestamp type everywhere
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # see RUNTIME_CONFS: OR-of-Eq In pushdown up to the pruned
+        # fps scan's cap, not the 10-value default
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "4096")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

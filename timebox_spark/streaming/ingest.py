@@ -1216,6 +1216,32 @@ def _backfill_tree(
         ).write.mode("overwrite").parquet(f"{dst_path}/cycle={mcyc}")
 
 
+def _fps_as_hex(df: DataFrame) -> DataFrame:
+    """A fps frame in md5's lowercase-hex representation regardless of
+    how the tree stores it (legacy 32-char hex string or the round-15
+    16-byte binary) — the form the Bloom sketch hashes, so sketch bits
+    stay identical across the storage migration and the hex-probing
+    batch side never false-negatives against a binary-era sketch."""
+    if dict(df.dtypes).get("__fp") == "binary":
+        return df.select(F.lower(F.hex("__fp")).alias("__fp"))
+    return df
+
+
+def _fps_prunable_layout(df: DataFrame) -> DataFrame:
+    """The fps tree's physical layout (round 15): ``__fp`` stored as
+    16-byte binary (half the hex string's bytes at 10¹⁰-doc scale),
+    range-partitioned and sorted so parquet row-group min/max stats
+    are selective — the gated exact-dedup pushes the batch's
+    maybe-present fingerprints into this scan as an In predicate and
+    skips every row group that cannot match (see
+    ``dedup.incremental_exact_dedup``). Converts legacy hex-string
+    trees; already-binary frames pass through to the sort."""
+    out = df
+    if dict(df.dtypes).get("__fp") == "string":
+        out = out.select(F.unhex("__fp").alias("__fp"))
+    return out.repartitionByRange("__fp").sortWithinPartitions("__fp")
+
+
 def _store_tree_paths(store_path: str) -> dict[str, str]:
     return {
         "corpus": f"{store_path}/corpus",
@@ -1243,6 +1269,7 @@ def _fold_partitions(
     tmp: str,
     row_filter=None,
     merge_schema: bool = False,
+    transform=None,
 ) -> None:
     """Crash-safe fold of every ``{part_col}=N`` partition with
     ``N <= upto`` under ``tree_path`` into one ``{part_col}={upto}``
@@ -1284,6 +1311,11 @@ def _fold_partitions(
             # fold (tmp already complete) keeps the rows its original
             # attempt kept — never a second, different cut
             folded = folded.filter(row_filter)
+        if transform is not None:
+            # per-tree physical layout (round 15: the fps tree sorts
+            # by fingerprint and migrates hex→binary here) — applied
+            # in the rebuild for the same resume-stability reason
+            folded = transform(folded)
         folded.write.mode("overwrite").parquet(tmp)
     prefix = f"{part_col}="
     if fs.exists(fs_path(tree_path)):
@@ -1344,6 +1376,14 @@ def consolidate_ingest_store(
             "cycle",
             upto_cycle,
             f"{store_path}/_tmp_consolidate/{tree}/cycle={upto_cycle}",
+            # the fps tree's prunable layout (round 15): range-
+            # partitioned + sorted by fingerprint so every file owns
+            # a disjoint __fp slice (file- AND row-group-level
+            # pruning for the gated dedup's pushed In predicate), and
+            # hex→16-byte-binary migration of legacy stores — the one
+            # moment the whole tree is rewritten under one schema, so
+            # a mixed-type tree never exists
+            transform=_fps_prunable_layout if tree == "fps" else None,
         )
     fs.delete(fs_path(f"{store_path}/_tmp_consolidate"), True)
 
@@ -1489,9 +1529,13 @@ def run_ingest_cycle(
         # and bloom writes of an un-replayed cycle) would probe
         # negative for a fingerprint that lives only in an uncovered
         # cycle and silently re-admit the exact duplicate.
+        # the sketch ALWAYS hashes the hex representation (via
+        # _fps_as_hex) — a binary-era fps partition backfilled into
+        # the sketch must set the same bits the hex-probing batch
+        # side computes, or true members would probe definitely-new
         _backfill_tree(
             spark, store_path, paths["fps"], paths["bloom"], cycle_id,
-            lambda df: bloom_build(df, "__fp", bloom_m, bloom_k),
+            lambda df: bloom_build(_fps_as_hex(df), "__fp", bloom_m, bloom_k),
         )
         prior_bloom = read_prior("bloom")
         if prior_bloom is not None:
@@ -1605,9 +1649,18 @@ def run_ingest_cycle(
     # re-read what was PHYSICALLY kept so fps/index derive from the
     # committed rows (and the lineage below is a trivial scan)
     kept_disk = spark.read.parquet(f"{paths['corpus']}/{cyc}")
-    corpus_fingerprints(kept_disk, text_col).write.mode(
-        "overwrite"
-    ).parquet(f"{paths['fps']}/{cyc}")
+    cycle_fps = corpus_fingerprints(kept_disk, text_col)
+    if fps is not None and dict(fps.dtypes).get("__fp") == "string":
+        # legacy hex-string store: keep the tree single-typed (a
+        # mixed string/binary tree cannot be read under one schema);
+        # the next consolidation migrates every partition to binary
+        # at once. Still sorted — row-group stats prune either type.
+        cycle_fps = cycle_fps.sortWithinPartitions("__fp")
+    else:
+        cycle_fps = cycle_fps.select(
+            F.unhex("__fp").alias("__fp")
+        ).sortWithinPartitions("__fp")
+    cycle_fps.write.mode("overwrite").parquet(f"{paths['fps']}/{cyc}")
     if bloom_m is not None:
         from timebox_spark.operators.sketches import bloom_build
 
