@@ -264,8 +264,20 @@ def _bloom_gate_stats(spark, sf_dir: str, k: int = 5) -> dict:
       right-sized sketch (the design-rate behavior a full-size corpus
       would see);
     - gated_sec / ungated_sec: one incremental_exact_dedup cycle with
-      and without the gate (same fps table, noop sink) — the round-14
-      shuffle-free gated plan vs the plain fps anti-join."""
+      and without the gate (same fps table, noop sink) — the round-15
+      PRUNED gated plan (fps stored sorted 16-byte binary, the
+      production run_ingest_cycle layout; the maybe set pushed into
+      the scan) vs the plain fps anti-join;
+    - the 10× block (round-15 verdict task 1's done-criterion): the
+      same cycle against a 10×-salted fps tree, BOTH trees written at
+      a fixed 64 KiB row-group size (holding row-group size constant
+      while the tree grows is exactly the production invariant — a
+      real store's groups are a fixed 128 MiB at any corpus size).
+      `gated_fps_rows_1x/10x` are the fps scan's numOutputRows in the
+      gated plan: pruning makes them O(maybe-set × row-group), so
+      they must stay ~FLAT while `tree_rows_10x` is 10× — wall
+      seconds at this sf are sketch-overhead-dominated and published
+      for honesty, not as the scaling evidence."""
     import shutil
     import tempfile
 
@@ -273,6 +285,7 @@ def _bloom_gate_stats(spark, sf_dir: str, k: int = 5) -> dict:
 
     from timebox_spark.operators import dedup as D
     from timebox_spark.operators import sketches as SK
+    from timebox_spark.streaming.ingest import _fps_prunable_layout
 
     m_default = 1 << 24  # curate_and_ingest_stream's default
     docs = tables_load(spark, sf_dir, "documents")
@@ -281,22 +294,28 @@ def _bloom_gate_stats(spark, sf_dir: str, k: int = 5) -> dict:
     tmp = tempfile.mkdtemp(prefix="timebox_bench_bloom_")
     out: dict = {"m_default": m_default, "k": k}
     try:
-        D.corpus_fingerprints(corpus).write.mode("overwrite").parquet(
+        fps_hex = D.corpus_fingerprints(corpus)
+        _fps_prunable_layout(fps_hex).write.mode("overwrite").parquet(
             f"{tmp}/fps"
         )
         fps = spark.read.parquet(f"{tmp}/fps")
+        from timebox_spark.streaming.ingest import _fps_as_hex
+
+        hexfps = _fps_as_hex(fps)
         n_corpus = fps.distinct().count()
         out["n_corpus_fps"] = n_corpus
 
         t0 = time.perf_counter()
-        SK.bloom_build(fps, "__fp", m_default, k).write.mode(
+        # the sketch ALWAYS hashes the hex form (what batches probe
+        # with), independent of the tree's binary storage
+        SK.bloom_build(hexfps, "__fp", m_default, k).write.mode(
             "overwrite"
         ).parquet(f"{tmp}/bloom/cycle=0")
         out["build_sec"] = round(time.perf_counter() - t0, 3)
 
         # merge cost: two per-cycle sketches OR-folded at read time
         halves = [
-            fps.filter(F.pmod(F.xxhash64("__fp"), F.lit(2)) == i)
+            hexfps.filter(F.pmod(F.xxhash64("__fp"), F.lit(2)) == i)
             for i in (0, 1)
         ]
         for i, h in enumerate(halves):
@@ -312,7 +331,7 @@ def _bloom_gate_stats(spark, sf_dir: str, k: int = 5) -> dict:
         novel = (
             D.corpus_fingerprints(batch)
             .distinct()
-            .join(fps, "__fp", "left_anti")
+            .join(hexfps, "__fp", "left_anti")
         )
         out["n_probe"] = novel.count()
 
@@ -330,7 +349,7 @@ def _bloom_gate_stats(spark, sf_dir: str, k: int = 5) -> dict:
             spark.read.parquet(f"{tmp}/bloom/cycle=0"), m_default
         )
         m10 = 1 << max(4, (10 * max(n_corpus, 1) - 1).bit_length())
-        SK.bloom_build(fps, "__fp", m10, k).write.mode(
+        SK.bloom_build(hexfps, "__fp", m10, k).write.mode(
             "overwrite"
         ).parquet(f"{tmp}/bloom10")
         out["m_sized_10bpd"] = m10
@@ -352,9 +371,86 @@ def _bloom_gate_stats(spark, sf_dir: str, k: int = 5) -> dict:
             batch, corpus, corpus_fps=fps
         ).write.mode("overwrite").format("noop").save()
         out["ungated_sec"] = round(time.perf_counter() - t0, 3)
+
+        # 10× fps scaling (round-15 task 1 done-criterion): salt the
+        # corpus fps 9 extra ways (md5-of-md5 — never collides with a
+        # real batch fingerprint); both trees at a FIXED 64 KiB
+        # row-group size; compare the gated plan's fps-scan
+        # numOutputRows at 1× and 10× (flat = pruned)
+        hex10 = hexfps
+        for i in range(1, 10):
+            hex10 = hex10.unionByName(
+                hexfps.select(
+                    F.md5(F.concat(F.col("__fp"), F.lit(f"|{i}"))).alias(
+                        "__fp"
+                    )
+                )
+            )
+        for name, src in (("fps1x", hexfps), ("fps10x", hex10)):
+            _fps_prunable_layout(src).write.mode("overwrite").option(
+                "parquet.block.size", 65536
+            ).parquet(f"{tmp}/{name}")
+        fps1x = spark.read.parquet(f"{tmp}/fps1x")
+        fps10 = spark.read.parquet(f"{tmp}/fps10x")
+        out["tree_rows_10x"] = fps10.count()
+        SK.bloom_build(_fps_as_hex(fps10), "__fp", m_default, k).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/bloom10x")
+        sketch10 = spark.read.parquet(f"{tmp}/bloom10x")
+        sketch1 = spark.read.parquet(f"{tmp}/bloom/cycle=0")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            for tag, tree, sk_df in (
+                ("1x", fps1x, sketch1),
+                ("10x", fps10, sketch10),
+            ):
+                t0 = time.perf_counter()
+                res = D.incremental_exact_dedup(
+                    batch, corpus, corpus_fps=tree,
+                    corpus_bloom=sk_df, bloom_m=m_default, bloom_k=k,
+                )
+                res.collect()
+                out[f"gated_sec_{tag}"] = round(time.perf_counter() - t0, 3)
+                out[f"gated_fps_rows_{tag}"] = _fps_scan_output_rows(
+                    res, f"{tmp}/fps{tag}"
+                )
+                t0 = time.perf_counter()
+                D.incremental_exact_dedup(
+                    batch, corpus, corpus_fps=tree
+                ).write.mode("overwrite").format("noop").save()
+                out[f"ungated_sec_{tag}"] = round(
+                    time.perf_counter() - t0, 3
+                )
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+def _fps_scan_output_rows(df, path_fragment: str) -> int | None:
+    """numOutputRows of the parquet scan over ``path_fragment`` in
+    ``df``'s executed plan (walked non-AQE, the plan-pytest
+    convention) — the pruning evidence: rows the scan SURFACED after
+    row-group skipping, vs the tree's total."""
+    plan = df._jdf.queryExecution().executedPlan()
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        if "FileSourceScan" in node.getClass().getSimpleName():
+            try:
+                rp = node.relation().location().rootPaths()
+                roots = " ".join(
+                    rp.apply(i).toString() for i in range(rp.size())
+                )
+            except Exception:
+                roots = ""
+            if path_fragment in roots:
+                return int(node.metrics().apply("numOutputRows").value())
+        kids = node.children()
+        for i in range(kids.size()):
+            stack.append(kids.apply(i))
+    return None
 
 
 def _stream_stress(spark, sf_dir: str) -> dict:

@@ -282,3 +282,65 @@ def test_personalized_pagerank_null_seed_and_empty_graph_raise(spark):
     finally:
         unpersist_owned(owned)
     assert set(lone) == {7} and lone[7] > 0
+
+
+def test_pagerank_residuals_and_early_exit(spark):
+    """Round-15 verdict task 4: the per-round integer L1 residual is
+    exact and decaying on a known graph; tol_ticks stops the loop at
+    the first round at/below tolerance with ranks identical to the
+    fixed-N run of that length; fixed-N results are unchanged by
+    tracking."""
+    from timebox_spark.operators import graphs as G
+    from timebox_spark.operators.dedup import unpersist_owned
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "a")],
+        "src string, dst string",
+    )
+    own1, res = [], []
+    try:
+        full = {
+            r["node"]: r["rank"]
+            for r in G.pagerank(
+                edges, iterations=8, owned_rdds=own1, residuals=res
+            ).collect()
+        }
+    finally:
+        unpersist_owned(own1)
+    assert len(res) == 8
+    # round 1 redistributes mass hard, the tail decays monotonically
+    assert res[0] > res[-1] > 0
+    assert all(b <= a for a, b in zip(res[2:], res[3:]))
+    # untracked fixed-N run is bit-identical
+    own2 = []
+    try:
+        plain = {
+            r["node"]: r["rank"]
+            for r in G.pagerank(edges, iterations=8, owned_rdds=own2).collect()
+        }
+    finally:
+        unpersist_owned(own2)
+    assert plain == full
+    # early exit: tol at the round-5 residual stops after round 5,
+    # ranks equal the fixed-5 run
+    own3, res3 = [], []
+    try:
+        early = {
+            r["node"]: r["rank"]
+            for r in G.pagerank(
+                edges, iterations=8, owned_rdds=own3,
+                residuals=res3, tol_ticks=res[4],
+            ).collect()
+        }
+    finally:
+        unpersist_owned(own3)
+    assert len(res3) == 5, res3
+    own4 = []
+    try:
+        five = {
+            r["node"]: r["rank"]
+            for r in G.pagerank(edges, iterations=5, owned_rdds=own4).collect()
+        }
+    finally:
+        unpersist_owned(own4)
+    assert early == five

@@ -33,6 +33,16 @@ from timebox_spark.session import ensure_parallelism
 DEFAULT_MIN_QUALITY_Q = 500_000
 
 
+def _registrable_domain_of(url_col: str):
+    """Heuristic registrable domain of a URL column — the rank-gate
+    key (heuristic, not PSL, so the q54 oracle constants match;
+    callers grouping ccTLD sites correctly can pre-compute a domain
+    column with urls.registrable_domain_psl and rank/gate on that)."""
+    from timebox_spark.operators import urls
+
+    return urls.registrable_domain(urls.url_host(url_col))
+
+
 def curate(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -44,6 +54,8 @@ def curate(
     gopher_gates: bool = False,
     classifier_min_score: int | None = None,
     mixture_balance: bool = False,
+    url_col: str | None = None,
+    rank_gate: tuple | None = None,
 ) -> DataFrame:
     """Return the curated corpus: one row per kept document with
     ``(id, lang_pred, quality_q, n_tokens, split)``. Duplicate texts
@@ -57,9 +69,28 @@ def curate(
     ``mixture_balance`` temperature-rebalances the deduped corpus
     across predicted languages (``sampling.mixture_sample`` on
     ``lang_pred``) before splitting — an O(langs) broadcast rate
-    table plus a map-only filter."""
+    table plus a map-only filter.
+
+    ``rank_gate=(ranks, min_rank)`` (round-15 verdict task 2 — the
+    graph tier of the crawl pipeline, CCNet/RefinedWeb-style domain
+    ranking) keeps only documents whose REGISTRABLE DOMAIN (from
+    ``url_col``, required) clears a rank bar: ``ranks`` is a
+    two-column (node, rank) frame — typically
+    ``graphs.pagerank`` over the domain link graph, O(domains) rows —
+    broadcast-left-joined on ``urls.registrable_domain(urls.url_host(
+    url_col))``; a document whose domain is absent (or whose URL has
+    no extractable domain) ranks 0, so a positive ``min_rank`` drops
+    it. The gate runs WITH the other filters, BEFORE dedup (a kept
+    representative should itself clear every gate) — one extra
+    broadcast join, still a single corpus scan, no new shuffle."""
+    sel = [id_col, text_col] + ([url_col] if url_col is not None else [])
+    if rank_gate is not None and url_col is None:
+        raise ValueError(
+            "curate: rank_gate requires url_col — the gate keys on "
+            "the document's registrable domain"
+        )
     feats = text.token_features(
-        ensure_parallelism(docs).select(id_col, text_col), text_col
+        ensure_parallelism(docs).select(*sel), text_col
     )
     # __bar (monotonically_increasing_id) makes the projection
     # non-deterministic so Catalyst cannot push the gate predicates
@@ -94,6 +125,13 @@ def curate(
             if classifier_min_score is not None
             else []
         ),
+        *(
+            [
+                _registrable_domain_of(url_col).alias("__dom")
+            ]
+            if rank_gate is not None
+            else []
+        ),
         F.monotonically_increasing_id().alias("__bar"),
     )
     # the (__bar >= 0) conjunct is always true; it exists to REFERENCE
@@ -117,6 +155,20 @@ def curate(
         *(["__gopher"] if gopher_gates else []),
         *(["__clf"] if classifier_min_score is not None else []),
     )
+    if rank_gate is not None:
+        ranks, min_rank = rank_gate
+        rk = ranks.select(
+            F.col(ranks.columns[0]).cast("string").alias("__dom"),
+            F.col(ranks.columns[1]).cast("long").alias("__rank"),
+        )
+        kept = (
+            kept.join(F.broadcast(rk), "__dom", "left")
+            .filter(
+                F.coalesce(F.col("__rank"), F.lit(0).cast("long"))
+                >= int(min_rank)
+            )
+            .drop("__rank", "__dom")
+        )
     w = Window.partitionBy("__fp").orderBy(id_col)
     deduped = (
         kept.withColumn("__rn", F.row_number().over(w))

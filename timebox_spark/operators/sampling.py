@@ -360,6 +360,9 @@ def cap_per_group(
     key: str = "doc_id",
     max_per_group: int = 1000,
     order_by: list | None = None,
+    cms: DataFrame | None = None,
+    cms_width: int | None = None,
+    cms_depth: int | None = None,
 ) -> DataFrame:
     """Frequency capping: keep at most ``max_per_group`` rows per
     ``group_col``, ranked by ``order_by`` (default: ``key`` ascending
@@ -374,13 +377,59 @@ def cap_per_group(
     pathologically hot group funnels through one task — for that
     regime pre-filter with ``hash_sample`` per group or raise
     ``spark.sql.shuffle.partitions``; typical per-domain counts are
-    far below task size."""
+    far below task size.
+
+    ``cms`` (round-15 verdict task 8 — CORPUS-HORIZON capping): exact
+    capping sees only this frame, so a forever-stream admitting
+    ``max_per_group`` rows of one domain every cycle enforces nothing
+    cumulatively. Pass the merged historical count-min sketch of
+    ``group_col`` (``streaming.ingest.read_store_cms`` over the
+    ``run_ingest_cycle(cms_col=...)`` tree, or ``sketches.cms_merge``
+    of per-cycle builds) and this frame's per-group allowance becomes
+    ``max(0, max_per_group − est_prior)``. CMS never under-counts, so
+    the budget is SAFE — the cumulative total can never exceed the
+    cap; over-admission is impossible, under-admission happens at the
+    sketch's over-count rate (size width accordingly). The estimate
+    join is ``sketches.cms_query`` — broadcast sketch, probe side =
+    this frame's distinct groups, then one broadcast join back onto
+    the frame: no new data-sized shuffle beyond the existing keyed
+    window. ``cms_width``/``cms_depth`` default to the sketch-module
+    defaults; pass the build-time geometry (sentinels raise on
+    mismatch). NULL groups probe 0 (never counted), so they keep the
+    plain in-frame cap."""
     from pyspark.sql import Window
 
     order = order_by if order_by is not None else [key]
     w = Window.partitionBy(group_col).orderBy(*order)
+    ranked = df.withColumn("__cap_rn", F.row_number().over(w))
+    if cms is None:
+        return ranked.filter(F.col("__cap_rn") <= max_per_group).drop(
+            "__cap_rn"
+        )
+    from timebox_spark.operators.sketches import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        cms_query,
+    )
+
+    width = CMS_WIDTH if cms_width is None else cms_width
+    depth = CMS_DEPTH if cms_depth is None else cms_depth
+    groups = df.select(group_col).distinct()
+    est = cms_query(
+        groups, group_col, group_col, cms, width=width, depth=depth
+    ).select(
+        F.col(group_col),
+        F.col("est_count").alias("__cap_prior"),
+    )
+    allowance = F.greatest(
+        F.lit(0).cast("long"),
+        F.lit(int(max_per_group)).cast("long")
+        - F.coalesce(F.col("__cap_prior"), F.lit(0).cast("long")),
+    )
     return (
-        df.withColumn("__cap_rn", F.row_number().over(w))
-        .filter(F.col("__cap_rn") <= max_per_group)
-        .drop("__cap_rn")
+        ranked.join(F.broadcast(est), group_col, "left")
+        .filter(F.col("__cap_rn") <= allowance)
+        # the equi-join moved group_col first — restore the caller's
+        # column order (downstream schema-positional writes rely on it)
+        .select(*df.columns)
     )

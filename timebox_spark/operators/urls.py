@@ -114,8 +114,275 @@ def url_host(col) -> Column:
 def registrable_domain(host_col) -> Column:
     """Last two dot-labels of a host — the blocklist/grouping key
     (heuristic; see REGISTRABLE_DOMAIN_RE). '' when the host has no
-    dot."""
+    dot. For correct eTLD+1 grouping under multi-label public
+    suffixes (a.b.co.uk → b.co.uk, not co.uk) use
+    :func:`registrable_domain_psl` / :func:`with_registrable_domain`;
+    this stays the default so the q54 oracle constants are unchanged."""
     return F.regexp_extract(_col(host_col), REGISTRABLE_DOMAIN_RE, 1)
+
+
+# Compact public-suffix rule set (round-15 verdict task 3): the
+# highest-traffic multi-label entries of the public suffix list
+# (publicsuffix.org — the rule SYNTAX is theirs: plain rules,
+# '*.'-wildcards matching exactly one label, '!'-exceptions), NOT the
+# full list — pass the real PSL as `rules`/a DataFrame where full
+# coverage matters. Single-label TLDs need no entry (the PSL default
+# rule '*' already makes any unknown final label a public suffix).
+PUBLIC_SUFFIX_RULES_COMPACT: tuple[str, ...] = (
+    # United Kingdom
+    "co.uk", "org.uk", "me.uk", "ltd.uk", "plc.uk", "net.uk",
+    "sch.uk", "ac.uk", "gov.uk", "nhs.uk", "police.uk",
+    # Australia / New Zealand
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au",
+    "id.au", "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz",
+    "school.nz", "geek.nz", "gen.nz", "maori.nz",
+    # Japan / Korea / Taiwan / Hong Kong / China / Singapore
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp",
+    "gr.jp", "lg.jp",
+    "co.kr", "ne.kr", "or.kr", "re.kr", "pe.kr", "go.kr", "ac.kr",
+    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw", "idv.tw",
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk", "idv.hk",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg",
+    # South / Southeast Asia
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in",
+    "ac.in", "edu.in", "gov.in", "res.in", "nic.in",
+    "co.th", "in.th", "or.th", "ac.th", "go.th", "net.th",
+    "com.my", "net.my", "org.my", "edu.my", "gov.my",
+    "co.id", "or.id", "ac.id", "go.id", "web.id", "sch.id", "net.id",
+    "com.ph", "net.ph", "org.ph", "edu.ph", "gov.ph",
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn", "biz.vn",
+    "com.pk", "net.pk", "org.pk", "edu.pk", "gov.pk",
+    "com.bd", "net.bd", "org.bd", "edu.bd", "gov.bd",
+    # Americas
+    "com.br", "net.br", "org.br", "gov.br", "edu.br", "art.br",
+    "adv.br", "ind.br", "inf.br", "blog.br",
+    "com.mx", "net.mx", "org.mx", "edu.mx", "gob.mx",
+    "com.ar", "net.ar", "org.ar", "edu.ar", "gob.ar", "int.ar",
+    "com.co", "net.co", "org.co", "edu.co", "gov.co", "nom.co",
+    "com.pe", "net.pe", "org.pe", "edu.pe", "gob.pe",
+    "com.ve", "net.ve", "org.ve", "co.ve", "gob.ve",
+    "com.uy", "net.uy", "org.uy", "edu.uy", "gub.uy",
+    "com.ec", "com.cl", "gob.cl", "gov.cl",
+    # Africa / Middle East
+    "co.za", "net.za", "org.za", "gov.za", "ac.za", "web.za",
+    "com.ng", "net.ng", "org.ng", "edu.ng", "gov.ng",
+    "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke",
+    "com.eg", "net.eg", "org.eg", "edu.eg", "gov.eg",
+    "com.sa", "net.sa", "org.sa", "edu.sa", "gov.sa", "med.sa",
+    "co.il", "org.il", "net.il", "ac.il", "gov.il", "muni.il",
+    "com.tr", "net.tr", "org.tr", "edu.tr", "gov.tr", "gen.tr",
+    "bel.tr", "web.tr",
+    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua",
+    "kiev.ua",
+    # Europe (multi-label ccTLD registries)
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "waw.pl",
+    "com.pt", "edu.pt", "gov.pt", "org.pt", "net.pt",
+    "com.gr", "edu.gr", "net.gr", "org.gr", "gov.gr",
+    "com.ro", "org.ro", "tm.ro", "nt.ro",
+    "com.ru", "net.ru", "org.ru", "msk.ru", "spb.ru",
+    "co.at", "or.at", "ac.at", "gv.at",
+    "com.es", "nom.es", "org.es", "gob.es", "edu.es",
+    "co.it",  # (illustrative; .it is mostly flat)
+    # wildcard + exception semantics (live PSL entries): every label
+    # under .ck is a public suffix EXCEPT www.ck, which is registrable
+    "*.ck", "!www.ck",
+    # wildcards for registries that delegate per-label
+    "*.bn", "*.er", "*.fk", "*.mm", "*.np", "*.za.bz",
+    # infra suffixes a crawl actually meets
+    "github.io", "gitlab.io", "blogspot.com", "appspot.com",
+    "herokuapp.com", "netlify.app", "vercel.app", "web.app",
+    "firebaseapp.com", "azurewebsites.net", "cloudfront.net",
+    "amazonaws.com", "*.compute.amazonaws.com", "wordpress.com",
+    "tumblr.com", "fastly.net", "github.dev", "pages.dev",
+    "workers.dev", "repl.co", "readthedocs.io", "neocities.org",
+)
+
+
+def _psl_rule_groups(rules) -> tuple[dict, dict, dict, int]:
+    """Parse PSL-syntax rules into {label_count: [suffix,...]} maps:
+    (exact, wildcard_parents, exceptions, max_match_labels). Wildcard
+    parents are keyed by the labels AFTER '*.' (the rule matches one
+    more label than its parent); exceptions by the labels after '!'."""
+    exact: dict[int, list[str]] = {}
+    wild: dict[int, list[str]] = {}
+    exc: dict[int, list[str]] = {}
+    maxk = 1
+    for raw in rules:
+        r = raw.strip().lower()
+        if not r or r.startswith("//"):
+            continue
+        if r.startswith("!"):
+            key = r[1:]
+            k = key.count(".") + 1
+            exc.setdefault(k, []).append(key)
+            maxk = max(maxk, k)
+        elif r.startswith("*."):
+            key = r[2:]
+            k = key.count(".") + 1
+            wild.setdefault(k, []).append(key)
+            maxk = max(maxk, k + 1)
+        else:
+            k = r.count(".") + 1
+            exact.setdefault(k, []).append(r)
+            maxk = max(maxk, k)
+    return exact, wild, exc, maxk
+
+
+def registrable_domain_psl(host_col, rules=None) -> Column:
+    """eTLD+1 of a host under public-suffix-list semantics (longest
+    matching rule wins; '*.' wildcards match exactly one label; '!'
+    exceptions override — publicsuffix.org/list/, the documented
+    algorithm), as a PURE map-side column expression: rule membership
+    is literal ``isin`` per label-count, so this never joins or
+    shuffles. ``rules`` defaults to :data:`PUBLIC_SUFFIX_RULES_COMPACT`
+    — pass the full PSL (as lines) when coverage matters, or use
+    :func:`with_registrable_domain` for a DataFrame-sized rule table.
+
+    Semantics: a host that IS a public suffix (or has no dot) yields
+    ''; an unknown final label falls to the PSL default rule '*'
+    (last two labels — exactly the heuristic
+    :func:`registrable_domain`)."""
+    exact, wild, exc, maxk = _psl_rule_groups(
+        PUBLIC_SUFFIX_RULES_COMPACT if rules is None else rules
+    )
+    host = F.lower(_col(host_col))
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+
+    def sfx(k: int) -> Column:
+        return F.array_join(F.slice(labels, -k, k), ".")
+
+    # exception rules win outright: ps_len = rule labels − 1
+    exc_expr = F.lit(None).cast("int")
+    for k in sorted(exc, reverse=True):
+        exc_expr = F.when(
+            (n >= k) & sfx(k).isin(exc[k]), F.lit(k - 1)
+        ).otherwise(exc_expr)
+    # else the longest exact/wildcard rule: walk lengths descending
+    norm_expr = F.lit(None).cast("int")
+    for L in range(maxk, 0, -1):
+        conds = []
+        if L in exact:
+            conds.append((n >= L) & sfx(L).isin(exact[L]))
+        if L - 1 in wild:
+            conds.append((n >= L) & sfx(L - 1).isin(wild[L - 1]))
+        if not conds:
+            continue
+        c = conds[0]
+        for extra in conds[1:]:
+            c = c | extra
+        norm_expr = F.when(c & norm_expr.isNull(), F.lit(L)).otherwise(
+            norm_expr
+        )
+    ps_len = F.coalesce(exc_expr, norm_expr, F.lit(1))
+    return F.when(n <= ps_len, F.lit("")).otherwise(
+        F.array_join(F.slice(labels, -(ps_len + F.lit(1)), ps_len + F.lit(1)), ".")
+    )
+
+
+def with_registrable_domain(
+    df: DataFrame,
+    host_col,
+    out_col: str = "domain",
+    rules: DataFrame | None = None,
+    rule_col: str = "rule",
+) -> DataFrame:
+    """``df`` + an ``out_col`` column holding the PSL eTLD+1 of
+    ``host_col`` — the DataFrame-rule-table variant of
+    :func:`registrable_domain_psl` for a FULL public suffix list
+    (~10k rules, too large for literal predicates): the rules are
+    grouped by label count and matched via ≤ max-rule-labels BROADCAST
+    left joins on the host's last-k-label suffixes — map-only at any
+    corpus size, the rule table is O(suffixes). ``rules`` is a
+    one-column DataFrame of PSL-syntax lines ('co.uk', '*.ck',
+    '!www.ck'; comment lines '//...' and blanks ignored); None uses
+    the compact built-in (then prefer the column variant — this one
+    exists for real PSL tables)."""
+    spark = df.sparkSession
+    if rules is None:
+        lines = PUBLIC_SUFFIX_RULES_COMPACT
+        rules = spark.createDataFrame(
+            [(r,) for r in lines], f"`{rule_col}` string"
+        )
+    r = rules.select(
+        F.lower(F.trim(F.col(rule_col))).alias("r")
+    ).filter(
+        (F.col("r") != "") & ~F.col("r").startswith("//")
+    )
+    typed = r.select(
+        F.when(F.col("r").startswith("!"), F.expr("substring(r, 2)"))
+        .when(F.col("r").startswith("*."), F.expr("substring(r, 3)"))
+        .otherwise(F.col("r"))
+        .alias("key"),
+        F.col("r").startswith("!").alias("is_exc"),
+        F.col("r").startswith("*.").alias("is_wild"),
+    ).withColumn("k", F.size(F.split("key", r"\.")))
+    # one row per (key, k): flags OR-folded so duplicate rules never
+    # fan a left join out
+    keys = typed.groupBy("key", "k").agg(
+        F.max(F.col("is_exc").cast("int")).alias("exc"),
+        F.max(F.col("is_wild").cast("int")).alias("wild"),
+        F.max((~F.col("is_exc") & ~F.col("is_wild")).cast("int")).alias(
+            "exact"
+        ),
+    )
+    ks = sorted(
+        row["k"] for row in keys.select("k").distinct().collect()
+    )
+    host = F.lower(_col(host_col))
+    out = df.withColumn("__psl_labels", F.split(host, r"\."))
+    n = F.size("__psl_labels")
+    for k in ks:
+        kt = (
+            keys.filter(F.col("k") == k)
+            .select(
+                F.col("key").alias(f"__psl_key{k}"),
+                F.col("exc").alias(f"__psl_exc{k}"),
+                F.col("wild").alias(f"__psl_wild{k}"),
+                F.col("exact").alias(f"__psl_exact{k}"),
+            )
+        )
+        out = out.join(
+            F.broadcast(kt),
+            F.array_join(F.slice("__psl_labels", -k, k), ".")
+            == F.col(f"__psl_key{k}"),
+            "left",
+        ).drop(f"__psl_key{k}")
+    exc_expr = F.lit(None).cast("int")
+    for k in sorted(ks, reverse=True):
+        exc_expr = F.when(
+            (n >= k) & (F.col(f"__psl_exc{k}") == 1), F.lit(k - 1)
+        ).otherwise(exc_expr)
+    norm_expr = F.lit(None).cast("int")
+    maxk = max(ks) + 1 if ks else 1
+    for L in range(maxk, 0, -1):
+        conds = []
+        if L in ks:
+            conds.append((n >= L) & (F.col(f"__psl_exact{L}") == 1))
+        if (L - 1) in ks:
+            conds.append((n >= L) & (F.col(f"__psl_wild{L - 1}") == 1))
+        if not conds:
+            continue
+        c = conds[0]
+        for extra in conds[1:]:
+            c = c | extra
+        norm_expr = F.when(c & norm_expr.isNull(), F.lit(L)).otherwise(
+            norm_expr
+        )
+    ps_len = F.coalesce(exc_expr, norm_expr, F.lit(1))
+    dom = F.when(n <= ps_len, F.lit("")).otherwise(
+        F.array_join(
+            F.slice("__psl_labels", -(ps_len + F.lit(1)), ps_len + F.lit(1)),
+            ".",
+        )
+    )
+    drop = ["__psl_labels"] + [
+        c
+        for k in ks
+        for c in (f"__psl_exc{k}", f"__psl_wild{k}", f"__psl_exact{k}")
+    ]
+    return out.withColumn(out_col, dom).drop(*drop)
 
 
 def url_dedup(

@@ -601,7 +601,12 @@ def _gopher_inline_sql() -> str:
         AND {_DUP2_SQL} <= {text.GOPHER_MAX_DUP_2GRAM} THEN 1 ELSE 0 END"""
 
 
-def _q54_sql() -> str:
+def _q54_sql(extra_kept_pred: str = "") -> str:
+    """The q54 curate oracle. ``extra_kept_pred`` (round 15) injects
+    an additional gate into the `kept` stage — the same place
+    `pipeline.curate` applies its optional gates (before dedup, so a
+    kept representative itself clears every gate); the q54 suite's
+    'rank_gate' member renders the domain-rank predicate here."""
     ann = _lang_pred_sql(
         extra_cols=(
             f"{_quality_sql()} AS quality_q, "
@@ -615,7 +620,7 @@ def _q54_sql() -> str:
     kept AS (
       SELECT * FROM ann
       WHERE lang_pred IN ('en') AND quality_q >= {_CURATE_MIN_Q}
-        AND n_tokens >= {_CURATE_MIN_TOKENS} AND gopher = 1
+        AND n_tokens >= {_CURATE_MIN_TOKENS} AND gopher = 1{extra_kept_pred}
     ),
     ded AS (
       SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn

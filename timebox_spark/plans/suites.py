@@ -3545,6 +3545,102 @@ _SYNTH_URL_SQL = (
 )
 _URL_BLOCKLIST = ("spam77.com", "ads3.net")
 
+# Domain-rank gate member (round-15 verdict task 2): a second, wider
+# synthetic URL space — 17 domains, each doc linking out to one of 7
+# receiver domains ((doc_id % 29) % 7, skewed toward site0) so
+# PageRank separates linked domains (~2e9 ticks) from teleport-only
+# ones (1.5e8) and the gate threshold splits them decisively. ONE SQL
+# string per URL, valid in both engines (the _SYNTH_URL_SQL rule).
+_RANK_URL_SQL = (
+    "'http://WWW.Site' || CAST(doc_id % 17 AS STRING) || "
+    "'.COM/p/' || CAST(doc_id AS STRING)"
+)
+_RANK_OUT_SQL = (
+    "'https://site' || CAST((doc_id % 29) % 7 AS STRING) || '.com/x'"
+)
+_RANK_ITERS = 4
+_RANK_MIN = 1_000_000_000  # between teleport-only (~1.5e8) and linked (~2e9)
+
+
+def _rank_gate_member(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'rank_gate' rows of the q54 suite: `pipeline.curate` with the
+    domain-rank gate — the full graph tier (synth URLs → registrable
+    domains → multigraph edges → exact integer PageRank → rank gate
+    inside the curate filter stage). One row per kept doc (membership
+    + quality_q/n_tokens/split all driver-hashed). The rank table is
+    O(domains)=17 rows, so it is collected once and the pagerank
+    checkpoints unpersisted before the lazy suite plan leaves this
+    function (the q31 bounded-collect convention)."""
+    from timebox_spark.operators import graphs as G
+    from timebox_spark.operators import pipeline
+    from timebox_spark.operators import urls as U
+    from timebox_spark.operators.dedup import unpersist_owned
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .withColumn("url", F.expr(_RANK_URL_SQL))
+        .withColumn("out_url", F.expr(_RANK_OUT_SQL))
+    )
+    edges = docs.select(
+        U.registrable_domain(U.url_host("url")).alias("src"),
+        U.registrable_domain(U.url_host("out_url")).alias("dst"),
+    )
+    owned: list = []
+    try:
+        rank_rows = G.pagerank(
+            edges, iterations=_RANK_ITERS, owned_rdds=owned
+        ).collect()
+    finally:
+        unpersist_owned(owned)
+    ranks = spark.createDataFrame(rank_rows, "node string, rank long")
+    curated = pipeline.curate(
+        docs.select("doc_id", "text", "url"),
+        url_col="url",
+        rank_gate=(ranks, _RANK_MIN),
+        langs=("en",),
+        min_quality_q=LQ._CURATE_MIN_Q,
+        min_tokens=LQ._CURATE_MIN_TOKENS,
+        gopher_gates=True,
+    )
+    return curated.select(
+        "doc_id",
+        F.lit("rank_gate").alias("lang_pred"),
+        "quality_q",
+        "n_tokens",
+        "split",
+    )
+
+
+def _rank_gate_sql() -> str:
+    """Oracle for the 'rank_gate' member: the q54 curate SQL with the
+    rank predicate injected into its `kept` stage (the same pre-dedup
+    position `pipeline.curate` applies the gate), ranks re-derived by
+    `duckdb_pagerank_sql` over edges rendered from the SAME URL/domain
+    constants — domain extraction via the shared canonicalization
+    renderers, so the node space is pinned bit-for-bit."""
+    from timebox_spark.operators import graphs as G
+    from timebox_spark.operators import urls as U
+
+    dom_src = U.duckdb_registrable_domain_sql(
+        U.duckdb_canonical_host_sql(f"({_RANK_URL_SQL})")
+    )
+    dom_dst = U.duckdb_registrable_domain_sql(
+        U.duckdb_canonical_host_sql(f"({_RANK_OUT_SQL})")
+    )
+    edges_sql = (
+        f"SELECT {dom_src} AS src, {dom_dst} AS dst FROM documents"
+    )
+    ranks_sql = G.duckdb_pagerank_sql(edges_sql, iterations=_RANK_ITERS)
+    pred = (
+        f" AND {dom_src} IN (SELECT node FROM ({ranks_sql}) "
+        f"WHERE rank >= {_RANK_MIN})"
+    )
+    inner = LQ._q54_sql(extra_kept_pred=pred)
+    return (
+        f"SELECT doc_id, 'rank_gate' AS lang_pred, quality_q, "
+        f"n_tokens, split FROM ({inner})"
+    )
+
 
 def _url_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-curation members of the q54 suite (operators/urls.py):
@@ -3702,6 +3798,8 @@ def q54_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(card)
         # round 14: URL canonicalization / dedup / blocklist members
         .unionByName(_url_members(spark, sf_dir))
+        # round 15: domain-rank gate through pipeline.curate
+        .unionByName(_rank_gate_member(spark, sf_dir))
     )
 
 
@@ -3775,6 +3873,8 @@ UNION ALL
 {_q54_card_sql()}
 UNION ALL
 {_url_members_sql()}
+UNION ALL
+{_rank_gate_sql()}
 """
 
 
@@ -4278,6 +4378,9 @@ _CMS_W = 256
 _CMS_D = 4
 _CMS_PROBE_MOD = 97
 _CMS_PROBE_RES = 3
+_CMS_CAP = 40  # 'cmscap' per-user budget: half-A counts are 21-49
+# at every SF (per-user event counts don't scale with SF), so 40
+# blocks some users outright and truncates others — the gate binds
 _CMS_HH_MIN = 10
 
 
@@ -4394,6 +4497,41 @@ def q57_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_est").alias("m1_q"),
         F.lit(_CMS_HH_MIN).cast("long").alias("m2_q"),
     )
+    # 'cmscap' (round-15 verdict task 8): corpus-horizon frequency
+    # capping — sketch the HALF-A user counts, cap HALF-B events per
+    # user at _CMS_CAP against that historical estimate
+    # (sampling.cap_per_group(cms=...)); one aggregated row per user
+    # that admitted at least one event, pinning admitted count, the
+    # CMS prior, and the allowance
+    from timebox_spark.operators import sampling as SP
+
+    hbq = ev.filter(
+        (_half == 1) & F.col("user_id").isNotNull()
+    ).select("user_id", "event_id")
+    capped = SP.cap_per_group(
+        hbq, "user_id", "event_id", _CMS_CAP,
+        cms=h1, cms_width=_CMS_W, cms_depth=_CMS_D,
+    )
+    prior = SK.cms_query(
+        hbq.select("user_id").distinct(), "user_id", "user_id", h1,
+        width=_CMS_W, depth=_CMS_D,
+    )
+    caprows = (
+        capped.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_adm"))
+        .join(prior, "user_id")
+        .select(
+            F.lit("cmscap").alias("chk"),
+            F.col("user_id").cast("string").alias("ka"),
+            F.lit("").alias("kb"),
+            F.col("n_adm").alias("n"),
+            F.col("est_count").alias("m1_q"),
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.lit(_CMS_CAP).cast("long") - F.col("est_count"),
+            ).alias("m2_q"),
+        )
+    )
     return (
         corr.unionByName(trend)
         .unionByName(qhist)
@@ -4401,6 +4539,7 @@ def q57_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(cms_rows)
         .unionByName(qrows)
         .unionByName(hh)
+        .unionByName(caprows)
     )
 
 
@@ -4447,6 +4586,41 @@ SELECT 'cmshh', '', '', CAST(count(*) AS BIGINT),
        CAST(COALESCE(sum(est_count), 0) AS BIGINT),
        CAST({_CMS_HH_MIN} AS BIGINT)
 FROM est WHERE est_count >= {_CMS_HH_MIN}
+UNION ALL
+SELECT 'cmscap', CAST(user_id AS VARCHAR), '',
+       CAST(count(*) AS BIGINT), CAST(min(est) AS BIGINT),
+       CAST(GREATEST(0, {_CMS_CAP} - min(est)) AS BIGINT)
+FROM (
+  WITH hA AS (
+    SELECT user_id FROM events
+    WHERE user_id IS NOT NULL AND COALESCE(event_id, 0) % 2 = 0
+  ),
+  hB AS (
+    SELECT user_id, event_id FROM events
+    WHERE user_id IS NOT NULL AND COALESCE(event_id, 0) % 2 = 1
+  ),
+  js2 AS (SELECT j FROM ({js})),
+  cmsa AS (
+    SELECT j AS row, CAST({h} AS INT) AS idx,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM hA CROSS JOIN js2 GROUP BY 1, 2
+  ),
+  esta AS (
+    SELECT p.user_id, CAST(min(COALESCE(c.cnt, 0)) AS BIGINT) AS est
+    FROM (SELECT user_id, j, CAST({h} AS INT) AS idx
+          FROM (SELECT DISTINCT user_id FROM hB) CROSS JOIN js2) p
+    LEFT JOIN cmsa c ON c.row = p.j AND c.idx = p.idx
+    GROUP BY p.user_id
+  ),
+  rkb AS (
+    SELECT user_id, event_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+    FROM hB
+  )
+  SELECT r.user_id, e.est
+  FROM rkb r JOIN esta e ON r.user_id = e.user_id
+  WHERE r.rn <= GREATEST(0, {_CMS_CAP} - e.est)
+) GROUP BY user_id
 """
 
 
