@@ -808,7 +808,24 @@ def main() -> None:
             ).format("noop").save()
         finally:
             unpersist_owned(owned)
-        return {"sec": round(time.perf_counter() - t0, 3), "docs": n_docs}
+        sec = round(time.perf_counter() - t0, 3)
+        # residual decay (round 15), 1× only, measured OUTSIDE the
+        # timed run so `sec` stays comparable across rounds: the
+        # per-round exact integer L1 delta — the number an operator
+        # reads to choose `iterations` for a new graph (SCALE.md)
+        res: list = []
+        if d == sf_dir:
+            owned2: list = []
+            try:
+                G.pagerank(
+                    edges, iterations=6, owned_rdds=owned2, residuals=res
+                ).write.mode("overwrite").format("noop").save()
+            finally:
+                unpersist_owned(owned2)
+        out = {"sec": sec, "docs": n_docs}
+        if res:
+            out["residual_ticks"] = res
+        return out
 
     pagerank_stats = {
         "1x": pagerank_timing(sf_dir),
