@@ -95,21 +95,26 @@ def main() -> None:
         for r in ptop:
             print(f"  {r['node']:<28} {r['rank']}")
 
-        # --- rank-gated corpus: drop docs whose domain ranks in the
-        # bottom tail (broadcast-size rank table; AQE picks the join)
+        # --- rank-gated corpus through the production pipeline
+        # (round 15: the gate is a first-class curate stage — one
+        # broadcast join keyed on the doc's registrable domain,
+        # applied with the other filters before dedup)
         bar = sorted(r["rank"] for r in ranks.collect())[
             max(0, ranks.count() // 5)
         ]
-        kept = (
-            docs.withColumn("__dom", dom)
-            .join(
-                ranks.select(
-                    F.col("node").alias("__dom"), F.col("rank")
-                ),
-                "__dom",
-                "left",
-            )
-            .filter(F.coalesce(F.col("rank"), F.lit(0)) >= bar)
+        docs_txt = docs.withColumn(
+            "text",
+            F.concat(
+                F.lit("the quick brown fox story number "),
+                F.col("doc_id").cast("string"),
+                F.lit(" with some more english words in the body"),
+            ),
+        )
+        from timebox_spark.operators import pipeline
+
+        kept = pipeline.curate(
+            docs_txt, langs=("en",), min_quality_q=0, min_tokens=3,
+            url_col="url", rank_gate=(ranks, bar),
         )
         print(f"rank gate at {bar}: kept {kept.count()} of {docs.count()} docs")
     finally:

@@ -2167,3 +2167,64 @@ def test_pagerank_validation_raise_leaks_no_blocks(spark):
         G.pagerank(edges, weight="w", iterations=2)
     after = sc._jsc.sc().getPersistentRDDs().size()
     assert after == before, (before, after)
+
+
+def test_bloom_gate_auto_disables_below_tree_size_bound(
+    spark, tmp_path, monkeypatch
+):
+    """Round-15 What's-wrong #3: with bloom_m set, the PROBE is
+    skipped while the fps tree is broadcast-small (the plain
+    anti-join broadcasts there anyway) — but the sketch tree keeps
+    being written/backfilled, so coverage holds and the probe resumes
+    the first cycle the tree outgrows the bound. Results identical in
+    both regimes."""
+    import os
+
+    seen = []
+    real = ingest.compact_corpus
+
+    def spy(new_batch, **kw):
+        seen.append(kw.get("corpus_bloom") is not None)
+        return real(new_batch, **kw)
+
+    monkeypatch.setattr(ingest, "compact_corpus", spy)
+
+    def batch(cid, texts):
+        return spark.createDataFrame(
+            [(cid * 100 + j, t) for j, t in enumerate(texts)],
+            "doc_id long, text string",
+        )
+
+    m = 1 << 14
+    store = str(tmp_path / "r15_gate_auto")
+    ingest.run_ingest_cycle(
+        batch(0, ["alpha body", "beta body"]), store, 0,
+        near_dup=False, bloom_m=m,
+    )
+    ingest.run_ingest_cycle(
+        batch(1, ["alpha body", "gamma body"]), store, 1,
+        near_dup=False, bloom_m=m,
+    )
+    # tiny store: the probe was skipped on every cycle…
+    assert seen == [False, False], seen
+    # …but the sketch tree is fully maintained (coverage invariant)
+    assert {
+        d for d in os.listdir(f"{store}/bloom") if d.startswith("cycle=")
+    } == {"cycle=0", "cycle=1"}
+    kept1 = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{store}/corpus/cycle=1").collect()
+    }
+    assert kept1 == {101}, kept1
+    # force the bound to 0: the probe activates, results unchanged
+    monkeypatch.setattr(ingest, "GATE_MIN_TREE_BYTES", 0)
+    ingest.run_ingest_cycle(
+        batch(2, ["alpha body", "gamma body", "delta body"]), store, 2,
+        near_dup=False, bloom_m=m,
+    )
+    assert seen == [False, False, True], seen
+    kept2 = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{store}/corpus/cycle=2").collect()
+    }
+    assert kept2 == {202}, kept2

@@ -235,6 +235,34 @@ class CurationAPI:
 
         return domain_blocklist_filter(df, blocked=blocked, **kw)
 
+    def domains(
+        self,
+        df: DataFrame,
+        url_col: str = "url",
+        out_col: str = "domain",
+        psl: bool = False,
+        rules=None,
+    ) -> DataFrame:
+        """``df`` + the registrable domain of a URL column. Default is
+        the last-two-labels heuristic (the oracle-pinned grouping
+        key); ``psl=True`` applies public-suffix-list semantics
+        (wildcards, exceptions, longest match — round 15), with
+        ``rules`` as PSL lines or a one-column DataFrame rule table
+        (broadcast-joined) for the full list."""
+        from timebox_spark.operators import urls as U
+
+        host = U.url_host(url_col)
+        if not psl:
+            return df.withColumn(out_col, U.registrable_domain(host))
+        if rules is not None and isinstance(rules, DataFrame):
+            return U.with_registrable_domain(
+                df.withColumn("__api_host", host), "__api_host",
+                out_col=out_col, rules=rules,
+            ).drop("__api_host")
+        return df.withColumn(
+            out_col, U.registrable_domain_psl(host, rules=rules)
+        )
+
     def rank_graph(self, edges: DataFrame, **kw) -> DataFrame:
         """Exact fixed-point PageRank over a link graph — (node, rank)
         BIGINT ticks after a fixed iteration count (operators/

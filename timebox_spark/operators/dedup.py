@@ -2035,11 +2035,20 @@ def incremental_exact_dedup(
             maybe_vals = [r["__fp"] for r in maybe_rows]
             # OR-of-Eq expansion for the parquet pushdown needs the
             # threshold above the list size (see _FPS_IN_FILTER
-            # _THRESHOLD) — planning-time conf, idempotent
-            new_batch.sparkSession.conf.set(
-                "spark.sql.parquet.pushdown.inFilterThreshold",
-                str(_FPS_IN_FILTER_THRESHOLD),
-            )
+            # _THRESHOLD) — planning-time conf, idempotent; never
+            # LOWER a value the session already raised
+            _conf = new_batch.sparkSession.conf
+            try:
+                cur = int(
+                    _conf.get("spark.sql.parquet.pushdown.inFilterThreshold")
+                )
+            except Exception:
+                cur = 0
+            if cur < _FPS_IN_FILTER_THRESHOLD:
+                _conf.set(
+                    "spark.sql.parquet.pushdown.inFilterThreshold",
+                    str(_FPS_IN_FILTER_THRESHOLD),
+                )
             if not maybe_vals:
                 present = corpus_fp_raw.filter(F.lit(False)).select(
                     (_fp_hex("__fp") if fp_binary else F.col("__fp")).alias("__fp")
