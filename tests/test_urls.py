@@ -258,3 +258,44 @@ def test_with_registrable_domain_broadcast_rule_table(spark):
         ).collect()
     }
     assert out == lit
+
+
+def test_psl_paths_shuffle_free(spark):
+    """Scale guard: registrable_domain_psl is a pure column expression
+    (no Exchange/Python); with_registrable_domain shuffles nothing —
+    its only exchanges are the BROADCAST of the rule table per label
+    count."""
+    from timebox_spark.operators import urls as U
+
+    df = spark.range(10).selectExpr(
+        "id", "concat('h', CAST(id AS STRING), '.example.co.uk') AS host"
+    )
+    plan = (
+        df.select(U.registrable_domain_psl("host"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert bad not in plan
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        jplan = (
+            U.with_registrable_domain(df, "host")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # the DATA side moves only through BroadcastExchange (the rule
+    # table); the sole hash exchanges allowed are the O(rules)
+    # rule-table aggregation, which partitions on its own (key, k)
+    # columns — never on anything from the input frame
+    for line in jplan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "key" in line and ", k" in line, line
+    assert "Exchange rangepartitioning" not in jplan
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert bad not in jplan
