@@ -1750,3 +1750,34 @@ def test_cap_per_group_cms_enforces_corpus_horizon_budget(spark):
     # per-cycle exact capping alone would have admitted 12 hot rows
     plain = S.cap_per_group(cycle(2), "source", "doc_id", CAP)
     assert plain.filter("source = 'hot.com'").count() == 4
+
+
+def test_curate_near_dup_stage_drops_near_copies(spark):
+    """Round-15: curate(near_dup_threshold=) — the one-call batch
+    pipeline's near-dedup stage. A doc that is a near (not exact)
+    copy of a smaller-id survivor is dropped; unrelated docs and the
+    cluster representative survive; exact-dup semantics unchanged."""
+    from timebox_spark.operators import pipeline
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "rain in spain falls mainly on the plain tonight")
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " ok"),                      # near copy of 1
+            (3, base),                              # exact copy of 1
+            (4, "completely different text about gardens and stone "
+                "walls with many unrelated words in a long sentence"),
+        ],
+        "doc_id long, text string",
+    )
+    out = pipeline.curate(
+        docs, langs=("en",), min_quality_q=0, min_tokens=3,
+        near_dup_threshold=0.5,
+    )
+    assert {r["doc_id"] for r in out.collect()} == {1, 4}
+    # without the stage, the near copy survives (exact dedup only)
+    plain = pipeline.curate(
+        docs, langs=("en",), min_quality_q=0, min_tokens=3,
+    )
+    assert {r["doc_id"] for r in plain.collect()} == {1, 2, 4}

@@ -56,6 +56,8 @@ def curate(
     mixture_balance: bool = False,
     url_col: str | None = None,
     rank_gate: tuple | None = None,
+    near_dup_threshold: float | None = None,
+    near_dup_kwargs: dict | None = None,
 ) -> DataFrame:
     """Return the curated corpus: one row per kept document with
     ``(id, lang_pred, quality_q, n_tokens, split)``. Duplicate texts
@@ -82,7 +84,21 @@ def curate(
     no extractable domain) ranks 0, so a positive ``min_rank`` drops
     it. The gate runs WITH the other filters, BEFORE dedup (a kept
     representative should itself clear every gate) — one extra
-    broadcast join, still a single corpus scan, no new shuffle."""
+    broadcast join, still a single corpus scan, no new shuffle.
+
+    ``near_dup_threshold`` (round 15 — completes the one-call batch
+    pipeline; C4/RefinedWeb both near-dedup after the exact pass)
+    additionally drops NEAR-duplicates among the exact survivors:
+    banded MinHash-LSH candidates verified at exact hashed-shingle
+    Jaccard ≥ threshold (``dedup.minhash_dedup``), clusters resolved
+    by connected components with the auto-escalating algorithm
+    (``dedup.dedup_clusters(algorithm='auto')``), each cluster
+    keeping its smallest id. Near-dup needs shingles, so this is the
+    one stage that re-reads text — deliberately AFTER every gate and
+    the exact dedup, so the second pass shingles only the surviving
+    docs. ``near_dup_kwargs`` forwards tuning (num_hashes, bands,
+    shingle_n). The underlying operators are driver-gated by q25/q31;
+    the composition is pytest-pinned."""
     sel = [id_col, text_col] + ([url_col] if url_col is not None else [])
     if rank_gate is not None and url_col is None:
         raise ValueError(
@@ -175,6 +191,29 @@ def curate(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__fp")
     )
+    if near_dup_threshold is not None:
+        from timebox_spark.operators.dedup import (
+            dedup_clusters,
+            minhash_dedup,
+        )
+
+        survivors = docs.select(id_col, text_col).join(
+            deduped.select(id_col), id_col, "left_semi"
+        )
+        pairs = minhash_dedup(
+            survivors,
+            id_col=id_col,
+            text_col=text_col,
+            threshold=near_dup_threshold,
+            **(near_dup_kwargs or {}),
+        )
+        canon = dedup_clusters(
+            survivors, pairs, id_col=id_col, algorithm="auto"
+        )
+        keep_ids = canon.filter(
+            F.col("canonical_id") == F.col(id_col)
+        ).select(id_col)
+        deduped = deduped.join(keep_ids, id_col, "left_semi")
     if mixture_balance:
         from timebox_spark.operators.sampling import mixture_sample
 
