@@ -2228,3 +2228,52 @@ def test_bloom_gate_auto_disables_below_tree_size_bound(
         for r in spark.read.parquet(f"{store}/corpus/cycle=2").collect()
     }
     assert kept2 == {202}, kept2
+
+
+def test_run_ingest_cycle_cap_max_enforces_stream_budget(spark, tmp_path):
+    """Round-15: run_ingest_cycle(cms_col=, cap_max=) keeps at most
+    cap_max rows per group ACROSS cycles — the historical cms tree
+    supplies the prior, so cycle 3's hot-domain rows are refused even
+    though each cycle individually is under the cap. Replaying a
+    cycle is deterministic (cycle-filtered tree read)."""
+
+    def batch(cid, n_hot):
+        rows = [
+            (cid * 100 + j, f"hot doc body {cid} {j}", "hot.com")
+            for j in range(n_hot)
+        ]
+        rows.append(
+            (cid * 100 + 99, f"rare doc body {cid}", f"rare{cid}.org")
+        )
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+
+    store = str(tmp_path / "r15_capmax")
+    CAP = 5
+    for cid, n_hot in enumerate((3, 3, 3)):
+        ingest.run_ingest_cycle(
+            batch(cid, n_hot), store, cid, near_dup=False,
+            cms_col="source", cms_width=256, cms_depth=4, cap_max=CAP,
+        )
+    corpus = spark.read.parquet(f"{store}/corpus")
+    hot = [r["doc_id"] for r in corpus.filter("source = 'hot.com'").collect()]
+    # cycle 0: 3 kept; cycle 1: est 3 -> 2 kept; cycle 2: est 5 -> 0
+    assert sorted(hot) == [0, 1, 2, 100, 101], sorted(hot)
+    assert corpus.filter("source != 'hot.com'").count() == 3
+    # replay of cycle 2 changes nothing (deterministic prior)
+    ingest.run_ingest_cycle(
+        batch(2, 3), store, 2, near_dup=False,
+        cms_col="source", cms_width=256, cms_depth=4, cap_max=CAP,
+    )
+    corpus2 = spark.read.parquet(f"{store}/corpus")
+    assert sorted(
+        r["doc_id"] for r in corpus2.filter("source = 'hot.com'").collect()
+    ) == [0, 1, 2, 100, 101]
+    # loud validation: cap without the column
+    import pytest
+
+    with pytest.raises(ValueError, match="cap_max"):
+        ingest.run_ingest_cycle(
+            batch(3, 1), store, 3, near_dup=False, cap_max=CAP,
+        )

@@ -872,6 +872,7 @@ def curate_and_ingest_stream(
     cms_col: str | None = None,
     cms_width: int = 1024,
     cms_depth: int = 4,
+    cap_max: int | None = None,
 ):
     """The end-to-end streaming ingest entrypoint: raw document
     stream → ``curate_stream``'s stateless annotate/gate/redact →
@@ -1008,6 +1009,9 @@ def curate_and_ingest_stream(
             cms_col=cms_col,
             cms_width=cms_width,
             cms_depth=cms_depth,
+            # corpus-horizon per-group keep budget (round 15) —
+            # enforced against the store's cms tree every cycle
+            cap_max=cap_max,
         )
 
     ingest_writer = (
@@ -1439,6 +1443,7 @@ def run_ingest_cycle(
     cms_col: str | None = None,
     cms_width: int = 1024,
     cms_depth: int = 4,
+    cap_max: int | None = None,
 ) -> int:
     """One steady-state compaction cycle against ON-DISK corpus state
     — the production composition the per-DataFrame pieces build up
@@ -1502,7 +1507,21 @@ def run_ingest_cycle(
     tree's (a sketch tree missing cycles would silently UNDER-count,
     voiding the est ≥ true guarantee); consolidation folds it with
     the other trees (duplicate cells re-SUM exactly at read time).
-    Purely observational — kept results are unaffected."""
+    Purely observational — kept results are unaffected (unless
+    ``cap_max`` consumes it, below).
+
+    ``cap_max`` (round 15 — corpus-horizon frequency budgets on a
+    forever-stream) caps the KEPT rows per ``cms_col`` value at
+    ``cap_max`` ACROSS THE WHOLE STREAM: after compaction, this
+    cycle's keeps are ranked per group and admitted only up to
+    ``max(0, cap_max − historical CMS estimate)``
+    (``sampling.cap_per_group(cms=...)`` over the store's cms tree —
+    which counts exactly the previously KEPT rows, cycle-filtered so
+    replays are deterministic). CMS never under-counts, so the
+    cumulative budget can never be exceeded; under-admission happens
+    only at the sketch's over-count rate (size ``cms_width``
+    accordingly). Requires ``cms_col``; the first cycle (no tree yet)
+    applies the plain in-frame cap."""
     from pyspark.errors import AnalysisException
 
     from timebox_spark.operators.dedup import (
@@ -1512,6 +1531,14 @@ def run_ingest_cycle(
 
     spark = new_batch.sparkSession
     paths = _store_tree_paths(store_path)
+    if cap_max is not None and (
+        cms_col is None or cms_col not in new_batch.columns
+    ):
+        raise ValueError(
+            "run_ingest_cycle: cap_max needs cms_col naming a batch "
+            "column — the budget is enforced against the store's "
+            "count-min tree of that column"
+        )
     if consolidate_every and cycle_id > 0 and cycle_id % consolidate_every == 0:
         consolidate_ingest_store(spark, store_path, cycle_id - 1)
 
@@ -1572,6 +1599,7 @@ def run_ingest_cycle(
                 tree_bytes = None  # unsized tree: keep the gate
             if tree_bytes is not None and tree_bytes < GATE_MIN_TREE_BYTES:
                 bloom = None
+    prior_cms = None
     if cms_col is not None:
         import warnings
 
@@ -1665,6 +1693,21 @@ def run_ingest_cycle(
             bloom_k=bloom_k,
             exact_owned_rdds=exact_owned,
         )
+        if cap_max is not None:
+            # corpus-horizon frequency budget on the KEPT rows: the
+            # cms tree counts exactly the rows previous cycles kept
+            # (cycle-filtered read ⇒ replay-deterministic); the first
+            # cycle has no tree and applies the plain in-frame cap
+            from timebox_spark.operators.sampling import cap_per_group
+
+            if prior_cms is not None:
+                kept = cap_per_group(
+                    kept, cms_col, id_col, cap_max,
+                    cms=prior_cms, cms_width=cms_width,
+                    cms_depth=cms_depth,
+                )
+            else:
+                kept = cap_per_group(kept, cms_col, id_col, cap_max)
 
         cyc = f"cycle={cycle_id}"
         kept.write.mode("overwrite").parquet(f"{paths['corpus']}/{cyc}")
