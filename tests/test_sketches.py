@@ -595,15 +595,13 @@ def _fps_scan_leaf(df, path_fragment):
         if "FileSourceScan" in node.getClass().getSimpleName():
             if path_fragment in _leaf_scan_paths(node):
                 return node
+        # children() covers unary wrappers (WholeStageCodegen,
+        # InputAdapter) too — do NOT also push node.child(), that
+        # enqueues every unary child twice and the walk goes
+        # exponential on deep plans
         kids = node.children()
         for i in range(kids.size()):
             stack.append(kids.apply(i))
-        # dive through WholeStageCodegen/InputAdapter wrappers too
-        try:
-            inner = node.child()
-            stack.append(inner)
-        except Exception:
-            pass
     return None
 
 

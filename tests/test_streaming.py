@@ -2277,3 +2277,192 @@ def test_run_ingest_cycle_cap_max_enforces_stream_budget(spark, tmp_path):
         ingest.run_ingest_cycle(
             batch(3, 1), store, 3, near_dup=False, cap_max=CAP,
         )
+
+
+def _band_gate_fixture(spark):
+    from timebox_spark.operators.dedup import build_corpus_index
+    from timebox_spark.operators.sketches import bloom_build
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliett kilo lima mike november oscar papa quebec")
+    corpus = spark.createDataFrame(
+        [(i, f"{base} corpus tail {i} {'x ' * (i % 5)}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    banded, sets = build_corpus_index(corpus)
+    m, k = 1 << 16, 5
+    bb = bloom_build(banded.select("key"), "key", m, k)
+    batch = spark.createDataFrame(
+        [
+            (100, f"{base} corpus tail 3 "),        # near-dup of corpus 3
+            (101, "utterly unrelated words nothing shares a shingle "
+                  "with the corpus documents at all here today"),
+            (102, f"{base} corpus tail 7 x "),      # near-dup of corpus 7
+            (103, "utterly unrelated words nothing shares a shingle "
+                  "with the corpus documents at all here tonight"),  # near 101
+        ],
+        "doc_id long, text string",
+    )
+    return corpus, banded, sets, bb, m, k, batch
+
+
+def test_compact_corpus_band_gate_identical_results(spark):
+    """Round-15: the band-key Bloom gate is transparent — kept sets
+    identical with and without it, for both keep modes, including
+    within-batch near-dups and the empty-maybe case."""
+    c, banded, sets, bb, m, k, batch = _band_gate_fixture(spark)
+
+    for keep in ("chain", "cluster"):
+        plain = {
+            r["doc_id"]
+            for r in ingest.compact_corpus(
+                batch, corpus_index=(banded, sets), near_dup=True,
+                threshold=0.5, keep=keep,
+            ).collect()
+        }
+        owned: list = []
+        gated = {
+            r["doc_id"]
+            for r in ingest.compact_corpus(
+                batch, corpus_index=(banded, sets), near_dup=True,
+                threshold=0.5, keep=keep,
+                corpus_band_bloom=bb, band_bloom_m=m, band_bloom_k=k,
+                exact_owned_rdds=owned,
+            ).collect()
+        }
+        from timebox_spark.operators.dedup import unpersist_owned
+
+        unpersist_owned(owned)
+        assert gated == plain, (keep, gated, plain)
+        assert 101 in gated and 100 not in gated and 102 not in gated
+
+
+def test_compact_corpus_band_gate_prunes_index_scans(spark, tmp_path):
+    """Round-15: with the gate on, the banded scan carries a pushed
+    In/EqualTo predicate on `key` and surfaces only matching row
+    groups; the verify-tree scan is pruned to candidate ids."""
+    from pyspark.sql import functions as F
+
+    from tests.test_sketches import _fps_scan_leaf
+
+    from timebox_spark.operators.dedup import build_corpus_index
+    from timebox_spark.operators.sketches import bloom_build
+
+    m, k = 1 << 16, 5
+    # a BIGGER index than the identity fixture (pruning is observable
+    # only when row groups outnumber the maybe keys) of PAIRWISE
+    # DISTINCT docs — mutually-similar corpus docs would explode the
+    # candidate set past the isin cap into the semi-join fallback,
+    # which pushes no scan predicate
+    def doc_text(i):
+        return " ".join(f"c{i}w{j}q{(i * 31 + j) % 997}" for j in range(18))
+
+    corpus = spark.createDataFrame(
+        [(i, doc_text(i)) for i in range(2000)],
+        "doc_id long, text string",
+    )
+    banded, sets = build_corpus_index(corpus)
+    bb = bloom_build(banded.select("key"), "key", m, k)
+    batch = spark.createDataFrame(
+        [(100_000, doc_text(3) + " zz"),   # near-dup of corpus doc 3
+         (100_001, " ".join(f"fresh{j}" for j in range(18)))],
+        "doc_id long, text string",
+    )
+    bdir = str(tmp_path / "r15_banded_tree")
+    sdir = str(tmp_path / "r15_sets_tree")
+    (banded.repartitionByRange(2, "key").sortWithinPartitions("key")
+     .write.mode("overwrite").option("parquet.block.size", 16 * 1024)
+     .parquet(bdir))
+    (sets.repartitionByRange(2, "doc_id").sortWithinPartitions("doc_id")
+     .write.mode("overwrite").option("parquet.block.size", 16 * 1024)
+     .parquet(sdir))
+    banded_t = spark.read.parquet(bdir)
+    sets_t = spark.read.parquet(sdir)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        out = ingest.compact_corpus(
+            batch, corpus_index=(banded_t, sets_t), near_dup=True,
+            threshold=0.5, corpus_band_bloom=bb, band_bloom_m=m,
+            band_bloom_k=k,
+        )
+        got = {r["doc_id"] for r in out.collect()}
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert got == {100_001}, got
+    bleaf = _fps_scan_leaf(out, "r15_banded_tree")
+    assert bleaf is not None
+    pushed = str(bleaf.metadata().apply("PushedFilters"))
+    assert "key" in pushed and ("In(" in pushed or "EqualTo(" in pushed), pushed
+    n_banded = banded.count()
+    scanned_b = bleaf.metrics().apply("numOutputRows").value()
+    assert scanned_b < n_banded, (scanned_b, n_banded)
+    sleaf = _fps_scan_leaf(out, "r15_sets_tree")
+    assert sleaf is not None
+    spushed = str(sleaf.metadata().apply("PushedFilters"))
+    assert "doc_id" in spushed and (
+        "In(" in spushed or "EqualTo(" in spushed
+    ), spushed
+    scanned_s = sleaf.metrics().apply("numOutputRows").value()
+    assert scanned_s < sets.count(), (scanned_s, sets.count())
+
+
+def test_run_ingest_cycle_band_bloom_tree_and_coverage(spark, tmp_path, monkeypatch):
+    """Round-15: band_bloom_m maintains the bloom_band state tree
+    (per-cycle + backfilled, consolidated with the others); with the
+    auto-disable bound forced to 0 the probe is ACTIVE and kept sets
+    equal the ungated store's, cycle for cycle."""
+    import os
+
+    monkeypatch.setattr(ingest, "GATE_MIN_TREE_BYTES", 0)
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliett kilo lima mike november oscar papa quebec")
+
+    def fresh(cid):
+        # md5-derived words: no shared 5-char shingles across cycles
+        # (human-ish word patterns like "cyc1word3" share most of
+        # their character shingles and false-near-dup at 0.5)
+        import hashlib as _h
+
+        return " ".join(
+            _h.md5(f"{cid}:{j}".encode()).hexdigest()[:10]
+            for j in range(18)
+        )
+
+    def batch(cid):
+        rows = [(cid * 100 + 1, fresh(cid))]
+        if cid > 0:
+            # near copy of the previous cycle's fresh doc
+            rows.append((cid * 100 + 2, fresh(cid - 1) + " qq"))
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    stores = {
+        True: str(tmp_path / "r15_bb_gated"),
+        False: str(tmp_path / "r15_bb_plain"),
+    }
+    for gated, store in stores.items():
+        for cid in range(3):
+            ingest.run_ingest_cycle(
+                batch(cid), store, cid, threshold=0.5,
+                band_bloom_m=(1 << 16) if gated else None,
+            )
+
+    def kept(store):
+        return sorted(
+            r["doc_id"]
+            for r in spark.read.parquet(f"{store}/corpus").collect()
+        )
+
+    assert kept(stores[True]) == kept(stores[False])
+    # near copies were dropped (the gate did not admit them)
+    assert kept(stores[True]) == [1, 101, 201], kept(stores[True])
+    banded_cycles = {
+        d for d in os.listdir(f"{stores[True]}/index/banded")
+        if d.startswith("cycle=")
+    }
+    bb_cycles = {
+        d for d in os.listdir(f"{stores[True]}/bloom_band")
+        if d.startswith("cycle=")
+    }
+    assert bb_cycles == banded_cycles and bb_cycles
+    assert not os.path.isdir(f"{stores[False]}/bloom_band")

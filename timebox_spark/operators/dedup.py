@@ -1851,16 +1851,23 @@ def corpus_fingerprints(
 # match; above it (a saturated sketch — fpr → 1 makes the maybe set
 # batch-sized) the broadcast semi-join fallback keeps the shuffle-free
 # round-14 plan. The bytes collected are the same bytes the broadcast
-# was already shipping.
-FPS_PRUNE_ISIN_MAX = 2048
+# was already shipping. Bounded WELL below the parquet OR-expansion
+# stack cliff: the pushed In becomes a LEFT-DEEP Or tree evaluated
+# recursively per row group, and the evaluation StackOverflows at
+# ~1.5k terms (measured round 15: 1024 values OK, 1536 crashes the
+# scan task) — 512 leaves 3× headroom for deeper surrounding plans.
+FPS_PRUNE_ISIN_MAX = 512
 # Spark expands an In predicate to OR-of-Eq for the parquet pushdown
 # only below spark.sql.parquet.pushdown.inFilterThreshold (default
 # 10); at/above it the pushed filter degrades to a min/max RANGE,
 # which prunes nothing on uniformly distributed fingerprints
 # (measured: 20 random values → 89% of a sorted tree still read; the
 # same values OR-expanded → only the containing row groups). Raised
-# past FPS_PRUNE_ISIN_MAX wherever the pruned path plans.
-_FPS_IN_FILTER_THRESHOLD = 4096
+# past FPS_PRUNE_ISIN_MAX wherever the pruned path plans — but NOT
+# further: the OR expansion is a recursive left-deep tree and
+# StackOverflows the scan task at ~1.5k terms (see
+# FPS_PRUNE_ISIN_MAX), so the threshold must stay under ~1k.
+_FPS_IN_FILTER_THRESHOLD = 1000
 
 
 def _fp_hex(col) -> F.Column:

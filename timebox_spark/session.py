@@ -36,8 +36,10 @@ RUNTIME_CONFS = {
     # past dedup.FPS_PRUNE_ISIN_MAX so the gated exact-dedup's pruned
     # fps scan and the ≤64-value blocklist isin actually skip row
     # groups (measured round 15: 50 pushed values read 31% of a
-    # sorted tree OR-expanded vs ~100% as a range).
-    "spark.sql.parquet.pushdown.inFilterThreshold": "4096",
+    # sorted tree OR-expanded vs ~100% as a range). NOT higher: the
+    # OR expansion is a recursive left-deep tree and StackOverflows
+    # the scan task at ~1.5k terms (measured: 1024 OK, 1536 crashes).
+    "spark.sql.parquet.pushdown.inFilterThreshold": "1000",
 }
 
 
@@ -142,8 +144,9 @@ def get_spark(
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         # see RUNTIME_CONFS: OR-of-Eq In pushdown up to the pruned
-        # fps scan's cap, not the 10-value default
-        .config("spark.sql.parquet.pushdown.inFilterThreshold", "4096")
+        # fps scan's cap, not the 10-value default (and below the
+        # ~1.5k-term recursive-evaluation stack cliff)
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "1000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -455,6 +455,9 @@ def compact_corpus(
     bloom_m: int = 1 << 20,
     bloom_k: int = 5,
     exact_owned_rdds: list | None = None,
+    corpus_band_bloom: DataFrame | None = None,
+    band_bloom_m: int = 1 << 26,
+    band_bloom_k: int = 5,
 ) -> DataFrame:
     """The batch half of the ingest lambda split ``curate_stream``
     documents: given the rows a streaming window accumulated
@@ -535,6 +538,27 @@ def compact_corpus(
     re-ingested WITH DIFFERENT TEXT would otherwise collide in the
     verify join); the verify tables carry an origin flag so corpus
     and batch set rows never alias even on id collision.
+
+    ``corpus_band_bloom`` (round 15 — the near-dup analog of the
+    exact path's fps gate) prunes the CORPUS INDEX reads the same
+    way: without it, every cycle fully scans the banded tree
+    (O(corpus·bands) rows) and the verify tree (O(corpus) signature/
+    shingle arrays — the largest state tree) even when the batch has
+    few or no collisions. With a ``bloom_build`` sketch of the
+    banded tree's ``key`` column (same ``band_bloom_m``/
+    ``band_bloom_k``), batch band keys that probe negative DEFINITELY
+    collide with nothing (Bloom has no false negatives) — only the
+    maybe-colliding keys (true collisions + the design fpr of the
+    batch's keys) are pushed into the banded scan as an In predicate
+    (row-group-prunable on a key-sorted tree; past
+    ``dedup.FPS_PRUNE_ISIN_MAX`` a broadcast semi-join keeps the
+    shuffle-free shape), and the verify tree is then pruned to the
+    surviving CANDIDATE ids the same way. Results are bit-identical
+    with or without the sketch; size ``band_bloom_m`` ≈ 10 bits per
+    (doc × band). The candidate set is materialized once via
+    ``exact_owned_rdds`` when the caller owns the lifecycle
+    (run_ingest_cycle does); without an owner the collect re-derives
+    it (correct, duplicated map work).
 
     ``scratch_path`` (cluster mode only) keeps the drop DISTRIBUTED
     (round-12 verdict task 2): the non-representative ids are written
@@ -619,8 +643,57 @@ def compact_corpus(
     b_banded, b_sets = build_corpus_index(
         kept, id_col, text_col, num_perm, bands, shingle_n, verify=verify
     )
+    c_banded_src, c_sets_src = c_banded, c_sets
+    if corpus_band_bloom is not None:
+        # gate the banded-tree read (round 15): batch keys that probe
+        # negative collide with NOTHING in the corpus index — only
+        # maybe-colliding keys reach the scan, pushed in as a
+        # row-group-prunable In predicate (key-sorted tree) or a
+        # broadcast semi-join past the cap
+        from timebox_spark.operators.dedup import FPS_PRUNE_ISIN_MAX
+        from timebox_spark.operators.sketches import (
+            BloomBroadcastBudgetError,
+            bloom_probe,
+        )
+
+        bkeys = (
+            b_banded.select("key").filter(F.col("key").isNotNull())
+            .distinct()
+        )
+        try:
+            kprobe = bloom_probe(
+                bkeys, "key", "key", corpus_band_bloom,
+                band_bloom_m, band_bloom_k,
+            )
+        except BloomBroadcastBudgetError as e:
+            import warnings
+
+            warnings.warn(
+                f"compact_corpus: band-key pre-gate over the broadcast "
+                f"budget — probing via the shuffle strategy this cycle "
+                f"({e})",
+                UserWarning,
+                stacklevel=2,
+            )
+            kprobe = bloom_probe(
+                bkeys, "key", "key", corpus_band_bloom,
+                band_bloom_m, band_bloom_k, strategy="shuffle",
+            )
+        maybe_keys = kprobe.filter(F.col("maybe_present")).select("key")
+        krows = maybe_keys.limit(FPS_PRUNE_ISIN_MAX + 1).collect()
+        if len(krows) <= FPS_PRUNE_ISIN_MAX:
+            kvals = [r["key"] for r in krows]
+            c_banded_src = (
+                c_banded.filter(F.col("key").isin(kvals))
+                if kvals
+                else c_banded.filter(F.lit(False))
+            )
+        else:
+            c_banded_src = c_banded.join(
+                F.broadcast(maybe_keys), "key", "left_semi"
+            )
     # candidates: batch survivor × (corpus ∪ smaller-id batch survivor)
-    a = c_banded.select(
+    a = c_banded_src.select(
         F.col(id_col).alias("id_a"), "band", "key", F.lit(True).alias("__corpus")
     ).unionByName(
         b_banded.select(
@@ -637,9 +710,37 @@ def compact_corpus(
         .select("id_a", "id_b", "__corpus")
         .distinct()
     )
+    if corpus_band_bloom is not None:
+        # gate the VERIFY-tree read (the largest state tree): prune
+        # c_sets to the corpus-side candidate ids. The candidate set
+        # is batch-bounded (band collisions of one batch); checkpoint
+        # it once when the caller owns the lifecycle — it is consumed
+        # here AND by the verify join below.
+        from timebox_spark.operators.dedup import (
+            FPS_PRUNE_ISIN_MAX,
+            _tracked_local_checkpoint,
+        )
+
+        if exact_owned_rdds is not None:
+            cand = _tracked_local_checkpoint(cand, exact_owned_rdds)
+        cids = cand.filter(F.col("__corpus")).select("id_a").distinct()
+        irows = cids.limit(FPS_PRUNE_ISIN_MAX + 1).collect()
+        if len(irows) <= FPS_PRUNE_ISIN_MAX:
+            ivals = [r["id_a"] for r in irows]
+            c_sets_src = (
+                c_sets.filter(F.col(id_col).isin(ivals))
+                if ivals
+                else c_sets.filter(F.lit(False))
+            )
+        else:
+            c_sets_src = c_sets.join(
+                F.broadcast(cids.withColumnRenamed("id_a", id_col)),
+                id_col,
+                "left_semi",
+            )
     # origin-tagged set rows: the a-side joins on (id, origin) so a
     # corpus row and a batch row sharing an id can never swap sets
-    sh_a = c_sets.select(
+    sh_a = c_sets_src.select(
         F.col(id_col).alias("id_a"), F.col(vcol).alias("sh_a"),
         F.lit(True).alias("__corpus"),
     ).unionByName(
@@ -873,6 +974,8 @@ def curate_and_ingest_stream(
     cms_width: int = 1024,
     cms_depth: int = 4,
     cap_max: int | None = None,
+    band_bloom_m: int | None = 1 << 26,
+    band_bloom_k: int = 5,
 ):
     """The end-to-end streaming ingest entrypoint: raw document
     stream → ``curate_stream``'s stateless annotate/gate/redact →
@@ -1012,6 +1115,11 @@ def curate_and_ingest_stream(
             # corpus-horizon per-group keep budget (round 15) —
             # enforced against the store's cms tree every cycle
             cap_max=cap_max,
+            # near-dup index gate (round 15): defaults ON like the
+            # fps gate; the probe auto-disables while the banded
+            # tree is broadcast-small
+            band_bloom_m=band_bloom_m,
+            band_bloom_k=band_bloom_k,
         )
 
     ingest_writer = (
@@ -1241,6 +1349,22 @@ def _fps_as_hex(df: DataFrame) -> DataFrame:
     return df
 
 
+def _banded_prunable_layout(df: DataFrame) -> DataFrame:
+    """Banded-index layout (round 15): range-partitioned + sorted by
+    the band ``key`` so the gated compaction's pushed key-In predicate
+    skips row groups (the fps-tree recipe applied to the index)."""
+    return df.repartitionByRange("key").sortWithinPartitions("key")
+
+
+def _sets_prunable_layout(df: DataFrame) -> DataFrame:
+    """Verify-tree layout (round 15): range-partitioned + sorted by
+    the id column (the one non-``__``-prefixed column) so the gated
+    compaction's candidate-id In predicate prunes the largest state
+    tree's row groups."""
+    idc = [c for c in df.columns if not c.startswith("__")][0]
+    return df.repartitionByRange(idc).sortWithinPartitions(idc)
+
+
 def _fps_prunable_layout(df: DataFrame) -> DataFrame:
     """The fps tree's physical layout (round 15): ``__fp`` stored as
     16-byte binary (half the hex string's bytes at 10¹⁰-doc scale),
@@ -1267,6 +1391,10 @@ def _store_tree_paths(store_path: str) -> dict[str, str]:
         # consolidation folds it like the others (rows merge at read
         # time via bit_or, so folded duplicates of a word are fine)
         "bloom": f"{store_path}/bloom",
+        # Bloom sketch of the banded tree's band KEYS (round 15) —
+        # only written when band_bloom_m is set; gates the near-dup
+        # index reads the way `bloom` gates the fps anti-join
+        "bloom_band": f"{store_path}/bloom_band",
         # count-min frequency sketch of a kept-row column (round 14)
         # — only written when run_ingest_cycle(cms_col=...) is set;
         # folded duplicates of a cell are fine (reads re-SUM via
@@ -1390,14 +1518,18 @@ def consolidate_ingest_store(
             "cycle",
             upto_cycle,
             f"{store_path}/_tmp_consolidate/{tree}/cycle={upto_cycle}",
-            # the fps tree's prunable layout (round 15): range-
-            # partitioned + sorted by fingerprint so every file owns
-            # a disjoint __fp slice (file- AND row-group-level
-            # pruning for the gated dedup's pushed In predicate), and
-            # hex→16-byte-binary migration of legacy stores — the one
-            # moment the whole tree is rewritten under one schema, so
-            # a mixed-type tree never exists
-            transform=_fps_prunable_layout if tree == "fps" else None,
+            # prunable layouts (round 15): fps sorted by fingerprint
+            # (+ hex→binary migration — the one moment the whole tree
+            # is rewritten under one schema, so a mixed-type tree
+            # never exists), banded sorted by band key, verify tree
+            # sorted by id — every file owns a disjoint slice, so the
+            # gated compaction's pushed In predicates prune files AND
+            # row groups
+            transform={
+                "fps": _fps_prunable_layout,
+                "banded": _banded_prunable_layout,
+                "sets": _sets_prunable_layout,
+            }.get(tree),
         )
     fs.delete(fs_path(f"{store_path}/_tmp_consolidate"), True)
 
@@ -1444,6 +1576,8 @@ def run_ingest_cycle(
     cms_width: int = 1024,
     cms_depth: int = 4,
     cap_max: int | None = None,
+    band_bloom_m: int | None = None,
+    band_bloom_k: int = 5,
 ) -> int:
     """One steady-state compaction cycle against ON-DISK corpus state
     — the production composition the per-DataFrame pieces build up
@@ -1509,6 +1643,19 @@ def run_ingest_cycle(
     the other trees (duplicate cells re-SUM exactly at read time).
     Purely observational — kept results are unaffected (unless
     ``cap_max`` consumes it, below).
+
+    ``band_bloom_m`` (round 15 — the near-dup analog of ``bloom_m``)
+    maintains a seventh state tree ``{store}/bloom_band``: the
+    per-cycle Bloom sketch of the banded tree's band KEYS, coverage-
+    backfilled and consolidated like the fps sketch. The compaction
+    then reads only the index row groups that can contain a batch
+    collision (``compact_corpus(corpus_band_bloom=...)``) instead of
+    fully scanning the banded (O(corpus·bands) rows) and verify
+    (O(corpus) arrays — the largest tree) state every cycle. Probe
+    auto-disabled while the banded tree is under
+    ``GATE_MIN_TREE_BYTES`` (the sketch stays maintained, so coverage
+    holds when the probe resumes). Size ≈ 10 bits per (doc × band);
+    kept results are bit-identical with or without it.
 
     ``cap_max`` (round 15 — corpus-horizon frequency budgets on a
     forever-stream) caps the KEPT rows per ``cms_col`` value at
@@ -1661,6 +1808,40 @@ def run_ingest_cycle(
             new_batch.limit(0), id_col, text_col, num_perm, bands,
             shingle_n, verify=index_verify,
         )
+    band_bloom = None
+    if near_dup and band_bloom_m is not None:
+        from timebox_spark.operators.sketches import bloom_build, bloom_merge
+
+        # band-key sketch maintenance: same coverage rule as the fps
+        # sketch — a bloom_band tree missing banded cycles would probe
+        # negative for a key that collides only in an uncovered cycle
+        # and silently MISS a near-duplicate
+        _backfill_tree(
+            spark, store_path, paths["banded"], paths["bloom_band"],
+            cycle_id,
+            lambda df: bloom_build(
+                df.select("key"), "key", band_bloom_m, band_bloom_k
+            ),
+        )
+        prior_bb = read_prior("bloom_band")
+        if prior_bb is not None:
+            band_bloom = bloom_merge(prior_bb)
+        # auto-disable below broadcast-small index trees, the fps-gate
+        # rule: the sketch tree stays maintained, the probe resumes
+        # fully covered once the banded tree outgrows the bound
+        if band_bloom is not None:
+            try:
+                fs_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+                fs = fs_path(store_path).getFileSystem(
+                    spark.sparkContext._jsc.hadoopConfiguration()
+                )
+                bt_bytes = fs.getContentSummary(
+                    fs_path(paths["banded"])
+                ).getLength()
+            except Exception:
+                bt_bytes = None
+            if bt_bytes is not None and bt_bytes < GATE_MIN_TREE_BYTES:
+                band_bloom = None
     scratch = (
         f"{store_path}/_scratch/cycle={cycle_id}" if keep == "cluster" else None
     )
@@ -1692,6 +1873,11 @@ def run_ingest_cycle(
             bloom_m=bloom_m if bloom_m is not None else 1 << 20,
             bloom_k=bloom_k,
             exact_owned_rdds=exact_owned,
+            corpus_band_bloom=band_bloom,
+            band_bloom_m=(
+                band_bloom_m if band_bloom_m is not None else 1 << 26
+            ),
+            band_bloom_k=band_bloom_k,
         )
         if cap_max is not None:
             # corpus-horizon frequency budget on the KEPT rows: the
@@ -1756,8 +1942,28 @@ def run_ingest_cycle(
             kept_disk, id_col, text_col, num_perm, bands, shingle_n,
             verify=index_verify,
         )
-        nb.write.mode("overwrite").parquet(f"{paths['banded']}/{cyc}")
-        ns.write.mode("overwrite").parquet(f"{paths['sets']}/{cyc}")
+        # sorted per-cycle partitions (round 15): the gated
+        # compaction's pushed In predicates prune row groups only on
+        # key-/id-sorted data (consolidation range-partitions too)
+        nb.sortWithinPartitions("key").write.mode("overwrite").parquet(
+            f"{paths['banded']}/{cyc}"
+        )
+        ns.sortWithinPartitions(id_col).write.mode("overwrite").parquet(
+            f"{paths['sets']}/{cyc}"
+        )
+        if band_bloom_m is not None:
+            from timebox_spark.operators.sketches import bloom_build
+
+            bloom_build(
+                spark.read.parquet(f"{paths['banded']}/{cyc}").select(
+                    "key"
+                ),
+                "key",
+                band_bloom_m,
+                band_bloom_k,
+            ).write.mode("overwrite").parquet(
+                f"{paths['bloom_band']}/{cyc}"
+            )
     return kept_disk.count()
 
 
