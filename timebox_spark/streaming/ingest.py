@@ -1486,7 +1486,9 @@ def consolidate_ingest_store(
     spark: SparkSession, store_path: str, upto_cycle: int
 ) -> None:
     """Rewrite every ``cycle=N`` partition with ``N <= upto_cycle`` in
-    the four ingest state trees into ONE ``cycle={upto_cycle}``
+    every ingest state tree (corpus, fps, index/banded, index/sets,
+    and the optional bloom/cms/bloom_band sketches) into ONE
+    ``cycle={upto_cycle}``
     partition each (round-11 verdict task 4). A long-lived stream
     otherwise accumulates one tiny partition per micro-batch and the
     ``cycle < cycle_id`` state reads pay ever-growing listing and
@@ -1581,7 +1583,9 @@ def run_ingest_cycle(
 ) -> int:
     """One steady-state compaction cycle against ON-DISK corpus state
     — the production composition the per-DataFrame pieces build up
-    to. ``store_path`` holds four parquet trees, each partitioned by
+    to. ``store_path`` holds four core parquet trees (plus up to
+    three optional sketch trees — bloom, cms, bloom_band — described
+    below), each partitioned by
     ``cycle={id}``:
 
     - ``corpus/``  — the kept documents,
