@@ -344,3 +344,36 @@ def test_pagerank_residuals_and_early_exit(spark):
     finally:
         unpersist_owned(own4)
     assert early == five
+
+
+def test_pagerank_success_path_releases_internal_checkpoints(spark):
+    """Round-15 advisor: with owned_rdds=None the internal checkpoint
+    blocks must be released on SUCCESS too — all but the one backing
+    the returned frame (a local checkpoint severs lineage, so that one
+    must survive until the caller's action). Before the fix every
+    per-iteration block stayed persisted for the session lifetime."""
+    jsc = spark.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keySet().toArray())
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 1)], "src long, dst long"
+    )
+    pr = G.pagerank(edges, iterations=5)
+    after = set(jsc.getPersistentRDDs().keySet().toArray())
+    leaked = after - before
+    # exactly the result-backing checkpoint survives
+    assert len(leaked) == 1, leaked
+    # and the returned frame is still consumable (its block was kept)
+    assert pr.count() == 4
+    for rid in leaked:  # leave the session clean for later tests
+        jsc.getPersistentRDDs().get(rid).unpersist(False)
+
+    # zero iterations: the result projects over the NODES checkpoint —
+    # cleanup must keep that one, and the frame must still collect
+    before0 = set(jsc.getPersistentRDDs().keySet().toArray())
+    pr0 = G.pagerank(edges, iterations=0)
+    got = {r["node"]: r["rank"] for r in pr0.collect()}
+    assert got == {1: 10**9, 2: 10**9, 3: 10**9, 4: 10**9}
+    leaked0 = set(jsc.getPersistentRDDs().keySet().toArray()) - before0
+    assert len(leaked0) == 1, leaked0
+    for rid in leaked0:
+        jsc.getPersistentRDDs().get(rid).unpersist(False)

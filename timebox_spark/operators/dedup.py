@@ -1876,6 +1876,28 @@ def _fp_hex(col) -> F.Column:
     return F.lower(F.hex(col))
 
 
+def ensure_in_filter_pushdown(spark) -> None:
+    """Idempotently raise the session's
+    ``spark.sql.parquet.pushdown.inFilterThreshold`` to
+    ``_FPS_IN_FILTER_THRESHOLD`` (1000) so a collected maybe-set of up
+    to ``FPS_PRUNE_ISIN_MAX`` keys OR-expands at parquet pushdown
+    instead of degrading to a useless min/max range. Never LOWERS a
+    higher session value. Planning-time, session-global, and it
+    OUTLIVES the caller — every pruned-scan site (exact-dedup fps,
+    compact_corpus band keys / candidate ids) must call this rather
+    than assume the session was built by ``session.get_spark``."""
+    conf = spark.conf
+    try:
+        cur = int(conf.get("spark.sql.parquet.pushdown.inFilterThreshold"))
+    except Exception:
+        cur = 0
+    if cur < _FPS_IN_FILTER_THRESHOLD:
+        conf.set(
+            "spark.sql.parquet.pushdown.inFilterThreshold",
+            str(_FPS_IN_FILTER_THRESHOLD),
+        )
+
+
 def incremental_exact_dedup(
     new_batch: DataFrame,
     corpus: DataFrame,
@@ -1942,7 +1964,17 @@ def incremental_exact_dedup(
     (``unpersist_owned``) after the result has been fully consumed.
     Without it the probe subplan (batch md5 fan-out + two small
     shuffles) evaluates per reference — correct, just duplicated
-    map-side work."""
+    map-side work.
+
+    Session side effect (caveat): when the pruned-scan path plans,
+    this call raises the CALLER's session conf
+    ``spark.sql.parquet.pushdown.inFilterThreshold`` to 1000 and the
+    raise outlives the call (idempotent; a higher session value is
+    never lowered). Every later query in the session with a
+    10-999-value ``isin`` over a parquet column then OR-expands at
+    pushdown — usually what you want, but keep user isin lists below
+    ~1k literals on parquet columns: the OR expansion StackOverflows
+    the scan task at ~1.5k terms (see ``FPS_PRUNE_ISIN_MAX``)."""
     fp = F.md5(F.encode(normalize_text(text_col), "UTF-8"))
     batch_fp = new_batch.withColumn("__fp", fp)
     # round 15: a persisted fps tree may store the fingerprint as
@@ -2044,18 +2076,7 @@ def incremental_exact_dedup(
             # threshold above the list size (see _FPS_IN_FILTER
             # _THRESHOLD) — planning-time conf, idempotent; never
             # LOWER a value the session already raised
-            _conf = new_batch.sparkSession.conf
-            try:
-                cur = int(
-                    _conf.get("spark.sql.parquet.pushdown.inFilterThreshold")
-                )
-            except Exception:
-                cur = 0
-            if cur < _FPS_IN_FILTER_THRESHOLD:
-                _conf.set(
-                    "spark.sql.parquet.pushdown.inFilterThreshold",
-                    str(_FPS_IN_FILTER_THRESHOLD),
-                )
+            ensure_in_filter_pushdown(new_batch.sparkSession)
             if not maybe_vals:
                 present = corpus_fp_raw.filter(F.lit(False)).select(
                     (_fp_hex("__fp") if fp_binary else F.col("__fp")).alias("__fp")

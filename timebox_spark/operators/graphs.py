@@ -117,6 +117,10 @@ def pagerank(
     handles for per-owner cleanup (``dedup.unpersist_owned``) after
     the RESULT has been consumed — the returned frame is itself a
     checkpoint, so unpersisting before the final action loses it.
+    With ``owned_rdds=None`` every internal checkpoint is released
+    on success EXCEPT the one backing the result (and all of them on
+    a raise); that final block stays persisted for the session —
+    pass a list when you need to reclaim it too.
 
     ``residuals`` (round-15 verdict task 4 — the convergence signal):
     pass a list to receive, per completed round, the INTEGER L1 rank
@@ -151,11 +155,25 @@ def pagerank(
         return _pagerank_body(
             edges, src, dst, iterations, damping_num, damping_den,
             unit, weight, seeds, _own, residuals, tol_ticks,
+            cleanup=owned_rdds is None,
         )
     except BaseException:
         if owned_rdds is None:
             unpersist_owned(_own)
         raise
+
+
+def _release_all_but(owned: list, keep) -> None:
+    """Unpersist every tracked checkpoint RDD except ``keep`` (the one
+    backing the returned frame — a local checkpoint severs lineage, so
+    its blocks must outlive the caller's consuming action). Success-
+    path counterpart of the raise guard (round-15 advisor: with
+    owned_rdds=None the internal list was dropped untracked and every
+    per-iteration block stayed persisted for the session lifetime)."""
+    for r in owned:
+        if r is not keep:
+            r.unpersist(False)
+    owned[:] = [keep] if keep is not None else []
 
 
 def _pagerank_body(
@@ -171,6 +189,7 @@ def _pagerank_body(
     owned_rdds: list,
     residuals: list | None = None,
     tol_ticks: int | None = None,
+    cleanup: bool = False,
 ) -> DataFrame:
     from timebox_spark.operators.dedup import _tracked_local_checkpoint
 
@@ -225,12 +244,17 @@ def _pagerank_body(
         e.join(deg, "src"), owned_rdds
     )
     nodes = _tracked_local_checkpoint(nodes, owned_rdds)
+    # the zero-iteration and empty-graph returns project over THIS
+    # checkpoint — the success-path cleanup must keep it
+    nodes_rdd = owned_rdds[-1]
     dangling = _tracked_local_checkpoint(
         nodes.join(deg.select(F.col("src").alias("node")), "node", "left_anti"),
         owned_rdds,
     )
     n_nodes = nodes.count()
     if n_nodes == 0:
+        if cleanup:
+            _release_all_but(owned_rdds, nodes_rdd)
         return nodes.select("node", F.lit(0).cast("long").alias("rank"))
     wrow = e.agg(
         F.min("w").alias("min_w"), F.max("w").alias("max_w")
@@ -358,6 +382,13 @@ def _pagerank_body(
                 residuals.append(int(delta))
             if tol_ticks is not None and delta <= tol_ticks:
                 break
+    if cleanup:
+        # the final ranks IS the last tracked checkpoint (or, with
+        # iterations=0, a projection over the nodes checkpoint) —
+        # release everything else now that no return path needs it
+        _release_all_but(
+            owned_rdds, owned_rdds[-1] if iterations > 0 else nodes_rdd
+        )
     return ranks
 
 

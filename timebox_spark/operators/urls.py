@@ -253,9 +253,13 @@ def registrable_domain_psl(host_col, rules=None) -> Column:
     def sfx(k: int) -> Column:
         return F.array_join(F.slice(labels, -k, k), ".")
 
-    # exception rules win outright: ps_len = rule labels − 1
+    # exception rules win outright: ps_len = rule labels − 1. The
+    # chain wraps OUTWARD (each iteration's When is tested before the
+    # previous), so iterate label counts ASCENDING — the largest k is
+    # then built outermost and the PSL's longest-matching-exception
+    # precedence holds for nested exceptions (round-15 advisor).
     exc_expr = F.lit(None).cast("int")
-    for k in sorted(exc, reverse=True):
+    for k in sorted(exc):
         exc_expr = F.when(
             (n >= k) & sfx(k).isin(exc[k]), F.lit(k - 1)
         ).otherwise(exc_expr)
@@ -349,8 +353,10 @@ def with_registrable_domain(
             == F.col(f"__psl_key{k}"),
             "left",
         ).drop(f"__psl_key{k}")
+    # ascending so the largest label count lands outermost in the
+    # outward-wrapping When chain — longest exception wins (PSL spec)
     exc_expr = F.lit(None).cast("int")
-    for k in sorted(ks, reverse=True):
+    for k in sorted(ks):
         exc_expr = F.when(
             (n >= k) & (F.col(f"__psl_exc{k}") == 1), F.lit(k - 1)
         ).otherwise(exc_expr)

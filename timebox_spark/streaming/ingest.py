@@ -650,7 +650,10 @@ def compact_corpus(
         # maybe-colliding keys reach the scan, pushed in as a
         # row-group-prunable In predicate (key-sorted tree) or a
         # broadcast semi-join past the cap
-        from timebox_spark.operators.dedup import FPS_PRUNE_ISIN_MAX
+        from timebox_spark.operators.dedup import (
+            FPS_PRUNE_ISIN_MAX,
+            ensure_in_filter_pushdown,
+        )
         from timebox_spark.operators.sketches import (
             BloomBroadcastBudgetError,
             bloom_probe,
@@ -682,6 +685,10 @@ def compact_corpus(
         maybe_keys = kprobe.filter(F.col("maybe_present")).select("key")
         krows = maybe_keys.limit(FPS_PRUNE_ISIN_MAX + 1).collect()
         if len(krows) <= FPS_PRUNE_ISIN_MAX:
+            # without the threshold raise the In degrades to a min/max
+            # range at pushdown — prunes nothing on hashed band keys
+            # (a vanilla session lacks the get_spark conf)
+            ensure_in_filter_pushdown(c_banded.sparkSession)
             kvals = [r["key"] for r in krows]
             c_banded_src = (
                 c_banded.filter(F.col("key").isin(kvals))
@@ -719,6 +726,7 @@ def compact_corpus(
         from timebox_spark.operators.dedup import (
             FPS_PRUNE_ISIN_MAX,
             _tracked_local_checkpoint,
+            ensure_in_filter_pushdown,
         )
 
         if exact_owned_rdds is not None:
@@ -726,6 +734,7 @@ def compact_corpus(
         cids = cand.filter(F.col("__corpus")).select("id_a").distinct()
         irows = cids.limit(FPS_PRUNE_ISIN_MAX + 1).collect()
         if len(irows) <= FPS_PRUNE_ISIN_MAX:
+            ensure_in_filter_pushdown(c_sets.sparkSession)
             ivals = [r["id_a"] for r in irows]
             c_sets_src = (
                 c_sets.filter(F.col(id_col).isin(ivals))
@@ -1053,6 +1062,16 @@ def curate_and_ingest_stream(
     is carried through curation and sketched per cycle into
     ``{store}/cms`` — corpus-horizon frequency / heavy-hitter queries
     without a corpus rescan (``read_store_cms``)."""
+    if cap_max is not None and (
+        cms_col is None or cms_col not in stream.columns
+    ):
+        # fail at CALL time, not asynchronously inside foreachBatch on
+        # the first micro-batch (run_ingest_cycle re-checks per cycle)
+        raise ValueError(
+            "curate_and_ingest_stream: cap_max needs cms_col naming a "
+            "stream column — the budget is enforced against the "
+            "store's count-min tree of that column"
+        )
     carry: tuple[str, ...] = (ts_col,) if stream_near_dup else ()
     if cms_col is not None and cms_col not in (id_col, text_col) and (
         cms_col not in carry
