@@ -299,3 +299,145 @@ def test_psl_paths_shuffle_free(spark):
     assert "Exchange rangepartitioning" not in jplan
     for bad in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
         assert bad not in jplan
+
+
+# Vendored excerpt of the real public_suffix_list.dat (publicsuffix.org
+# /list/ — format: comments, one rule per line, ICANN/PRIVATE section
+# markers, Unicode IDN rules, wildcard + exception rules).
+PSL_EXCERPT = """\
+// This Source Code Form is subject to the terms of the Mozilla Public
+// License, v. 2.0. If a copy of the MPL was not distributed with this
+// file, You can obtain one at https://mozilla.org/MPL/2.0/.
+
+// ===BEGIN ICANN DOMAINS===
+
+// ac : http://nic.ac/rules.htm
+ac
+com.ac
+gov.ac
+
+// ck : https://en.wikipedia.org/wiki/.ck
+*.ck
+!www.ck
+
+// jp : https://en.wikipedia.org/wiki/.jp
+jp
+ac.jp
+co.jp
+
+// kobe.jp geographic type: https://jprs.jp/
+*.kobe.jp
+!city.kobe.jp
+
+// uk : https://en.wikipedia.org/wiki/.uk
+uk
+co.uk
+gov.uk
+
+// xn--fiqs8s ("China") : China Internet Network Information Center
+中国
+
+// ===END ICANN DOMAINS===
+// ===BEGIN PRIVATE DOMAINS===
+
+// GitHub, Inc.
+github.io
+githubusercontent.com
+
+// ===END PRIVATE DOMAINS===
+"""
+
+
+def test_load_psl_parses_real_file_format(tmp_path):
+    """Round-15 verdict task 5: load_psl understands the actual
+    public_suffix_list.dat format — comments, blanks, section markers,
+    IDN rows passed through — and path / text / iterable sources all
+    parse identically."""
+    from timebox_spark.operators import urls as U
+
+    want = (
+        "ac", "com.ac", "gov.ac", "*.ck", "!www.ck", "jp", "ac.jp",
+        "co.jp", "*.kobe.jp", "!city.kobe.jp", "uk", "co.uk", "gov.uk",
+        "中国", "github.io", "githubusercontent.com",
+    )
+    assert U.load_psl(PSL_EXCERPT) == want
+    assert U.load_psl(PSL_EXCERPT.splitlines()) == want
+    p = tmp_path / "public_suffix_list.dat"
+    p.write_text(PSL_EXCERPT, encoding="utf-8")
+    assert U.load_psl(str(p)) == want
+    assert U.load_psl(p) == want  # os.PathLike
+    # section filtering: the ICANN/private boundary is honored
+    icann = U.load_psl(PSL_EXCERPT, sections={"icann"})
+    assert "github.io" not in icann and "co.uk" in icann
+    private = U.load_psl(PSL_EXCERPT, sections={"private"})
+    assert private == ("github.io", "githubusercontent.com")
+
+
+def test_load_psl_rules_drive_the_matchers(spark):
+    """The loaded excerpt produces correct eTLD+1 through BOTH matcher
+    variants, including the wildcard/exception pair the real list
+    ships (*.kobe.jp / !city.kobe.jp) and a Unicode IDN suffix."""
+    from timebox_spark.operators import urls as U
+
+    rules = U.load_psl(PSL_EXCERPT)
+    cases = [
+        ("example.co.uk", "example.co.uk"),
+        ("a.b.gov.ac", "b.gov.ac"),
+        ("x.y.ck", "x.y.ck"),              # *.ck
+        ("www.ck", "www.ck"),              # !www.ck
+        ("foo.city.kobe.jp", "city.kobe.jp"),  # !city.kobe.jp
+        ("a.other.kobe.jp", "a.other.kobe.jp"),  # *.kobe.jp
+        ("example.中国", "example.中国"),   # IDN rule
+        ("sub.example.中国", "example.中国"),
+        ("user.github.io", "user.github.io"),  # private section
+        ("whatever.unknowntld", "whatever.unknowntld"),  # default rule
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "host string")
+    got = {
+        r["host"]: r["d"]
+        for r in df.select(
+            "host", U.registrable_domain_psl("host", rules=rules).alias("d")
+        ).collect()
+    }
+    for host, want in cases:
+        assert got[host] == want, (host, got[host], want)
+    out = U.with_registrable_domain(
+        df, "host", out_col="d",
+        rules=spark.createDataFrame([(x,) for x in rules], "rule string"),
+    )
+    assert {r["host"]: r["d"] for r in out.collect()} == got
+    # ICANN-only load: github.io stops being a suffix → default rule
+    icann = U.registrable_domain_psl(
+        "host", rules=U.load_psl(PSL_EXCERPT, sections={"icann"})
+    )
+    got2 = {
+        r["host"]: r["d"]
+        for r in df.select("host", icann.alias("d")).collect()
+    }
+    assert got2["user.github.io"] == "github.io"
+
+
+def test_psl_nested_exception_longest_match_wins(spark):
+    """Round-15 advisor: exception precedence is LONGEST match (the
+    PSL algorithm), not shortest — with both !www.ck and a nested
+    !x.www.ck matching, ps_len must come from the 3-label rule."""
+    from timebox_spark.operators import urls as U
+
+    rules = ("*.ck", "!www.ck", "*.www.ck", "!x.www.ck")
+    df = spark.createDataFrame(
+        [("x.www.ck",), ("b.x.www.ck",), ("y.www.ck",)], "host string"
+    )
+    expr = U.registrable_domain_psl("host", rules=rules)
+    got = {r["host"]: r["d"] for r in df.select("host", expr.alias("d")).collect()}
+    # !x.www.ck (k=3) wins over !www.ck (k=2): ps_len=2 → eTLD+1 is
+    # the last THREE labels
+    assert got["x.www.ck"] == "x.www.ck"
+    assert got["b.x.www.ck"] == "x.www.ck"
+    # y.www.ck: !www.ck matches and an exception prevails over EVERY
+    # normal rule (even the longer *.www.ck) → ps='ck', eTLD+1 www.ck
+    assert got["y.www.ck"] == "www.ck"
+    out = U.with_registrable_domain(
+        df, "host", out_col="d",
+        rules=spark.createDataFrame([(x,) for x in rules], "rule string"),
+    )
+    assert {r["host"]: r["d"] for r in out.collect()} == got

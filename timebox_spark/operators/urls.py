@@ -183,7 +183,6 @@ PUBLIC_SUFFIX_RULES_COMPACT: tuple[str, ...] = (
     "com.ru", "net.ru", "org.ru", "msk.ru", "spb.ru",
     "co.at", "or.at", "ac.at", "gv.at",
     "com.es", "nom.es", "org.es", "gob.es", "edu.es",
-    "co.it",  # (illustrative; .it is mostly flat)
     # wildcard + exception semantics (live PSL entries): every label
     # under .ck is a public suffix EXCEPT www.ck, which is registrable
     "*.ck", "!www.ck",
@@ -197,6 +196,70 @@ PUBLIC_SUFFIX_RULES_COMPACT: tuple[str, ...] = (
     "tumblr.com", "fastly.net", "github.dev", "pages.dev",
     "workers.dev", "repl.co", "readthedocs.io", "neocities.org",
 )
+
+
+def load_psl(source, sections: Sequence[str] | None = None) -> tuple[str, ...]:
+    """Parse the REAL public suffix list file format
+    (``public_suffix_list.dat``, publicsuffix.org/list/) into the rule
+    tuple :func:`registrable_domain_psl` and
+    :func:`with_registrable_domain` consume — the full-coverage path
+    the compact built-in set deliberately is not.
+
+    ``source`` is a file path (a string/``os.PathLike`` naming an
+    existing file), the file's TEXT (any string containing a newline),
+    or an iterable of lines. Format handling per the PSL spec:
+
+    - ``//`` comment lines and blanks are dropped;
+    - each rule line is read up to the first whitespace;
+    - rules are lowercased; IDN rules (Unicode labels) pass through
+      as-is — the matchers compare lowercased host labels literally,
+      so Unicode hosts match Unicode rules (punycode hosts need a
+      punycode list; the PSL ships Unicode);
+    - the ICANN/PRIVATE section markers (``// ===BEGIN ICANN
+      DOMAINS===`` etc.) are tracked: pass ``sections={'icann'}`` to
+      drop the private-registry rules (github.io and friends) or
+      ``{'private'}`` for the inverse; ``None`` keeps both. Rules
+      outside any marker are treated as ICANN.
+
+    Purely a driver-side parse of an O(10k)-line text file — the
+    resulting rules feed either the literal-predicate matcher or the
+    broadcast rule-table join; nothing here touches executors."""
+    import os
+
+    if isinstance(source, (str, os.PathLike)):
+        text_like = os.fspath(source) if not isinstance(source, str) else source
+        if "\n" not in text_like and os.path.exists(text_like):
+            with open(text_like, encoding="utf-8") as fh:
+                lines = fh.read().splitlines()
+        else:
+            lines = str(text_like).splitlines()
+    else:
+        lines = list(source)
+    want = None if sections is None else {s.lower() for s in sections}
+    rules: list[str] = []
+    section = "icann"
+    for raw in lines:
+        line = raw.strip()
+        if not line:
+            continue
+        if line.startswith("//"):
+            marker = line.replace(" ", "").upper()
+            if "===BEGINICANNDOMAINS===" in marker:
+                section = "icann"
+            elif "===BEGINPRIVATEDOMAINS===" in marker:
+                section = "private"
+            elif "===END" in marker:
+                section = "icann"
+            continue
+        rule = line.split()[0].lower()
+        if rule == "*":
+            # the universal default rule is built into the matchers
+            # (unknown final label → last two labels); as an explicit
+            # 1-label exact rule it would be redundant, not wrong
+            continue
+        if want is None or section in want:
+            rules.append(rule)
+    return tuple(rules)
 
 
 def _psl_rule_groups(rules) -> tuple[dict, dict, dict, int]:
