@@ -58,6 +58,7 @@ def curate(
     rank_gate: tuple | None = None,
     near_dup_threshold: float | None = None,
     near_dup_kwargs: dict | None = None,
+    near_dup_method: str = "minhash",
 ) -> DataFrame:
     """Return the curated corpus: one row per kept document with
     ``(id, lang_pred, quality_q, n_tokens, split)``. Duplicate texts
@@ -97,8 +98,16 @@ def curate(
     one stage that re-reads text — deliberately AFTER every gate and
     the exact dedup, so the second pass shingles only the surviving
     docs. ``near_dup_kwargs`` forwards tuning (num_hashes, bands,
-    shingle_n). The underlying operators are driver-gated by q25/q31;
-    the composition is pytest-pinned."""
+    shingle_n). ``near_dup_method`` picks the pair generator:
+    ``'minhash'`` (default — ``dedup.minhash_dedup``, the xxhash64
+    numpy fast path) or ``'portable'``
+    (``dedup.portable_minhash_pairs``, the md5 hash family every SQL
+    engine can recompute — what the q54 'near' driver member runs so
+    the whole composition is oracle-hashed bit-for-bit; kwargs then
+    take ``num_perm`` instead of ``num_hashes``). Same algorithm
+    (shingle → minhash → band → bucket-join → exact-Jaccard verify),
+    same banding math — the fast path is pinned against the portable
+    one in tests."""
     sel = [id_col, text_col] + ([url_col] if url_col is not None else [])
     if rank_gate is not None and url_col is None:
         raise ValueError(
@@ -195,12 +204,23 @@ def curate(
         from timebox_spark.operators.dedup import (
             dedup_clusters,
             minhash_dedup,
+            portable_minhash_pairs,
         )
 
+        if near_dup_method not in ("minhash", "portable"):
+            raise ValueError(
+                f"curate: near_dup_method must be 'minhash' or "
+                f"'portable', got {near_dup_method!r}"
+            )
         survivors = docs.select(id_col, text_col).join(
             deduped.select(id_col), id_col, "left_semi"
         )
-        pairs = minhash_dedup(
+        pair_fn = (
+            portable_minhash_pairs
+            if near_dup_method == "portable"
+            else minhash_dedup
+        )
+        pairs = pair_fn(
             survivors,
             id_col=id_col,
             text_col=text_col,

@@ -39,9 +39,11 @@ def _quality_sql() -> str:
        ) * 1000000) AS BIGINT)"""
 
 
-def _lang_pred_sql(extra_cols: str = "") -> str:
+def _lang_pred_sql(extra_cols: str = "", src: str = "documents") -> str:
     """Per-document language prediction (see text.lang_id) as a
-    DuckDB subquery yielding (doc_id, lang_pred[, extra_cols])."""
+    DuckDB subquery yielding (doc_id, lang_pred[, extra_cols]).
+    ``src`` swaps the source relation (the q54 'near' member anneals
+    planted near-copies onto documents via a CTE)."""
     langs = sorted(text.LANG_MARKERS)
     counts = {lg: _hits_sql(ws) for lg, ws in text.LANG_MARKERS.items()}
     best = "greatest(" + ", ".join(f"c_{lg}" for lg in langs) + ")"
@@ -51,7 +53,7 @@ def _lang_pred_sql(extra_cols: str = "") -> str:
     inner = ", ".join(f"{counts[lg]} AS c_{lg}" for lg in langs)
     extra = f", {extra_cols}" if extra_cols else ""
     return f"""SELECT doc_id, {case} AS lang_pred{extra}
-      FROM (SELECT doc_id, text, {inner} FROM documents)"""
+      FROM (SELECT doc_id, text, {inner} FROM {src})"""
 
 
 # ------------------------------------------------------------------ q20

@@ -3642,6 +3642,138 @@ def _rank_gate_sql() -> str:
     )
 
 
+# One-call near-dup curate stage (round-16, verdict task 1): planted
+# near-copies — doc_id % 10 == 3 sources re-emitted at +9M ids with a
+# short suffix appended, so the copy shares ~all shingles with its
+# source (Jaccard ≫ threshold on any non-trivial text) — run through
+# `pipeline.curate(near_dup_threshold=...)` end to end. The planted
+# copy survives every gate its source survives (the suffix barely
+# moves the quality/gopher features) and exact dedup (different
+# text), so it reaches the near stage and is dropped there by
+# keep-min-id — the member's driver hash pins gate → exact dedup →
+# banded LSH → exact-Jaccard verify → connected components →
+# keep-one → split as ONE composition.
+_NEAR_SUFFIX = " " + " ".join(f"nq{i}" for i in range(12))
+_NEAR_THRESHOLD = 0.5
+_NEAR_OFFSET = 9_000_000
+
+
+def _near_member(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'near' rows of the q54 suite: the one-call curate with the
+    near-dup stage on (near_dup_method='portable' — the md5 hash
+    family, so the oracle recomputes signatures/banding/verify
+    bit-for-bit; the xxhash64 fast path is pinned equal in pytest)."""
+    from timebox_spark.operators import pipeline
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 10 == 3).select(
+        (F.col("doc_id") + _NEAR_OFFSET).alias("doc_id"),
+        F.concat("text", F.lit(_NEAR_SUFFIX)).alias("text"),
+    )
+    curated = pipeline.curate(
+        docs.unionByName(planted),
+        langs=("en",),
+        min_quality_q=LQ._CURATE_MIN_Q,
+        min_tokens=LQ._CURATE_MIN_TOKENS,
+        gopher_gates=True,
+        near_dup_threshold=_NEAR_THRESHOLD,
+        near_dup_method="portable",
+        near_dup_kwargs=dict(
+            num_perm=_MH_NUM_PERM,
+            bands=_MH_BANDS,
+            shingle_n=LQ._J_SHINGLE_N,
+        ),
+    )
+    return curated.select(
+        "doc_id",
+        F.lit("near").alias("lang_pred"),
+        "quality_q",
+        "n_tokens",
+        "split",
+    )
+
+
+def _near_member_sql() -> str:
+    """Oracle for the 'near' member: the q54 annotate/gate/exact-dedup
+    SQL over the planted-copy union, then the q25 portable-minhash
+    CTE block (`_mh_ctes`) over the exact survivors, exact-Jaccard
+    verify at the member threshold, min-label connected components as
+    a RECURSIVE reach CTE (the q31 pattern), and keep-min-id before
+    the split. Recursion inputs are AS MATERIALIZED per the CLAUDE.md
+    rule (DuckDB would otherwise re-evaluate the whole minhash chain
+    per recursion step)."""
+    psrc = (
+        "SELECT doc_id, text FROM documents UNION ALL "
+        f"SELECT doc_id + {_NEAR_OFFSET} AS doc_id, "
+        f"text || '{_NEAR_SUFFIX}' AS text "
+        "FROM documents WHERE doc_id % 10 = 3"
+    )
+    ann = LQ._lang_pred_sql(
+        extra_cols=(
+            f"{LQ._quality_sql()} AS quality_q, "
+            f"{LQ._NTOK_SQL} AS n_tokens, "
+            f"md5({LQ._NORM}) AS fp, "
+            f"{LQ._gopher_inline_sql()} AS gopher"
+        ),
+        src="psrc",
+    )
+    return f"""
+SELECT doc_id, 'near' AS lang_pred, quality_q, n_tokens,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+FROM (
+  WITH RECURSIVE
+  psrc AS MATERIALIZED ({psrc}),
+  ann AS ({ann}),
+  kept AS (
+    SELECT * FROM ann
+    WHERE lang_pred IN ('en') AND quality_q >= {LQ._CURATE_MIN_Q}
+      AND n_tokens >= {LQ._CURATE_MIN_TOKENS} AND gopher = 1
+  ),
+  ded AS (
+    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM kept
+  ),
+  surv AS MATERIALIZED (
+    SELECT p.doc_id, p.text FROM psrc p
+    JOIN (SELECT doc_id FROM ded WHERE rn = 1) s USING (doc_id)
+  ),
+  {_mh_ctes('surv', 'n')},
+  ncand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM nbanded a JOIN nbanded b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+  ),
+  npairs AS MATERIALIZED (
+    SELECT c.id_a, c.id_b
+    FROM ncand c JOIN nd da ON da.doc_id = c.id_a
+                JOIN nd db ON db.doc_id = c.id_b
+    WHERE {_MH_JAC} >= {_NEAR_THRESHOLD}
+  ),
+  nedges AS MATERIALIZED (
+    SELECT id_a AS src, id_b AS dst FROM npairs
+    UNION ALL
+    SELECT id_b AS src, id_a AS dst FROM npairs
+  ),
+  nreach AS (
+    SELECT src AS node, src AS lbl FROM nedges
+    UNION
+    SELECT e.dst AS node, r.lbl FROM nreach r JOIN nedges e ON e.src = r.node
+  ),
+  ndropped AS (
+    SELECT node FROM (
+      SELECT node, min(lbl) AS canonical_id FROM nreach GROUP BY node
+    ) WHERE canonical_id < node
+  )
+  SELECT d.*,
+         ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+  FROM ded d
+  WHERE d.rn = 1
+    AND d.doc_id NOT IN (SELECT node FROM ndropped)
+)
+"""
+
+
 def _url_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-curation members of the q54 suite (operators/urls.py):
 
@@ -3800,6 +3932,8 @@ def q54_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_url_members(spark, sf_dir))
         # round 15: domain-rank gate through pipeline.curate
         .unionByName(_rank_gate_member(spark, sf_dir))
+        # round 16: one-call near-dup curate stage
+        .unionByName(_near_member(spark, sf_dir))
     )
 
 
@@ -3875,6 +4009,8 @@ UNION ALL
 {_url_members_sql()}
 UNION ALL
 {_rank_gate_sql()}
+UNION ALL
+{_near_member_sql()}
 """
 
 
