@@ -79,7 +79,10 @@ def main() -> None:
     kept = spark.read.parquet(f"{store}/corpus")
     print("corpus after ingest:")
     kept.orderBy("doc_id").show(truncate=60)
-    hits = spark.read.parquet(f"{store}/near_hits")
+    # hit rows move from the hot tree to the history tree after each
+    # fully successful drain (the hot tree only ever holds the
+    # CURRENT drain's batches) — audit reads go to the history
+    hits = spark.read.parquet(f"{store}/near_hits_history")
     print("in-stream near-dup hits (doc, matched, estimate):")
     hits.select("doc_id", "matched_id", "est").distinct().show()
 
