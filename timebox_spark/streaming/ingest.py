@@ -915,18 +915,28 @@ class SequentialStreamingDrain:
     until the whole chain drains (True) or the timeout elapses
     (False, chain keeps running), re-raising any query failure.
     ``on_complete`` (optional) runs after a fully successful drain —
-    the hook the ingest entrypoint uses for hits-tree maintenance."""
+    the hook the ingest entrypoint uses for hits-tree maintenance.
+    ``drain_secs`` (round 16, observability) records each writer's
+    drain wall seconds in order — for the two-writer ingest chain
+    that is [detector, ingest]."""
 
     def __init__(self, writers, on_complete=None):
         self._writers = list(writers)
         self._on_complete = on_complete
         self._thread = None
         self._exc = None
+        self.drain_secs: list[float] = []
 
     def _run(self):
+        import time as _time
+
         try:
             for w in self._writers:
+                t0 = _time.perf_counter()
                 w.start().awaitTermination()
+                self.drain_secs.append(
+                    round(_time.perf_counter() - t0, 3)
+                )
             if self._on_complete is not None:
                 self._on_complete()
         except BaseException as e:  # re-raised in awaitTermination
@@ -1599,6 +1609,7 @@ def run_ingest_cycle(
     cap_max: int | None = None,
     band_bloom_m: int | None = None,
     band_bloom_k: int = 5,
+    timings: dict | None = None,
 ) -> int:
     """One steady-state compaction cycle against ON-DISK corpus state
     — the production composition the per-DataFrame pieces build up
@@ -1691,8 +1702,26 @@ def run_ingest_cycle(
     cumulative budget can never be exceeded; under-admission happens
     only at the sketch's over-count rate (size ``cms_width``
     accordingly). Requires ``cms_col``; the first cycle (no tree yet)
-    applies the plain in-frame cap."""
+    applies the plain in-frame cap.
+
+    ``timings`` (round 16 — the observability behind bench's
+    ``ingest_loop`` block): pass a dict to receive the cycle's
+    per-stage wall seconds — ``consolidate`` (when it fires),
+    ``state_read_gates`` (tree reads, sketch backfills/merges, gate
+    auto-disable probes), ``compact_write`` (the compaction plan's
+    one action: kept rows computed and committed), ``derived_writes``
+    (fps/bloom/cms trees off the committed partition),
+    ``index_writes`` (banded/sets/bloom_band), ``count``. Purely
+    observational; keys for stages that did not run are absent."""
+    import time as _time
+
     from pyspark.errors import AnalysisException
+
+    def _stamp(key: str, t0: float) -> float:
+        now = _time.perf_counter()
+        if timings is not None:
+            timings[key] = round(now - t0, 3)
+        return now
 
     from timebox_spark.operators.dedup import (
         build_corpus_index,
@@ -1709,8 +1738,10 @@ def run_ingest_cycle(
             "column — the budget is enforced against the store's "
             "count-min tree of that column"
         )
+    _t = _time.perf_counter()
     if consolidate_every and cycle_id > 0 and cycle_id % consolidate_every == 0:
         consolidate_ingest_store(spark, store_path, cycle_id - 1)
+        _t = _stamp("consolidate", _t)
 
     def read_prior(key: str) -> DataFrame | None:
         # probe through Spark's reader, not driver-local os.path — the
@@ -1865,6 +1896,7 @@ def run_ingest_cycle(
                 bt_bytes = None
             if bt_bytes is not None and bt_bytes < GATE_MIN_TREE_BYTES:
                 band_bloom = None
+    _t = _stamp("state_read_gates", _t)
     scratch = (
         f"{store_path}/_scratch/cycle={cycle_id}" if keep == "cluster" else None
     )
@@ -1922,6 +1954,7 @@ def run_ingest_cycle(
         kept.write.mode("overwrite").parquet(f"{paths['corpus']}/{cyc}")
     finally:
         unpersist_owned(exact_owned)
+    _t = _stamp("compact_write", _t)
     if scratch is not None:
         # the corpus partition is committed — the dropped-id scratch
         # the kept plan read is no longer referenced by anything
@@ -1960,6 +1993,7 @@ def run_ingest_cycle(
         cms_build(
             kept_disk.select(cms_col), cms_col, cms_width, cms_depth
         ).write.mode("overwrite").parquet(f"{paths['cms']}/{cyc}")
+    _t = _stamp("derived_writes", _t)
     if near_dup:
         nb, ns = build_corpus_index(
             kept_disk, id_col, text_col, num_perm, bands, shingle_n,
@@ -1987,7 +2021,10 @@ def run_ingest_cycle(
             ).write.mode("overwrite").parquet(
                 f"{paths['bloom_band']}/{cyc}"
             )
-    return kept_disk.count()
+        _t = _stamp("index_writes", _t)
+    n_kept = kept_disk.count()
+    _stamp("count", _t)
+    return n_kept
 
 
 def near_dup_hits_stream(
