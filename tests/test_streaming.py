@@ -1161,6 +1161,59 @@ def test_curate_and_ingest_stream_with_stream_near_dup(spark, tmp_path):
         if d.startswith("batch=")
     ]
     assert hot == [], hot
+    # round 16: the sequential drain timed each writer — [detector,
+    # ingest] for this chain (bench's ingest_loop stream split)
+    assert len(q.drain_secs) == 2 and all(s > 0 for s in q.drain_secs)
+
+
+def test_curate_and_ingest_stream_cap_max_validates_eagerly(spark, tmp_path):
+    """Round-15 advisor: cap_max without a (stream-column) cms_col
+    must raise at CALL time — not asynchronously inside foreachBatch
+    on the first micro-batch after the stream has started."""
+    import pytest as _pytest
+
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ts timestamp"
+    ).parquet(str(tmp_path / "never_read"))
+    with _pytest.raises(ValueError, match="cap_max needs cms_col"):
+        ingest.curate_and_ingest_stream(
+            stream, str(tmp_path / "s"), str(tmp_path / "ck"),
+            cap_max=10,
+        )
+    with _pytest.raises(ValueError, match="cap_max needs cms_col"):
+        ingest.curate_and_ingest_stream(
+            stream, str(tmp_path / "s"), str(tmp_path / "ck"),
+            cap_max=10, cms_col="not_a_stream_column",
+        )
+
+
+def test_run_ingest_cycle_timings_hook(spark, tmp_path):
+    """Round 16: the ``timings`` dict decomposes a cycle into its
+    stages — observational only (kept rows unchanged), consolidate
+    key present exactly when the fold fires."""
+    docs = spark.createDataFrame(
+        [(i, f"cycle doc number {i} with some words {i * 7}", "s0")
+         for i in range(8)],
+        "doc_id long, text string, source string",
+    )
+    store = str(tmp_path / "tstore")
+    tm0: dict = {}
+    n0 = ingest.run_ingest_cycle(
+        docs, store, 0, cms_col="source", consolidate_every=1,
+        timings=tm0,
+    )
+    assert n0 == 8
+    for k in ("state_read_gates", "compact_write", "derived_writes",
+              "index_writes", "count"):
+        assert k in tm0 and tm0[k] >= 0, (k, tm0)
+    assert "consolidate" not in tm0  # cycle 0 never consolidates
+    tm1: dict = {}
+    ingest.run_ingest_cycle(
+        docs.select((F.col("doc_id") + 100).alias("doc_id"),
+                    "text", "source"),
+        store, 1, cms_col="source", consolidate_every=1, timings=tm1,
+    )
+    assert "consolidate" in tm1, tm1
 
 
 def test_run_ingest_cycle_disk_state_and_replay(spark, tmp_path):
