@@ -1172,9 +1172,11 @@ def test_curate_and_ingest_stream_cap_max_validates_eagerly(spark, tmp_path):
     on the first micro-batch after the stream has started."""
     import pytest as _pytest
 
+    src = tmp_path / "never_read"
+    src.mkdir()
     stream = spark.readStream.schema(
         "doc_id long, text string, ts timestamp"
-    ).parquet(str(tmp_path / "never_read"))
+    ).parquet(str(src))
     with _pytest.raises(ValueError, match="cap_max needs cms_col"):
         ingest.curate_and_ingest_stream(
             stream, str(tmp_path / "s"), str(tmp_path / "ck"),
@@ -1191,9 +1193,15 @@ def test_run_ingest_cycle_timings_hook(spark, tmp_path):
     """Round 16: the ``timings`` dict decomposes a cycle into its
     stages — observational only (kept rows unchanged), consolidate
     key present exactly when the fold fires."""
+    import hashlib as _h
+
+    def _txt(i: int) -> str:  # distinct texts: no near-dup collapse
+        return " ".join(
+            _h.md5(f"{i}|{j}".encode()).hexdigest()[:8] for j in range(10)
+        )
+
     docs = spark.createDataFrame(
-        [(i, f"cycle doc number {i} with some words {i * 7}", "s0")
-         for i in range(8)],
+        [(i, _txt(i), "s0") for i in range(8)],
         "doc_id long, text string, source string",
     )
     store = str(tmp_path / "tstore")

@@ -3888,7 +3888,11 @@ def q54_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``card`` rows (doc_id = −1000): the ``pipeline.data_card``
       datasheet — sizes, token/char totals, gate pass counts,
       language/source mix, exact-dup rows — every value re-derived by
-      the oracle from the raw table."""
+      the oracle from the raw table.
+
+    Plus the round-14 URL members, the round-15 'rank_gate' member,
+    and the round-16 'near' member (the one-call near-dup curate
+    stage over planted near-copies — see ``_near_member``)."""
     import hashlib as _h
     import os as _os
 
