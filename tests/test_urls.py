@@ -441,3 +441,46 @@ def test_psl_nested_exception_longest_match_wins(spark):
         rules=spark.createDataFrame([(x,) for x in rules], "rule string"),
     )
     assert {r["host"]: r["d"] for r in out.collect()} == got
+
+
+def test_duckdb_psl_renderer_matches_spark_bit_for_bit(spark):
+    """Round 16: `duckdb_registrable_domain_psl_sql` renders the SAME
+    parsed rule groups the Spark matcher consumes — bit-identical
+    eTLD+1 on every rule class (multi-label, wildcard, exception,
+    nested exception, IDN, default rule, degenerate hosts) over BOTH
+    the compact built-ins and a load_psl'd excerpt."""
+    import duckdb
+
+    from timebox_spark.operators import urls as U
+
+    hosts = [
+        "a.b.co.uk", "example.co.uk", "co.uk", "x.y.ck", "a.x.ck",
+        "www.ck", "b.www.ck", "foo.city.kobe.jp", "a.other.kobe.jp",
+        "example.中国", "sub.example.中国", "user.github.io",
+        "whatever.unknowntld", "nodot", "", "a.b.",
+        "deep.a.b.compute.amazonaws.com", "UP.Case.CO.UK",
+        "x.www.ck",  # nested-exception host (custom rules below)
+    ]
+    rule_sets = {
+        "compact": None,
+        "excerpt": U.load_psl(PSL_EXCERPT),
+        "nested": ("*.ck", "!www.ck", "*.www.ck", "!x.www.ck"),
+    }
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE h(host VARCHAR)")
+    con.executemany("INSERT INTO h VALUES (?)", [(h,) for h in hosts])
+    for name, rules in rule_sets.items():
+        sp = {
+            r["host"]: r["d"]
+            for r in df.select(
+                "host",
+                U.registrable_domain_psl("host", rules=rules).alias("d"),
+            ).collect()
+        }
+        sql = U.duckdb_registrable_domain_psl_sql(
+            "SELECT host FROM h", out_col="dom", rules=rules
+        )
+        duck = dict(con.execute(f"SELECT host, dom FROM ({sql})").fetchall())
+        assert sp == duck, (name, {h: (sp[h], duck[h]) for h in hosts
+                                   if sp[h] != duck[h]})

@@ -292,6 +292,75 @@ def _psl_rule_groups(rules) -> tuple[dict, dict, dict, int]:
     return exact, wild, exc, maxk
 
 
+def duckdb_registrable_domain_psl_sql(
+    src_sql: str,
+    host_col: str = "host",
+    out_col: str = "domain",
+    rules=None,
+) -> str:
+    """DuckDB rendering of :func:`registrable_domain_psl`, generated
+    from the SAME parsed rule groups (``_psl_rule_groups``) so the two
+    engines share one source of truth — the q54 'psl' member drives
+    them bit-for-bit. Returns a full SELECT preserving every column of
+    ``src_sql`` plus ``out_col``; same semantics: longest matching
+    rule, ``*.`` wildcards match exactly one label, ``!`` exceptions
+    prevail (longest exception first), unknown final labels fall to
+    the default ``*`` rule, a host that IS a public suffix (or has no
+    dot) yields ''."""
+    exact, wild, exc, maxk = _psl_rule_groups(
+        PUBLIC_SUFFIX_RULES_COMPACT if rules is None else rules
+    )
+
+    def lit_list(vals) -> str:
+        return ", ".join("'" + v.replace("'", "''") + "'" for v in vals)
+
+    def sfx(k: int) -> str:
+        return f"array_to_string(list_slice(__psl_l, -{k}, -1), '.')"
+
+    exc_branches = [
+        f"WHEN __psl_n >= {k} AND {sfx(k)} IN ({lit_list(exc[k])}) "
+        f"THEN {k - 1}"
+        for k in sorted(exc, reverse=True)  # longest exception first
+    ]
+    norm_branches = []
+    for L in range(maxk, 0, -1):
+        conds = []
+        if L in exact:
+            conds.append(f"(__psl_n >= {L} AND {sfx(L)} IN ({lit_list(exact[L])}))")
+        if L - 1 in wild:
+            conds.append(
+                f"(__psl_n >= {L} AND {sfx(L - 1)} IN ({lit_list(wild[L - 1])}))"
+            )
+        if conds:
+            norm_branches.append(f"WHEN {' OR '.join(conds)} THEN {L}")
+    exc_case = (
+        "CASE " + " ".join(exc_branches) + " ELSE NULL END"
+        if exc_branches
+        else "NULL"
+    )
+    norm_case = (
+        "CASE " + " ".join(norm_branches) + " ELSE NULL END"
+        if norm_branches
+        else "NULL"
+    )
+    return f"""
+SELECT * EXCLUDE (__psl_l, __psl_n, __psl_ps),
+       CASE WHEN __psl_n <= __psl_ps THEN ''
+            ELSE array_to_string(
+                   list_slice(__psl_l, -(__psl_ps + 1), -1), '.')
+       END AS {out_col}
+FROM (
+  SELECT *, COALESCE({exc_case}, {norm_case}, 1) AS __psl_ps
+  FROM (
+    SELECT *,
+           string_split(lower({host_col}), '.') AS __psl_l,
+           len(string_split(lower({host_col}), '.')) AS __psl_n
+    FROM ({src_sql})
+  )
+)
+"""
+
+
 def registrable_domain_psl(host_col, rules=None) -> Column:
     """eTLD+1 of a host under public-suffix-list semantics (longest
     matching rule wins; '*.' wildcards match exactly one label; '!'

@@ -3774,6 +3774,68 @@ FROM (
 """
 
 
+# PSL eTLD+1 member (round 16): synthetic hosts exercising every rule
+# class of the PSL matcher — multi-label exact suffixes, a wildcard
+# (*.ck), an exception (!www.ck), a 4-label wildcard
+# (*.compute.amazonaws.com, longest-match over the 2-label exact
+# amazonaws.com), the default rule (unknown TLD), a private-registry
+# suffix, and a host that IS a public suffix. ONE SQL string valid in
+# both engines (the _SYNTH_URL_SQL rule).
+_PSL_HOST_SQL = (
+    "CASE CAST(doc_id % 8 AS INT) "
+    "WHEN 0 THEN 'a' || CAST(doc_id AS STRING) || '.example.co.uk' "
+    "WHEN 1 THEN 'shop.site' || CAST(doc_id AS STRING) || '.com.au' "
+    "WHEN 2 THEN 'x' || CAST(doc_id AS STRING) || '.y.ck' "
+    "WHEN 3 THEN 'b' || CAST(doc_id AS STRING) || '.www.ck' "
+    "WHEN 4 THEN 'host' || CAST(doc_id AS STRING) || '.unknowntld' "
+    "WHEN 5 THEN 'user' || CAST(doc_id AS STRING) || '.github.io' "
+    "WHEN 6 THEN 'deep.a.b' || CAST(doc_id AS STRING) "
+    "|| '.compute.amazonaws.com' "
+    "ELSE 'co.uk' END"
+)
+
+
+def _psl_member(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'psl' rows of the q54 suite: per doc, the md5-u32 digest +
+    length of the PSL eTLD+1 (`urls.registrable_domain_psl`, compact
+    rule set) of a synthetic host — the oracle re-derives the domain
+    through `urls.duckdb_registrable_domain_psl_sql`, rendered from
+    the SAME parsed rule groups, so rule precedence (longest match,
+    wildcard one-label, exception-wins) is pinned bit-for-bit."""
+    from timebox_spark.operators import urls as U
+    from timebox_spark.operators.dedup import _md5_u32
+
+    raw = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("host", F.expr(_PSL_HOST_SQL))
+    )
+    dom = U.registrable_domain_psl("host")
+    return raw.select(
+        "doc_id",
+        F.lit("psl").alias("lang_pred"),
+        _md5_u32(dom).alias("quality_q"),
+        F.length(dom).cast("long").alias("n_tokens"),
+        F.lit("url").alias("split"),
+    )
+
+
+def _psl_member_sql() -> str:
+    from timebox_spark.operators import urls as U
+
+    inner = U.duckdb_registrable_domain_psl_sql(
+        f"SELECT doc_id, {_PSL_HOST_SQL} AS host FROM documents",
+        "host",
+        out_col="dom",
+    )
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, 'psl' AS lang_pred,
+       ('0x' || substr(md5(dom), 1, 8))::BIGINT AS quality_q,
+       CAST(length(dom) AS BIGINT) AS n_tokens, 'url' AS split
+FROM ({inner})
+"""
+
+
 def _url_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-curation members of the q54 suite (operators/urls.py):
 
@@ -3938,6 +4000,8 @@ def q54_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_rank_gate_member(spark, sf_dir))
         # round 16: one-call near-dup curate stage
         .unionByName(_near_member(spark, sf_dir))
+        # round 16: PSL eTLD+1 matcher, oracle-rendered rule groups
+        .unionByName(_psl_member(spark, sf_dir))
     )
 
 
@@ -4015,6 +4079,8 @@ UNION ALL
 {_rank_gate_sql()}
 UNION ALL
 {_near_member_sql()}
+UNION ALL
+{_psl_member_sql()}
 """
 
 
