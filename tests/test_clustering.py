@@ -501,6 +501,35 @@ def test_cluster_representatives_keep_best(spark):
     assert reps[9] == (9, 99)
 
 
+def test_duplicate_weights_planted_clusters(spark):
+    """Soft dedup: every member of a size-s cluster gets exactly
+    quant div s ticks, singletons keep full weight, and the corpus
+    total is the exact integer effective size."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 7, 8, 9)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+    )
+    clusters = dedup.dedup_clusters(docs, pairs)
+    got = {
+        r["doc_id"]: (r["canonical_id"], r["cluster_size"], r["weight_q"])
+        for r in dedup.duplicate_weights(clusters).collect()
+    }
+    assert got[1] == (1, 3, 333_333_333)
+    assert got[2] == (1, 3, 333_333_333)
+    assert got[3] == (1, 3, 333_333_333)
+    assert got[7] == (7, 2, 500_000_000)
+    assert got[8] == (7, 2, 500_000_000)
+    assert got[9] == (9, 1, 1_000_000_000)
+    total = sum(v[2] for v in got.values())
+    assert total == 3 * 333_333_333 + 2 * 500_000_000 + 1_000_000_000
+    with pytest.raises(ValueError, match="quant"):
+        dedup.duplicate_weights(clusters, quant=0)
+
+
 def test_incremental_exact_dedup(spark):
     """New-batch rows are dropped when their normalized text already
     exists in the corpus or earlier in the batch; everything else

@@ -987,6 +987,37 @@ def test_cap_per_group_keeps_top_k_deterministically(spark):
     assert "__cap_rn" not in kept.columns
 
 
+def test_token_budget_per_group_prefix_semantics(spark):
+    """token_budget_per_group keeps the maximal ordered PREFIX within
+    the budget per group: a doc that would overflow stops the group —
+    a later smaller doc is NOT pulled in to backfill; NULL token
+    counts consume nothing; a non-binding group keeps everything."""
+    import pytest
+
+    from timebox_spark.operators.sampling import token_budget_per_group
+
+    df = spark.createDataFrame(
+        [
+            # group a, budget 10: 6 -> 13 overflows -> 2 NOT backfilled
+            (0, "a", 6),
+            (1, "a", 7),
+            (2, "a", 2),
+            # group b: NULL consumes nothing; total 9 <= 10 all kept
+            (3, "b", 4),
+            (4, "b", None),
+            (5, "b", 5),
+            # group c: first doc alone overflows -> nothing kept
+            (6, "c", 11),
+        ],
+        "doc_id long, source string, n_tokens int",
+    )
+    kept = token_budget_per_group(df, "source", "n_tokens", budget=10)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [0, 3, 4, 5]
+    assert "__tb_cum" not in kept.columns
+    with pytest.raises(ValueError, match="budget"):
+        token_budget_per_group(df, "source", "n_tokens", budget=-1)
+
+
 def test_lsh_tuning_matches_s_curve():
     """lsh_tuning returns the divisor pair whose (1/b)^(1/r) is
     closest to the requested threshold, and validates inputs."""

@@ -939,6 +939,51 @@ def cluster_representatives(
     )
 
 
+# weight quantum for duplicate_weights: a cluster of size s gives each
+# member weight_q = QUANT div s ticks, so Σ weight_q over the corpus is
+# an exact BIGINT (safe below ~9e9 docs at 1e9 ticks/doc)
+DUP_WEIGHT_QUANT = 1_000_000_000
+
+
+def duplicate_weights(
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    quant: int = DUP_WEIGHT_QUANT,
+) -> DataFrame:
+    """Soft deduplication: instead of DROPPING near-duplicates, give
+    every document a sampling weight ``1 / cluster_size`` so each
+    cluster contributes one document's worth of expected mass to the
+    training mix — the reweight-don't-discard alternative used by
+    data-constrained pretraining pipelines (duplicates carry signal;
+    down-weighting preserves it without over-representing the
+    cluster). Unique docs (cluster size 1) keep full weight.
+
+    ``clusters`` is :func:`dedup_clusters` output
+    (``id_col, canonical_id``). Returns
+    ``(id_col, canonical_id, cluster_size, weight_q)`` where
+    ``weight_q = quant div cluster_size`` — exact integer ticks
+    (floor), so weights are order-independent, cross-engine
+    reproducible, and a corpus-total Σ weight_q is an exact BIGINT
+    "effective corpus size" (overflow-safe below ~9e9 docs at the
+    default 1e9 quant). A trainer divides by ``quant`` at consumption
+    time; per-cluster rounding error is < cluster_size ticks.
+
+    Scale: one window count over ``canonical_id`` — the SAME key the
+    clustering shuffled on, and near-dup clusters are small by
+    construction, so the partition key is well-distributed at any
+    corpus size; no join, no second shuffle."""
+    if quant <= 0:
+        raise ValueError(f"quant must be positive, got {quant}")
+    w = Window.partitionBy("canonical_id")
+    return clusters.select(
+        F.col(id_col),
+        F.col("canonical_id"),
+        F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
+    ).withColumn(
+        "weight_q", F.expr(f"{int(quant)}L div cluster_size")
+    )
+
+
 # ---------------------------------------------------------------- embeddings
 
 def embedding_near_dups(

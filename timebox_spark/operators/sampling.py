@@ -433,3 +433,50 @@ def cap_per_group(
         # column order (downstream schema-positional writes rely on it)
         .select(*df.columns)
     )
+
+
+def token_budget_per_group(
+    df: DataFrame,
+    group_col: str = "source",
+    token_col: str = "n_tokens",
+    budget: int = 100_000,
+    key: str = "doc_id",
+    order_by: list | None = None,
+) -> DataFrame:
+    """Token-denominated frequency capping: keep, per ``group_col``,
+    the maximal deterministic PREFIX of rows (ordered by ``order_by``,
+    default ``key`` ascending) whose cumulative ``token_col`` stays at
+    or below ``budget``. Training mixtures are specified in TOKENS,
+    not documents — this is :func:`cap_per_group`'s complement for
+    "at most N tokens of source X in the mix" recipes.
+
+    Prefix semantics: the first row whose tokens would push the
+    running total past ``budget`` stops the group (cumulative sums of
+    non-negative counts are monotone, so ``cumsum <= budget`` IS the
+    maximal prefix). A later, smaller doc is NOT pulled in to backfill
+    the gap — prefix selection is replayable and order-stable under
+    corpus growth (appending docs never changes which earlier docs
+    were kept), which best-fit packing is not. NULL token counts are
+    treated as 0 (kept, consuming no budget); NULL groups form their
+    own group and get their own budget.
+
+    Scale: one keyed window per group (groups are the partition key —
+    no single-task sort); the same regime note as ``cap_per_group``
+    applies for pathologically hot groups."""
+    from pyspark.sql import Window
+
+    if budget < 0:
+        raise ValueError(f"budget must be non-negative, got {budget}")
+    order = order_by if order_by is not None else [key]
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = df.withColumn(
+        "__tb_cum",
+        F.sum(
+            F.coalesce(F.col(token_col).cast("long"), F.lit(0).cast("long"))
+        ).over(w),
+    )
+    return cum.filter(F.col("__tb_cum") <= budget).drop("__tb_cum")

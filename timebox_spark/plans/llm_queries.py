@@ -660,6 +660,10 @@ def q31_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DIGEST_P = 1_000_003
 _DIGEST_Q = 1_000_000_007
 _CAP_K = 10  # per-source frequency cap for the q44 'cap' member
+# per-source TOKEN budget for the q44 'tokbudget' member: below every
+# source's total (~1.1-1.5k at sf0.001/0.01) so the prefix truncates
+# at every SF, while the smallest docs (~10 tokens) keep ~10+ rows
+_TOKB_BUDGET = 700
 
 def q44_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/val/test split stats + shuffled-shard export digests
@@ -691,7 +695,15 @@ def q44_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact kept-set membership — a drifted rate table or hash
     threshold on either engine breaks the digest. ``lang`` is the
     skewed group (en ≈ 3× the tail), so every non-min language
-    samples at a non-trivial rate in (0, 1)."""
+    samples at a non-trivial rate in (0, 1).
+
+    Round 16: 'tokbudget_<source>' rows gate
+    ``sampling.token_budget_per_group`` (token-denominated frequency
+    capping — the maximal doc_id-ordered prefix within a
+    ``_TOKB_BUDGET``-token budget per source): n = kept docs,
+    min_id = kept token total, id_sum = membership digest. The budget
+    is below every source's total at every SF, so the prefix always
+    truncates."""
     from pyspark.sql import Window
 
     from timebox_spark.operators.sampling import (
@@ -815,6 +827,34 @@ def q44_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_sum",
         )
     )
+    # per-source TOKEN budget (sampling.token_budget_per_group): keep
+    # the maximal doc_id-ordered prefix whose token total stays within
+    # _TOKB_BUDGET — n = kept docs, min_id = kept token total, id_sum
+    # pins the exact kept-set membership (prefix + membership fully
+    # determine the selection under the deterministic order)
+    from timebox_spark.operators.sampling import token_budget_per_group
+
+    tokbudget = (
+        token_budget_per_group(
+            docs.withColumn("__nt", text.token_count()),
+            group_col="source",
+            token_col="__nt",
+            budget=_TOKB_BUDGET,
+            key="doc_id",
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__nt").alias("min_id"),
+            F.sum(F.col("doc_id") % _DIGEST_Q).alias("id_sum"),
+        )
+        .select(
+            F.concat(F.lit("tokbudget_"), F.col("source")).alias("split"),
+            "n",
+            "min_id",
+            "id_sum",
+        )
+    )
     # materialized packed training rows (sampling.pack_token_rows over
     # tokens_to_ids output): one row per (shard, pack) pinning the
     # pack's EXACT id content — n = token count, min_id = pack id,
@@ -846,6 +886,7 @@ def q44_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(mixes)
         .unionByName(dsir)
         .unionByName(caps)
+        .unionByName(tokbudget)
         .unionByName(packrows)
     )
 
@@ -995,6 +1036,19 @@ FROM (
                             ORDER BY length(text) DESC, doc_id) AS rn
   FROM documents
 ) WHERE rn <= {_CAP_K} GROUP BY 1
+UNION ALL
+SELECT 'tokbudget_' || source,
+       CAST(count(*) AS BIGINT),
+       CAST(sum(nt) AS BIGINT),
+       CAST(sum(doc_id % {_DIGEST_Q}) AS BIGINT)
+FROM (
+  SELECT doc_id, source, nt,
+         SUM(nt) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+  FROM (SELECT doc_id, source,
+               length(regexp_extract_all(text, '{text.TOKEN_RE}')) AS nt
+        FROM documents)
+) WHERE cum <= {_TOKB_BUDGET} GROUP BY 1
 UNION ALL
 SELECT 'packrow' || CAST(shard AS VARCHAR) || ':' || CAST(pack AS VARCHAR),
        CAST(count(*) AS BIGINT),

@@ -2100,7 +2100,14 @@ def q31_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep_score = the node's out-degree. The oracle re-runs the SAME
     integer power iteration as unrolled MATERIALIZED CTEs
     (graphs.duckdb_pagerank_sql, same constants), so a single tick of
-    rank drift anywhere hash-mismatches."""
+    rank drift anywhere hash-mismatches.
+
+    Round 16: 'softw' rows (canonical_id = −7000 − doc_id, plus one
+    −7 aggregate row) gate ``dedup.duplicate_weights`` — soft dedup
+    that REWEIGHTS duplicates 1/cluster_size instead of dropping
+    them: per clustered doc the exact integer weight ticks, and the
+    corpus-total Σ weight_q ("effective corpus size") over every doc
+    including weight-1e9 singletons."""
     docs = load(spark, sf_dir, "documents").withColumn(
         "len_bucket", F.floor(F.length("text") / LQ._J_BUCKET).cast("long")
     )
@@ -2247,7 +2254,34 @@ def q31_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "canonical_id long, cluster_size long, rep_id long, rep_score long",
     )
-    return main.unionByName(agree).unionByName(pr_member)
+    # round-16 'softw' member: soft-dedup sampling weights
+    # (dedup.duplicate_weights — reweight duplicates 1/cluster_size
+    # instead of dropping them). Per clustered doc a row
+    # (−7000 − doc_id, weight_q, −7, cluster_size) pins the exact
+    # integer weight, and one aggregate row (−7, Σ weight_q over ALL
+    # docs, −7, n_docs) pins the corpus "effective size" including
+    # every weight-1e9 singleton without emitting a row per doc.
+    weights = dedup.duplicate_weights(clusters)
+    dw_rows = weights.filter(F.col("cluster_size") > 1).select(
+        (F.lit(-7000).cast("long") - F.col("doc_id")).alias("canonical_id"),
+        F.col("weight_q").cast("long").alias("cluster_size"),
+        F.lit(-7).cast("long").alias("rep_id"),
+        F.col("cluster_size").cast("long").alias("rep_score"),
+    )
+    dw_total = weights.agg(
+        F.sum("weight_q").alias("tw"), F.count(F.lit(1)).alias("nd")
+    ).select(
+        F.lit(-7).cast("long").alias("canonical_id"),
+        F.col("tw").cast("long").alias("cluster_size"),
+        F.lit(-7).cast("long").alias("rep_id"),
+        F.col("nd").cast("long").alias("rep_score"),
+    )
+    return (
+        main.unionByName(agree)
+        .unionByName(pr_member)
+        .unionByName(dw_rows)
+        .unionByName(dw_total)
+    )
 
 
 def _q31_pagerank_sql() -> str:
@@ -2294,8 +2328,8 @@ LEFT JOIN ({_PR_SEEDS_SQL}) s ON pr.node = s.node
 
 
 _Q31_SQL = f"""
-WITH RECURSIVE pairs AS ({LQ.Q24_PAIRS_SQL}),
-edges AS (
+WITH RECURSIVE pairs AS MATERIALIZED ({LQ.Q24_PAIRS_SQL}),
+edges AS MATERIALIZED (
   SELECT id_a AS src, id_b AS dst FROM pairs
   UNION ALL
   SELECT id_b AS src, id_a AS dst FROM pairs
@@ -2305,8 +2339,8 @@ reach AS (
   UNION
   SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON e.src = r.node
 ),
-comp AS (SELECT node, min(lbl) AS canonical_id FROM reach GROUP BY node),
-sized AS (
+comp AS MATERIALIZED (SELECT node, min(lbl) AS canonical_id FROM reach GROUP BY node),
+sized AS MATERIALIZED (
   SELECT canonical_id, CAST(count(*) AS BIGINT) AS cluster_size
   FROM comp GROUP BY canonical_id HAVING count(*) > 1
 ),
@@ -2327,6 +2361,21 @@ SELECT CAST(-1 AS BIGINT), CAST(1 AS BIGINT), CAST(-1 AS BIGINT),
 UNION ALL
 SELECT canonical_id, cluster_size, rep_id, rep_score
 FROM ({_q31_pagerank_sql()})
+UNION ALL
+SELECT CAST(-7000 - c.node AS BIGINT),
+       CAST({dedup.DUP_WEIGHT_QUANT} // s.cluster_size AS BIGINT),
+       CAST(-7 AS BIGINT),
+       s.cluster_size
+FROM comp c JOIN sized s ON c.canonical_id = s.canonical_id
+UNION ALL
+SELECT CAST(-7 AS BIGINT),
+       CAST(((SELECT count(*) FROM documents)
+             - (SELECT count(*) FROM comp)) * {dedup.DUP_WEIGHT_QUANT}
+            + (SELECT COALESCE(sum({dedup.DUP_WEIGHT_QUANT} // s2.cluster_size), 0)
+               FROM comp c2 JOIN sized s2 ON c2.canonical_id = s2.canonical_id)
+            AS BIGINT),
+       CAST(-7 AS BIGINT),
+       (SELECT CAST(count(*) AS BIGINT) FROM documents)
 """
 
 
