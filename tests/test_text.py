@@ -1849,3 +1849,41 @@ def test_curate_near_dup_method_portable_matches_fast_path(spark):
     )
     with _pytest.raises(ValueError, match="near_dup_method"):
         pipeline.curate(docs, near_dup_method="nope", **kw).collect()
+
+
+def test_curate_soft_dedup_reweights_instead_of_dropping(spark):
+    """Round-16: curate(soft_dedup=True) keeps every gated doc and
+    assigns exact integer duplicate weights — QUANT div fp-group-size
+    per normalized-text group; unique docs keep full weight; the
+    keep-one path is unchanged; combining with near_dup_threshold
+    raises."""
+    import pytest as _pytest
+
+    from timebox_spark.operators import pipeline
+    from timebox_spark.operators.dedup import DUP_WEIGHT_QUANT
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "rain in spain falls mainly on the plain tonight")
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (3, base),                       # exact copy of 1
+            (5, base.replace(" ", "  ")),    # whitespace folds -> copy too
+            (4, "completely different text about gardens and stone "
+                "walls with many unrelated words in a long sentence"),
+        ],
+        "doc_id long, text string",
+    )
+    out = pipeline.curate(
+        docs, langs=("en",), min_quality_q=0, min_tokens=3,
+        soft_dedup=True,
+    )
+    got = {r["doc_id"]: r["weight_q"] for r in out.collect()}
+    third = DUP_WEIGHT_QUANT // 3
+    assert got == {1: third, 3: third, 5: third, 4: DUP_WEIGHT_QUANT}
+    assert "weight_q" in out.columns and "split" in out.columns
+    with _pytest.raises(ValueError, match="soft_dedup"):
+        pipeline.curate(
+            docs, langs=("en",), min_quality_q=0, min_tokens=3,
+            soft_dedup=True, near_dup_threshold=0.5,
+        )

@@ -59,6 +59,7 @@ def curate(
     near_dup_threshold: float | None = None,
     near_dup_kwargs: dict | None = None,
     near_dup_method: str = "minhash",
+    soft_dedup: bool = False,
 ) -> DataFrame:
     """Return the curated corpus: one row per kept document with
     ``(id, lang_pred, quality_q, n_tokens, split)``. Duplicate texts
@@ -107,12 +108,31 @@ def curate(
     take ``num_perm`` instead of ``num_hashes``). Same algorithm
     (shingle → minhash → band → bucket-join → exact-Jaccard verify),
     same banding math — the fast path is pinned against the portable
-    one in tests."""
+    one in tests.
+
+    ``soft_dedup=True`` (round 16) REWEIGHTS exact duplicates instead
+    of dropping them: every gated doc is kept and gains a ``weight_q``
+    column — ``dedup.DUP_WEIGHT_QUANT div group_size`` exact integer
+    ticks per normalized-text fingerprint group (the
+    :func:`dedup.duplicate_weights` semantics applied in-pipeline), so
+    a duplicate group contributes one doc's worth of expected training
+    mass. Same single window over ``__fp`` the keep-one path runs —
+    no extra scan or shuffle. Mutually exclusive with
+    ``near_dup_threshold`` (near-dup weights don't compose through
+    the exact stage's group sizes — run
+    ``dedup.duplicate_weights`` over ``dedup_clusters`` output to
+    weight near-dup clusters explicitly)."""
     sel = [id_col, text_col] + ([url_col] if url_col is not None else [])
     if rank_gate is not None and url_col is None:
         raise ValueError(
             "curate: rank_gate requires url_col — the gate keys on "
             "the document's registrable domain"
+        )
+    if soft_dedup and near_dup_threshold is not None:
+        raise ValueError(
+            "curate: soft_dedup and near_dup_threshold are mutually "
+            "exclusive — weight near-dup clusters explicitly via "
+            "dedup.duplicate_weights over dedup_clusters output"
         )
     feats = text.token_features(
         ensure_parallelism(docs).select(*sel), text_col
@@ -194,12 +214,27 @@ def curate(
             )
             .drop("__rank", "__dom")
         )
-    w = Window.partitionBy("__fp").orderBy(id_col)
-    deduped = (
-        kept.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__fp")
-    )
+    if soft_dedup:
+        deduped = (
+            kept.withColumn(
+                "__sz",
+                F.count(F.lit(1))
+                .over(Window.partitionBy("__fp"))
+                .cast("long"),
+            )
+            .withColumn(
+                "weight_q",
+                F.expr(f"{int(dedup.DUP_WEIGHT_QUANT)}L div __sz"),
+            )
+            .drop("__sz", "__fp")
+        )
+    else:
+        w = Window.partitionBy("__fp").orderBy(id_col)
+        deduped = (
+            kept.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__fp")
+        )
     if near_dup_threshold is not None:
         from timebox_spark.operators.dedup import (
             dedup_clusters,

@@ -3660,6 +3660,90 @@ def _rank_gate_member(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Soft-dedup curate stage (round 16): planted EXACT copies —
+# doc_id % 10 == 4 docs re-emitted at +8M ids with identical text, so
+# each copy forms a size-2 normalized-fp group with its source and
+# both members carry weight_q = QUANT div 2; unique gated docs carry
+# full weight. The testdata has no natural exact dups at sf0.01
+# (500/500 distinct norms measured), so without planting the member
+# would vacuously pin all-1e9 weights.
+_SOFT_OFFSET = 8_000_000
+
+
+def _soft_member(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'soft' rows of the q54 suite: ``pipeline.curate(
+    soft_dedup=True)`` over the planted-copy union — every gated doc
+    kept (no keep-one drop), its exact integer duplicate weight
+    surfaced in the quality_q slot, split assigned per-doc as usual.
+    Gates the in-pipeline reweight-don't-discard exact stage
+    (dedup.DUP_WEIGHT_QUANT div fp-group-size) end to end."""
+    from timebox_spark.operators import pipeline
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 10 == 4).select(
+        (F.col("doc_id") + _SOFT_OFFSET).alias("doc_id"), "text"
+    )
+    curated = pipeline.curate(
+        docs.unionByName(planted),
+        langs=("en",),
+        min_quality_q=LQ._CURATE_MIN_Q,
+        min_tokens=LQ._CURATE_MIN_TOKENS,
+        gopher_gates=True,
+        soft_dedup=True,
+    )
+    return curated.select(
+        "doc_id",
+        F.lit("soft").alias("lang_pred"),
+        F.col("weight_q").alias("quality_q"),
+        "n_tokens",
+        "split",
+    )
+
+
+def _soft_member_sql() -> str:
+    """Oracle for the 'soft' member: the q54 annotate/gate SQL over
+    the planted-copy union, weight = QUANT // count() over the
+    normalized-fp partition among KEPT rows (the same post-gate
+    position curate computes it), every kept row emitted."""
+    from timebox_spark.operators import dedup as D
+
+    psrc = (
+        "SELECT doc_id, text FROM documents UNION ALL "
+        f"SELECT doc_id + {_SOFT_OFFSET} AS doc_id, text "
+        "FROM documents WHERE doc_id % 10 = 4"
+    )
+    ann = LQ._lang_pred_sql(
+        extra_cols=(
+            f"{LQ._quality_sql()} AS quality_q, "
+            f"{LQ._NTOK_SQL} AS n_tokens, "
+            f"md5({LQ._NORM}) AS fp, "
+            f"{LQ._gopher_inline_sql()} AS gopher"
+        ),
+        src="psrc",
+    )
+    return f"""
+SELECT doc_id, 'soft' AS lang_pred,
+       CAST({D.DUP_WEIGHT_QUANT} // cnt AS BIGINT) AS quality_q,
+       n_tokens,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+FROM (
+  WITH psrc AS ({psrc}),
+  ann AS ({ann}),
+  kept AS (
+    SELECT * FROM ann
+    WHERE lang_pred IN ('en') AND quality_q >= {LQ._CURATE_MIN_Q}
+      AND n_tokens >= {LQ._CURATE_MIN_TOKENS} AND gopher = 1
+  )
+  SELECT doc_id, n_tokens,
+         count(*) OVER (PARTITION BY fp) AS cnt,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+           AS bucket
+  FROM kept
+)
+"""
+
+
 def _rank_gate_sql() -> str:
     """Oracle for the 'rank_gate' member: the q54 curate SQL with the
     rank predicate injected into its `kept` stage (the same pre-dedup
@@ -4002,8 +4086,11 @@ def q54_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       the oracle from the raw table.
 
     Plus the round-14 URL members, the round-15 'rank_gate' member,
-    and the round-16 'near' member (the one-call near-dup curate
-    stage over planted near-copies — see ``_near_member``)."""
+    and the round-16 'near' / 'psl' / 'soft' members (the one-call
+    near-dup curate stage over planted near-copies, the PSL eTLD+1
+    matcher, and the soft-dedup reweight-don't-discard curate stage
+    over planted exact copies — see ``_near_member`` /
+    ``_psl_member`` / ``_soft_member``)."""
     import hashlib as _h
     import os as _os
 
@@ -4051,6 +4138,8 @@ def q54_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_near_member(spark, sf_dir))
         # round 16: PSL eTLD+1 matcher, oracle-rendered rule groups
         .unionByName(_psl_member(spark, sf_dir))
+        # round 16: soft-dedup (reweight-don't-discard) curate stage
+        .unionByName(_soft_member(spark, sf_dir))
     )
 
 
@@ -4130,6 +4219,8 @@ UNION ALL
 {_near_member_sql()}
 UNION ALL
 {_psl_member_sql()}
+UNION ALL
+{_soft_member_sql()}
 """
 
 
