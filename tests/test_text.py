@@ -494,6 +494,37 @@ def test_top_bigram_char_mass_golden(spark):
     assert [r["doc_id"] for r in top] == [1, 2]
 
 
+def test_tokenizer_fertility_golden(spark):
+    """Hand-computed fertility/compression: exact integer ppm ratios,
+    vocab counts distinct raw words, empty-text groups get 0 ratios
+    (not a divide error)."""
+    from timebox_spark.operators.text import tokenizer_fertility
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "ab cd, ef!"),  # words 3; subtok ab|cd|,|ef|! = 5
+            (2, "en", "ab ab"),       # words 2; subtok 2; chars 5
+            (3, "xx", ""),            # empty: all zero, ratios 0
+        ],
+        "doc_id long, lang string, text string",
+    )
+    got = {
+        r["lang"]: r.asDict()
+        for r in tokenizer_fertility(docs, with_vocab=True).collect()
+    }
+    en = got["en"]
+    assert (en["n_docs"], en["n_words"], en["n_sub_tokens"], en["n_chars"]) \
+        == (2, 5, 7, 15)
+    assert en["n_distinct_words"] == 3  # {'ab', 'cd,', 'ef!'}
+    assert en["fertility_ppm"] == 7_000_000 // 5
+    assert en["chars_per_sub_token_ppm"] == 15_000_000 // 7
+    xx = got["xx"]
+    assert (xx["n_words"], xx["n_sub_tokens"], xx["n_distinct_words"]) == (0, 0, 0)
+    assert (xx["fertility_ppm"], xx["chars_per_sub_token_ppm"]) == (0, 0)
+    # without the vocab pass the column is absent (one-scan default)
+    assert "n_distinct_words" not in tokenizer_fertility(docs).columns
+
+
 def test_source_kl_divergence_matches_python(spark):
     """Per-group KL divergence equals an independent Python recompute
     of the same smoothed top-K model; an on-distribution group scores

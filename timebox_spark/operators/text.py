@@ -1032,6 +1032,78 @@ def hashed_embedding(col: str = "text", dim: int = EMB_DIM) -> Column:
     return F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), comp)
 
 
+# fertility/compression quantum (parts-per-million, shared with the
+# q21 'fert' oracle)
+FERT_PPM = 1_000_000
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    with_vocab: bool = False,
+) -> DataFrame:
+    """Tokenizer-fit diagnostics per group: document/word/sub-token/
+    char totals, FERTILITY (sub-word tokens per word, the standard
+    "is this tokenizer a good fit for this language" number — high
+    fertility means the tokenizer fragments the language and eats
+    context budget) and COMPRESSION (chars per sub-word token).
+    Sub-word tokens are the GPT-2-shaped ``BPE_ISH_RE``; words are
+    whitespace ``TOKEN_RE`` tokens.
+
+    Ratios are exact integer parts-per-million
+    (``(FERT_PPM · num) div den``, 0 when the denominator is 0) so
+    they are order-independent and cross-engine reproducible; the
+    scaled numerators need per-group char totals below ~9.2e12 (ANSI
+    mode raises loudly past that — chunk the corpus or pre-aggregate
+    per shard and merge).
+
+    One map-side-combining scan; ``with_vocab=True`` adds the exact
+    distinct-word count per group (type-token ratio's numerator) at
+    the cost of one (group, word) shuffle bounded by the vocabulary.
+
+    Returns ``(group_col, n_docs, n_words, n_sub_tokens, n_chars[,
+    n_distinct_words], fertility_ppm, chars_per_sub_token_ppm)``."""
+    base = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(token_count(text_col).cast("long")).alias("n_words"),
+        F.sum(bpe_ish_token_count(text_col).cast("long")).alias(
+            "n_sub_tokens"
+        ),
+        F.sum(F.length(text_col).cast("long")).alias("n_chars"),
+    )
+    if with_vocab:
+        vocab = (
+            df.select(
+                F.col(group_col),
+                F.explode(
+                    F.regexp_extract_all(
+                        F.col(text_col), F.lit(TOKEN_RE), F.lit(0)
+                    )
+                ).alias("__w"),
+            )
+            .groupBy(group_col)
+            .agg(F.count_distinct("__w").cast("long").alias("n_distinct_words"))
+        )
+        base = base.join(vocab, group_col, "left").withColumn(
+            "n_distinct_words",
+            F.coalesce(F.col("n_distinct_words"), F.lit(0).cast("long")),
+        )
+    return base.withColumn(
+        "fertility_ppm",
+        F.when(
+            F.col("n_words") > 0,
+            F.expr(f"({FERT_PPM}L * n_sub_tokens) div n_words"),
+        ).otherwise(F.lit(0).cast("long")),
+    ).withColumn(
+        "chars_per_sub_token_ppm",
+        F.when(
+            F.col("n_sub_tokens") > 0,
+            F.expr(f"({FERT_PPM}L * n_chars) div n_sub_tokens"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+
 # domain-shift divergence constants (shared with the q21 oracle)
 KL_VOCAB_K = 50
 KL_TERM_SCALE = 1_000_000_000

@@ -93,6 +93,27 @@ def q21_text_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").alias("k"),
         F.col("kl_q").alias("n"),
     )
+    # 'fert' rows (round 16): tokenizer-fit diagnostics
+    # (text.tokenizer_fertility, with_vocab=True) — per language one
+    # row per metric (docs/words/subtok/chars/vocab totals + the
+    # exact ppm fertility and chars-per-sub-token ratios), so a
+    # drifted tokenizer regex, a lost doc, or one ppm of ratio drift
+    # breaks the driver hash
+    fert = (
+        T.tokenizer_fertility(docs, with_vocab=True)
+        .selectExpr(
+            "lang",
+            "stack(7, 'docs', n_docs, 'words', n_words, "
+            "'subtok', n_sub_tokens, 'chars', n_chars, "
+            "'vocab', n_distinct_words, 'fert_ppm', fertility_ppm, "
+            "'cpt_ppm', chars_per_sub_token_ppm) AS (m, v)",
+        )
+        .select(
+            F.lit("fert").alias("chk"),
+            F.concat_ws(":", "lang", "m").alias("k"),
+            F.col("v").alias("n"),
+        )
+    )
     # 'chunk' rows: text.chunk_documents context windows — n packs an
     # md5-based digest of the exact chunk text with its token count
     # (digest·128 + n_tokens), so a drifted window boundary, stride,
@@ -187,6 +208,7 @@ def q21_text_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(bpem)
         .unionByName(rep)
         .unionByName(kl)
+        .unionByName(fert)
         .unionByName(chunks)
         .unionByName(vocab_rows)
         .unionByName(tokid)
@@ -684,6 +706,45 @@ FROM documents d LEFT JOIN sq ON sq.doc_id = d.doc_id"""
 _TOKID_VOCAB_SQL, _TOKID_SEQ_SQL = _tokid_sql()
 _TOKID_BPE_VOCAB_SQL, _TOKID_BPE_SEQ_SQL = _tokid_bpe_sql()
 
+def _fert_sql() -> str:
+    """DuckDB mirror of text.tokenizer_fertility(with_vocab=True):
+    same token regexes, same integer ppm arithmetic, melted to one
+    (lang:metric, value) row per metric."""
+    from timebox_spark.operators import text as T
+
+    tok = f"length(regexp_extract_all(text, '{T.TOKEN_RE}'))"
+    sub = f"length(regexp_extract_all(text, '{T.BPE_ISH_RE}'))"
+    return f"""
+WITH fagg AS (
+  SELECT a.lang, a.docs, a.words, a.subtok, a.chars,
+         COALESCE(v.vocab, 0) AS vocab,
+         CASE WHEN a.words > 0
+              THEN ({T.FERT_PPM} * a.subtok) // a.words ELSE 0 END AS fert_ppm,
+         CASE WHEN a.subtok > 0
+              THEN ({T.FERT_PPM} * a.chars) // a.subtok ELSE 0 END AS cpt_ppm
+  FROM (
+    SELECT lang, CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum({tok}) AS BIGINT) AS words,
+           CAST(sum({sub}) AS BIGINT) AS subtok,
+           CAST(sum(length(text)) AS BIGINT) AS chars
+    FROM documents GROUP BY lang
+  ) a LEFT JOIN (
+    SELECT lang, CAST(count(DISTINCT w) AS BIGINT) AS vocab
+    FROM (SELECT lang, unnest(regexp_extract_all(text, '{T.TOKEN_RE}')) AS w
+          FROM documents)
+    GROUP BY lang
+  ) v USING (lang)
+)
+SELECT lang || ':docs' AS k, docs AS n FROM fagg
+UNION ALL SELECT lang || ':words', words FROM fagg
+UNION ALL SELECT lang || ':subtok', subtok FROM fagg
+UNION ALL SELECT lang || ':chars', chars FROM fagg
+UNION ALL SELECT lang || ':vocab', vocab FROM fagg
+UNION ALL SELECT lang || ':fert_ppm', CAST(fert_ppm AS BIGINT) FROM fagg
+UNION ALL SELECT lang || ':cpt_ppm', CAST(cpt_ppm AS BIGINT) FROM fagg
+"""
+
+
 _Q21_SUITE_SQL = f"""
 SELECT 'lang' AS chk, lang_pred AS k, n FROM ({LQ.ORACLE_SQL['q21_lang_id']})
 UNION ALL
@@ -703,6 +764,8 @@ UNION ALL
 SELECT 'rep', CAST(doc_id AS VARCHAR), rep_frac_q FROM ({_rep_sql()})
 UNION ALL
 SELECT 'kl', source, kl_q FROM ({_kl_sql()})
+UNION ALL
+SELECT 'fert', k, n FROM ({_fert_sql()})
 UNION ALL
 SELECT 'chunk', k, n FROM ({_chunk_sql()})
 UNION ALL
