@@ -501,6 +501,39 @@ def test_cluster_representatives_keep_best(spark):
     assert reps[9] == (9, 99)
 
 
+def test_cross_minhash_contamination_planted_probes(spark):
+    """Cross-corpus near-dup decontamination: a probe that is a light
+    paraphrase of a corpus doc is flagged with its exact Jaccard, an
+    unrelated probe is not, corpus docs never pair with each other,
+    and the portable path matches the fast path's pair set."""
+    import pytest
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "rain in spain falls mainly on the plain tonight")
+    other = ("completely different text about gardens and stone "
+             "walls with many unrelated words in a long sentence")
+    corpus = spark.createDataFrame(
+        [(1, base), (2, base + " ok"), (3, other)],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame(
+        [(100, base + " yes"), (101, "entirely new benchmark item "
+                                     "about astronomy and telescopes")],
+        "doc_id long, text string",
+    )
+    for method in ("minhash", "portable"):
+        got = dedup.cross_minhash_contamination(
+            corpus, probes, threshold=0.5, method=method
+        ).collect()
+        pairs = {(r["doc_id"], r["probe_id"]) for r in got}
+        # the paraphrase probe hits BOTH near-identical corpus docs;
+        # the unrelated probe hits nothing; no corpus self-pairs
+        assert pairs == {(1, 100), (2, 100)}, method
+        assert all(0.5 <= r["jaccard"] <= 1.0 for r in got)
+    with pytest.raises(ValueError, match="method"):
+        dedup.cross_minhash_contamination(corpus, probes, method="nope")
+
+
 def test_duplicate_weights_planted_clusters(spark):
     """Soft dedup: every member of a size-s cluster gets exactly
     quant div s ticks, singletons keep full weight, and the corpus

@@ -229,6 +229,27 @@ def minhash_signatures(
     )
 
 
+def _band_table(
+    sigs: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band, bucket) LSH band-key table of a signature frame —
+    shared by the self-join candidate generator and the cross-corpus
+    contamination probe (both frames must band with the same
+    num_hashes/bands for keys to be comparable)."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [
+            F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)
+        ]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bucket"))
+        )
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, "bb.band", "bb.bucket")
+
+
 def minhash_lsh_candidates(
     sigs: DataFrame,
     id_col: str = "doc_id",
@@ -239,16 +260,7 @@ def minhash_lsh_candidates(
     docs sharing any (band, bucket) are candidates. Self-join is
     equi-join on the bucket key — broadcast/SMJ-able, skew handled by
     AQE. Output: distinct candidate pairs (a < b)."""
-    rows_per_band = num_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bucket"))
-        )
-    buckets = sigs.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
-    ).select(id_col, "bb.band", "bb.bucket")
+    buckets = _band_table(sigs, id_col, num_hashes, bands)
     a = buckets.alias("a")
     b = buckets.alias("b")
     pairs = (
@@ -639,6 +651,87 @@ def ngram_contamination(
         .agg(F.count(F.lit(1)).alias("n_overlap"))
         .filter(F.col("n_overlap") >= F.lit(min_overlap))
     )
+
+
+def cross_minhash_contamination(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 5,
+    method: str = "minhash",
+) -> DataFrame:
+    """NEAR-duplicate decontamination ACROSS corpora: (corpus doc,
+    probe doc) pairs whose EXACT shingle Jaccard >= ``threshold``,
+    found by banding BOTH frames with the same MinHash family and
+    joining band keys across frames only — no corpus self-pairs,
+    never all-pairs. :func:`ngram_contamination` flags verbatim
+    n-gram leakage; this is the second decontamination tier, catching
+    PARAPHRASE-level leakage (a benchmark item lightly reworded into
+    a training document) that an exact n-gram probe misses.
+
+    ``method='minhash'`` (default) runs the vectorized xxhash64 numpy
+    kernels; ``'portable'`` the md5 hash family every SQL engine can
+    recompute (the q25 'cross' driver member — same algorithm, same
+    banding math, pinned equal-modulo-hash-family in tests).
+
+    Scale: the probe side is an eval benchmark — small — so its band
+    table is the natural build side of the band-key equi-join against
+    the corpus band scan (no broadcast hint: let AQE size it);
+    candidates are bounded by band collisions, and corpus shingle
+    sets join only for candidate ids. Returns
+    ``(id_col, probe_id, jaccard)`` — id spaces need not be disjoint,
+    the two columns keep the frames apart."""
+    if method == "portable":
+        banded_c, d_c = portable_minhash_index(
+            corpus, id_col, text_col, num_hashes, bands, shingle_n
+        )
+        banded_p, d_p = portable_minhash_index(
+            probes, id_col, text_col, num_hashes, bands, shingle_n
+        )
+        key_cols, set_col = ["band", "key"], "__sh"
+    elif method == "minhash":
+        banded_c = _band_table(
+            minhash_signatures(
+                corpus, id_col, text_col, num_hashes, shingle_n
+            ),
+            id_col, num_hashes, bands,
+        )
+        banded_p = _band_table(
+            minhash_signatures(
+                probes, id_col, text_col, num_hashes, shingle_n
+            ),
+            id_col, num_hashes, bands,
+        )
+        d_c = shingle_hash_sets(corpus, id_col, text_col, shingle_n)
+        d_p = shingle_hash_sets(probes, id_col, text_col, shingle_n)
+        key_cols, set_col = ["band", "bucket"], "sh_set"
+    else:
+        raise ValueError(
+            f"method must be 'minhash' or 'portable', got {method!r}"
+        )
+    cand = (
+        banded_c.join(
+            banded_p.withColumnRenamed(id_col, "probe_id"), key_cols
+        )
+        .select(id_col, "probe_id")
+        .distinct()
+    )
+    sh_c = d_c.select(F.col(id_col), F.col(set_col).alias("sh_a"))
+    sh_p = d_p.select(
+        F.col(id_col).alias("probe_id"), F.col(set_col).alias("sh_b")
+    )
+    joined = cand.join(sh_c, id_col).join(sh_p, "probe_id")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (
+        F.size("sh_a").cast("double") + F.size("sh_b").cast("double") - inter
+    )
+    return joined.select(
+        F.col(id_col), F.col("probe_id"), (inter / union).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
 
 
 # ---------------------------------------------------------------- clustering

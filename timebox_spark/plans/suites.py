@@ -1138,6 +1138,10 @@ SELECT 'lsh', id_a, id_b, cosine_q FROM ({_q27_lsh_sql()})
 _MH_THRESHOLD = 0.35
 _MH_NUM_PERM = 32
 _MH_BANDS = 8
+# q25 'cross' member: planted paraphrase-probe suffix/offset/threshold
+_CROSS_SUFFIX = " " + " ".join(f"xq{i}" for i in range(12))
+_CROSS_OFFSET = 7_000_000
+_CROSS_THRESHOLD = 0.5
 # q68 'keep1' member: planted-chain suffix + its banding/threshold
 _KEEP1_SUFFIX = " " + " ".join(f"kq{i}" for i in range(30))
 _KEEP1_THRESHOLD = 0.5
@@ -1151,7 +1155,14 @@ def q25_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the DuckDB oracle recomputes signatures, banding/blocking,
     candidates, and verification bit-for-bit. The vectorized numpy
     kernels (the fast path at scale, same algorithms) are pinned
-    against exact oracles in tests/test_clustering."""
+    against exact oracles in tests/test_clustering.
+
+    Round 16: 'cross' rows gate
+    ``dedup.cross_minhash_contamination`` (paraphrase-level
+    benchmark decontamination — band keys joined ACROSS corpora
+    only): probes are planted paraphrase copies (+7M ids, suffix
+    appended), so every (source, probe) near-pair's exact quantized
+    Jaccard is driver-hashed."""
     docs = load(spark, sf_dir, "documents")
     mh = dedup.portable_minhash_pairs(
         docs,
@@ -1173,7 +1184,27 @@ def q25_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_b",
         F.col("hamming").cast("long").alias("score_q"),
     )
-    return mh.unionByName(sh)
+    probes = docs.select("doc_id", "text").filter(
+        F.col("doc_id") % 10 == 6
+    ).select(
+        (F.col("doc_id") + _CROSS_OFFSET).alias("doc_id"),
+        F.concat("text", F.lit(_CROSS_SUFFIX)).alias("text"),
+    )
+    cross = dedup.cross_minhash_contamination(
+        docs.select("doc_id", "text"),
+        probes,
+        threshold=_CROSS_THRESHOLD,
+        num_hashes=_MH_NUM_PERM,
+        bands=_MH_BANDS,
+        shingle_n=LQ._J_SHINGLE_N,
+        method="portable",
+    ).select(
+        F.lit("cross").alias("method"),
+        F.col("doc_id").alias("id_a"),
+        F.col("probe_id").alias("id_b"),
+        F.round(F.col("jaccard") * 1e6).cast("long").alias("score_q"),
+    )
+    return mh.unionByName(sh).unionByName(cross)
 
 
 def _mh_ctes(src: str, pfx: str, bands: int = _MH_BANDS) -> str:
@@ -1283,10 +1314,41 @@ FROM cand WHERE {hamming} <= {_SH_MAX_HAMMING}
 """
 
 
+def _cross_contamination_sql() -> str:
+    """Oracle for the q25 'cross' member: two `_mh_ctes` instances —
+    the corpus and the planted paraphrase probes — banded with the
+    same md5 family, candidates joined ACROSS the frames only, exact
+    Jaccard verified over the raw shingle sets (the
+    portable_minhash_pairs formula)."""
+    cpr = (
+        f"SELECT doc_id + {_CROSS_OFFSET} AS doc_id, "
+        f"text || '{_CROSS_SUFFIX}' AS text "
+        "FROM documents WHERE doc_id % 10 = 6"
+    )
+    return f"""
+SELECT id_a, id_b, CAST(round(jac * 1000000) AS BIGINT) AS score_q
+FROM (
+  WITH cpr AS ({cpr}),
+  {_mh_ctes('documents', 'xa')},
+  {_mh_ctes('cpr', 'xb')},
+  xc AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM xabanded a JOIN xbbanded b
+      ON a.band = b.band AND a.key = b.key
+  )
+  SELECT c.id_a, c.id_b, {_MH_JAC} AS jac
+  FROM xc c JOIN xad da ON da.doc_id = c.id_a
+            JOIN xbd db ON db.doc_id = c.id_b
+) WHERE jac >= {_CROSS_THRESHOLD}
+"""
+
+
 _Q25_SUITE_SQL = f"""
 SELECT 'minhash' AS method, id_a, id_b, score_q FROM ({_portable_minhash_sql()})
 UNION ALL
 SELECT 'simhash' AS method, id_a, id_b, score_q FROM ({_portable_simhash_sql()})
+UNION ALL
+SELECT 'cross' AS method, id_a, id_b, score_q FROM ({_cross_contamination_sql()})
 """
 
 
