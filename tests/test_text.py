@@ -1814,6 +1814,85 @@ def test_cap_per_group_cms_enforces_corpus_horizon_budget(spark):
     assert plain.filter("source = 'hot.com'").count() == 4
 
 
+def test_token_budget_cms_enforces_corpus_horizon_token_budget(spark):
+    """Round-16: token-denominated corpus-horizon budgets — a stream
+    of cycles each within the per-cycle token budget must still end
+    within it cumulatively when budgeted against the merged WEIGHTED
+    sketch; the weighted CMS never under-counts, so the token total
+    can never exceed the budget."""
+    from timebox_spark.operators import sampling as S
+    from timebox_spark.operators import sketches as SK
+
+    W, D, BUDGET = 256, 4, 100
+
+    def cycle(cid):
+        rows = [(cid * 10 + j, "hot", 30) for j in range(4)]
+        rows.append((cid * 10 + 9, f"rare{cid}", 30))
+        return spark.createDataFrame(
+            rows, "doc_id long, source string, nt long"
+        )
+
+    sketch, admitted = None, []
+    for cid in range(3):
+        batch = cycle(cid)
+        kept = S.token_budget_per_group(
+            batch, "source", "nt", BUDGET, key="doc_id",
+            cms=sketch, cms_width=W, cms_depth=D,
+        )
+        rows = kept.collect()
+        admitted.extend((r["doc_id"], r["source"], r["nt"]) for r in rows)
+        newly = SK.cms_build(
+            spark.createDataFrame(rows, batch.schema),
+            "source", width=W, depth=D, weight="nt",
+        )
+        sketch = (
+            newly if sketch is None
+            else SK.cms_merge(sketch.unionByName(newly))
+        )
+        sketch = spark.createDataFrame(sketch.collect(), sketch.schema)
+    hot_tokens = sum(nt for _, s, nt in admitted if s == "hot")
+    assert hot_tokens <= BUDGET
+    # cycle 0: prior 0 -> cum<=100 admits 3 of 4 rows (90 tokens);
+    # cycle 1: prior 90 -> allowance 10 < 30 -> none; cycle 2: none
+    assert sorted(d for d, s, _ in admitted if s == "hot") == [0, 1, 2]
+    # rare sources never hit their budget
+    assert sum(1 for _, s, _ in admitted if s != "hot") == 3
+    # per-cycle exact budgeting alone would re-admit 3 hot rows/cycle
+    plain = S.token_budget_per_group(cycle(2), "source", "nt", BUDGET)
+    assert plain.filter("source = 'hot'").count() == 3
+
+
+def test_cms_build_weighted_never_undercounts_and_matches_repeats(spark):
+    """Round-16 weighted CMS: estimates never under-count the true
+    weighted totals; NULL weights add 0; NULL keys are skipped; the
+    weighted sketch equals the count sketch of weight-fold repeated
+    rows cell-for-cell (so merge/query semantics carry over)."""
+    from timebox_spark.operators import sketches as SK
+
+    W, D = 64, 4
+    df = spark.createDataFrame(
+        [(1, "a", 5), (2, "a", 7), (3, "b", 1), (4, "b", None),
+         (5, None, 9)],
+        "id long, k string, w int",
+    )
+    wsk = SK.cms_build(df, "k", width=W, depth=D, weight="w")
+    probe = spark.createDataFrame([("a",), ("b",)], "k string")
+    est = {
+        r["k"]: r["est_count"]
+        for r in SK.cms_query(
+            probe, "k", "k", wsk, width=W, depth=D
+        ).collect()
+    }
+    assert est["a"] >= 12 and est["b"] >= 1
+    rep = spark.createDataFrame(
+        [(x,) for x in ["a"] * 12 + ["b"] * 1], "k string"
+    )
+    csk = SK.cms_build(rep, "k", width=W, depth=D)
+    assert sorted(map(tuple, wsk.collect())) == sorted(
+        map(tuple, csk.collect())
+    )
+
+
 def test_curate_near_dup_stage_drops_near_copies(spark):
     """Round-15: curate(near_dup_threshold=) — the one-call batch
     pipeline's near-dedup stage. A doc that is a near (not exact)

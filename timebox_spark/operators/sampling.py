@@ -442,6 +442,9 @@ def token_budget_per_group(
     budget: int = 100_000,
     key: str = "doc_id",
     order_by: list | None = None,
+    cms: DataFrame | None = None,
+    cms_width: int | None = None,
+    cms_depth: int | None = None,
 ) -> DataFrame:
     """Token-denominated frequency capping: keep, per ``group_col``,
     the maximal deterministic PREFIX of rows (ordered by ``order_by``,
@@ -462,7 +465,20 @@ def token_budget_per_group(
 
     Scale: one keyed window per group (groups are the partition key —
     no single-task sort); the same regime note as ``cap_per_group``
-    applies for pathologically hot groups."""
+    applies for pathologically hot groups.
+
+    ``cms`` (round 16 — CORPUS-HORIZON token budgets): exact budgets
+    see only this frame, so a forever-stream admitting ``budget``
+    tokens of one source every cycle enforces nothing cumulatively.
+    Pass the merged historical WEIGHTED count-min sketch of
+    ``group_col`` (``sketches.cms_build(..., weight=token_col)`` per
+    cycle, ``cms_merge`` across cycles) and this frame's per-group
+    allowance becomes ``max(0, budget − est_prior_tokens)``. The
+    weighted CMS never under-counts, so the cumulative TOKEN total
+    can never exceed the budget (the ``cap_per_group(cms=...)``
+    guarantee, token-denominated); the probe side is this frame's
+    distinct groups, broadcast joins only — no new data-sized
+    shuffle."""
     from pyspark.sql import Window
 
     if budget < 0:
@@ -479,4 +495,31 @@ def token_budget_per_group(
             F.coalesce(F.col(token_col).cast("long"), F.lit(0).cast("long"))
         ).over(w),
     )
-    return cum.filter(F.col("__tb_cum") <= budget).drop("__tb_cum")
+    if cms is None:
+        return cum.filter(F.col("__tb_cum") <= budget).drop("__tb_cum")
+    from timebox_spark.operators.sketches import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        cms_query,
+    )
+
+    width = CMS_WIDTH if cms_width is None else cms_width
+    depth = CMS_DEPTH if cms_depth is None else cms_depth
+    groups = df.select(group_col).distinct()
+    est = cms_query(
+        groups, group_col, group_col, cms, width=width, depth=depth
+    ).select(
+        F.col(group_col),
+        F.col("est_count").alias("__tb_prior"),
+    )
+    allowance = F.greatest(
+        F.lit(0).cast("long"),
+        F.lit(int(budget)).cast("long")
+        - F.coalesce(F.col("__tb_prior"), F.lit(0).cast("long")),
+    )
+    return (
+        cum.join(F.broadcast(est), group_col, "left")
+        .filter(F.col("__tb_cum") <= allowance)
+        # restore the caller's column order (the cap_per_group rule)
+        .select(*df.columns)
+    )

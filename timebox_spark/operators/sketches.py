@@ -14,7 +14,7 @@ is part of the analytics extension the engine adds on top.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -441,6 +441,7 @@ def cms_build(
     col: str,
     width: int = CMS_WIDTH,
     depth: int = CMS_DEPTH,
+    weight: str | Column | None = None,
 ) -> DataFrame:
     """Count-min sketch of ``df[col]`` frequencies as a MERGEABLE
     (row int, idx int, cnt long) counter table — the fixed-size
@@ -462,7 +463,18 @@ def cms_build(
     The sketch carries (width, depth) as sentinel rows (row −1 / −2,
     idx 0 — real rows are >= 0): ``cms_merge`` and ``cms_query``
     validate them and raise on mismatch, the same silent-geometry
-    failure class as the Bloom gate's."""
+    failure class as the Bloom gate's.
+
+    ``weight`` (round 16): counters accumulate ``SUM(weight)`` per
+    value instead of row counts — the WEIGHTED sketch behind
+    token-denominated corpus-horizon budgets ("how many TOKENS of
+    source X so far?", ``sampling.token_budget_per_group(cms=...)``)
+    where the count sketch answers "how many docs?". Weights must be
+    NON-NEGATIVE integers (a negative weight voids the never-
+    under-count guarantee; NULL weights add 0 while still claiming
+    the value's cells); merge/query/heavy-hitter paths are unchanged
+    — a weighted sketch is the count sketch of weight-fold repeated
+    rows."""
     from timebox_spark.operators.dedup import _md5_u32
 
     spark = df.sparkSession
@@ -479,11 +491,16 @@ def cms_build(
         )
         for j in range(depth)
     ]
+    if weight is None:
+        inc = F.lit(1).cast("long")
+    else:
+        w = F.col(weight) if isinstance(weight, str) else weight
+        inc = F.coalesce(w.cast("long"), F.lit(0).cast("long"))
     return (
         df.filter(F.col(col).isNotNull())
-        .select(F.explode(F.array(*cells)).alias("c"))
+        .select(F.explode(F.array(*cells)).alias("c"), inc.alias("__w"))
         .groupBy(F.col("c.row").alias("row"), F.col("c.idx").alias("idx"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("__w").alias("cnt"))
         .unionByName(sentinels)
     )
 

@@ -4853,6 +4853,12 @@ _CMS_CAP = 40  # 'cmscap' per-user budget: half-A counts are 21-49
 # at every SF (per-user event counts don't scale with SF), so 40
 # blocks some users outright and truncates others — the gate binds
 _CMS_HH_MIN = 10
+# 'cmswt' per-user TOKEN-denominated budget (round 16): weights are
+# floor(value) (integer, 0-490, never NULL in the testdata); per-user
+# half sums are ~1.2-1.9k at every SF (per-user event counts are
+# SF-stable), so 2500 leaves most users a partial allowance that
+# truncates mid-prefix — the weighted gate binds
+_CMSWT_BUDGET = 2500
 
 
 def q57_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4869,7 +4875,13 @@ def q57_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate AND the exact count per probed user (m2_q = est − true,
     the sketch's signed over-count — never negative by the CMS
     guarantee); the 'cmshh' row pins the heavy-hitter gate
-    (survivor count + summed estimates at min_count)."""
+    (survivor count + summed estimates at min_count).
+
+    Round 16 adds 'cmswt' rows: the WEIGHTED sketch
+    (cms_build(weight=floor(value))) driving a corpus-horizon TOKEN
+    budget (sampling.token_budget_per_group(cms=...)) — per half-B
+    user the admitted prefix's count, weight sum, and the weighted
+    prior estimate."""
     from timebox_spark.operators import sketches as SK
 
     corr = Q.q57_corr_matrix(spark, sf_dir).select(
@@ -5003,6 +5015,45 @@ def q57_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("m2_q"),
         )
     )
+    # 'cmswt' (round 16): corpus-horizon TOKEN budgets — sketch the
+    # HALF-A per-user WEIGHT sums (cms_build(weight=floor(value)),
+    # the weighted sketch), then admit the half-B prefix whose
+    # cumulative weight stays within the remaining allowance
+    # (sampling.token_budget_per_group(cms=...)); one row per user
+    # that admitted at least one event, pinning admitted count,
+    # admitted weight sum, and the weighted prior estimate
+    _wt = F.floor(F.col("value")).cast("long")
+    h1w = SK.cms_build(
+        ev.filter((_half == 0) & F.col("user_id").isNotNull()),
+        "user_id", width=_CMS_W, depth=_CMS_D, weight=_wt,
+    )
+    hbw = ev.filter(
+        (_half == 1) & F.col("user_id").isNotNull()
+    ).select("user_id", "event_id", _wt.alias("wt"))
+    admitted = SP.token_budget_per_group(
+        hbw, "user_id", "wt", _CMSWT_BUDGET, key="event_id",
+        cms=h1w, cms_width=_CMS_W, cms_depth=_CMS_D,
+    )
+    priorw = SK.cms_query(
+        hbw.select("user_id").distinct(), "user_id", "user_id", h1w,
+        width=_CMS_W, depth=_CMS_D,
+    )
+    wtrows = (
+        admitted.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_adm"),
+            F.sum("wt").alias("wt_sum"),
+        )
+        .join(priorw, "user_id")
+        .select(
+            F.lit("cmswt").alias("chk"),
+            F.col("user_id").cast("string").alias("ka"),
+            F.lit("").alias("kb"),
+            F.col("n_adm").alias("n"),
+            F.col("wt_sum").cast("long").alias("m1_q"),
+            F.col("est_count").alias("m2_q"),
+        )
+    )
     return (
         corr.unionByName(trend)
         .unionByName(qhist)
@@ -5011,6 +5062,7 @@ def q57_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(qrows)
         .unionByName(hh)
         .unionByName(caprows)
+        .unionByName(wtrows)
     )
 
 
@@ -5091,6 +5143,43 @@ FROM (
   SELECT r.user_id, e.est
   FROM rkb r JOIN esta e ON r.user_id = e.user_id
   WHERE r.rn <= GREATEST(0, {_CMS_CAP} - e.est)
+) GROUP BY user_id
+UNION ALL
+SELECT 'cmswt', CAST(user_id AS VARCHAR), '',
+       CAST(count(*) AS BIGINT), CAST(sum(wt) AS BIGINT),
+       CAST(min(est) AS BIGINT)
+FROM (
+  WITH hAw AS (
+    SELECT user_id, CAST(floor(value) AS BIGINT) AS wt FROM events
+    WHERE user_id IS NOT NULL AND COALESCE(event_id, 0) % 2 = 0
+  ),
+  hBw AS (
+    SELECT user_id, event_id, CAST(floor(value) AS BIGINT) AS wt
+    FROM events
+    WHERE user_id IS NOT NULL AND COALESCE(event_id, 0) % 2 = 1
+  ),
+  js3 AS (SELECT j FROM ({js})),
+  cmsw AS (
+    SELECT j AS row, CAST({h} AS INT) AS idx,
+           CAST(sum(COALESCE(wt, 0)) AS BIGINT) AS cnt
+    FROM hAw CROSS JOIN js3 GROUP BY 1, 2
+  ),
+  estw AS (
+    SELECT p.user_id, CAST(min(COALESCE(c.cnt, 0)) AS BIGINT) AS est
+    FROM (SELECT user_id, j, CAST({h} AS INT) AS idx
+          FROM (SELECT DISTINCT user_id FROM hBw) CROSS JOIN js3) p
+    LEFT JOIN cmsw c ON c.row = p.j AND c.idx = p.idx
+    GROUP BY p.user_id
+  ),
+  rkw AS (
+    SELECT user_id, event_id, wt,
+           SUM(COALESCE(wt, 0)) OVER (PARTITION BY user_id
+                ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS cum
+    FROM hBw
+  )
+  SELECT r.user_id, r.wt, e.est
+  FROM rkw r JOIN estw e ON r.user_id = e.user_id
+  WHERE r.cum <= GREATEST(0, {_CMSWT_BUDGET} - e.est)
 ) GROUP BY user_id
 """
 
