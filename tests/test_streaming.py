@@ -1187,6 +1187,17 @@ def test_curate_and_ingest_stream_cap_max_validates_eagerly(spark, tmp_path):
             stream, str(tmp_path / "s"), str(tmp_path / "ck"),
             cap_max=10, cms_col="not_a_stream_column",
         )
+    # round-16 weighted pairings are validated eagerly too
+    with _pytest.raises(ValueError, match="cms_weight_col needs"):
+        ingest.curate_and_ingest_stream(
+            stream, str(tmp_path / "s"), str(tmp_path / "ck"),
+            cms_weight_col="nt",
+        )
+    with _pytest.raises(ValueError, match="token_budget_max needs"):
+        ingest.curate_and_ingest_stream(
+            stream, str(tmp_path / "s"), str(tmp_path / "ck"),
+            cms_col="ts", token_budget_max=100,
+        )
 
 
 def test_run_ingest_cycle_timings_hook(spark, tmp_path):
@@ -2337,6 +2348,84 @@ def test_run_ingest_cycle_cap_max_enforces_stream_budget(spark, tmp_path):
     with pytest.raises(ValueError, match="cap_max"):
         ingest.run_ingest_cycle(
             batch(3, 1), store, 3, near_dup=False, cap_max=CAP,
+        )
+
+
+def test_run_ingest_cycle_token_budget_enforces_stream_budget(
+    spark, tmp_path
+):
+    """Round-16: run_ingest_cycle(cms_weight_col=, token_budget_max=)
+    keeps at most budget WEIGHT per group ACROSS cycles — the
+    weighted cms tree supplies the prior, so cycle 1's hot rows are
+    refused even though each cycle individually is under budget; a
+    later count-mode cycle on the weighted store raises on the mode
+    sentinel instead of poisoning the tree's denomination."""
+    import pytest
+
+    def batch(cid, n_hot):
+        rows = [
+            (cid * 100 + j, f"hot doc body {cid} {j}", "hot.com", 30)
+            for j in range(n_hot)
+        ]
+        rows.append(
+            (cid * 100 + 99, f"rare doc body {cid}", f"rare{cid}.org", 30)
+        )
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, source string, nt long"
+        )
+
+    store = str(tmp_path / "r16_tokbudget")
+    BUDGET = 100
+    for cid in range(3):
+        ingest.run_ingest_cycle(
+            batch(cid, 4), store, cid, near_dup=False,
+            cms_col="source", cms_width=256, cms_depth=4,
+            cms_weight_col="nt", token_budget_max=BUDGET,
+        )
+    corpus = spark.read.parquet(f"{store}/corpus")
+    hot = [
+        r["doc_id"] for r in corpus.filter("source = 'hot.com'").collect()
+    ]
+    # cycle 0: prior 0 -> cum<=100 admits 3 of 4 rows (90 weight);
+    # cycle 1: prior 90 -> allowance 10 < 30 -> none; cycle 2: none
+    assert sorted(hot) == [0, 1, 2], sorted(hot)
+    assert corpus.filter("source != 'hot.com'").count() == 3
+    # the stream total can never exceed the budget
+    assert (
+        corpus.filter("source = 'hot.com'")
+        .agg(F.sum("nt"))
+        .collect()[0][0]
+        <= BUDGET
+    )
+    # replay of cycle 2 changes nothing (deterministic prior)
+    ingest.run_ingest_cycle(
+        batch(2, 4), store, 2, near_dup=False,
+        cms_col="source", cms_width=256, cms_depth=4,
+        cms_weight_col="nt", token_budget_max=BUDGET,
+    )
+    assert sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{store}/corpus")
+        .filter("source = 'hot.com'")
+        .collect()
+    ) == [0, 1, 2]
+    # a count-mode cycle on the WEIGHTED store raises on the sentinel
+    with pytest.raises(ValueError, match="denomination"):
+        ingest.run_ingest_cycle(
+            batch(3, 1), store, 3, near_dup=False,
+            cms_col="source", cms_width=256, cms_depth=4,
+        )
+    # pairing validations are loud
+    with pytest.raises(ValueError, match="token_budget_max"):
+        ingest.run_ingest_cycle(
+            batch(3, 1), store, 3, near_dup=False,
+            cms_col="source", token_budget_max=BUDGET,
+        )
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        ingest.run_ingest_cycle(
+            batch(3, 1), store, 3, near_dup=False,
+            cms_col="source", cms_weight_col="nt",
+            token_budget_max=BUDGET, cap_max=5,
         )
 
 

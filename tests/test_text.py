@@ -1888,9 +1888,18 @@ def test_cms_build_weighted_never_undercounts_and_matches_repeats(spark):
         [(x,) for x in ["a"] * 12 + ["b"] * 1], "k string"
     )
     csk = SK.cms_build(rep, "k", width=W, depth=D)
-    assert sorted(map(tuple, wsk.collect())) == sorted(
-        map(tuple, csk.collect())
-    )
+    data = lambda s: sorted(map(tuple, s.filter("row >= 0").collect()))
+    assert data(wsk) == data(csk)
+    # the weightedness sentinel keeps the modes apart: a raw union of
+    # a count and a weighted sketch refuses to merge or be classified
+    assert SK.cms_is_weighted(wsk) is True
+    assert SK.cms_is_weighted(csk) is False
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mix"):
+        SK.cms_is_weighted(wsk.unionByName(csk))
+    with _pytest.raises(ValueError, match="conflicting"):
+        SK.cms_merge(wsk.unionByName(csk))
 
 
 def test_curate_near_dup_stage_drops_near_copies(spark):

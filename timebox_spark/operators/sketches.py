@@ -478,8 +478,16 @@ def cms_build(
     from timebox_spark.operators.dedup import _md5_u32
 
     spark = df.sparkSession
+    # row −3 records WEIGHTEDNESS (cnt 1 weighted / 0 count): a tree
+    # mixing count and weighted cycles answers neither "how many
+    # docs?" nor "how many tokens?" — cms_merge's per-row sentinel
+    # conflict check now catches that mix exactly like a geometry mix
     sentinels = spark.createDataFrame(
-        [(-1, 0, int(width)), (-2, 0, int(depth))],
+        [
+            (-1, 0, int(width)),
+            (-2, 0, int(depth)),
+            (-3, 0, 1 if weight is not None else 0),
+        ],
         "row int, idx int, cnt long",
     )
     cells = [
@@ -521,9 +529,11 @@ def cms_merge(sketches: DataFrame) -> DataFrame:
     )
     if bad:
         raise ValueError(
-            "cms_merge: inputs carry conflicting (width, depth) "
-            "sentinels — sketches of different geometries cannot be "
-            "summed; rebuild with one parameter set"
+            "cms_merge: inputs carry conflicting sentinels (width, "
+            "depth, or count-vs-weighted mode) — sketches of "
+            "different geometries hash to different cells, and a "
+            "count/weighted mix answers neither denomination; "
+            "rebuild with one parameter set"
         )
     data = (
         sketches.filter(F.col("row") >= 0)
@@ -533,6 +543,32 @@ def cms_merge(sketches: DataFrame) -> DataFrame:
     return data.unionByName(
         sketches.filter(F.col("row") < 0).distinct()
     )
+
+
+def cms_is_weighted(cms: DataFrame) -> bool | None:
+    """Read a sketch's weightedness sentinel (row −3): True =
+    weighted (``cms_build(weight=...)``), False = count, None =
+    legacy sketch built before the sentinel existed (treat as count
+    — weighted builds have always stamped it). Raises on a
+    count/weighted MIX (a raw union of both modes — summing them
+    answers neither denomination)."""
+    vals = {
+        r["cnt"]
+        for r in cms.filter(F.col("row") == -3)
+        .select("cnt")
+        .distinct()
+        .collect()
+    }
+    if len(vals) > 1:
+        raise ValueError(
+            "cms_is_weighted: sketch mixes count-mode and "
+            "weighted-mode partitions — their sums answer neither "
+            "'how many rows' nor 'how much weight'; rebuild the tree "
+            "in one mode"
+        )
+    if not vals:
+        return None
+    return bool(vals.pop())
 
 
 def cms_query(

@@ -1013,6 +1013,8 @@ def curate_and_ingest_stream(
     cms_width: int = 1024,
     cms_depth: int = 4,
     cap_max: int | None = None,
+    cms_weight_col: str | None = None,
+    token_budget_max: int | None = None,
     band_bloom_m: int | None = 1 << 26,
     band_bloom_k: int = 5,
 ):
@@ -1091,7 +1093,13 @@ def curate_and_ingest_stream(
     count-min stats tree: the named input column (e.g. ``source``)
     is carried through curation and sketched per cycle into
     ``{store}/cms`` — corpus-horizon frequency / heavy-hitter queries
-    without a corpus rescan (``read_store_cms``)."""
+    without a corpus rescan (``read_store_cms``).
+    ``cms_weight_col``/``token_budget_max`` (round 16) switch the
+    tree to WEIGHT sums and enforce a per-group TOKEN budget across
+    the whole stream (see ``run_ingest_cycle``); mutually exclusive
+    with ``cap_max`` — one tree, one denomination. All pairings are
+    validated here at call time, not asynchronously inside
+    foreachBatch."""
     if cap_max is not None and (
         cms_col is None or cms_col not in stream.columns
     ):
@@ -1102,6 +1110,28 @@ def curate_and_ingest_stream(
             "stream column — the budget is enforced against the "
             "store's count-min tree of that column"
         )
+    if cms_weight_col is not None and (
+        cms_col is None
+        or cms_col not in stream.columns
+        or cms_weight_col not in stream.columns
+    ):
+        raise ValueError(
+            "curate_and_ingest_stream: cms_weight_col needs cms_col "
+            "AND the weight column present in the stream — the "
+            "weighted tree sketches SUM(weight) per cms_col value"
+        )
+    if token_budget_max is not None and cms_weight_col is None:
+        raise ValueError(
+            "curate_and_ingest_stream: token_budget_max needs "
+            "cms_weight_col — the token budget is enforced against "
+            "the store's WEIGHTED count-min tree"
+        )
+    if cap_max is not None and cms_weight_col is not None:
+        raise ValueError(
+            "curate_and_ingest_stream: cap_max and cms_weight_col "
+            "are mutually exclusive — one cms tree holds ONE "
+            "denomination (row counts or weight sums)"
+        )
     carry: tuple[str, ...] = (ts_col,) if stream_near_dup else ()
     if cms_col is not None and cms_col not in (id_col, text_col) and (
         cms_col not in carry
@@ -1110,6 +1140,12 @@ def curate_and_ingest_stream(
         # event-time buckets) would otherwise carry the column twice
         # and the sink's select would die on AMBIGUOUS_REFERENCE
         carry = carry + (cms_col,)
+    if (
+        cms_weight_col is not None
+        and cms_weight_col not in (id_col, text_col)
+        and cms_weight_col not in carry
+    ):
+        carry = carry + (cms_weight_col,)
     curated = curate_stream(
         stream,
         id_col=id_col,
@@ -1124,6 +1160,8 @@ def curate_and_ingest_stream(
     batch_cols = [id_col, text_col]
     if cms_col is not None and cms_col not in batch_cols:
         batch_cols.append(cms_col)
+    if cms_weight_col is not None and cms_weight_col not in batch_cols:
+        batch_cols.append(cms_weight_col)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -1164,6 +1202,10 @@ def curate_and_ingest_stream(
             # corpus-horizon per-group keep budget (round 15) —
             # enforced against the store's cms tree every cycle
             cap_max=cap_max,
+            # token-denominated sibling (round 16): weighted tree +
+            # per-group token budget across the whole stream
+            cms_weight_col=cms_weight_col,
+            token_budget_max=token_budget_max,
             # near-dup index gate (round 15): defaults ON like the
             # fps gate; the probe auto-disables while the banded
             # tree is broadcast-small
@@ -1627,6 +1669,8 @@ def run_ingest_cycle(
     cms_width: int = 1024,
     cms_depth: int = 4,
     cap_max: int | None = None,
+    cms_weight_col: str | None = None,
+    token_budget_max: int | None = None,
     band_bloom_m: int | None = None,
     band_bloom_k: int = 5,
     timings: dict | None = None,
@@ -1724,6 +1768,22 @@ def run_ingest_cycle(
     accordingly). Requires ``cms_col``; the first cycle (no tree yet)
     applies the plain in-frame cap.
 
+    ``cms_weight_col`` / ``token_budget_max`` (round 16 — the
+    TOKEN-denominated sibling of ``cap_max``): the cms tree sketches
+    ``SUM(cms_weight_col)`` per ``cms_col`` value instead of row
+    counts (``sketches.cms_build(weight=...)``), and
+    ``token_budget_max`` admits, per group, only the deterministic
+    prefix of kept rows whose cumulative weight stays within
+    ``max(0, budget − historical weighted estimate)``
+    (``sampling.token_budget_per_group(cms=...)``) — "at most N
+    tokens of source X across the whole stream", the denomination
+    training mixtures are actually specified in. One tree holds ONE
+    denomination: ``cap_max`` and ``cms_weight_col`` are mutually
+    exclusive, each sketch partition stamps a weightedness sentinel,
+    and a cycle whose mode disagrees with the store's tree raises on
+    the FIRST mismatch (``sketches.cms_is_weighted``) instead of
+    silently poisoning the denomination.
+
     ``timings`` (round 16 — the observability behind bench's
     ``ingest_loop`` block): pass a dict to receive the cycle's
     per-stage wall seconds — ``consolidate`` (when it fires),
@@ -1757,6 +1817,29 @@ def run_ingest_cycle(
             "run_ingest_cycle: cap_max needs cms_col naming a batch "
             "column — the budget is enforced against the store's "
             "count-min tree of that column"
+        )
+    if cms_weight_col is not None and (
+        cms_col is None
+        or cms_col not in new_batch.columns
+        or cms_weight_col not in new_batch.columns
+    ):
+        raise ValueError(
+            "run_ingest_cycle: cms_weight_col needs cms_col AND the "
+            "weight column present in the batch — the weighted tree "
+            "sketches SUM(weight) per cms_col value"
+        )
+    if token_budget_max is not None and cms_weight_col is None:
+        raise ValueError(
+            "run_ingest_cycle: token_budget_max needs cms_weight_col "
+            "— the token budget is enforced against the store's "
+            "WEIGHTED count-min tree"
+        )
+    if cap_max is not None and cms_weight_col is not None:
+        raise ValueError(
+            "run_ingest_cycle: cap_max and cms_weight_col are "
+            "mutually exclusive — one cms tree holds ONE "
+            "denomination (row counts or weight sums); run separate "
+            "stores to budget both"
         )
     _t = _time.perf_counter()
     if consolidate_every and cycle_id > 0 and cycle_id % consolidate_every == 0:
@@ -1838,31 +1921,61 @@ def run_ingest_cycle(
                 prior_cms, cms_width, cms_depth,
                 "run_ingest_cycle(cms_col=...)",
             )
+            # MODE check (round 16): a count tree cannot serve a
+            # token budget and a weighted tree cannot serve cap_max —
+            # catch the flip on the FIRST mismatched cycle, before a
+            # mixed-denomination partition poisons the tree (legacy
+            # pre-sentinel trees are count-mode by construction)
+            from timebox_spark.operators.sketches import cms_is_weighted
+
+            tree_weighted = cms_is_weighted(prior_cms)
+            if bool(tree_weighted) != (cms_weight_col is not None):
+                raise ValueError(
+                    f"run_ingest_cycle: the store's cms tree is "
+                    f"{'WEIGHTED' if tree_weighted else 'count-mode'}"
+                    f" but this cycle runs "
+                    f"{'weighted' if cms_weight_col else 'count'}"
+                    f" stats — one tree holds one denomination; "
+                    f"keep the mode that built the store or start a "
+                    f"new store for the other budget"
+                )
+
+        # the columns a sketch build needs off a corpus partition
+        _cms_cols = [cms_col] + (
+            [cms_weight_col]
+            if cms_weight_col is not None and cms_weight_col != cms_col
+            else []
+        )
 
         def _cms_from_corpus(df: DataFrame) -> DataFrame:
-            # a pre-cms corpus cycle may predate the column entirely
-            # (store built before stats were enabled with a narrower
-            # batch schema): its rows are honestly uncountable — write
-            # the empty-but-sentineled sketch as the coverage marker
-            # and say so, instead of wedging every subsequent cycle on
-            # an unresolved-column error (round-14 review).
-            if cms_col in df.columns:
+            # a pre-cms corpus cycle may predate the column(s)
+            # entirely (store built before stats were enabled with a
+            # narrower batch schema): its rows are honestly
+            # uncountable — write the empty-but-sentineled sketch as
+            # the coverage marker and say so, instead of wedging every
+            # subsequent cycle on an unresolved-column error
+            # (round-14 review).
+            if all(c in df.columns for c in _cms_cols):
                 return cms_build(
-                    df.select(cms_col), cms_col, cms_width, cms_depth
+                    df.select(*_cms_cols), cms_col, cms_width,
+                    cms_depth, weight=cms_weight_col,
                 )
             warnings.warn(
-                f"run_ingest_cycle: corpus partition lacks the "
-                f"{cms_col!r} column (written before cms stats were "
-                f"enabled) — its rows cannot be frequency-counted; "
+                f"run_ingest_cycle: corpus partition lacks "
+                f"{_cms_cols!r} column(s) (written before cms stats "
+                f"were enabled) — its rows cannot be counted; "
                 f"writing an empty sketch partition so coverage "
                 f"tracking stays consistent",
                 UserWarning,
                 stacklevel=3,
             )
             empty = df.sparkSession.createDataFrame(
-                [], f"`{cms_col}` string"
+                [], f"`{cms_col}` string, `__cms_w` long"
             )
-            return cms_build(empty, cms_col, cms_width, cms_depth)
+            return cms_build(
+                empty, cms_col, cms_width, cms_depth,
+                weight=None if cms_weight_col is None else "__cms_w",
+            )
 
         # COVERAGE backfill, the bloom-tree rule: a cms tree missing
         # some corpus cycles would silently UNDER-count — the one
@@ -1969,6 +2082,27 @@ def run_ingest_cycle(
                 )
             else:
                 kept = cap_per_group(kept, cms_col, id_col, cap_max)
+        if token_budget_max is not None:
+            # corpus-horizon TOKEN budget on the KEPT rows (round 16):
+            # the WEIGHTED cms tree sums exactly the weight previous
+            # cycles kept (cycle-filtered read ⇒ replay-deterministic);
+            # the first cycle has no tree and applies the plain
+            # in-frame prefix budget
+            from timebox_spark.operators.sampling import (
+                token_budget_per_group,
+            )
+
+            if prior_cms is not None:
+                kept = token_budget_per_group(
+                    kept, cms_col, cms_weight_col, token_budget_max,
+                    key=id_col, cms=prior_cms, cms_width=cms_width,
+                    cms_depth=cms_depth,
+                )
+            else:
+                kept = token_budget_per_group(
+                    kept, cms_col, cms_weight_col, token_budget_max,
+                    key=id_col,
+                )
 
         cyc = f"cycle={cycle_id}"
         kept.write.mode("overwrite").parquet(f"{paths['corpus']}/{cyc}")
@@ -2011,7 +2145,8 @@ def run_ingest_cycle(
         from timebox_spark.operators.sketches import cms_build
 
         cms_build(
-            kept_disk.select(cms_col), cms_col, cms_width, cms_depth
+            kept_disk.select(*_cms_cols), cms_col, cms_width,
+            cms_depth, weight=cms_weight_col,
         ).write.mode("overwrite").parquet(f"{paths['cms']}/{cyc}")
     _t = _stamp("derived_writes", _t)
     if near_dup:
