@@ -384,6 +384,71 @@ def test_unkeyed_delta_paths_are_bucketed(spark):
     assert bad == 0
 
 
+def test_token_budget_default_cumsum_is_bucketed(spark):
+    """Round 17 (round-16 verdict task 1): token budgets are quoted
+    per SOURCE, a handful of groups at 100 TB — the default-order
+    cumulative sum must NOT be a bare Window.partitionBy(group)
+    (each source's whole data through one sort task). The data-sized
+    window must carry the monotone bucket key; the only group-keyed
+    window allowed is the one over the REDUCED per-bucket summary
+    (the bucketed-carry rule)."""
+    from pyspark.sql import functions as F
+
+    from timebox_spark.operators.sampling import token_budget_per_group
+    from timebox_spark.plans.tables import load
+
+    docs = load(spark, SF_SMOKE, "documents").withColumn(
+        "__nt", F.length("text").cast("long")
+    )
+    kept = token_budget_per_group(
+        docs, group_col="source", token_col="__nt", budget=700
+    )
+    plan = _plan(kept)
+    # the data-sized cumsum window (the kernel sums __v0 =
+    # coalesce(__tb_v, 0)) is bucketed: its windowspecdefinition
+    # includes the __bkt partition key. The only other window is the
+    # per-bucket summary prefix (sum(__s) over the REDUCED agg).
+    data_windows = [
+        ln
+        for ln in plan.splitlines()
+        if "windowspecdefinition" in ln and "sum(__v0" in ln
+    ]
+    assert data_windows, plan
+    assert all("__bkt" in ln for ln in data_windows), data_windows
+    # and no single-partition exchange anywhere in the plan
+    assert not _single_partition_offenders(_simple_plan(kept))
+
+
+def test_cross_contamination_corpus_sets_candidate_bounded(spark):
+    """Round 17 (round-16 verdict task 3): the decontamination verify
+    stage must not re-shingle the whole corpus — the corpus-side
+    shingle-set computation sits ABOVE a LeftSemi join on the
+    candidate ids (Catalyst cannot push a join below the opaque Arrow
+    kernel, so the pre-filter must be explicit in the plan). Checked
+    for both hash families."""
+    from timebox_spark.operators import dedup
+    from timebox_spark.plans.tables import load
+
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    probes = docs.filter("doc_id % 10 = 6").selectExpr(
+        "doc_id + 7000000 as doc_id", "text || ' probe' as text"
+    )
+    # minhash: the sets kernel (MapInPandas yielding sh_set) must have
+    # a LeftSemi join below it
+    out = dedup.cross_minhash_contamination(
+        docs, probes, threshold=0.35, method="minhash"
+    )
+    plan = _analyzed_plan(out)
+    assert "LeftSemi" in plan, plan
+    phys = _plan(out)
+    assert "LeftSemi" in phys, phys
+    # portable: the __sh projection feeding the verify join likewise
+    out_p = dedup.cross_minhash_contamination(
+        docs, probes, threshold=0.35, method="portable"
+    )
+    assert "LeftSemi" in _plan(out_p)
+
+
 def test_classifier_topk_map_only_take(spark):
     """Hashed-linear classifier scoring is map-only JVM expressions +
     TakeOrderedAndProject — zero shuffles at any corpus size."""

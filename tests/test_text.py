@@ -1049,6 +1049,71 @@ def test_token_budget_per_group_prefix_semantics(spark):
         token_budget_per_group(df, "source", "n_tokens", budget=-1)
 
 
+def test_token_budget_bucketed_default_matches_windowed_with_nulls(spark):
+    """Round 17: the default ascending-key order routes through the
+    bucketed-carry kernel (no per-source single-task sort). The NULL
+    fixture pins the path equivalence the optimization must preserve
+    (the repo's both-paths rule): NULL group (own budget), NULL token
+    (consumes nothing), NULL key (sorts first — bucket −1), plus a
+    group large enough to span many buckets. order_by=[key] forces the
+    windowed twin of the SAME order; kept sets must match exactly."""
+    from pyspark.sql import functions as F
+
+    from timebox_spark.operators.sampling import token_budget_per_group
+
+    rows = [(i, "a" if i % 3 else "b", (i % 7) or None) for i in range(500)]
+    rows += [(None, "a", 3), (9001, None, 5), (9002, None, 4)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, n_tokens int"
+    )
+    for budget in (0, 37, 10_000):
+        bucketed = token_budget_per_group(
+            df, "source", "n_tokens", budget=budget
+        )
+        windowed = token_budget_per_group(
+            df, "source", "n_tokens", budget=budget, order_by=["doc_id"]
+        )
+        key = lambda r: (r["doc_id"] is None, r["doc_id"], r["source"])
+        assert sorted(bucketed.collect(), key=key) == sorted(
+            windowed.collect(), key=key
+        ), budget
+    # NULL-group rows kept under their own budget on the bucketed path
+    kept = token_budget_per_group(df, "source", "n_tokens", budget=9)
+    null_kept = [
+        r["doc_id"] for r in kept.collect() if r["source"] is None
+    ]
+    assert sorted(null_kept) == [9001, 9002]  # 5 + 4 = 9 <= 9
+    assert set(kept.columns) == set(df.columns)
+
+
+def test_token_budget_cms_composes_with_bucketed_path(spark):
+    """The corpus-horizon (cms=) branch rides on the same cumsum —
+    bucketed default path and windowed twin agree under a sketch
+    prior too."""
+    from timebox_spark.operators.sketches import cms_build
+    from timebox_spark.operators.sampling import token_budget_per_group
+
+    hist = spark.createDataFrame(
+        [("a", 5)] * 4 + [("b", 1)], "source string, n int"
+    )
+    cms = cms_build(hist, "source", weight="n")
+    df = spark.createDataFrame(
+        [(i, "a" if i < 6 else "b", 4) for i in range(12)],
+        "doc_id long, source string, n_tokens int",
+    )
+    got_b = token_budget_per_group(
+        df, "source", "n_tokens", budget=25, cms=cms
+    )
+    got_w = token_budget_per_group(
+        df, "source", "n_tokens", budget=25, cms=cms, order_by=["doc_id"]
+    )
+    ids = lambda d: sorted(r["doc_id"] for r in d.collect())
+    assert ids(got_b) == ids(got_w)
+    # group a: prior 20 -> allowance 5 -> 1 doc (4 <= 5); group b:
+    # prior 1 -> allowance 24 -> 6 docs (24 <= 24)
+    assert ids(got_b) == [0, 6, 7, 8, 9, 10, 11]
+
+
 def test_lsh_tuning_matches_s_curve():
     """lsh_tuning returns the divisor pair whose (1/b)^(1/r) is
     closest to the requested threshold, and validates inputs."""

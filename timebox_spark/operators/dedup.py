@@ -681,12 +681,21 @@ def cross_minhash_contamination(
     Scale: the probe side is an eval benchmark — small — so its band
     table is the natural build side of the band-key equi-join against
     the corpus band scan (no broadcast hint: let AQE size it);
-    candidates are bounded by band collisions, and corpus shingle
-    sets join only for candidate ids. Returns
+    candidates are bounded by band collisions. The decontamination
+    job pays ONE full corpus text pass (the signature scan the band
+    keys require); the verify stage's corpus shingle sets are
+    computed only for docs appearing in a candidate pair (round 17 —
+    semi-join on the probe-bounded candidate ids BEFORE the shingle
+    kernel/projection: Catalyst cannot push a join below the opaque
+    Arrow kernel, so the pre-filter is explicit). The candidate table
+    is persisted (it feeds both the semi-join and the verify join;
+    recomputing it would re-run the full corpus signature scan) —
+    plan-keyed cache entries, dropped at session end, the
+    ``jaccard_verify`` convention. Returns
     ``(id_col, probe_id, jaccard)`` — id spaces need not be disjoint,
     the two columns keep the frames apart."""
     if method == "portable":
-        banded_c, d_c = portable_minhash_index(
+        banded_c, _d_c_full = portable_minhash_index(
             corpus, id_col, text_col, num_hashes, bands, shingle_n
         )
         banded_p, d_p = portable_minhash_index(
@@ -706,7 +715,6 @@ def cross_minhash_contamination(
             ),
             id_col, num_hashes, bands,
         )
-        d_c = shingle_hash_sets(corpus, id_col, text_col, shingle_n)
         d_p = shingle_hash_sets(probes, id_col, text_col, shingle_n)
         key_cols, set_col = ["band", "bucket"], "sh_set"
     else:
@@ -719,7 +727,16 @@ def cross_minhash_contamination(
         )
         .select(id_col, "probe_id")
         .distinct()
+        .persist()
     )
+    # corpus shingle sets for CANDIDATE docs only: candidates are
+    # probe-bounded, so the semi-join broadcasts and the second text
+    # pass touches a sliver of the corpus instead of all of it
+    needed = corpus.join(cand.select(id_col).distinct(), id_col, "left_semi")
+    if method == "portable":
+        d_c = _portable_sets(needed, id_col, text_col, shingle_n)
+    else:
+        d_c = shingle_hash_sets(needed, id_col, text_col, shingle_n)
     sh_c = d_c.select(F.col(id_col), F.col(set_col).alias("sh_a"))
     sh_p = d_p.select(
         F.col(id_col).alias("probe_id"), F.col(set_col).alias("sh_b")
@@ -1489,6 +1506,22 @@ def _md5_u32(col, salt: str | None = None):
     return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
 
 
+def _portable_sets(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int
+) -> DataFrame:
+    """(id, __sh) distinct char-shingle sets, JVM expressions only —
+    the portable index's verify representation, extracted so the
+    cross-corpus decontamination path can compute it over the
+    candidate-bounded corpus slice instead of the full frame."""
+    return (
+        with_norm(df.select(id_col, text_col))
+        .withColumn(
+            "__sh", F.array_distinct(char_shingles("__norm", shingle_n))
+        )
+        .select(id_col, "__sh")
+    )
+
+
 def portable_minhash_index(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1526,11 +1559,7 @@ def _portable_index_parts(
     if num_perm % bands:
         raise ValueError("num_perm must divide into bands")
     r = num_perm // bands
-    d = (
-        with_norm(df.select(id_col, text_col))
-        .withColumn("__sh", F.array_distinct(char_shingles("__norm", shingle_n)))
-        .select(id_col, "__sh")
-    )
+    d = _portable_sets(df, id_col, text_col, shingle_n)
     ex = ensure_parallelism(d).select(id_col, F.explode("__sh").alias("s"))
     sigs = ex.groupBy(id_col).agg(
         *[F.min(_md5_u32(F.col("s"), str(i))).alias(f"h{i}") for i in range(num_perm)]

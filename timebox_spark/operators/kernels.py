@@ -439,8 +439,16 @@ def auto_bucket(
     if n_buckets is None:
         n_buckets = derive_n_buckets(row["n"])
     width = (row["hi"] - row["lo"]) / float(n_buckets)
-    return F.least(
-        F.floor((c - F.lit(row["lo"])) / F.lit(width)), F.lit(n_buckets - 1)
+    # NULL lead key → bucket −1: sorts before every real bucket, which
+    # is the windowed twin's NULLS FIRST order. (A bare least(floor(
+    # NULL), n−1) would skip the NULL and dump the row in the LAST
+    # bucket; a NULL bucket would fall out of the carry kernels'
+    # prefix equi-join.)
+    return F.when(c.isNull(), F.lit(-1)).otherwise(
+        F.least(
+            F.floor((c - F.lit(row["lo"])) / F.lit(width)),
+            F.lit(n_buckets - 1),
+        )
     )
 
 

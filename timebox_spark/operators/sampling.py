@@ -463,9 +463,24 @@ def token_budget_per_group(
     treated as 0 (kept, consuming no budget); NULL groups form their
     own group and get their own budget.
 
-    Scale: one keyed window per group (groups are the partition key —
-    no single-task sort); the same regime note as ``cap_per_group``
-    applies for pathologically hot groups.
+    Scale (round 17): token budgets are quoted per SOURCE ("≤300B
+    tokens of web"), and a 100 TB corpus has a handful of sources — so
+    unlike ``cap_per_group``'s per-domain default, the LOW-cardinality
+    group is this operator's primary regime and a plain
+    ``Window.partitionBy(group)`` cumsum would funnel each source's
+    entire data through ONE sort task. The default ascending-``key``
+    order therefore routes through ``kernels.bucketed_running_sum``
+    (partition = group, bucket = monotone ``auto_bucket`` of the key):
+    per-(group, bucket) window tasks of ~100k rows plus a broadcast
+    per-bucket prefix — identical inclusive cumsum, no single-task
+    sort. Costs one extra key-column min/max/count scan (the
+    ``auto_bucket`` bounds agg) — O(columnar key scan), not O(data
+    shuffle). A custom ``order_by`` keeps the windowed path: an
+    arbitrary order admits no engine-derivable monotone bucket, so
+    that regime keeps the ``cap_per_group`` hot-group caveat (pre-
+    split hot groups or pass a naturally bucketed order key). A
+    non-numeric/non-timestamp ``key`` also falls back to the windowed
+    path (no distribution bucket derivable).
 
     ``cms`` (round 16 — CORPUS-HORIZON token budgets): exact budgets
     see only this frame, so a forever-stream admitting ``budget``
@@ -484,17 +499,50 @@ def token_budget_per_group(
     if budget < 0:
         raise ValueError(f"budget must be non-negative, got {budget}")
     order = order_by if order_by is not None else [key]
-    w = (
-        Window.partitionBy(group_col)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tok_long = F.coalesce(
+        F.col(token_col).cast("long"), F.lit(0).cast("long")
     )
-    cum = df.withColumn(
-        "__tb_cum",
-        F.sum(
-            F.coalesce(F.col(token_col).cast("long"), F.lit(0).cast("long"))
-        ).over(w),
-    )
+    cum = None
+    if order_by is None:
+        # scale-safe default path (see docstring): bucketed carry, no
+        # per-source single-task sort
+        from timebox_spark.operators.kernels import (
+            auto_bucket,
+            bucketed_running_sum,
+        )
+
+        try:
+            bkt = auto_bucket(df.select(key), [key])
+        except ValueError:
+            bkt = None  # non-numeric key: keyed-window fallback below
+        if bkt is not None:
+            # NULL handling so the bucketed plan matches the windowed
+            # one exactly: a NULL key buckets to -1 (sorts before every
+            # real bucket = the window's NULLS FIRST); the group key is
+            # struct-wrapped because the kernel's broadcast prefix
+            # re-attaches by equi-join and bare NULL keys never join —
+            # struct equality is null-safe on nested fields (pinned by
+            # tests/test_text.py's NULL-fixture equivalence test)
+            cum = (
+                bucketed_running_sum(
+                    df.withColumn("__tb_v", tok_long).withColumn(
+                        "__tb_g", F.struct(F.col(group_col).alias("g"))
+                    ),
+                    order_by=[key],
+                    value_col="__tb_v",
+                    bucket=F.coalesce(bkt, F.lit(-1)),
+                    out_col="__tb_cum",
+                    partition_by=["__tb_g"],
+                )
+                .select(*df.columns, "__tb_cum")
+            )
+    if cum is None:
+        w = (
+            Window.partitionBy(group_col)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = df.withColumn("__tb_cum", F.sum(tok_long).over(w))
     if cms is None:
         return cum.filter(F.col("__tb_cum") <= budget).drop("__tb_cum")
     from timebox_spark.operators.sketches import (
