@@ -1235,6 +1235,76 @@ def test_run_ingest_cycle_timings_hook(spark, tmp_path):
     assert "consolidate" in tm1, tm1
 
 
+@pytest.mark.parametrize("verify", ["exact", "estimate"])
+def test_run_ingest_cycle_index_reuse_matches_recompute(
+    spark, tmp_path, verify
+):
+    """Round 17: run_ingest_cycle derives the committed partition's
+    banded/sets trees by semi-joining the batch index materialized
+    inside compact_corpus on the kept ids (and the fps bloom sketch
+    by reading back the committed fps tree) instead of re-running the
+    shingle+signature kernel over the committed text. The written
+    partitions must be IDENTICAL to a direct recompute over the
+    committed rows — both verify tiers, with near-dup AND exact-dup
+    drops exercising the semi-join filter."""
+    import warnings as _w
+
+    from timebox_spark.operators import dedup as DD
+    from timebox_spark.operators.sketches import bloom_build
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps "
+        "running through the long meadow toward the river bank"
+    )
+    store = str(tmp_path / f"ridx_{verify}")
+    seed = spark.createDataFrame(
+        [(1, base), (2, "unrelated codec discussion about delta layouts")],
+        "doc_id long, text string",
+    )
+    with _w.catch_warnings():
+        _w.simplefilter("ignore", UserWarning)  # estimate-tier variance
+        ingest.run_ingest_cycle(
+            seed, store, 0, index_verify=verify, bloom_m=1 << 16
+        )
+        batch = spark.createDataFrame(
+            [
+                (10, base + " xx"),  # near-dup of corpus 1 — dropped
+                (11, "a wholly new doc about watermark state"),
+                (12, "a wholly new doc about watermark state"),  # exact dup
+                (13, "another fresh doc mentioning bloom sketches"),
+            ],
+            "doc_id long, text string",
+        )
+        ingest.run_ingest_cycle(
+            batch, store, 1, index_verify=verify, bloom_m=1 << 16
+        )
+    kept_disk = spark.read.parquet(f"{store}/corpus/cycle=1")
+    assert {r["doc_id"] for r in kept_disk.collect()} == {11, 13}
+    nb, ns = DD.build_corpus_index(kept_disk, verify=verify)
+    got_b = sorted(
+        map(tuple, spark.read.parquet(f"{store}/index/banded/cycle=1").collect())
+    )
+    assert got_b == sorted(map(tuple, nb.collect()))
+    vcol = "__sig" if verify == "estimate" else "__sh"
+    got_s = sorted(
+        (r["doc_id"], tuple(r[vcol]))
+        for r in spark.read.parquet(f"{store}/index/sets/cycle=1").collect()
+    )
+    assert got_s == sorted((r["doc_id"], tuple(r[vcol])) for r in ns.collect())
+    got_bloom = sorted(
+        map(tuple, spark.read.parquet(f"{store}/bloom/cycle=1").collect())
+    )
+    exp_bloom = sorted(
+        map(
+            tuple,
+            bloom_build(
+                DD.corpus_fingerprints(kept_disk), "__fp", 1 << 16, 5
+            ).collect(),
+        )
+    )
+    assert got_bloom == exp_bloom
+
+
 def test_run_ingest_cycle_disk_state_and_replay(spark, tmp_path):
     """The disk-state steady-state composition: three cycles through
     parquet state (corpus/fps/index trees) equal the in-memory

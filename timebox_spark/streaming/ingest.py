@@ -458,6 +458,7 @@ def compact_corpus(
     corpus_band_bloom: DataFrame | None = None,
     band_bloom_m: int = 1 << 26,
     band_bloom_k: int = 5,
+    batch_index_out: dict | None = None,
 ) -> DataFrame:
     """The batch half of the ingest lambda split ``curate_stream``
     documents: given the rows a streaming window accumulated
@@ -569,7 +570,19 @@ def compact_corpus(
     one under its store); the CALLER deletes it after materializing
     the returned plan (the plan reads it). Without it the ids are
     collected to the driver — bounded by the within-batch near-dup
-    count, acceptable for tests and small batches only."""
+    count, acceptable for tests and small batches only.
+
+    ``batch_index_out`` (round 17 — index-write reuse): pass a dict
+    to receive the BATCH side's materialized ``{'banded': ...,
+    'sets': ...}`` index tables (populated only when
+    ``exact_owned_rdds`` owns the lifecycle, i.e. when they are
+    localCheckpointed and cheap to re-read). The per-doc index rows
+    depend only on a doc's text, so the caller can derive the
+    committed partition's index by semi-joining these on the kept
+    ids instead of re-running the shingle+signature kernel over the
+    committed text (``run_ingest_cycle`` does — measured sf0.1:
+    index_writes ~7 s → ~2 s per cycle). The tables stay valid only
+    until the owner unpersists ``exact_owned_rdds``."""
     from timebox_spark.operators.dedup import (
         build_corpus_index,
         incremental_exact_dedup,
@@ -663,6 +676,13 @@ def compact_corpus(
 
         b_banded = _tracked_local_checkpoint(b_banded, exact_owned_rdds)
         b_sets = _tracked_local_checkpoint(b_sets, exact_owned_rdds)
+        if batch_index_out is not None:
+            # hand the materialized batch index to the owner (round
+            # 17): its rows are per-doc functions of text, so the
+            # committed partition's index is a semi-join on kept ids,
+            # not a second run of the shingle+signature kernel
+            batch_index_out["banded"] = b_banded
+            batch_index_out["sets"] = b_sets
     c_banded_src, c_sets_src = c_banded, c_sets
     if corpus_band_bloom is not None:
         # gate the banded-tree read (round 15): batch keys that probe
@@ -2041,6 +2061,7 @@ def run_ingest_cycle(
     from timebox_spark.operators.dedup import unpersist_owned
 
     exact_owned: list = []
+    batch_index: dict = {}
     try:
         kept = compact_corpus(
             new_batch,
@@ -2066,6 +2087,7 @@ def run_ingest_cycle(
                 band_bloom_m if band_bloom_m is not None else 1 << 26
             ),
             band_bloom_k=band_bloom_k,
+            batch_index_out=batch_index,
         )
         if cap_max is not None:
             # corpus-horizon frequency budget on the KEPT rows: the
@@ -2106,77 +2128,107 @@ def run_ingest_cycle(
 
         cyc = f"cycle={cycle_id}"
         kept.write.mode("overwrite").parquet(f"{paths['corpus']}/{cyc}")
-    finally:
-        unpersist_owned(exact_owned)
-    _t = _stamp("compact_write", _t)
-    if scratch is not None:
-        # the corpus partition is committed — the dropped-id scratch
-        # the kept plan read is no longer referenced by anything
-        fs_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
-        fs = fs_path(store_path).getFileSystem(
-            spark.sparkContext._jsc.hadoopConfiguration()
-        )
-        fs.delete(fs_path(scratch), True)
-    # re-read what was PHYSICALLY kept so fps/index derive from the
-    # committed rows (and the lineage below is a trivial scan)
-    kept_disk = spark.read.parquet(f"{paths['corpus']}/{cyc}")
-    cycle_fps = corpus_fingerprints(kept_disk, text_col)
-    if fps is not None and dict(fps.dtypes).get("__fp") == "string":
-        # legacy hex-string store: keep the tree single-typed (a
-        # mixed string/binary tree cannot be read under one schema);
-        # the next consolidation migrates every partition to binary
-        # at once. Still sorted — row-group stats prune either type.
-        cycle_fps = cycle_fps.sortWithinPartitions("__fp")
-    else:
-        cycle_fps = cycle_fps.select(
-            F.unhex("__fp").alias("__fp")
-        ).sortWithinPartitions("__fp")
-    cycle_fps.write.mode("overwrite").parquet(f"{paths['fps']}/{cyc}")
-    if bloom_m is not None:
-        from timebox_spark.operators.sketches import bloom_build
-
-        bloom_build(
-            corpus_fingerprints(kept_disk, text_col),
-            "__fp",
-            bloom_m,
-            bloom_k,
-        ).write.mode("overwrite").parquet(f"{paths['bloom']}/{cyc}")
-    if cms_col is not None:
-        from timebox_spark.operators.sketches import cms_build
-
-        cms_build(
-            kept_disk.select(*_cms_cols), cms_col, cms_width,
-            cms_depth, weight=cms_weight_col,
-        ).write.mode("overwrite").parquet(f"{paths['cms']}/{cyc}")
-    _t = _stamp("derived_writes", _t)
-    if near_dup:
-        nb, ns = build_corpus_index(
-            kept_disk, id_col, text_col, num_perm, bands, shingle_n,
-            verify=index_verify,
-        )
-        # sorted per-cycle partitions (round 15): the gated
-        # compaction's pushed In predicates prune row groups only on
-        # key-/id-sorted data (consolidation range-partitions too)
-        nb.sortWithinPartitions("key").write.mode("overwrite").parquet(
-            f"{paths['banded']}/{cyc}"
-        )
-        ns.sortWithinPartitions(id_col).write.mode("overwrite").parquet(
-            f"{paths['sets']}/{cyc}"
-        )
-        if band_bloom_m is not None:
+        _t = _stamp("compact_write", _t)
+        if scratch is not None:
+            # the corpus partition is committed — the dropped-id
+            # scratch the kept plan read is no longer referenced
+            fs_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+            fs = fs_path(store_path).getFileSystem(
+                spark.sparkContext._jsc.hadoopConfiguration()
+            )
+            fs.delete(fs_path(scratch), True)
+        # re-read what was PHYSICALLY kept so fps/index derive from
+        # the committed rows (and the lineage below is a trivial scan)
+        kept_disk = spark.read.parquet(f"{paths['corpus']}/{cyc}")
+        cycle_fps = corpus_fingerprints(kept_disk, text_col)
+        if fps is not None and dict(fps.dtypes).get("__fp") == "string":
+            # legacy hex-string store: keep the tree single-typed (a
+            # mixed string/binary tree cannot be read under one
+            # schema); the next consolidation migrates every partition
+            # to binary at once. Still sorted — row-group stats prune
+            # either type.
+            cycle_fps = cycle_fps.sortWithinPartitions("__fp")
+        else:
+            cycle_fps = cycle_fps.select(
+                F.unhex("__fp").alias("__fp")
+            ).sortWithinPartitions("__fp")
+        cycle_fps.write.mode("overwrite").parquet(f"{paths['fps']}/{cyc}")
+        if bloom_m is not None:
             from timebox_spark.operators.sketches import bloom_build
 
+            # build the sketch off the COMMITTED fps partition (round
+            # 17): the tree just written holds exactly these
+            # fingerprints, so reading it back (narrow binary/hex
+            # column) replaces a second normalize+md5 pass over the
+            # batch text; _fps_as_hex restores the hex form the
+            # sketch always hashes (bit-identical bits)
             bloom_build(
-                spark.read.parquet(f"{paths['banded']}/{cyc}").select(
-                    "key"
-                ),
-                "key",
-                band_bloom_m,
-                band_bloom_k,
-            ).write.mode("overwrite").parquet(
-                f"{paths['bloom_band']}/{cyc}"
-            )
-        _t = _stamp("index_writes", _t)
+                _fps_as_hex(spark.read.parquet(f"{paths['fps']}/{cyc}")),
+                "__fp",
+                bloom_m,
+                bloom_k,
+            ).write.mode("overwrite").parquet(f"{paths['bloom']}/{cyc}")
+        if cms_col is not None:
+            from timebox_spark.operators.sketches import cms_build
+
+            cms_build(
+                kept_disk.select(*_cms_cols), cms_col, cms_width,
+                cms_depth, weight=cms_weight_col,
+            ).write.mode("overwrite").parquet(f"{paths['cms']}/{cyc}")
+        _t = _stamp("derived_writes", _t)
+        if near_dup:
+            if "banded" in batch_index:
+                # round 17: the batch's banded/sets tables were
+                # materialized (localCheckpointed) inside
+                # compact_corpus — their rows are per-doc functions of
+                # text, so the committed partition's index is a
+                # semi-join on the kept ids (batch-bounded; AQE
+                # broadcasts it), NOT a second run of the
+                # shingle+signature kernel over the committed text.
+                # Measured sf0.1 (1,750-doc batch): index_writes
+                # ~7 s → ~2 s per cycle; rows bit-identical
+                # (test_ingest_cycle_* pin the tree contents).
+                kept_ids = kept_disk.select(id_col)
+                nb = batch_index["banded"].join(
+                    kept_ids, id_col, "left_semi"
+                )
+                ns = batch_index["sets"].join(
+                    kept_ids, id_col, "left_semi"
+                )
+            else:
+                nb, ns = build_corpus_index(
+                    kept_disk, id_col, text_col, num_perm, bands,
+                    shingle_n, verify=index_verify,
+                )
+            # sorted per-cycle partitions (round 15): the gated
+            # compaction's pushed In predicates prune row groups only
+            # on key-/id-sorted data (consolidation range-partitions
+            # too)
+            nb.sortWithinPartitions("key").write.mode(
+                "overwrite"
+            ).parquet(f"{paths['banded']}/{cyc}")
+            ns.sortWithinPartitions(id_col).write.mode(
+                "overwrite"
+            ).parquet(f"{paths['sets']}/{cyc}")
+            if band_bloom_m is not None:
+                from timebox_spark.operators.sketches import bloom_build
+
+                bloom_build(
+                    spark.read.parquet(
+                        f"{paths['banded']}/{cyc}"
+                    ).select("key"),
+                    "key",
+                    band_bloom_m,
+                    band_bloom_k,
+                ).write.mode("overwrite").parquet(
+                    f"{paths['bloom_band']}/{cyc}"
+                )
+            _t = _stamp("index_writes", _t)
+    finally:
+        # after the index writes, not right after the corpus commit
+        # (round 17): the checkpointed batch index tables feed the
+        # committed partition's index derivation above
+        unpersist_owned(exact_owned)
     n_kept = kept_disk.count()
     _stamp("count", _t)
     return n_kept
