@@ -1545,6 +1545,14 @@ def portable_minhash_index(
     return banded, d
 
 
+def _mk_salted_hash(i: int):
+    """Factory binding the salt index for a one-parameter HOF lambda —
+    NOT a default-arg lambda: a two-parameter lambda passed to
+    ``F.transform`` is treated as (element, index) and the index
+    column silently overrides the default (the round-11 HOF trap)."""
+    return lambda s: _md5_u32(s, str(i))
+
+
 def _portable_index_parts(
     df: DataFrame,
     id_col: str,
@@ -1552,17 +1560,49 @@ def _portable_index_parts(
     num_perm: int,
     bands: int,
     shingle_n: int,
+    owned_rdds: list | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Shared core of the portable index: returns (banded, raw shingle
     sets d, signature table sigs) where sigs = (id, h0..h{num_perm-1})
-    — the band table and BOTH verify representations derive from it."""
+    — the band table and BOTH verify representations derive from it.
+
+    Round-17 shape (values bit-identical, measured so on the sf0.1
+    batch): the signature table is computed MAP-ONLY — per doc,
+    ``array_min`` over the salted-hash ``transform`` of its shingle
+    array — instead of explode + groupBy(id).agg(32 × min): same md5
+    count, one less Exchange, and no 32-buffer hash aggregate over
+    the exploded (id, shingle) rows (micro-benchmlarked 1.37 s →
+    1.15 s warm on a 1,250-doc batch, with the explode version's
+    inline-pipeline penalty ~5 s removed entirely when ``d`` is
+    materialized). Docs whose shingle array is NULL/empty are
+    filtered exactly as the explode used to drop them. ``owned_rdds``
+    (the ``_tracked_local_checkpoint`` contract): when the caller
+    owns the lifecycle, ``d`` is checkpointed so the banded and sets
+    materializations don't each re-run the normalize+shingle
+    projection — O(batch) arrays, unpersisted by the owner."""
     if num_perm % bands:
         raise ValueError("num_perm must divide into bands")
     r = num_perm // bands
-    d = _portable_sets(df, id_col, text_col, shingle_n)
-    ex = ensure_parallelism(d).select(id_col, F.explode("__sh").alias("s"))
-    sigs = ex.groupBy(id_col).agg(
-        *[F.min(_md5_u32(F.col("s"), str(i))).alias(f"h{i}") for i in range(num_perm)]
+    # parallelize BEFORE the shingle projection (round 17): with the
+    # repartition above `d`, the normalize+shingle work ran on however
+    # few partitions the input had (an AQE-coalesced batch = 1 core,
+    # and TWICE when banded and sets materialize separately); below
+    # the raw (id, text) scan it is a no-op on big inputs and fans
+    # the string-heavy projection out on small ones
+    d = _portable_sets(
+        ensure_parallelism(df.select(id_col, text_col)),
+        id_col, text_col, shingle_n,
+    )
+    if owned_rdds is not None:
+        d = _tracked_local_checkpoint(d, owned_rdds)
+    sigs = d.filter(
+        F.col("__sh").isNotNull() & (F.size("__sh") > 0)
+    ).select(
+        id_col,
+        *[
+            F.array_min(F.transform("__sh", _mk_salted_hash(i))).alias(f"h{i}")
+            for i in range(num_perm)
+        ],
     )
     band_structs = [
         F.struct(
@@ -1694,6 +1734,7 @@ def build_corpus_index(
     bands: int = 8,
     shingle_n: int = 5,
     verify: str = "exact",
+    owned_rdds: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The PERSISTABLE near-dup index of a corpus: ``(banded,
     verify_table)`` where banded = (id, band, key) LSH band table and
@@ -1721,11 +1762,17 @@ def build_corpus_index(
     corpus_index=...)`` consumes (the mode is inferred from the
     verify table's column) and ``save_corpus_index`` /
     ``load_corpus_index`` round-trip — a compaction cycle touches
-    only these two narrow tables, never corpus text."""
+    only these two narrow tables, never corpus text.
+
+    ``owned_rdds``: pass the caller's checkpoint-tracking list ONLY
+    when ``df`` is batch-bounded (the compactor's per-cycle batch) —
+    the shared shingle-set frame is then materialized once instead of
+    re-computed per output table; never for a corpus-sized ``df``."""
     if verify not in ("exact", "estimate"):
         raise ValueError(f"verify must be 'exact' or 'estimate', got {verify!r}")
     banded, d, sigs = _portable_index_parts(
-        df, id_col, text_col, num_perm, bands, shingle_n
+        df, id_col, text_col, num_perm, bands, shingle_n,
+        owned_rdds=owned_rdds,
     )
     if verify == "estimate":
         return banded, sigs.select(

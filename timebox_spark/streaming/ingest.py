@@ -459,6 +459,7 @@ def compact_corpus(
     band_bloom_m: int = 1 << 26,
     band_bloom_k: int = 5,
     batch_index_out: dict | None = None,
+    timings: dict | None = None,
 ) -> DataFrame:
     """The batch half of the ingest lambda split ``curate_stream``
     documents: given the rows a streaming window accumulated
@@ -582,11 +583,31 @@ def compact_corpus(
     ids instead of re-running the shingle+signature kernel over the
     committed text (``run_ingest_cycle`` does — measured sf0.1:
     index_writes ~7 s → ~2 s per cycle). The tables stay valid only
-    until the owner unpersists ``exact_owned_rdds``."""
+    until the owner unpersists ``exact_owned_rdds``.
+
+    ``timings`` (round 17 — the observability behind the bench
+    ingest_loop's compact_write attribution): pass a dict to receive
+    wall seconds for the EAGER sub-steps this call runs while
+    building the returned (lazy) plan — ``exact_gate`` (the gated
+    exact-dedup's probe checkpoint + maybe-set collect),
+    ``kept_ckpt`` (materializing the exact survivors),
+    ``index_ckpt`` (the batch shingle+signature kernel),
+    ``band_probe`` (band-key sketch probe + bounded collect),
+    ``cand_prune`` (candidate checkpoint + verify-prune collect).
+    The remainder of the caller's timed write is the verify join +
+    anti-join + sink. Purely observational."""
+    import time as _time
+
     from timebox_spark.operators.dedup import (
         build_corpus_index,
         incremental_exact_dedup,
     )
+
+    def _cstamp(key: str, t0: float) -> float:
+        now = _time.perf_counter()
+        if timings is not None:
+            timings[key] = round(now - t0, 3)
+        return now
 
     if keep not in ("chain", "cluster"):
         raise ValueError(f"keep must be 'chain' or 'cluster', got {keep!r}")
@@ -604,6 +625,7 @@ def compact_corpus(
         warn_estimate_tier_variance(threshold, num_perm, bands)
     if corpus is None:
         corpus = new_batch.limit(0)
+    _ct = _time.perf_counter()
     kept = incremental_exact_dedup(
         new_batch,
         corpus,
@@ -622,6 +644,7 @@ def compact_corpus(
         # corpus partition commits)
         owned_rdds=exact_owned_rdds,
     )
+    _ct = _cstamp("exact_gate", _ct)
     if not near_dup:
         return kept
     vcol = "__sig" if verify == "estimate" else "__sh"
@@ -668,13 +691,19 @@ def compact_corpus(
         from timebox_spark.operators.dedup import _tracked_local_checkpoint
 
         kept = _tracked_local_checkpoint(kept, exact_owned_rdds)
+    _ct = _cstamp("kept_ckpt", _ct)
     b_banded, b_sets = build_corpus_index(
-        kept, id_col, text_col, num_perm, bands, shingle_n, verify=verify
+        kept, id_col, text_col, num_perm, bands, shingle_n, verify=verify,
+        # batch-bounded: materialize the shared shingle-set frame once
+        # so the banded and sets checkpoints below don't each re-run
+        # the normalize+shingle projection (round 17)
+        owned_rdds=exact_owned_rdds,
     )
     if exact_owned_rdds is not None:
         from timebox_spark.operators.dedup import _tracked_local_checkpoint
 
         b_banded = _tracked_local_checkpoint(b_banded, exact_owned_rdds)
+        _ct = _cstamp("banded_ckpt", _ct)
         b_sets = _tracked_local_checkpoint(b_sets, exact_owned_rdds)
         if batch_index_out is not None:
             # hand the materialized batch index to the owner (round
@@ -683,6 +712,7 @@ def compact_corpus(
             # not a second run of the shingle+signature kernel
             batch_index_out["banded"] = b_banded
             batch_index_out["sets"] = b_sets
+    _ct = _cstamp("index_ckpt", _ct)
     c_banded_src, c_sets_src = c_banded, c_sets
     if corpus_band_bloom is not None:
         # gate the banded-tree read (round 15): batch keys that probe
@@ -739,6 +769,7 @@ def compact_corpus(
             c_banded_src = c_banded.join(
                 F.broadcast(maybe_keys), "key", "left_semi"
             )
+        _ct = _cstamp("band_probe", _ct)
     # candidates: batch survivor × (corpus ∪ smaller-id batch survivor)
     a = c_banded_src.select(
         F.col(id_col).alias("id_a"), "band", "key", F.lit(True).alias("__corpus")
@@ -787,6 +818,7 @@ def compact_corpus(
                 id_col,
                 "left_semi",
             )
+        _ct = _cstamp("cand_prune", _ct)
     # origin-tagged set rows: the a-side joins on (id, origin) so a
     # corpus row and a batch row sharing an id can never swap sets
     sh_a = c_sets_src.select(
@@ -2062,6 +2094,11 @@ def run_ingest_cycle(
 
     exact_owned: list = []
     batch_index: dict = {}
+    # compact_corpus's eager sub-step decomposition, folded into the
+    # caller's timings as compact_<step> (round 17) — attributes the
+    # compact_write stage's seconds to the gated-dedup / kernel /
+    # probe actions inside the plan build vs the final write
+    _compact_sub: dict = {}
     try:
         kept = compact_corpus(
             new_batch,
@@ -2088,6 +2125,9 @@ def run_ingest_cycle(
             ),
             band_bloom_k=band_bloom_k,
             batch_index_out=batch_index,
+            timings=(
+                None if timings is None else _compact_sub
+            ),
         )
         if cap_max is not None:
             # corpus-horizon frequency budget on the KEPT rows: the
@@ -2129,6 +2169,9 @@ def run_ingest_cycle(
         cyc = f"cycle={cycle_id}"
         kept.write.mode("overwrite").parquet(f"{paths['corpus']}/{cyc}")
         _t = _stamp("compact_write", _t)
+        if timings is not None:
+            for k, v in _compact_sub.items():
+                timings[f"compact_{k}"] = v
         if scratch is not None:
             # the corpus partition is committed — the dropped-id
             # scratch the kept plan read is no longer referenced
