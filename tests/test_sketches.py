@@ -571,6 +571,44 @@ def test_cms_query_defensive_on_raw_union(spark):
     assert raw_est == merged_est
 
 
+def test_cms_stats_mode_fused_scan(spark):
+    """Round 17: ``_cms_stats_mode`` answers the geometry validation
+    AND the weightedness read in ONE aggregation job (the ingest gate
+    ran ``_cms_stats`` + ``cms_is_weighted`` back-to-back over the
+    same tree). Same raises, same mode semantics as the pair."""
+    import pytest
+
+    SK, df, cms = _cms_fixture(spark)
+    wdf = df.withColumn("w", (F.col("id") % 7).cast("long"))
+    wcms = SK.cms_build(wdf, "v", width=64, depth=3, weight="w")
+
+    # mode read matches cms_is_weighted across all three states
+    n_cnt, mode_cnt = SK._cms_stats_mode(cms, 64, 3, "t")
+    assert mode_cnt is SK.cms_is_weighted(cms) is False
+    assert n_cnt == SK._cms_stats(cms, 64, 3, "t")
+    _, mode_w = SK._cms_stats_mode(wcms, 64, 3, "t")
+    assert mode_w is SK.cms_is_weighted(wcms) is True
+    legacy = cms.filter("row >= 0")  # pre-sentinel tree
+    _, mode_legacy = SK._cms_stats_mode(legacy, 64, 3, "t")
+    assert mode_legacy is SK.cms_is_weighted(legacy) is None
+
+    # the pair's raises survive the fusion: mode mix, geometry mix,
+    # call-vs-tree mismatch
+    mixed = cms.unionByName(wcms)
+    with pytest.raises(ValueError, match="mixes count-mode"):
+        SK._cms_stats_mode(mixed, 64, 3, "t")
+    other = SK.cms_build(df, "v", width=128, depth=3)
+    with pytest.raises(ValueError, match="CONFLICTING"):
+        SK._cms_stats_mode(cms.unionByName(other), 64, 3, "t")
+    with pytest.raises(ValueError, match="built with"):
+        SK._cms_stats_mode(cms, 128, 3, "t")
+    # the check_mode=False contract (_cms_stats delegation, the
+    # cms_query path) must NOT newly raise on a mode mix
+    assert SK._cms_stats(mixed, 64, 3, "t") == mixed.filter(
+        "row >= 0"
+    ).count()
+
+
 def test_cms_heavy_hitters_gate(spark):
     SK, df, cms = _cms_fixture(spark)
     cands = spark.createDataFrame(

@@ -2686,3 +2686,55 @@ def test_run_ingest_cycle_band_bloom_tree_and_coverage(spark, tmp_path, monkeypa
     }
     assert bb_cycles == banded_cycles and bb_cycles
     assert not os.path.isdir(f"{stores[False]}/bloom_band")
+
+
+def test_ingest_bloom_gate_validates_without_eager_merge(
+    spark, tmp_path, monkeypatch
+):
+    """Round 17: the gate passes the RAW sketch tree to bloom_probe
+    (no per-cycle eager bloom_merge job) — the probe's pre-aggregation
+    sentinel validation must still fail LOUDLY on (a) a mid-stream
+    bloom_m change (call vs tree mismatch) and (b) a tree already
+    mixing geometries (the case bloom_merge's check used to catch),
+    both before any state is written for the failing cycle."""
+    monkeypatch.setattr(ingest, "GATE_MIN_TREE_BYTES", 0)
+    from timebox_spark.operators import sketches as SK
+
+    store = str(tmp_path / "raw_gate_store")
+    m = 1 << 14
+    for cid, rows in enumerate(
+        [[(10, "alpha body one"), (11, "beta body two")],
+         [(20, "gamma body three")]]
+    ):
+        ingest.run_ingest_cycle(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            store, cid, near_dup=False, bloom_m=m, bloom_k=5,
+        )
+    batch3 = spark.createDataFrame(
+        [(30, "delta body four")], "doc_id long, text string"
+    )
+    # (a) mid-stream geometry change: tree sentinels carry m, the
+    # call says 2m -> _bloom_stats mismatch raise
+    with pytest.raises(ValueError, match="m_bits"):
+        ingest.run_ingest_cycle(
+            batch3, store, 2, near_dup=False, bloom_m=m * 2, bloom_k=5,
+        )
+    corpus = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{store}/corpus").collect()
+    }
+    assert corpus == {10, 11, 20}  # nothing committed by the raise
+    # (b) a tree already mixing geometries: plant a conflicting
+    # sketch partition (covers a hand-written/crash-mixed tree), run
+    # a matching-parameter cycle -> CONFLICTING-sentinel raise from
+    # the probe's pre-aggregation check
+    fps2 = spark.read.parquet(f"{store}/fps").filter("cycle = 1").drop(
+        "cycle"
+    )
+    SK.bloom_build(
+        ingest._fps_as_hex(fps2), "__fp", m * 4, 5
+    ).write.parquet(f"{store}/bloom/cycle=5")
+    with pytest.raises(ValueError, match="CONFLICTING"):
+        ingest.run_ingest_cycle(
+            batch3, store, 6, near_dup=False, bloom_m=m, bloom_k=5,
+        )

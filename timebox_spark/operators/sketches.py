@@ -404,6 +404,25 @@ def _cms_stats(cms: DataFrame, width: int, depth: int, ctx: str) -> int:
     with the caller's parameters raises (wrong-width positions silently
     under-count), absent sentinels pass. Returns the data-row count
     for the broadcast budget check."""
+    return _cms_stats_mode(cms, width, depth, ctx, check_mode=False)[0]
+
+
+def _cms_stats_mode(
+    cms: DataFrame,
+    width: int,
+    depth: int,
+    ctx: str,
+    check_mode: bool = True,
+) -> tuple[int, bool | None]:
+    """``_cms_stats``'s geometry validation and ``cms_is_weighted``'s
+    mode read fused into ONE aggregation job (round 17): the ingest
+    gate ran them back-to-back over the same tree, paying two
+    full-tree scans where one answers both. Returns (data-row count,
+    weighted mode: True/False per the row −3 sentinel, None for
+    legacy sentinel-less trees). ``check_mode=True`` raises on a
+    count/weighted MIX exactly like ``cms_is_weighted``;
+    ``check_mode=False`` is the plain ``_cms_stats`` contract
+    (probes answer whatever denomination the tree holds)."""
     row = cms.agg(
         F.count(F.when(F.col("row") >= 0, 1)).alias("n_rows"),
         F.count_distinct(
@@ -412,8 +431,12 @@ def _cms_stats(cms: DataFrame, width: int, depth: int, ctx: str) -> int:
         F.count_distinct(
             F.when(F.col("row") == -2, F.col("cnt"))
         ).alias("n_d"),
+        F.count_distinct(
+            F.when(F.col("row") == -3, F.col("cnt"))
+        ).alias("n_mode"),
         F.max(F.when(F.col("row") == -1, F.col("cnt"))).alias("w"),
         F.max(F.when(F.col("row") == -2, F.col("cnt"))).alias("d"),
+        F.max(F.when(F.col("row") == -3, F.col("cnt"))).alias("mode"),
     ).collect()[0]
     if row["n_w"] > 1 or row["n_d"] > 1:
         raise ValueError(
@@ -433,7 +456,14 @@ def _cms_stats(cms: DataFrame, width: int, depth: int, ctx: str) -> int:
             f"depth={depth}) — mismatched geometry silently corrupts "
             f"estimates; pass the build-time parameters"
         )
-    return int(row["n_rows"])
+    if check_mode and row["n_mode"] > 1:
+        raise ValueError(
+            f"{ctx}: sketch mixes count-mode and weighted-mode "
+            f"partitions — their sums answer neither 'how many rows' "
+            f"nor 'how much weight'; rebuild the tree in one mode"
+        )
+    mode = None if row["mode"] is None else bool(row["mode"])
+    return int(row["n_rows"]), mode
 
 
 def cms_build(

@@ -1771,8 +1771,10 @@ def run_ingest_cycle(
     the exact-dedup side: a fifth state tree ``{store}/bloom`` holds
     the per-cycle (word, bits) membership sketch of fps
     (``sketches.bloom_build`` at ``bloom_m`` bits / ``bloom_k``
-    hashes), merged at read time by ``bloom_merge`` (exact — Bloom
-    union loses nothing) and consolidated like the other trees.
+    hashes), merged per word at probe time (exact — Bloom union
+    loses nothing; ``bloom_probe`` validates the tree's sentinels
+    pre-aggregation and re-aggregates defensively, so no separate
+    merge pass runs) and consolidated like the other trees.
     Definitely-new batch rows then bypass the O(corpus) fps anti-join
     (see ``dedup.incremental_exact_dedup``) — the join that otherwise
     shuffles the full fingerprint tree every cycle at 100 TB. Kept
@@ -1913,7 +1915,7 @@ def run_ingest_cycle(
     fps = read_prior("fps")
     bloom = None
     if bloom_m is not None:
-        from timebox_spark.operators.sketches import bloom_build, bloom_merge
+        from timebox_spark.operators.sketches import bloom_build
 
         # COVERAGE check (review round 13): the gate is only sound if
         # the sketch covers every fps cycle — a bloom tree missing
@@ -1930,9 +1932,17 @@ def run_ingest_cycle(
             spark, store_path, paths["fps"], paths["bloom"], cycle_id,
             lambda df: bloom_build(_fps_as_hex(df), "__fp", bloom_m, bloom_k),
         )
+        # the RAW tree goes straight to the probe (round 17):
+        # bloom_probe's _bloom_stats validates the sentinels
+        # PRE-aggregation (conflicting (m_bits, k) raise — strictly
+        # stronger than checking the merged frame, where bit_or can
+        # alias k=5|7 into a valid-looking 7) and defensively
+        # re-aggregates per word, so bloom_merge's separate eager
+        # conflict job (a full-tree scan per cycle) bought nothing
+        # the probe doesn't already guarantee
         prior_bloom = read_prior("bloom")
         if prior_bloom is not None:
-            bloom = bloom_merge(prior_bloom)
+            bloom = prior_bloom
         # AUTO-DISABLE the probe below broadcast-small corpora
         # (round-15 verdict What's-wrong #3): at sizes where the fps
         # tree itself would broadcast, the plain anti-join is already
@@ -1959,28 +1969,30 @@ def run_ingest_cycle(
     if cms_col is not None:
         import warnings
 
-        from timebox_spark.operators.sketches import _cms_stats, cms_build
+        from timebox_spark.operators.sketches import (
+            _cms_stats_mode,
+            cms_build,
+        )
 
         # GEOMETRY check every cycle (round-14 review): the bloom
-        # tree is implicitly validated because bloom_merge reads it
+        # tree is implicitly validated because bloom_probe reads it
         # each cycle, but nothing reads the cms tree during ingest —
         # a mid-stream cms_width/depth change would silently write
         # mixed-geometry partitions poisoning the whole tree. The
         # sentinel scan raises on the FIRST mismatched cycle instead.
+        # MODE check (round 16): a count tree cannot serve a token
+        # budget and a weighted tree cannot serve cap_max — catch the
+        # flip on the FIRST mismatched cycle, before a
+        # mixed-denomination partition poisons the tree (legacy
+        # pre-sentinel trees are count-mode by construction). Both
+        # checks ride ONE aggregation job (round 17 — they were two
+        # back-to-back full-tree scans).
         prior_cms = read_prior("cms")
         if prior_cms is not None:
-            _cms_stats(
+            _, tree_weighted = _cms_stats_mode(
                 prior_cms, cms_width, cms_depth,
                 "run_ingest_cycle(cms_col=...)",
             )
-            # MODE check (round 16): a count tree cannot serve a
-            # token budget and a weighted tree cannot serve cap_max —
-            # catch the flip on the FIRST mismatched cycle, before a
-            # mixed-denomination partition poisons the tree (legacy
-            # pre-sentinel trees are count-mode by construction)
-            from timebox_spark.operators.sketches import cms_is_weighted
-
-            tree_weighted = cms_is_weighted(prior_cms)
             if bool(tree_weighted) != (cms_weight_col is not None):
                 raise ValueError(
                     f"run_ingest_cycle: the store's cms tree is "
@@ -2049,7 +2061,7 @@ def run_ingest_cycle(
         )
     band_bloom = None
     if near_dup and band_bloom_m is not None:
-        from timebox_spark.operators.sketches import bloom_build, bloom_merge
+        from timebox_spark.operators.sketches import bloom_build
 
         # band-key sketch maintenance: same coverage rule as the fps
         # sketch — a bloom_band tree missing banded cycles would probe
@@ -2062,9 +2074,12 @@ def run_ingest_cycle(
                 df.select("key"), "key", band_bloom_m, band_bloom_k
             ),
         )
+        # raw tree straight to the probe, the fps-sketch rule above:
+        # bloom_probe validates sentinels pre-aggregation and
+        # re-aggregates per word — no eager merge job needed
         prior_bb = read_prior("bloom_band")
         if prior_bb is not None:
-            band_bloom = bloom_merge(prior_bb)
+            band_bloom = prior_bb
         # auto-disable below broadcast-small index trees, the fps-gate
         # rule: the sketch tree stays maintained, the probe resumes
         # fully covered once the banded tree outgrows the bound
