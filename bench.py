@@ -159,6 +159,32 @@ HEADLINE = {
 }
 
 
+# The driver retains only the LAST 2,000 characters of bench stdout and
+# parses the final JSON line out of that window; a tail line longer than
+# the window loses its head — including "metric" and the per-query dict —
+# and becomes unparseable (BENCH_r09/r14/r15/r16 all have parsed: null).
+# Budget the line below the window with headroom for the newline and any
+# same-window residue of the preceding detail line's tail.
+TAIL_LINE_BYTES = 1900
+
+
+def fit_tail_line(
+    essentials: dict, diagnostics: list, limit: int = TAIL_LINE_BYTES
+) -> dict:
+    """Return essentials plus as many (key, value) diagnostics — in the
+    given priority order — as keep the serialized line within `limit`.
+    Essentials (the driver-contract fields, incl. the full per-query
+    medians) are never dropped; every diagnostic also lives, untrimmed,
+    on the preceding detail line."""
+    out = dict(essentials)
+    for key, val in diagnostics:
+        trial = dict(out)
+        trial[key] = val
+        if len(json.dumps(trial)) <= limit:
+            out[key] = val
+    return out
+
+
 def _index_tier_fidelity(
     spark,
     sf_dir: str,
@@ -1192,48 +1218,109 @@ def main() -> None:
         ),
         flush=True,
     )
-    # the tail line is what the driver's 2,000-char capture retains —
-    # EVERY load-bearing number lives here (round-12 verdict task 7:
-    # cc_rounds only existed in the detail line and was lost). queries
-    # = per-query MEDIANS over n_passes; query_stddev = the same run's
-    # noise floor (task 6 — round-over-round deltas are read against
-    # it); warm_queries stays detail-line-only to keep this line small.
-    print(
-        json.dumps(
+    # the tail line is what the driver's 2,000-char capture retains.
+    # Essentials (the contract fields + per-query MEDIANS) always fit;
+    # diagnostics are appended in priority order while the line stays
+    # within TAIL_LINE_BYTES, COMPACTED to their load-bearing fields
+    # (the full structures are on the detail line above). Round 12 lost
+    # cc_rounds by putting it detail-line-only; rounds 9/14/15/16 lost
+    # EVERYTHING by letting this line outgrow the capture window
+    # (parsed: null) — fit_tail_line fixes the class.
+    tail_essentials = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "warm_total": round(sum(warm_timings.values()), 3),
+        "pass_totals": [round(sum(p.values()), 3) for p in passes],
+        "contended": contended,
+        "sf": sf,
+    }
+    ingest_tail: dict = {
+        sc: {
+            k: v
+            for k, v in ingest_loop.get(sc, {}).items()
+            if k in ("cycle_sec_total", "docs_per_sec")
+        }
+        for sc in ("1x", "10x")
+    }
+    ingest_tail["cycle_ratio_10x"] = ingest_loop.get("cycle_ratio_10x")
+    if "stream" in ingest_loop:
+        ingest_tail["stream"] = ingest_loop["stream"]
+    tail_diagnostics = [
+        ("query_stddev", query_stddev),
+        ("ingest_loop", ingest_tail),
+        (
+            "bloom_gate",
             {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "query_stddev": query_stddev,
-                "warm_total": round(sum(warm_timings.values()), 3),
-                "pass_totals": [round(sum(p.values()), 3) for p in passes],
-                "contended": contended,
-                "scale10_ratio_minhash_uncached": minhash_split[
-                    "stage_ratio"
-                ],
-                "q20_stages": q20_split,
-                "cc_rounds": {
-                    "1x_rounds": cc_stats.get("1x", {}).get("rounds"),
-                    "10x_rounds": cc_stats.get("10x", {}).get("rounds"),
-                    "10x_star_rounds": cc_stats.get("10x_star", {}).get(
-                        "rounds"
-                    ),
-                    "10x_star_sec": cc_stats.get("10x_star", {}).get("sec"),
-                },
-                "pagerank": pagerank_stats,
-                "index_tier": index_tier,
-                "bloom_gate": bloom_gate,
-                "ingest_loop": ingest_loop,
-                "q25_candidates": {
-                    k: v
-                    for k, v in minhash_split["1x"].items()
-                    if k == "n_candidates" or k.startswith("prefilter_")
-                },
-                "idle_waited_sec": idle_waited,
-                "sf": sf,
-            }
+                k: v
+                for k, v in bloom_gate.items()
+                if k
+                in (
+                    "build_sec",
+                    "tree_rows_10x",
+                    "fpr_sized_10bpd",
+                    "gated_sec_1x",
+                    "gated_fps_rows_1x",
+                    "ungated_sec_1x",
+                    "gated_sec_10x",
+                    "gated_fps_rows_10x",
+                    "ungated_sec_10x",
+                )
+            },
         ),
+        (
+            "q25_candidates",
+            {
+                k: v
+                for k, v in minhash_split["1x"].items()
+                if k == "n_candidates" or k.startswith("prefilter_")
+            },
+        ),
+        (
+            "scale10_ratio_minhash_uncached",
+            minhash_split["stage_ratio"],
+        ),
+        (
+            "cc_rounds",
+            {
+                "1x_rounds": cc_stats.get("1x", {}).get("rounds"),
+                "10x_rounds": cc_stats.get("10x", {}).get("rounds"),
+                "10x_star_rounds": cc_stats.get("10x_star", {}).get(
+                    "rounds"
+                ),
+                "10x_star_sec": cc_stats.get("10x_star", {}).get("sec"),
+            },
+        ),
+        (
+            "pagerank",
+            {
+                "1x_sec": pagerank_stats.get("1x", {}).get("sec"),
+                "10x_sec": pagerank_stats.get("10x", {}).get("sec"),
+                "ratio": pagerank_stats.get("ratio"),
+            },
+        ),
+        (
+            "index_tier",
+            {
+                k: v
+                for k, v in index_tier.items()
+                if k
+                in (
+                    "candidates",
+                    "exact_pass",
+                    "adj_pass",
+                    "adj_fd",
+                    "adj_fk",
+                    "threshold",
+                )
+            },
+        ),
+        ("q20_stages", q20_split),
+        ("idle_waited_sec", idle_waited),
+    ]
+    print(
+        json.dumps(fit_tail_line(tail_essentials, tail_diagnostics)),
         flush=True,
     )
 
