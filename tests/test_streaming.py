@@ -446,6 +446,60 @@ def test_near_dup_hits_stream_flags_planted_copy(spark, tmp_path):
     assert all(r["matched_id"] == 1 and r["est"] >= 0.5 for r in got)
 
 
+def test_near_dup_hits_stream_fanout_invariant(spark, tmp_path):
+    """Round 17: the detector hash-repartitions its input by id before
+    the signature map (the per-shingle salted-md5 work otherwise runs
+    in the narrow stage glued to a possibly-single-partition source).
+    Partitioning must not change RESULTS: the same planted batch
+    yields identical hit rows with the fanout disabled (fanout=0, the
+    pre-round-17 plan), at an explicit width, and at the
+    session-default width."""
+    import datetime as dt
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps "
+        "running through the long meadow toward the river bank"
+    )
+    t0 = dt.datetime(2025, 1, 1, 12, 0, 0)
+    rows = [
+        (i, base + f" tail {i % 3}", t0 + dt.timedelta(seconds=i))
+        for i in range(1, 13)
+    ]
+    src = str(tmp_path / "fan_src")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, ts timestamp"
+    ).coalesce(1).write.parquet(src)
+
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+
+    def hits_for(fanout):
+        stream = spark.readStream.schema(schema).parquet(src)
+        hits = ingest.near_dup_hits_stream(
+            stream, min_est=0.5, fanout=fanout
+        )
+        name = f"fan_hits_{'d' if fanout is None else fanout}"
+        ingest.run_to_memory(
+            hits, name, "append", str(tmp_path / f"ck_{name}")
+        )
+        return sorted(
+            (r["doc_id"], r["band"], r["matched_id"], round(r["est"], 9))
+            for r in spark.table(name).collect()
+        )
+
+    unfanned = hits_for(0)
+    assert unfanned, "planted near-dups not flagged"
+    assert hits_for(4) == unfanned
+    assert hits_for(None) == unfanned
+
+
 def test_near_dup_hits_stream_bucket_cap_and_null_text(spark, tmp_path):
     """max_bucket=1 stores only each bucket's first arrival, yet later
     flood copies still hit against that prefix; a NULL-text row is

@@ -1069,6 +1069,7 @@ def curate_and_ingest_stream(
     token_budget_max: int | None = None,
     band_bloom_m: int | None = 1 << 26,
     band_bloom_k: int = 5,
+    fanout: int | None = None,
 ):
     """The end-to-end streaming ingest entrypoint: raw document
     stream → ``curate_stream``'s stateless annotate/gate/redact →
@@ -1151,7 +1152,14 @@ def curate_and_ingest_stream(
     the whole stream (see ``run_ingest_cycle``); mutually exclusive
     with ``cap_max`` — one tree, one denomination. All pairings are
     validated here at call time, not asynchronously inside
-    foreachBatch."""
+    foreachBatch.
+
+    ``fanout`` (round 17): forwarded to
+    ``near_dup_hits_stream(fanout=...)`` — the width of the
+    detector's one id-hash repartition ahead of its signature map
+    (None = the session's ``spark.sql.shuffle.partitions``, 0 =
+    keep the source partitioning). Detector-only by measurement: see
+    the inline note at the ``curate_stream`` call."""
     if cap_max is not None and (
         cms_col is None or cms_col not in stream.columns
     ):
@@ -1198,6 +1206,14 @@ def curate_and_ingest_stream(
         and cms_weight_col not in carry
     ):
         carry = carry + (cms_weight_col,)
+    # The fanout exchange lives INSIDE the detector (below), never on
+    # the raw stream: fanning the raw stream here was measured WORSE
+    # for the ingest writer (28.4 -> 79.2 s over the bench's 3
+    # micro-batches) — every pre-checkpoint action run_ingest_cycle
+    # takes on the un-materialized batch is a separate job, and
+    # separate jobs do not reuse each other's shuffle map outputs, so
+    # each one re-paid the exchange + curation instead of a cheap
+    # narrow re-scan (plans/r17/measurements/, round 17 §6).
     curated = curate_stream(
         stream,
         id_col=id_col,
@@ -1280,17 +1296,29 @@ def curate_and_ingest_stream(
         watermark=nd_watermark,
         min_est=nd_min_est,
         max_bucket=nd_max_bucket,
+        fanout=fanout,
     )
     def hits_sink(batch_df: DataFrame, batch_id: int) -> None:
         # per-batch dirs (idempotent overwrite under replay), plain
         # parquet tree — no _spark_metadata log, so the post-drain
         # fold below can rewrite partitions without orphaning a sink
-        # transaction log
-        if batch_df.isEmpty():
-            return
-        batch_df.write.mode("overwrite").parquet(
-            f"{hits_path}/batch={batch_id}"
-        )
+        # transaction log.
+        # The empty-batch probe must NOT be isEmpty(): hit rows are
+        # SPARSE across the stateful stage's partitions, so take(1)
+        # escalates through sequential mostly-empty waves, serializing
+        # the detector's state work across several jobs (measured
+        # 11-21 s vs 2.3-2.8 s for the full parallel pass at sf0.1 —
+        # plans/r17/measurements/r17_detector_micro.py). One persisted
+        # parallel count answers emptiness AND feeds the write from
+        # the (tiny) cached hit rows.
+        batch_df.persist()
+        try:
+            if batch_df.count():
+                batch_df.write.mode("overwrite").parquet(
+                    f"{hits_path}/batch={batch_id}"
+                )
+        finally:
+            batch_df.unpersist()
 
     hits_writer = (
         hits.writeStream.foreachBatch(hits_sink)
@@ -2304,6 +2332,7 @@ def near_dup_hits_stream(
     min_est: float = 0.5,
     state_ttl_ms: int = 3_600_000,
     max_bucket: int | None = 256,
+    fanout: int | None = None,
 ) -> DataFrame:
     """Round-9 verdict task 6 — the stream half of near-dup
     detection: banded-MinHash state WITHIN the watermark, so a near
@@ -2350,7 +2379,24 @@ def near_dup_hits_stream(
     the DISTINCT hit doc_ids (``foreachBatch``, the lambda split the
     compactor already uses); hits are estimate-verified, not
     exact-Jaccard — the batch compactor remains the exact authority
-    at corpus scale. A doc can hit in several bands; dedupe by id."""
+    at corpus scale. A doc can hit in several bands; dedupe by id.
+
+    ``fanout`` (round 17): the per-doc signature work — ``num_perm``
+    salted md5 evaluations PER SHINGLE, hash family pinned by the q68
+    oracle — runs in the narrow map stage glued to the source read,
+    so a micro-batch arriving in few partitions (one staged file, a
+    low-rate trigger) computes it near-serially: measured ~18 s per
+    583-doc micro-batch on one core at sf0.1 vs ~2.5 s for the whole
+    stateful stage. The input is therefore hash-repartitioned by
+    ``id_col`` to ``fanout`` partitions before normalization —
+    default = the session's ``spark.sql.shuffle.partitions`` (the
+    repo's scale knob: local core count locally,
+    ``TIMEBOX_SHUFFLE_PARTITIONS`` on a cluster). The added exchange
+    moves each doc's text once (~the same bytes the banding explode
+    shuffles right after: 8 band rows × the 32-long signature), so
+    its cost is bounded by the shuffle the operator already pays,
+    while the dominant kernel gains full cluster width. Pass ``0``
+    to disable (source already wide), or an explicit width."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -2363,8 +2409,14 @@ def near_dup_hits_stream(
     if num_perm % bands:
         raise ValueError("num_perm must divide into bands")
     r = num_perm // bands
+    width = fanout
+    if width is None:
+        width = int(
+            stream.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    src = stream.repartition(width, F.col(id_col)) if width else stream
     d = (
-        stream.withColumn("__norm", normalize_text(text_col))
+        src.withColumn("__norm", normalize_text(text_col))
         .withColumn(
             "__sh", F.array_distinct(char_shingles("__norm", shingle_n))
         )
