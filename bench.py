@@ -493,6 +493,13 @@ def _bloom_gate_stats(spark, sf_dir: str, k: int = 5) -> dict:
     return out
 
 
+# repeats of the fixed-work streaming drain in _ingest_loop_stats
+# (round 18, r17 verdict task 3): 3 is the minimum that yields a
+# median robust to one host burst; each drain is ~40-100 s at sf0.1,
+# so this bounds the added bench time to ~2-3 minutes
+N_STREAM_DRAINS = 3
+
+
 def _ingest_loop_stats(spark, sf_dir: str, n_cycles: int = 3) -> dict:
     """Round-16 verdict task 4: the END-TO-END production ingest loop
     — N cycles of ``run_ingest_cycle`` with every feature on (near-dup
@@ -634,54 +641,82 @@ def _ingest_loop_stats(spark, sf_dir: str, n_cycles: int = 3) -> dict:
     )
 
     # streaming end to end: curate → detector → ingest, one staged
-    # file per micro-batch; detector and ingest drains timed apart
-    work = tempfile.mkdtemp(prefix="timebox_bench_iloop_stream_")
-    try:
-        src = f"{work}/src"
-        for i in range(1, n_cycles + 1):
-            # one-third sample: the detector (applyInPandasWithState)
-            # dominates the drain and its cost is measured per-doc
-            # here, not proven at scale — the batch loop above is the
-            # scaling evidence; this drain just prices the chain
-            batch(i).filter(F.col("doc_id") % 3 == 0).withColumn(
-                "ts",
-                F.timestamp_seconds(
-                    F.lit(1704067200) + F.col("doc_id") % 3600
-                ),
-            ).coalesce(1).write.mode("append").parquet(src)
-        stream = (
-            spark.readStream.schema(
-                "doc_id long, text string, source string, ts timestamp"
+    # file per micro-batch; detector and ingest drains timed apart.
+    # Round 18 (r17 verdict task 3): single-drain totals swing 2-3×
+    # run to run, so the SAME fixed-work drain is repeated
+    # N_STREAM_DRAINS times on a fresh store/checkpoint and the
+    # per-half MEDIANS are reported as ADDITIVE keys (*_med,
+    # n_drains) — the original keys keep the FIRST drain's values
+    # under the unchanged single-drain methodology, so they stay
+    # comparable with every earlier round.
+    drains: list[dict] = []
+    n_in = None
+    for rep in range(N_STREAM_DRAINS):
+        work = tempfile.mkdtemp(
+            prefix=f"timebox_bench_iloop_stream{rep}_"
+        )
+        try:
+            src = f"{work}/src"
+            for i in range(1, n_cycles + 1):
+                # one-third sample: the detector
+                # (applyInPandasWithState) dominates the drain and its
+                # cost is measured per-doc here, not proven at scale —
+                # the batch loop above is the scaling evidence; this
+                # drain just prices the chain
+                batch(i).filter(F.col("doc_id") % 3 == 0).withColumn(
+                    "ts",
+                    F.timestamp_seconds(
+                        F.lit(1704067200) + F.col("doc_id") % 3600
+                    ),
+                ).coalesce(1).write.mode("append").parquet(src)
+            stream = (
+                spark.readStream.schema(
+                    "doc_id long, text string, source string, ts timestamp"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
             )
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
-        )
-        drain = ING.curate_and_ingest_stream(
-            stream,
-            f"{work}/store",
-            f"{work}/ckpt",
-            min_quality_q=0,
-            min_tokens=1,
-            stream_near_dup=True,
-            index_verify="estimate",
-            consolidate_every=8,
-            cms_col="source",
-        )
-        n_in = spark.read.parquet(src).count()
-        t0 = time.perf_counter()
-        drain.start().awaitTermination()
-        total = time.perf_counter() - t0
-        stream_out = {
-            "docs_in": n_in,
-            "total_sec": round(total, 3),
-            "docs_per_sec": round(n_in / max(total, 1e-9), 1),
-        }
-        ds = getattr(drain, "drain_secs", None)
-        if ds and len(ds) == 2:
-            stream_out["detector_sec"], stream_out["ingest_sec"] = ds
-        out["stream"] = stream_out
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
+            drain = ING.curate_and_ingest_stream(
+                stream,
+                f"{work}/store",
+                f"{work}/ckpt",
+                min_quality_q=0,
+                min_tokens=1,
+                stream_near_dup=True,
+                index_verify="estimate",
+                consolidate_every=8,
+                cms_col="source",
+            )
+            n_in = spark.read.parquet(src).count()
+            t0 = time.perf_counter()
+            drain.start().awaitTermination()
+            total = time.perf_counter() - t0
+            rec = {
+                "total_sec": round(total, 3),
+                "docs_per_sec": round(n_in / max(total, 1e-9), 1),
+            }
+            ds = getattr(drain, "drain_secs", None)
+            if ds and len(ds) == 2:
+                rec["detector_sec"], rec["ingest_sec"] = ds
+            drains.append(rec)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+    stream_out = {"docs_in": n_in, **drains[0]}
+    if len(drains) > 1:
+        import statistics as _st
+
+        # compact nested dict: the tail line is at its byte budget, so
+        # the medians ride as ~60 chars ("med") instead of four long
+        # keys — full names + per-drain values are on the detail line
+        med = {"n": len(drains)}
+        for key in ("total_sec", "detector_sec", "ingest_sec"):
+            reps = [d[key] for d in drains if key in d]
+            if reps:
+                med[key.replace("_sec", "")] = round(_st.median(reps), 3)
+        stream_out["med"] = med
+    out["stream"] = stream_out
+    # per-drain breakdown: detail line only (the tail keeps medians)
+    out["stream_drains"] = drains
     return out
 
 

@@ -824,3 +824,65 @@ def test_incremental_dedup_null_text_keep_one_pinned(spark, tmp_path):
         ).collect()
     }
     assert gated == plain == want
+
+
+def test_bloom_probe_inline_validation_identical_and_raises(spark):
+    """Round 18: ``bloom_probe(validate='inline')`` removes the eager
+    full-tree ``_bloom_stats`` job — results stay bit-identical to the
+    eager path on a valid multi-partition sketch union, and the
+    no-false-negative guards still hold: a mismatched (m_bits, k) call
+    and a conflicting-geometry raw union both RAISE, now from the
+    probe's first action (per-row assert evaluated BEFORE the
+    defensive bit_or merge, so aggregation can never alias the
+    conflict past the check)."""
+    from pyspark.errors import PySparkException
+
+    from timebox_spark.operators import sketches as SK
+
+    m, k = 1 << 16, 5
+    vals = spark.range(0, 400).selectExpr(
+        "id", "md5(CAST(id AS STRING)) AS v"
+    )
+    ins = vals.filter("id % 2 = 0")
+    # raw union of two same-geometry per-cycle sketches — the shape
+    # run_ingest_cycle's gates probe (duplicate words + duplicate
+    # sentinels merge inside the probe)
+    b1 = SK.bloom_build(ins.filter("id < 200").select("v"), "v", m, k)
+    b2 = SK.bloom_build(ins.filter("id >= 200").select("v"), "v", m, k)
+    tree = b1.unionByName(b2)
+    eager = {
+        r["id"]: r["maybe_present"]
+        for r in SK.bloom_probe(vals, "id", "v", tree, m, k).collect()
+    }
+    inline = {
+        r["id"]: r["maybe_present"]
+        for r in SK.bloom_probe(
+            vals, "id", "v", tree, m, k, validate="inline"
+        ).collect()
+    }
+    assert inline == eager
+    assert all(inline[i] for i in range(0, 400, 2)), "false negative!"
+
+    # mismatched call parameters: the eager path raises at call time,
+    # the inline path at the first action — same guarantee, and the
+    # message still names the sentinel contract
+    with pytest.raises(PySparkException, match="m_bits"):
+        SK.bloom_probe(
+            vals, "id", "v", tree, m * 2, k, validate="inline"
+        ).collect()
+    with pytest.raises(PySparkException, match="m_bits"):
+        SK.bloom_probe(
+            vals, "id", "v", tree, m, k + 1, validate="inline"
+        ).collect()
+    # conflicting-geometry union: bit_or of the two m sentinels could
+    # alias past a POST-merge check; the per-row assert fires on
+    # whichever row disagrees with the call
+    other = SK.bloom_build(ins.select("v"), "v", m * 2, k)
+    with pytest.raises(PySparkException, match="m_bits"):
+        SK.bloom_probe(
+            vals, "id", "v", tree.unionByName(other), m, k,
+            validate="inline",
+        ).collect()
+    # unknown validate value still fails fast
+    with pytest.raises(ValueError, match="validate"):
+        SK.bloom_probe(vals, "id", "v", tree, m, k, validate="nope")

@@ -2746,11 +2746,17 @@ def test_ingest_bloom_gate_validates_without_eager_merge(
     spark, tmp_path, monkeypatch
 ):
     """Round 17: the gate passes the RAW sketch tree to bloom_probe
-    (no per-cycle eager bloom_merge job) — the probe's pre-aggregation
-    sentinel validation must still fail LOUDLY on (a) a mid-stream
-    bloom_m change (call vs tree mismatch) and (b) a tree already
-    mixing geometries (the case bloom_merge's check used to catch),
-    both before any state is written for the failing cycle."""
+    (no per-cycle eager bloom_merge job) — sentinel validation must
+    still fail LOUDLY on (a) a mid-stream bloom_m change (call vs
+    tree mismatch) and (b) a tree already mixing geometries (the case
+    bloom_merge's check used to catch), both before any corpus state
+    is committed for the failing cycle. Round 18 moved the gates to
+    ``bloom_probe(validate='inline')`` — the SAME guards now fire as
+    per-row asserts inside the first gate action (a Spark execution
+    error carrying the sentinel message) instead of an eager
+    full-tree scan per probe per cycle."""
+    from pyspark.errors import PySparkException
+
     monkeypatch.setattr(ingest, "GATE_MIN_TREE_BYTES", 0)
     from timebox_spark.operators import sketches as SK
 
@@ -2768,8 +2774,8 @@ def test_ingest_bloom_gate_validates_without_eager_merge(
         [(30, "delta body four")], "doc_id long, text string"
     )
     # (a) mid-stream geometry change: tree sentinels carry m, the
-    # call says 2m -> _bloom_stats mismatch raise
-    with pytest.raises(ValueError, match="m_bits"):
+    # call says 2m -> per-row sentinel mismatch raise from the gate
+    with pytest.raises(PySparkException, match="m_bits"):
         ingest.run_ingest_cycle(
             batch3, store, 2, near_dup=False, bloom_m=m * 2, bloom_k=5,
         )
@@ -2780,15 +2786,120 @@ def test_ingest_bloom_gate_validates_without_eager_merge(
     assert corpus == {10, 11, 20}  # nothing committed by the raise
     # (b) a tree already mixing geometries: plant a conflicting
     # sketch partition (covers a hand-written/crash-mixed tree), run
-    # a matching-parameter cycle -> CONFLICTING-sentinel raise from
-    # the probe's pre-aggregation check
+    # a matching-parameter cycle -> the conflicting row disagrees with
+    # the call's geometry and the per-row assert raises (pre-merge,
+    # so bit_or can never alias the conflict past the check)
     fps2 = spark.read.parquet(f"{store}/fps").filter("cycle = 1").drop(
         "cycle"
     )
     SK.bloom_build(
         ingest._fps_as_hex(fps2), "__fp", m * 4, 5
     ).write.parquet(f"{store}/bloom/cycle=5")
-    with pytest.raises(ValueError, match="CONFLICTING"):
+    with pytest.raises(PySparkException, match="m_bits"):
         ingest.run_ingest_cycle(
             batch3, store, 6, near_dup=False, bloom_m=m, bloom_k=5,
         )
+    corpus = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{store}/corpus").collect()
+    }
+    assert corpus == {10, 11, 20}  # still nothing committed
+
+
+def test_curate_and_ingest_stream_sink_releases_checkpoints(
+    spark, tmp_path
+):
+    """Round 18: the ingest sink eagerly localCheckpoints each curated
+    micro-batch (one materialization instead of re-running curation
+    per pre-checkpoint action) — the blocks must be RELEASED the same
+    batch, so a full drain leaves zero persistent RDDs behind (the
+    long-running-driver leak rule of compact_corpus, applied to the
+    sink's own checkpoint)."""
+    jsc = spark.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keySet().toArray())
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps "
+        "running through the long meadow toward the river bank"
+    )
+    batches = [
+        [(10, base, "en"), (11, "completely different subject matter "
+                                "about integer codecs and columnar "
+                                "storage layouts with delta schemes",
+                            "en")],
+        [(20, base, "en"), (21, "another wholly distinct document "
+                                "about state stores and watermarks "
+                                "in structured streaming land", "en")],
+    ]
+    src = str(tmp_path / "raw_docs_ckpt_rel")
+    for b in batches:
+        spark.createDataFrame(
+            b, "doc_id long, text string, lang string"
+        ).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, text string, lang string"
+    ).parquet(src)
+    store = str(tmp_path / "store_ckpt_rel")
+    ingest.curate_and_ingest_stream(
+        stream, store, str(tmp_path / "ck_rel"),
+        min_quality_q=0, min_tokens=6,
+    ).start().awaitTermination()
+    kept = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{store}/corpus").collect()
+    }
+    assert kept == {10, 11, 21}, kept
+    after = set(jsc.getPersistentRDDs().keySet().toArray())
+    assert after - before == set(), after - before
+
+
+def test_tree_schema_cache_invalidated_on_recreated_store(
+    spark, tmp_path
+):
+    """Round 18: read_prior's per-cycle schema inference is cached per
+    tree path; a store RECREATED at the same path (cycle-0 seed) and a
+    consolidation (the hex→binary migration point) must both drop the
+    cached shapes — results stay identical to a cache-cold run."""
+    store = str(tmp_path / "store_schema_cache")
+
+    def run(cycles):
+        import shutil
+
+        shutil.rmtree(store, ignore_errors=True)
+        for cid, rows in enumerate(cycles):
+            df = spark.createDataFrame(rows, "doc_id long, text string")
+            ingest.run_ingest_cycle(
+                df, store, cid, consolidate_every=2,
+                bloom_m=1 << 14, band_bloom_m=1 << 14, cms_col="text",
+            )
+        return {
+            r["doc_id"]
+            for r in spark.read.parquet(f"{store}/corpus").collect()
+        }
+
+    cycles = [
+        [(1, "first document about rivers and meadows far away"),
+         (2, "second document concerning columnar storage codecs")],
+        [(3, "first document about rivers and meadows far away"),  # dup of 1
+         (4, "a wholly new third document about watermark state")],
+        # cycle 2 consolidates cycles 0-1 first (cache invalidation
+        # path), then compacts against the folded trees
+        [(5, "a wholly new third document about watermark state"),  # dup of 4
+         (6, "yet another fresh document on join strategies here")],
+    ]
+    first = run(cycles)
+    # the cache is now warm for this exact store path — recreate the
+    # store from scratch at the SAME path; cycle 0 must invalidate
+    second = run(cycles)
+    assert first == second == {1, 2, 4, 6}, (first, second)
+    # and the cache holds entries for the live store's trees again
+    paths = ingest._store_tree_paths(store)
+    assert paths["fps"] in ingest._TREE_SCHEMA_CACHE
+
+
+def test_near_dup_hits_stream_fanout_negative_raises(spark):
+    """Advice round 17: a negative fanout must fail with a clear
+    message at CALL time, not as an opaque repartition error inside
+    the first micro-batch."""
+    stream = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError, match="fanout must be >= 0"):
+        ingest.near_dup_hits_stream(stream, fanout=-1)

@@ -2122,6 +2122,7 @@ def incremental_exact_dedup(
     bloom_m: int = 1 << 20,
     bloom_k: int = 5,
     owned_rdds: list | None = None,
+    sketch_validate: str = "eager",
 ) -> DataFrame:
     """Incremental ingest dedup: rows of ``new_batch`` whose
     normalized-text fingerprint appears nowhere in the existing
@@ -2180,6 +2181,13 @@ def incremental_exact_dedup(
     shuffles) evaluates per reference — correct, just duplicated
     map-side work.
 
+    ``sketch_validate`` (round 18) is forwarded to ``bloom_probe``:
+    pass ``'inline'`` when the caller owns the sketch tree's write
+    path (``run_ingest_cycle`` does) to fold sentinel validation into
+    the probe plan as a per-row assert instead of a separate eager
+    full-tree scan per cycle — mismatched/mixed trees still raise, at
+    the first action that consumes the gate.
+
     Session side effect (caveat): when the pruned-scan path plans,
     this call raises the CALLER's session conf
     ``spark.sql.parquet.pushdown.inFilterThreshold`` to 1000 and the
@@ -2224,7 +2232,8 @@ def incremental_exact_dedup(
         )
         try:
             probe = bloom_probe(
-                fps_only, "__fp", "__fp", corpus_bloom, bloom_m, bloom_k
+                fps_only, "__fp", "__fp", corpus_bloom, bloom_m, bloom_k,
+                validate=sketch_validate,
             )
         except BloomBroadcastBudgetError as e:
             # over-budget sketch: KEEP the gate but probe via the
@@ -2244,7 +2253,7 @@ def incremental_exact_dedup(
             )
             probe = bloom_probe(
                 fps_only, "__fp", "__fp", corpus_bloom, bloom_m,
-                bloom_k, strategy="shuffle",
+                bloom_k, strategy="shuffle", validate=sketch_validate,
             )
     if probe is not None:
         if owned_rdds is not None:

@@ -288,6 +288,7 @@ def bloom_probe(
     k: int = 5,
     max_broadcast_bytes: int | None = None,
     strategy: str = "broadcast",
+    validate: str = "eager",
 ) -> DataFrame:
     """(id_col, maybe_present) membership probe against a
     ``bloom_build`` sketch with the SAME (m_bits, k): maybe_present is
@@ -333,7 +334,33 @@ def bloom_probe(
       that is ~docs/3 narrow rows, strictly smaller than the full
       fingerprint tree the gate replaces). Results are identical to
       'broadcast' bit-for-bit;
-    - ``'auto'``: 'broadcast' within budget, else 'shuffle'."""
+    - ``'auto'``: 'broadcast' within budget, else 'shuffle'.
+
+    ``validate`` (round 18 — the gates' two eager full-tree
+    validation jobs removed):
+
+    - ``'eager'`` (default): run the ``_bloom_stats`` scan BEFORE
+      building the probe — sentinel mismatches raise at call time and
+      the scan's distinct-word count sizes the broadcast-budget check
+      exactly. The right default for arbitrary / foreign sketches.
+    - ``'inline'``: no pre-scan. Sentinel validation is woven into
+      the probe plan as a PER-ROW assert evaluated while the sketch
+      side is read (before the defensive ``bit_or`` merge, so it is
+      at least as strong as the eager check: every sentinel row is
+      compared against the call's (m_bits, k) individually — the
+      ``bit_or``-aliasing that makes post-merge checks weak cannot
+      happen, and a conflicting-geometry union raises on whichever
+      row disagrees). Absent sentinels (pre-round-13 or hand-built
+      sketches) pass silently, exactly like the eager path. The
+      budget check uses the structural bound distinct words ≤
+      m_bits/32 + 2 sentinels; if that bound exceeds the budget the
+      eager count runs anyway, so over-budget behavior is unchanged.
+      A mismatch raises from the FIRST action that consumes the probe
+      (as a Spark execution error carrying the same message) instead
+      of at call time — callers that own the tree's write path and
+      probe it in the same breath (``run_ingest_cycle``'s gates, the
+      measured ~2 full-tree scans/cycle this removes) take this; keep
+      the default for sketches you didn't write."""
     from timebox_spark.operators.dedup import _md5_u32
 
     if strategy not in ("broadcast", "shuffle", "auto"):
@@ -341,13 +368,30 @@ def bloom_probe(
             f"bloom_probe: unknown strategy {strategy!r} — expected "
             f"'broadcast', 'shuffle', or 'auto'"
         )
-    n_words = _bloom_stats(bloom, m_bits, k, "bloom_probe")
+    if validate not in ("eager", "inline"):
+        raise ValueError(
+            f"bloom_probe: unknown validate {validate!r} — expected "
+            f"'eager' or 'inline'"
+        )
     budget = (
         BLOOM_BROADCAST_BUDGET_BYTES
         if max_broadcast_bytes is None
         else max_broadcast_bytes
     )
-    est_bytes = n_words * _BLOOM_ROW_BYTES
+    if validate == "inline":
+        # structural bound: a sketch holds at most m_bits/32 distinct
+        # data words plus the 2 sentinel rows — no scan needed to
+        # budget-check sketches sized sanely. Past the budget, fall
+        # back to the exact eager count (which also validates), so an
+        # over-budget sketch raises/degrades exactly as before.
+        est_bytes = (m_bits // 32 + 2) * _BLOOM_ROW_BYTES
+        if est_bytes > budget and strategy != "shuffle":
+            n_words = _bloom_stats(bloom, m_bits, k, "bloom_probe")
+            est_bytes = n_words * _BLOOM_ROW_BYTES
+            validate = "eager"  # the stats scan already validated
+    else:
+        n_words = _bloom_stats(bloom, m_bits, k, "bloom_probe")
+        est_bytes = n_words * _BLOOM_ROW_BYTES
     if strategy == "auto":
         strategy = "shuffle" if est_bytes > budget else "broadcast"
     if strategy == "broadcast" and est_bytes > budget:
@@ -361,6 +405,38 @@ def bloom_probe(
             f"the plain fingerprint anti-join; raise "
             f"max_broadcast_bytes only with matching driver/executor "
             f"memory headroom"
+        )
+    if validate == "inline":
+        # per-row sentinel assert, evaluated while the sketch side is
+        # scanned and BEFORE the bit_or merge below (pre-aggregation:
+        # a conflicting-geometry union raises on whichever row
+        # disagrees — bit_or can never alias it past this check).
+        # assert_true yields NULL when the condition holds, so the
+        # coalesce keeps every row and the filter's only effect is to
+        # force the evaluation.
+        sentinel_ok = (
+            F.when(F.col("word") == -1, F.col("bits") == F.lit(int(m_bits)))
+            .when(F.col("word") == -2, F.col("bits") == F.lit(int(k)))
+            .otherwise(F.lit(True))
+        )
+        bloom = bloom.filter(
+            F.coalesce(
+                F.assert_true(
+                    sentinel_ok,
+                    F.lit(
+                        f"bloom_probe: sketch sentinel mismatch — the "
+                        f"tree carries a (m_bits, k) sentinel different "
+                        f"from the call's (m_bits={m_bits}, k={k}), or "
+                        f"is a raw union of different geometries; a "
+                        f"mismatch silently breaks the "
+                        f"no-false-negative guarantee (a dup would "
+                        f"bypass exact dedup as 'definitely new') — "
+                        f"pass the build-time parameters or rebuild "
+                        f"with one geometry"
+                    ),
+                ),
+                F.lit(True),
+            )
         )
     bloom = bloom.groupBy("word").agg(F.bit_or("bits").alias("bits"))
     pos = [

@@ -460,6 +460,7 @@ def compact_corpus(
     band_bloom_k: int = 5,
     batch_index_out: dict | None = None,
     timings: dict | None = None,
+    sketch_validate: str = "eager",
 ) -> DataFrame:
     """The batch half of the ingest lambda split ``curate_stream``
     documents: given the rows a streaming window accumulated
@@ -585,6 +586,14 @@ def compact_corpus(
     index_writes ~7 s → ~2 s per cycle). The tables stay valid only
     until the owner unpersists ``exact_owned_rdds``.
 
+    ``sketch_validate`` (round 18) is forwarded to the fps gate
+    (``incremental_exact_dedup``) and the band-key gate's
+    ``bloom_probe`` calls: ``'inline'`` folds sketch sentinel
+    validation into the probe plans as per-row asserts instead of one
+    eager full-tree scan per gate per cycle — for callers that own
+    the sketch trees' write path (``run_ingest_cycle``); mismatched or
+    mixed-geometry trees still raise, at the first gate action.
+
     ``timings`` (round 17 — the observability behind the bench
     ingest_loop's compact_write attribution): pass a dict to receive
     wall seconds for the EAGER sub-steps this call runs while
@@ -643,6 +652,7 @@ def compact_corpus(
         # after fully consuming it (run_ingest_cycle does, after its
         # corpus partition commits)
         owned_rdds=exact_owned_rdds,
+        sketch_validate=sketch_validate,
     )
     _ct = _cstamp("exact_gate", _ct)
     if not near_dup:
@@ -737,6 +747,7 @@ def compact_corpus(
             kprobe = bloom_probe(
                 bkeys, "key", "key", corpus_band_bloom,
                 band_bloom_m, band_bloom_k,
+                validate=sketch_validate,
             )
         except BloomBroadcastBudgetError as e:
             import warnings
@@ -751,6 +762,7 @@ def compact_corpus(
             kprobe = bloom_probe(
                 bkeys, "key", "key", corpus_band_bloom,
                 band_bloom_m, band_bloom_k, strategy="shuffle",
+                validate=sketch_validate,
             )
         maybe_keys = kprobe.filter(F.col("maybe_present")).select("key")
         krows = maybe_keys.limit(FPS_PRUNE_ISIN_MAX + 1).collect()
@@ -1232,8 +1244,11 @@ def curate_and_ingest_stream(
         batch_cols.append(cms_weight_col)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
+        from timebox_spark.operators.dedup import (
+            _tracked_local_checkpoint,
+            unpersist_owned,
+        )
+
         batch = batch_df.select(*batch_cols)
         if stream_near_dup:
             from pyspark.errors import AnalysisException
@@ -1251,35 +1266,59 @@ def curate_and_ingest_stream(
                 batch = batch.join(hit_ids, id_col, "left_anti")
             except AnalysisException:
                 pass  # no hits recorded yet (tree doesn't exist/empty)
-        run_ingest_cycle(
-            batch,
-            store_path,
-            int(batch_id),
-            id_col=id_col,
-            text_col=text_col,
-            near_dup=near_dup,
-            threshold=threshold,
-            consolidate_every=consolidate_every,
-            index_verify=index_verify,
-            keep=keep,
-            bloom_m=bloom_m,
-            bloom_k=bloom_k,
-            cms_col=cms_col,
-            cms_width=cms_width,
-            cms_depth=cms_depth,
-            # corpus-horizon per-group keep budget (round 15) —
-            # enforced against the store's cms tree every cycle
-            cap_max=cap_max,
-            # token-denominated sibling (round 16): weighted tree +
-            # per-group token budget across the whole stream
-            cms_weight_col=cms_weight_col,
-            token_budget_max=token_budget_max,
-            # near-dup index gate (round 15): defaults ON like the
-            # fps gate; the probe auto-disables while the banded
-            # tree is broadcast-small
-            band_bloom_m=band_bloom_m,
-            band_bloom_k=band_bloom_k,
-        )
+        # Eager owner-released localCheckpoint of the curated batch
+        # (round 18; the round-17 deferred item): run_ingest_cycle
+        # takes several SEPARATE pre-checkpoint actions on the batch
+        # (gate probe collects, the kept-survivor materialization),
+        # and separate jobs share no computation — each one re-ran
+        # the curation chain + the hits read/distinct/anti-join over
+        # the un-materialized micro-batch. One batch-bounded
+        # materialization here makes every later reference a cached
+        # narrow scan; the blocks are released in `finally` the same
+        # micro-batch, so nothing outlives the cycle (per-batch work
+        # inside the drain, not cross-run caching). This also
+        # subsumes the old batch_df.isEmpty() entry probe, which was
+        # itself a full curation run on every non-empty batch; a
+        # batch fully removed by the hits anti-join now skips the
+        # cycle instead of writing empty cycle partitions (no rows
+        # change either way — state reads filter by cycle, and
+        # coverage backfill keys off the SOURCE tree's partitions).
+        owned: list = []
+        try:
+            batch = _tracked_local_checkpoint(batch, owned)
+            if batch.isEmpty():
+                return
+            run_ingest_cycle(
+                batch,
+                store_path,
+                int(batch_id),
+                id_col=id_col,
+                text_col=text_col,
+                near_dup=near_dup,
+                threshold=threshold,
+                consolidate_every=consolidate_every,
+                index_verify=index_verify,
+                keep=keep,
+                bloom_m=bloom_m,
+                bloom_k=bloom_k,
+                cms_col=cms_col,
+                cms_width=cms_width,
+                cms_depth=cms_depth,
+                # corpus-horizon per-group keep budget (round 15) —
+                # enforced against the store's cms tree every cycle
+                cap_max=cap_max,
+                # token-denominated sibling (round 16): weighted tree +
+                # per-group token budget across the whole stream
+                cms_weight_col=cms_weight_col,
+                token_budget_max=token_budget_max,
+                # near-dup index gate (round 15): defaults ON like the
+                # fps gate; the probe auto-disables while the banded
+                # tree is broadcast-small
+                band_bloom_m=band_bloom_m,
+                band_bloom_k=band_bloom_k,
+            )
+        finally:
+            unpersist_owned(owned)
 
     ingest_writer = (
         curated.writeStream.foreachBatch(sink)
@@ -1311,7 +1350,13 @@ def curate_and_ingest_stream(
         # plans/r17/measurements/r17_detector_micro.py). One persisted
         # parallel count answers emptiness AND feeds the write from
         # the (tiny) cached hit rows.
-        batch_df.persist()
+        from pyspark import StorageLevel
+
+        # explicit MEMORY_AND_DISK (advice round 17): hit rows are
+        # tiny by design, but a pathological batch's overflow should
+        # spill, not evict — and the level is now part of the contract
+        # rather than whatever the session default happens to be
+        batch_df.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             if batch_df.count():
                 batch_df.write.mode("overwrite").parquet(
@@ -1574,6 +1619,29 @@ def _store_tree_paths(store_path: str) -> dict[str, str]:
     }
 
 
+# Per-process schema cache for the store's state trees (round 18,
+# verdict item 4): read_prior's six spark.read.parquet probes each pay
+# an eager file listing + parquet footer schema inference EVERY cycle
+# (~0.65-0.8 s/cycle at sf0.1), yet a tree's schema is constant
+# between consolidations — per-cycle writes append same-shaped
+# partitions (the fps tree deliberately stays single-typed until
+# consolidation migrates hex→binary). Cache the inferred StructType
+# per tree path and re-read with spark.read.schema(...), which skips
+# the footer pass. Invalidated by the two writers that can CHANGE a
+# tree's schema or identity: consolidate_ingest_store (the hex→binary
+# migration point) and a cycle-0 seed (a store recreated at the same
+# path — tests and the bench do this). Assumes the store's
+# single-writer contract (the checkpointed stream / one driver): a
+# FOREIGN process consolidating the same live store mid-stream was
+# never supported — replay idempotency already requires one writer.
+_TREE_SCHEMA_CACHE: dict = {}
+
+
+def _invalidate_tree_schema_cache(store_path: str) -> None:
+    for p in _store_tree_paths(store_path).values():
+        _TREE_SCHEMA_CACHE.pop(p, None)
+
+
 def _fold_partitions(
     spark: SparkSession,
     tree_path: str,
@@ -1705,6 +1773,9 @@ def consolidate_ingest_store(
             }.get(tree),
         )
     fs.delete(fs_path(f"{store_path}/_tmp_consolidate"), True)
+    # the fold may have rewritten a tree's schema (hex→binary fps
+    # migration) — drop the cached shapes so the next cycle re-infers
+    _invalidate_tree_schema_cache(store_path)
 
 
 def read_store_cms(
@@ -1924,6 +1995,10 @@ def run_ingest_cycle(
             "stores to budget both"
         )
     _t = _time.perf_counter()
+    if cycle_id == 0:
+        # a cycle-0 seed is a fresh (or recreated-at-the-same-path)
+        # store — any cached tree schemas describe a previous store
+        _invalidate_tree_schema_cache(store_path)
     if consolidate_every and cycle_id > 0 and cycle_id % consolidate_every == 0:
         consolidate_ingest_store(spark, store_path, cycle_id - 1)
         _t = _stamp("consolidate", _t)
@@ -1932,10 +2007,23 @@ def run_ingest_cycle(
         # probe through Spark's reader, not driver-local os.path — the
         # store may live on HDFS/S3, where a local isdir() is always
         # False and would silently skip corpus dedup every cycle
+        path = paths[key]
+        cached = _TREE_SCHEMA_CACHE.get(path)
         try:
-            df = spark.read.parquet(paths[key])
+            # with the cached schema the reader skips the per-cycle
+            # footer inference pass (round 18 — see the cache's note)
+            df = (
+                spark.read.schema(cached).parquet(path)
+                if cached is not None
+                else spark.read.parquet(path)
+            )
         except AnalysisException:
-            return None  # tree doesn't exist yet (first cycle)
+            # tree doesn't exist (first cycle) — or existed under a
+            # since-deleted store: drop any stale cached shape
+            _TREE_SCHEMA_CACHE.pop(path, None)
+            return None
+        if cached is None:
+            _TREE_SCHEMA_CACHE[path] = df.schema
         if "cycle" not in df.columns:
             return None
         return df.filter(F.col("cycle") < cycle_id).drop("cycle")
@@ -2171,6 +2259,12 @@ def run_ingest_cycle(
             timings=(
                 None if timings is None else _compact_sub
             ),
+            # the gates probe trees THIS function's own cycles and
+            # backfills wrote with exactly these (m, k) — validation
+            # rides the probe plans per-row (round 18) instead of two
+            # eager full-tree scans per cycle; a foreign/mixed tree
+            # still raises, at the first gate action
+            sketch_validate="inline",
         )
         if cap_max is not None:
             # corpus-horizon frequency budget on the KEPT rows: the
@@ -2411,8 +2505,19 @@ def near_dup_hits_stream(
     r = num_perm // bands
     width = fanout
     if width is None:
-        width = int(
-            stream.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        try:
+            width = int(
+                stream.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        except (TypeError, ValueError):
+            # vendor-managed sessions can set the conf non-numeric
+            # (e.g. 'auto') — fall back to the cluster's default
+            # parallelism instead of an opaque parse error (advice
+            # round 17)
+            width = stream.sparkSession.sparkContext.defaultParallelism
+    elif width < 0:
+        raise ValueError(
+            f"near_dup_hits_stream: fanout must be >= 0, got {fanout}"
         )
     src = stream.repartition(width, F.col(id_col)) if width else stream
     d = (
